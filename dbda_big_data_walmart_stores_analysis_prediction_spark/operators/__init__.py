@@ -1,0 +1,35 @@
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.cleaning import (
+    impute_median,
+    impute_mode,
+    null_counts,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+    star_join,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+    add_lag_features,
+    add_rolling_mean,
+    top_k_per_group,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+    correlations,
+    describe_plus,
+    group_quartiles,
+    histogram,
+    outlier_bounds,
+)
+
+__all__ = [
+    "null_counts",
+    "impute_median",
+    "impute_mode",
+    "star_join",
+    "add_lag_features",
+    "add_rolling_mean",
+    "top_k_per_group",
+    "describe_plus",
+    "correlations",
+    "group_quartiles",
+    "histogram",
+    "outlier_bounds",
+]

@@ -1,0 +1,91 @@
+"""Window/feature operators (SURVEY.md §2.5 W1-W4, §2.6 O4).
+
+Reference semantics (``Scripts/etl.py:61-67``): per (Store, Dept) series
+ordered by Date — ``lag(1)``, ``lag(4)``, and a trailing-4-ROWS mean that
+EXCLUDES the current row (``rowsBetween(-4, -1)``); window NULLs (heads of
+series) are zero-filled afterwards.
+
+Scale notes: all features over the same partition keys share ONE window spec,
+so Spark plans a single shuffle + sort for the whole feature block. Order
+columns should include a unique tie-break (the reference orders by Date alone,
+which is unique per (Store,Dept); generic callers pass e.g. a line number) —
+without it lag() is nondeterministic across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def series_window(partition_by: list[str], order_by: list[str]) -> WindowSpec:
+    """W1: Window.partitionBy(keys).orderBy(time [, tie-breaks])."""
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def add_lag_features(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    order_by: list[str],
+    lags: tuple[int, ...] = (1, 4),
+    fill: float | None = None,
+    prefix: str | None = None,
+) -> DataFrame:
+    """W2/W3: lag features in one projection over one shared window."""
+    w = series_window(partition_by, order_by)
+    name = prefix or value_col
+    cols = [F.lag(value_col, k).over(w).alias(f"{name}_lag{k}") for k in lags]
+    out = df.select("*", *cols)
+    if fill is not None:
+        out = out.fillna({f"{name}_lag{k}": fill for k in lags})
+    return out
+
+
+def add_rolling_mean(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    order_by: list[str],
+    n_rows: int = 4,
+    include_current: bool = False,
+    fill: float | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """W4: trailing-N-ROWS mean. ``include_current=False`` reproduces the
+    reference's ``rowsBetween(-4, -1)`` frame (current row excluded); ROWS
+    (not RANGE) semantics — gaps in the time column still count N physical
+    rows."""
+    upper = 0 if include_current else -1
+    lower = -n_rows if include_current else -n_rows
+    w = series_window(partition_by, order_by).rowsBetween(lower, upper)
+    name = out_col or f"{value_col}_roll{n_rows}"
+    out = df.select("*", F.avg(value_col).over(w).alias(name))
+    if fill is not None:
+        out = out.fillna({name: fill})
+    return out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list,
+    k: int,
+    rank_fn: str = "row_number",
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via window rank + filter.
+
+    ``order_by`` takes Column expressions (e.g. ``F.desc("revenue")``) and
+    must be total (include tie-break keys) when ``rank_fn='row_number'`` is
+    expected to be deterministic. Catalyst pushes the ``rank <= k`` predicate
+    into the window sort (WindowGroupLimit) so each partition only keeps k
+    rows — no global materialization.
+    """
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[
+        rank_fn
+    ]
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn(rank_col, fn().over(w)).where(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
