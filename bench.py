@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced end-to-end with a ``noop``-format write (full plan
+executes, nothing is collected to the driver), so the number measures the
+distributed plan rather than driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark import get_spark  # noqa: E402
+from dbda_big_data_walmart_stores_analysis_prediction_spark.plans import (  # noqa: E402
+    QUERIES,
+)
+
+# Headline set: one representative per operator family (agg, join tree,
+# window, top-k, date parts, describe, histogram, events/JSON, + north-star
+# ops as they land). Kept explicit so timings stay comparable across rounds.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers_rolling",
+    "q07_revenue_by_region_nation",
+    "q08_lag_rolling_features",
+    "q09_top3_orders_per_customer",
+    "q13_orders_by_date_parts",
+    "q15_describe_lineitem",
+    "q16_histogram_totalprice",
+    "q20_events_hourly_window",
+    "q21_events_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Shuffle partitioning is sized to the data, not the core count: the
+    # bench tables are tens of MB, where 8 post-shuffle partitions beat 32
+    # by ~3x in task-scheduling overhead (AQE can only coalesce the initial
+    # count, it can't erase per-task cost). On a real cluster pass
+    # shuffle_partitions ~ 2-3x total executor cores instead.
+    spark = get_spark(app_name="bench", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        # One unmeasured run to JIT/codegen this plan shape, then measure
+        # steady state — the regime that matters at 100 TB, where codegen
+        # cost amortizes to zero.
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
