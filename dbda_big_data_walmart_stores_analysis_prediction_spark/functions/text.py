@@ -1,0 +1,35 @@
+"""Text primitives shared by the text-analysis and dedup operators.
+
+All pure built-in expressions (codegen'd, no Python in the hot path), with
+DuckDB-expressible semantics so every downstream operator stays
+oracle-comparable:
+
+* tokens:    ``split(trim(text), '\\s+')``
+* shingles:  word k-grams joined by a single space
+* hashes:    md5-derived int64 (functions/hashing.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def shingles_col(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of ``text`` as an array<string>.
+
+    Documents shorter than k words yield their full token string as the one
+    shingle (so every doc has a non-empty shingle set).
+    """
+    w = tokens_col(text)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+    return F.array_distinct(grams)

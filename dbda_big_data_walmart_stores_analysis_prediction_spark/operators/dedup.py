@@ -1,0 +1,328 @@
+"""Deduplication operators (north-star surface, first-class at 100 TB).
+
+Five families, each expressed so the shuffle goes through a KEY a cluster
+can partition on — never an all-pairs cross join:
+
+* exact:          hash-groupBy on a normalized content hash
+* n-gram Jaccard: shingle inverted-index self-join (pairs share ≥1 shingle)
+* MinHash + LSH:  seeded-md5 signatures → banded bucket join
+* SimHash:        bitwise majority fingerprint → chunk-banded hamming join
+* embedding:      cosine near-dup pairs (see operators/similarity.py)
+
+All hashing is md5-derived int64 (functions/hashing.py) so every step is
+reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
+    md5_int64,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
+    shingles_col,
+)
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (fp_exact, n_docs,
+    keep_id = min id). Only groups with n_docs > 1."""
+    h = md5_int64(_norm_text(text_col)).alias("fp_exact")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("fp_exact")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per normalized content hash — the 100 TB-safe
+    exact dedup: one shuffle on the hash, map-side combinable."""
+    h = md5_int64(_norm_text(text_col)).alias("__fp")
+    w_min = (
+        df.select("*", h)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("__keep"))
+    )
+    return (
+        df.select("*", h)
+        .join(w_min, "__fp")
+        .where(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle inverted index + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index input."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(_norm_text(text_col), k)).alias("sh"),
+    ).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    Plan: inverted-index self-join on the shingle (shuffle key = shingle,
+    never a cross join), count shared shingles per pair, join per-doc
+    set sizes, ``J = shared / (|A| + |B| - shared)``, filter ≥ threshold.
+    At scale, stop-shingle removal (drop shingles with huge doc-frequency)
+    bounds the join fan-out; exposed via ``max_doc_freq``-style filtering in
+    the LSH path which subsumes this for 100 TB runs.
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: ``sig_i = min over shingles of
+    md5int(i ':' shingle)``.
+
+    One explode + ONE hash aggregate computes all ``n_hashes`` mins
+    (each min() is codegen'd; no per-permutation pass). The seeded-rehash
+    permutation family keeps every value reproducible in portable SQL —
+    see functions/hashing.py for why not ``(a*h+b) mod p``.
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    mins = [
+        F.min(md5_int64(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: hash each band of ``n_hashes/bands`` signature values,
+    bucket-join docs sharing any (band, band_hash).
+
+    Shuffle key = (band, band_hash) — collision groups are tiny for honest
+    data, and a skewed bucket (a shingle-degenerate crowd) is exactly what
+    AQE skew-join splitting handles.
+    """
+    rows_per_band = n_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bh = md5_int64(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bh.alias("bh"))
+        )
+    banded = signatures.select(
+        F.col("doc"), F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → banded candidates → verify with
+    exact Jaccard (computed only on candidates — the LSH recall/precision
+    story at scale: candidates are a vanishing fraction of all pairs)."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    sh = shingle_table(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    shared = (
+        cands.join(sh.toDF("doc_a", "sh"), "doc_a")
+        .join(sh.toDF("doc_b", "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # md5_int64 yields 60 usable bits
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash over distinct whitespace tokens.
+
+    ``bit_b(sig) = 1 iff sum over tokens of (2*bit_b(md5int(token)) - 1) > 0``.
+    Computed with one explode over (token x bit) and two hash aggregates —
+    no UDF, fully oracle-expressible. At 100 TB the explode fan-out (tokens
+    x 60) is the cost; the scale alternative is a pandas-UDF per-doc loop,
+    but the relational form keeps it inside codegen and partial aggregation.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    ).distinct()
+    h = toks.select("doc", md5_int64(F.col("tok")).alias("h"))
+    bits = h.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "h",
+    ).select(
+        "doc",
+        "b",
+        # expr strings: the pyspark shiftright/shiftleft helpers only take
+        # int literals for the shift amount, the SQL functions take columns
+        F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("vote"),
+    )
+    return (
+        bits.groupBy("doc", "b")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 12,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation bands the 60-bit fingerprint into ``n_chunks``
+    15-bit chunks (pigeonhole: pairs within distance < n_chunks must agree
+    on ≥1 chunk... for larger budgets the chunk count scales) and
+    bucket-joins on (chunk_idx, chunk_value); verification is
+    ``bit_count(xor) <= max_hamming``.
+    """
+    sig = simhash(df, id_col, text_col)
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Two paths over ``embeddings`` (vec_id, embedding: array<float>, label):
+
+* brute-force cosine top-k — the exact baseline. Query set x corpus via a
+  BROADCAST of the (small) query side, cosine computed JVM-side with
+  zip_with/aggregate (functions/vectors.py), top-k via per-query window.
+  At 100 TB-corpus scale this is one scan of the corpus per query batch —
+  the right exact plan.
+* sign-LSH bucketed — the approximate scale path: 'r' deterministic
+  md5-derived hyperplanes give an r-bit signature; candidates share a
+  signature bucket (optionally with multi-probe neighbors), exact cosine
+  re-ranks only candidates.
+
+Embedding cosine NEAR-DUP pairs reuse the same primitives with a
+self-join instead of a query set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.vectors import (
+    cosine_similarity_col,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+    top_k_per_group,
+)
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank). Deterministic ties:
+    (cosine DESC, neighbor_id ASC).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = q.crossJoin(c)
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity_col("q_vec", "c_vec"), 6).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
+def _plane_coeff(table: int, plane: int, d: int) -> float:
+    """plane[table][plane][d] = (md5int('table:plane:d') mod 2001) - 1000 —
+    computed driver-side with hashlib (identical to the SQL/Spark md5-int64
+    formula) so the per-row plan carries plain double literals instead of a
+    thousands-of-nodes md5 expression tree (which cost ~50s of analysis/
+    codegen time when built as Catalyst expressions)."""
+    h = int(hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()[:15], 16)
+    return float(h % 2001 - 1000)
+
+
+def _sign_lsh_signature(
+    vec_col: Column | str, n_planes: int, dim: int, table: int = 0
+) -> Column:
+    """r-bit sign signature with deterministic pseudo-random hyperplanes —
+    reproducible in any engine from the md5 formula in ``_plane_coeff``;
+    no stored model. ``table`` seeds independent plane sets for multi-table
+    LSH."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for p in range(n_planes):
+        coeffs = F.array(
+            *[F.lit(_plane_coeff(table, p, d)) for d in range(dim)]
+        )
+        dot = F.aggregate(
+            F.zip_with(v.cast("array<double>"), coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("bigint")
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 5,
+    n_tables: int = 12,
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: multi-table sign-LSH bucketing, exact
+    cosine re-rank only within shared buckets.
+
+    ONE table of r sign bits has terrible recall for moderate-similarity
+    neighbors (P[all r planes agree] ~ (1 - θ/π)^r — measured 0.04
+    recall@10 on the 64-dim fixture with r=8). The standard fix is L
+    independent tables: a pair is a candidate if it collides in ANY table,
+    lifting recall to 1-(1-p^r)^L while the shuffle key stays a bucket id.
+    Each row fans out L times (explode) — at 100 TB, L and r trade recall
+    against shuffle volume; candidates dedupe before scoring so re-rank
+    cost is per unique pair.
+    """
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _sign_lsh_signature(vec_col, n_planes, dim, table=t).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(tables).alias("b"),
+    ).select("neighbor_id", "c_vec", F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(tables).alias("b"),
+    ).select("query_id", "q_vec", F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig"))
+    pairs = q.join(c, ["tbl", "sig"]).select(
+        "query_id", "q_vec", "neighbor_id", "c_vec"
+    )
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    # candidate pairs collide in several tables — dedupe BEFORE the cosine
+    pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity_col("q_vec", "c_vec"), 6).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+
+    ``exact=True`` scores ALL pairs (O(n²) — oracle/verification mode);
+    default buckets by sign-LSH first (scale mode; near-identical vectors
+    almost always share all sign bits).
+    """
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        sig = _sign_lsh_signature(vec_col, n_planes, dim)
+        banded = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket")
+        )
+        pairs = (
+            banded.toDF("id_a", "v_a", "bucket")
+            .join(banded.toDF("id_b", "v_b", "bucket"), "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "v_a", "id_b", "v_b")
+        )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity_col("v_a", "v_b"), 6).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,128 @@
+"""Text-analysis operators over document tables (north-star surface —
+SURVEY.md notes the reference has no string functions at all;
+these are the operators a training-data pipeline needs at 100 TB).
+
+Everything is built-in JVM expressions over the ``documents`` schema
+(doc_id, text, lang, source, n_chars): language-ID by stopword voting,
+quality scoring, token counting (whitespace + BPE-ish regex), and
+deterministic document fingerprints. No UDFs — at 100 TB these run inside
+whole-stage codegen directly against the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
+    md5_int64,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
+    shingles_col,
+    tokens_col,
+)
+
+# Tiny per-language stopword sets for the n-gram/stopword-voting language
+# heuristic. Deliberately small + frozen: the operator's contract is
+# deterministic scoring, not linguistic accuracy.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de": ("der", "die", "und", "das", "in", "von", "zu", "mit", "ist", "den"),
+    "fr": ("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
+}
+
+# One BPE-ish word/number/punct token pattern, shared by Spark and the
+# DuckDB oracle (same regex dialect subset).
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _stopword_hits(words: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(words, sw))
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality/statistics features in ONE projection.
+
+    Columns added: n_tokens (whitespace), n_bpe_tokens (regex), avg_token_len,
+    punct_ratio, digit_ratio, space_ratio, quality_score (deterministic
+    heuristic in [0,1]).
+    """
+    t = F.col(text_col)
+    words = tokens_col(t)
+    n_chars = F.length(t).cast("double")
+    n_tokens = F.size(words).cast("bigint")
+    n_bpe = F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).cast("bigint")
+    n_punct = F.length(F.regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("double")
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+    n_space = F.length(F.regexp_replace(t, "[^ ]", "")).cast("double")
+    avg_tok = F.when(n_tokens > 0, (n_chars - n_space) / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(0.0)
+    space_ratio = F.when(n_chars > 0, n_space / n_chars).otherwise(0.0)
+    # quality: long-enough docs with word-like tokens and low punct/digit load
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.when((avg_tok >= 3) & (avg_tok <= 10), 0.3).otherwise(0.0)
+        + F.greatest(F.lit(0.0), F.lit(0.15) - punct_ratio) * 2.0 / 3.0 * 1.0
+        + F.greatest(F.lit(0.0), F.lit(0.2) - digit_ratio)
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(space_ratio, 4).alias("space_ratio"),
+        # floor-based half-up rounding: quality sums decimal fractions (0.4,
+        # 0.3, ...) that frequently land on exact .XXXX5 doubles where
+        # engines' round() implementations disagree; floor(x*1e4 + 0.5) is
+        # plain double math and therefore bit-identical everywhere.
+        (F.floor(quality * 10000 + F.lit(0.5)) / 10000).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID: argmax over per-language distinct
+    stopword hits, deterministic tie-break toward the alphabetically first
+    language code, 'und' (undetermined) when nothing hits.
+
+    Adds ``lang_pred`` plus per-language hit counts ``hits_<lang>``.
+    """
+    words = F.array_distinct(tokens_col(F.lower(F.col(text_col))))
+    hit_cols = {lang: _stopword_hits(words, lang) for lang in sorted(STOPWORDS)}
+    best = None
+    for lang in sorted(STOPWORDS):  # alphabetical ⇒ first max wins ties
+        hits = hit_cols[lang]
+        if best is None:
+            best = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(hit_cols[lang] > best["hits"],
+                          F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+                          ).otherwise(best)
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.select(
+        "*",
+        *[hit_cols[lang].cast("bigint").alias(f"hits_{lang}") for lang in sorted(STOPWORDS)],
+        pred.alias("lang_pred"),
+    )
+
+
+def add_fingerprints(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Deterministic document fingerprints:
+
+    * ``fp_exact``   — md5-int64 of the whitespace-normalized lowercased text
+      (exact-dup key; oracle-reproducible).
+    * ``fp_minshingle`` — min md5-int64 over the doc's word k-shingles
+      (a 1-permutation MinHash: equal for docs sharing their lowest shingle).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    sh = shingles_col(norm, k)
+    min_h = F.array_min(F.transform(sh, lambda s: md5_int64(s)))
+    return df.select(
+        "*",
+        md5_int64(norm).alias("fp_exact"),
+        min_h.alias("fp_minshingle"),
+    )

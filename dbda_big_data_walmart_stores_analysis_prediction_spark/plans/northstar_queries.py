@@ -1,0 +1,421 @@
+"""Oracle-paired north-star queries: text analysis, dedup, similarity,
+sessionization, set-op/rollup breadth (BASELINE.json surface beyond the
+reference's operators).
+
+Registered into the same QUERIES/ORACLE_SQL dicts as plans/star_queries.
+Every md5-derived hash, shingle construction, and threshold is replicated
+verbatim in the DuckDB SQL so even the LSH pipelines hash-match end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+    dedup as dd,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+    similarity as sim,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+    text as tx,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.star_queries import (
+    _register,
+    _t,
+)
+
+# Shared DuckDB CTE fragments (kept in one place so every oracle uses the
+# exact same normalization / shingle / hash text).
+_SQL_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_SQL_HEX = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+_SQL_SHINGLES = (
+    r"list_distinct([array_to_string(w[i:i+2], ' ') "
+    r"FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])"
+)
+_SQL_SH_TABLE = f"""
+    norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    words AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM norm),
+    sh AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES}) AS sh FROM words)
+"""
+_SQL_SIMHASH = f"""
+    toks AS (SELECT DISTINCT doc_id AS doc,
+                    unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+             FROM documents),
+    th AS (SELECT doc, {_SQL_HEX.format(x='tok')} AS h FROM toks),
+    bits AS (SELECT doc, b, ((h >> b) & 1) * 2 - 1 AS vote
+             FROM th, (SELECT unnest(range(60)) AS b)),
+    votes AS (SELECT doc, b, sum(vote) AS s FROM bits GROUP BY doc, b),
+    sig AS (SELECT doc,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+            FROM votes GROUP BY doc)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q22_text_features",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+        length(text)::DOUBLE AS n_chars,
+        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens,
+        length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE AS n_punct,
+        length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit,
+        length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE AS n_space
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_tokens, n_bpe_tokens,
+        CASE WHEN n_tokens > 0 THEN (n_chars - n_space) / n_tokens ELSE 0.0 END AS avg_tok,
+        CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+        CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+        CASE WHEN n_chars > 0 THEN n_space / n_chars ELSE 0.0 END AS space_ratio
+      FROM f
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens,
+      round(avg_tok, 4) AS avg_token_len,
+      round(punct_ratio, 4) AS punct_ratio,
+      round(digit_ratio, 4) AS digit_ratio,
+      round(space_ratio, 4) AS space_ratio,
+      floor((least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
+            + CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 0.3 ELSE 0.0 END
+            + greatest(0.0, 0.15 - punct_ratio) * 2.0 / 3.0 * 1.0
+            + greatest(0.0, 0.2 - digit_ratio)) * 10000 + 0.5) / 10000 AS quality_score
+    FROM g
+    """,
+)
+def q22_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting, one codegen projection per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.add_text_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "space_ratio",
+        "quality_score",
+    )
+
+
+@_register(
+    "q23_language_id",
+    """
+    WITH w AS (SELECT doc_id, lang,
+                      list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS words
+               FROM documents),
+    h AS (SELECT doc_id, lang,
+      len(list_intersect(words, ['der','die','und','das','in','von','zu','mit','ist','den']))::BIGINT AS hits_de,
+      len(list_intersect(words, ['the','and','of','to','a','in','is','it','that','for']))::BIGINT AS hits_en,
+      len(list_intersect(words, ['el','la','de','que','y','en','un','es','se','no']))::BIGINT AS hits_es,
+      len(list_intersect(words, ['le','la','et','les','des','en','un','du','une','est']))::BIGINT AS hits_fr
+      FROM w)
+    SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr,
+      CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+           WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+           WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+           WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+def q23_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID (deterministic alphabetical tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.language_id(docs).select(
+        "doc_id", "lang", "hits_de", "hits_en", "hits_es", "hits_fr", "lang_pred"
+    )
+
+
+@_register(
+    "q24_fingerprints",
+    f"""
+    WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    words AS (SELECT doc_id, t, regexp_split_to_array(t, '\\s+') AS w FROM norm),
+    g AS (SELECT doc_id, t, {_SQL_SHINGLES} AS grams FROM words)
+    SELECT doc_id,
+      {_SQL_HEX.format(x='t')} AS fp_exact,
+      list_min([{_SQL_HEX.format(x='g')} FOR g IN grams]) AS fp_minshingle
+    FROM g
+    """,
+)
+def q24_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact md5-int64 + 1-perm MinHash."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.add_fingerprints(docs).select("doc_id", "fp_exact", "fp_minshingle")
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q25_exact_dup_groups",
+    f"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+    ),
+    h AS (SELECT {_SQL_HEX.format(x=_SQL_NORM)} AS fp_exact, doc_id FROM u)
+    SELECT fp_exact, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM h GROUP BY fp_exact HAVING count(*) > 1
+    """,
+)
+def q25_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a frame with injected duplicates (the base table has
+    none): hash-groupBy, map-side combinable, one shuffle on the hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return dd.exact_dup_groups(docs.unionAll(dup), "doc_id")
+
+
+@_register(
+    "q26_jaccard_pairs",
+    f"""
+    WITH {_SQL_SH_TABLE},
+    sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    shared AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM shared
+    JOIN sz sa ON sa.doc = doc_a
+    JOIN sz sb ON sb.doc = doc_b
+    WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.5
+    """,
+)
+def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted-index join
+    (shuffle key = shingle; never a cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, "doc_id", k=3, threshold=0.5)
+
+
+@_register(
+    "q27_minhash_lsh_pairs",
+    f"""
+    WITH {_SQL_SH_TABLE},
+    seeds AS (SELECT unnest(range(16)) AS i),
+    sigs AS (
+      SELECT doc, i, min({_SQL_HEX.format(x="i || ':' || sh")}) AS m
+      FROM sh, seeds GROUP BY doc, i
+    ),
+    bands AS (
+      SELECT doc, i // 4 AS band,
+             {_SQL_HEX.format(x="string_agg(m::VARCHAR, ',' ORDER BY i)")} AS bh
+      FROM sigs GROUP BY doc, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc = c.doc_a
+      JOIN sh b ON b.doc = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM shared
+    JOIN sz sa ON sa.doc = doc_a
+    JOIN sz sb ON sb.doc = doc_b
+    WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.5
+    """,
+)
+def q27_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 seeded-md5 perms) → 4-band LSH buckets → exact-Jaccard
+    verification on candidates only. The oracle replicates the entire
+    pipeline hash-for-hash, so parity holds even for borderline pairs LSH
+    may drop."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", k=3, n_hashes=16, bands=4, threshold=0.5
+    )
+
+
+@_register(
+    "q28_simhash",
+    f"""
+    WITH {_SQL_SIMHASH}
+    SELECT doc, simhash FROM sig
+    """,
+)
+def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints, relational form (no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash(docs, "doc_id")
+
+
+@_register(
+    "q29_simhash_near_pairs",
+    f"""
+    WITH {_SQL_SIMHASH}
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM sig a JOIN sig b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q29_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming ≤ 3 via 15-bit chunk banding.
+
+    Pigeonhole makes the banded candidate set COMPLETE for hamming < 4
+    (≤3 flipped bits can touch ≤3 of 4 chunks), so the oracle can be the
+    plain all-pairs filter while the engine does the scalable bucket join.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(docs, "doc_id", max_hamming=3, n_chunks=4)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q30_knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qv, cv), 6) AS cosine
+          FROM q, c WHERE query_id <> neighbor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank FROM r WHERE rank <= 10
+    """,
+)
+def q30_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries x corpus
+    scan, JVM-side zip_with/aggregate dot products, per-query window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@_register(
+    "q31_embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+    """,
+)
+def q31_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact mode (the oracle-checkable
+    baseline; the sign-LSH bucketed scale path is q32, rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, threshold=0.25, exact=True)
+
+
+@_register("q32_knn_lsh")  # approximate: rows-only check, no oracle
+def q32_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: 8 deterministic md5-derived hyperplanes,
+    exact cosine re-rank within buckets. Approximate by design → no SQL
+    oracle; recall vs q30 is asserted in tests/."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_lsh(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Set-op / grouping breadth
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q33_rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q33_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent from the reference; free via Catalyst's
+    Expand operator — one pass, no per-level re-scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@_register(
+    "q34_intersect_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    INTERSECT
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderstatus = 'F')
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def q34_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (SURVEY §2.7 — free from DataFrame API)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = cust.join(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select(F.col("c_custkey").alias("custkey"))
+    finished = cust.join(
+        orders.where(F.col("o_orderstatus") == "F"),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select(F.col("c_custkey").alias("custkey"))
+    negative = cust.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return urgent.intersect(finished).exceptAll(negative.distinct())
+
+
+# ---------------------------------------------------------------------------
+# Sampling (M1/M2): rows-only — sampling is engine-specific by nature
+# ---------------------------------------------------------------------------
+
+
+@_register("q35_bernoulli_sample")  # rows-only
+def q35_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: seeded Bernoulli sample (reference Scripts/eda.py:61-63).
+    Sampling RNGs differ per engine → rows-only check."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@_register("q36_random_split")  # rows-only
+def q36_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: seeded 80/20 randomSplit (reference Scripts/model.py:69); returns
+    per-split counts so the driver sees a stable 1-row schema."""
+    orders = _t(spark, sf_dir, "orders")
+    train, test = orders.randomSplit([0.8, 0.2], seed=42)
+    return spark.createDataFrame(
+        [(train.count(), test.count())], "n_train bigint, n_test bigint"
+    )

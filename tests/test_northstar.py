@@ -1,0 +1,84 @@
+"""Quality/behavior tests for north-star operators (beyond oracle parity):
+approximate operators need quality floors, not value equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+    dedup as dd,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+    similarity as sim,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_knn_lsh_recall(spark):
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_bruteforce(emb, queries, k=10).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_lsh(emb, queries, k=10).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    # uniformly random 64-dim vectors are the worst case for sign-LSH;
+    # real clustered embeddings do far better. Floor guards regressions.
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_dedup_exact_removes_injected_dups(spark):
+    docs = _docs(spark).select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    unioned = docs.unionAll(dup)
+    deduped = dd.dedup_exact(unioned, "doc_id")
+    assert deduped.count() == docs.count()
+    # survivor is always the smaller id (the original)
+    assert deduped.where(F.col("doc_id") >= 10000).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dup docs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"MinHash-LSH recall too low: {recall}"
+    # verification step guarantees precision 1.0 (candidates re-checked)
+    assert lsh <= exact
+
+
+def test_simhash_near_pairs_complete_under_pigeonhole(spark):
+    docs = _docs(spark).where(F.col("doc_id") < 100)
+    sig = {r["doc"]: r["simhash"] for r in dd.simhash(docs, "doc_id").collect()}
+    expected = set()
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sig[a] ^ sig[b]).count("1") <= 3:
+                expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_near_pairs(docs, "doc_id", max_hamming=3).collect()
+    }
+    assert got == expected

@@ -47,8 +47,9 @@ def _norm_cell(v):
 
 def _multiset(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
     return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+        normed, key=lambda row: tuple((c is None, str(c)) for c in row)
     )
 
 
