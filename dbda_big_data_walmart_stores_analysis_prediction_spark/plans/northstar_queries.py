@@ -419,3 +419,98 @@ def q36_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(train.count(), test.count())], "n_train bigint, n_test bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows / sessionization (streaming-shaped batch semantics)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q37_sessionization",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, ts, value,
+             sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM o)
+    SELECT user_id, session_id::BIGINT AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q37_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessions, gaps-and-islands form: the lag window,
+    the cumulative boundary sum, and the final agg all share ONE shuffle on
+    user_id. (The streaming session_window twin lives in streaming/.)"""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events import (
+        sessionize,
+    )
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@_register(
+    "q38_sliding_windows",
+    """
+    WITH x AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start
+      FROM events)
+    SELECT window_start, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q38_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h/30min sliding event-time windows via Catalyst's window Expand (each
+    event fans out to size/slide windows; no self-join). Oracle reproduces
+    the fan-out with the two epoch-aligned 30-min buckets each event hits."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events import (
+        sliding_window_counts,
+    )
+
+    return sliding_window_counts(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode layer stubbed; rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@_register("q39_multimodal_features")  # rows-only: Python-side byte features
+def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media pipeline: attach_blob → mapInPandas byte features
+    (entropy + 16-bin histogram). Deterministic, but the histogram math
+    lives in Python — rows-only check by design."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.multimodal import (
+        attach_blob,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_blob(docs, "doc_id", "text")
+    return extract_features(media).drop("byte_histogram")
+
+
+@_register("q40_frame_sampling")  # rows-only
+def q40_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan shape over opaque payloads (JVM-side chunking —
+    stands in for video frame extraction without a codec)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.multimodal import (
+        attach_blob,
+        frame_sample_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_blob(docs, "doc_id", "text")
+    return frame_sample_plan(media).select("media_id", "media_type", "n_frames")

@@ -1,0 +1,135 @@
+"""Event-time windowing — batch semantics + Structured Streaming variants.
+
+The reference has no streaming at all (SURVEY.md §2.10); the driver's
+``events`` table (event_id, ts, user_id, event_type, value, props) is the
+fixture for the streaming-shaped surface. Every operator exists twice:
+
+* a BATCH form whose semantics are portable SQL (oracle-checkable), and
+* a STREAMING form over ``readStream`` with watermarks, exercised in tests
+  through the rate/memory sources.
+
+Sessionization deliberately uses the gaps-and-islands formulation (lag +
+cumulative boundary sum) for batch — identical in any SQL engine — while
+the streaming form uses Spark's native ``session_window`` (whose
+[start, last+gap) end-semantics differ from island bounds; both are exposed,
+tests pin each).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame, size: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window aggregate (batch). ``window()`` keeps the
+    plan shape identical to the streaming variant."""
+    return (
+        events.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding event-time windows (batch): each event lands in
+    size/slide windows via Catalyst's window generation (an Expand — no
+    self-join)."""
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user sessions, gaps-and-islands form (batch, oracle-portable):
+
+    session boundary when the gap to the previous event exceeds
+    ``gap_minutes``; session id = running boundary count. One shuffle on
+    user_id shared by the lag window, the cumulative sum, and the final
+    aggregate (same partition key throughout — Catalyst reuses the sort).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag("ts").over(w)
+    boundary = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > gap_us),
+        1,
+    ).otherwise(0)
+    with_sess = events.select(
+        "*", F.sum(boundary).over(w).alias("session_id")
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def native_session_windows(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Spark's native ``session_window`` (batch form of the streaming
+    operator). End bound = last event + gap (differs from island max(ts))."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming variants
+# ---------------------------------------------------------------------------
+
+
+def streaming_hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """readStream → watermark → tumbling window agg. Late events beyond the
+    watermark are dropped; state is bounded by watermark horizon x window
+    count — the 100 TB/day streaming-safe shape."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
+def streaming_sessionize(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """readStream sessionization with ``session_window`` — merging session
+    state per user, closed when the watermark passes start+gap."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
