@@ -94,6 +94,11 @@ def jaccard_pairs(
     bounds the join fan-out; exposed via ``max_doc_freq``-style filtering in
     the LSH path which subsumes this for 100 TB runs.
     """
+    # NOTE: deliberately NOT persisted — the shingle explode recomputes per
+    # consumer, but measured at sf0.1 the columnar cache build + storage
+    # memory churn costs more than re-running the scan+regex (34s vs 6s
+    # cold). At much larger scale, persist(DISK_ONLY) on sh may win; keep
+    # the logical plan cache-free and let callers decide.
     sh = shingle_table(df, id_col, text_col, k)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -103,7 +108,7 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
-    out = (
+    return (
         shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .select(
@@ -117,7 +122,6 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -195,9 +199,14 @@ def minhash_lsh_pairs(
     """Full near-dup pipeline: signatures → banded candidates → verify with
     exact Jaccard (computed only on candidates — the LSH recall/precision
     story at scale: candidates are a vanishing fraction of all pairs)."""
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
-    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    # cache-free for the same reason as jaccard_pairs (see NOTE there)
     sh = shingle_table(df, id_col, text_col, k)
+    mins = [
+        F.min(md5_int64(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy("doc").agg(*mins)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     shared = (
         cands.join(sh.toDF("doc_a", "sh"), "doc_a")

@@ -315,18 +315,31 @@ def q30_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q31_embedding_near_dups",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH planes AS (
+      SELECT p, [(((('0x' || substring(md5('0:' || p || ':' || d), 1, 15))::BIGINT)
+                   % 2001) - 1000)::DOUBLE FOR d IN range(0, 64)] AS c
+      FROM (SELECT unnest(range(6)) AS p)
+    ),
+    sigs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sum(CASE WHEN list_dot_product(embedding::DOUBLE[], c) > 0
+                      THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+      FROM embeddings, planes GROUP BY vec_id, embedding
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
     """,
 )
 def q31_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact mode (the oracle-checkable
-    baseline; the sign-LSH bucketed scale path is q32, rows-only)."""
+    """Embedding-cosine near-dup pairs on the sign-LSH bucketed SCALE path
+    (pair fan-out = per-bucket, not O(n²)); the oracle reproduces the
+    md5-derived hyperplanes and bucketing exactly, so even the approximate
+    path is value-checked. Exact mode (``exact=True``) exists for
+    verification and stays O(n²) by design."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dup_pairs(emb, threshold=0.25, exact=True)
+    return sim.embedding_near_dup_pairs(emb, threshold=0.25, exact=False)
 
 
 @_register("q32_knn_lsh")  # approximate: rows-only check, no oracle
