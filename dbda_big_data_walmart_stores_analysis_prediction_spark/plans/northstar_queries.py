@@ -527,3 +527,158 @@ def q40_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_blob(docs, "doc_id", "text")
     return frame_sample_plan(media).select("media_id", "media_type", "n_frames")
+
+
+# ---------------------------------------------------------------------------
+# Coverage breadth: remaining join types, rank-function family, string
+# functions, imputation with an oracle-checkable exact median
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q41_full_outer_reconcile",
+    """
+    WITH a AS (SELECT o_custkey AS custkey, count(*) AS n_urgent FROM orders
+               WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+         b AS (SELECT o_custkey AS custkey, count(*) AS n_big FROM orders
+               WHERE o_totalprice > 250000 GROUP BY 1)
+    SELECT coalesce(a.custkey, b.custkey) AS custkey,
+           coalesce(n_urgent, 0) AS n_urgent,
+           coalesce(n_big, 0) AS n_big
+    FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+    """,
+)
+def q41_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (SURVEY §2.3 'absent' list): reconcile two aggregates
+    with disjoint key coverage. Both sides pre-aggregated ⇒ the outer join
+    runs on the small aggregated keys, not the fact rows."""
+    orders = _t(spark, sf_dir, "orders")
+    a = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    b = (
+        orders.where(F.col("o_totalprice") > 250000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_big"))
+    )
+    return (
+        a.withColumnRenamed("custkey", "custkey_a")
+        .join(
+            b.withColumnRenamed("custkey", "custkey_b"),
+            F.col("custkey_a") == F.col("custkey_b"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("custkey_a", "custkey_b").alias("custkey"),
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+            F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        )
+    )
+
+
+@_register(
+    "q42_rank_family",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS best_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q42_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/lead/first_value — the ranking-family surface
+    absent from the reference (SURVEY §2.5), one shared window spec."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("best_price"),
+    )
+
+
+@_register(
+    "q43_string_functions",
+    """
+    SELECT p_partkey AS partkey,
+           upper(p_brand) AS brand_uc,
+           substring(p_name, 1, 8) AS name_prefix,
+           length(p_name)::INTEGER AS name_len,
+           concat(p_brand, '/', p_type) AS brand_type,
+           regexp_extract(p_type, '^[A-Z]+', 0) AS type_head,
+           replace(p_type, ' ', '_') AS type_snake,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green
+    FROM part
+    """,
+)
+def q43_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth (SURVEY §2.8 notes the reference has none):
+    upper/substr/length/concat/regexp_extract/replace/LIKE, all codegen'd."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", "^[A-Z]+", 0).alias("type_head"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+    )
+
+
+@_register(
+    "q44_median_imputation",
+    """
+    WITH dirty AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_totalprice END AS price
+      FROM orders
+    ),
+    med AS (SELECT quantile_cont(price, 0.5) AS m FROM dirty)
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           round(sum(coalesce(price, m)), 2) AS total_imputed,
+           round(avg(coalesce(price, m)), 4) AS avg_imputed
+    FROM dirty, med
+    GROUP BY o_orderstatus
+    """,
+)
+def q44_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/A2 with an oracle: null-injected column median-imputed using the
+    EXACT distributed quantile (operators/analytics.exact_quantiles — the
+    production impute_median uses the approxQuantile sketch, which is
+    deliberately not oracle-compared)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        exact_quantiles,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 10 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    median = exact_quantiles(dirty, "price", [0.5])[0]
+    imputed = dirty.fillna({"price": median})
+    return imputed.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("price"), 2).alias("total_imputed"),
+        F.round(F.avg("price"), 4).alias("avg_imputed"),
+    )
