@@ -206,8 +206,17 @@ def correlations(df: DataFrame, columns: list[str], target: str | None = None) -
         pairs = [(c, target) for c in columns if c != target]
     else:
         pairs = list(combinations(columns, 2))
+    # covar/(sd*sd) with try_divide instead of corr(): under ANSI mode
+    # (Spark 4 default) corr() THROWS on a zero-variance column; a constant
+    # feature should yield NULL (pandas/DuckDB behavior), not kill the job.
     aggs = [
-        F.corr(a, b).cast("double").alias(f"{a}__{b}") for a, b in pairs
+        F.expr(
+            f"try_divide(covar_samp(`{a}`, `{b}`), "
+            f"stddev_samp(`{a}`) * stddev_samp(`{b}`))"
+        )
+        .cast("double")
+        .alias(f"{a}__{b}")
+        for a, b in pairs
     ]
     wide = df.agg(*aggs).collect()[0]
     rows = [(a, b, wide[f"{a}__{b}"]) for a, b in pairs]

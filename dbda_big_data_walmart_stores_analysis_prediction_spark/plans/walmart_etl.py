@@ -57,6 +57,11 @@ NUMERIC_IMPUTE_COLS = [
     "MarkDown5",
     "CPI",
     "Unemployment",
+    # beyond the reference's list: a fact row whose Store is missing from
+    # the dim leaves Size NULL after the left join, which the assembler
+    # turns into a NaN feature vector the forest rejects. The reference's
+    # data never hits this; real data does.
+    "Size",
 ]
 CATEGORICAL_IMPUTE_COLS = ["Type", "IsHoliday"]
 LABEL = "Weekly_Sales"

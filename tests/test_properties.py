@@ -1,0 +1,98 @@
+"""Property-based tests (SURVEY.md §5.5) — hypothesis over small frames.
+
+max_examples is kept low: every example costs Spark jobs; the properties
+are about structural invariants, not numeric fuzzing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+values = st.lists(
+    st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)), min_size=1, max_size=30
+)
+
+
+@given(xs=values)
+@settings(**SETTINGS)
+def test_impute_median_leaves_no_nulls(spark, xs):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.cleaning import (
+        impute_median,
+    )
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    out = impute_median(df, ["x"])
+    if any(x is not None for x in xs):
+        assert out.where(F.col("x").isNull()).count() == 0
+    else:  # all-null column: median undefined, column left as-is
+        assert out.where(F.col("x").isNull()).count() == len(xs)
+
+
+@given(
+    n_dim=st.integers(1, 5),
+    n_fact=st.integers(1, 20),
+)
+@settings(**SETTINGS)
+def test_left_join_unique_dim_preserves_rows(spark, n_dim, n_fact):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        star_join,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n_dim)], "k int, attr string"
+    )
+    fact = spark.createDataFrame(
+        [(i % (n_dim + 2), float(i)) for i in range(n_fact)], "k int, v double"
+    )
+    joined = star_join(fact, [(dim, "k")])
+    assert joined.count() == n_fact  # unique dim keys never fan out
+
+
+@given(xs=st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_lag_null_prefix_then_filled(spark, xs):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        add_lag_features,
+    )
+
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g int, t int, v double")
+    lagged = add_lag_features(df, "v", ["g"], ["t"], lags=(1, 4))
+    got = {r["t"]: r for r in lagged.collect()}
+    for i in range(len(xs)):
+        # first k rows of each series have NULL lag-k, then exact values
+        expect1 = None if i < 1 else xs[i - 1]
+        expect4 = None if i < 4 else xs[i - 4]
+        assert got[i]["v_lag1"] == expect1
+        assert got[i]["v_lag4"] == expect4
+    filled = add_lag_features(df, "v", ["g"], ["t"], lags=(1,), fill=0.0)
+    assert filled.where(F.col("v_lag1").isNull()).count() == 0
+
+
+@given(xs=st.lists(st.floats(0, 1e6, allow_nan=False), min_size=2, max_size=40))
+@settings(**SETTINGS)
+def test_exact_quantiles_match_python(spark, xs):
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = exact_quantiles(df, "x", [0.25, 0.5, 0.75], n_ranges=3)
+    s = sorted(xs)
+    for g, p in zip(got, [0.25, 0.5, 0.75]):
+        r = (len(s) - 1) * p
+        lo, hi = math.floor(r), math.ceil(r)
+        want = s[lo] + (s[hi] - s[lo]) * (r - lo)
+        assert abs(g - want) <= 1e-9 * max(1.0, abs(want))

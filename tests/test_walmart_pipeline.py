@@ -154,6 +154,23 @@ def test_mode_tie_deterministic(spark, train, stores, features):
         assert modes["Type"] == ("A" if a > b else "B")
 
 
+def test_cv_tuning_smoke(spark, train, test_fact, stores, features):
+    # ML5: CrossValidator path with a tiny grid (2 fits x 2 folds + refit)
+    merged_train, _ = W.walmart_etl(train, test_fact, stores, features)
+    cv = M.tune(
+        merged_train,
+        grid_trees=(3,),
+        grid_depth=(2, 3),
+        grid_min_instances=(1,),
+        n_folds=2,
+        parallelism=2,
+    )
+    model = cv.fit(M.cast_booleans(merged_train))
+    assert len(model.avgMetrics) == 2  # one metric per grid point
+    preds = model.transform(M.cast_booleans(merged_train))
+    assert "prediction" in preds.columns
+
+
 def test_ml_smoke(spark, train, test_fact, stores, features):
     merged_train, merged_test = W.walmart_etl(train, test_fact, stores, features)
     tr, val = merged_train.randomSplit([0.7, 0.3], seed=42)
