@@ -21,9 +21,6 @@ from pyspark.sql import functions as F
 from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
     md5_int64,
 )
-from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
-    shingles_col,
-)
 
 # ---------------------------------------------------------------------------
 # exact
@@ -71,11 +68,33 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input."""
-    return df.select(
+    """Distinct (id, shingle) pairs — the inverted-index input.
+
+    Built with posexplode + lead() windows rather than the array-HOF form
+    (``transform(sequence, slice+array_join)``): higher-order-function
+    lambdas run interpreted, NOT in whole-stage codegen, and measured 3.7x
+    slower at sf0.1. The window shuffles on doc id — the same key every
+    downstream consumer aggregates on. Short docs (< k words) yield one
+    partial shingle (= the whole text), matching the array form and the
+    SQL-oracle list comprehension exactly.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(shingles_col(_norm_text(text_col), k)).alias("sh"),
-    ).distinct()
+        F.posexplode(F.split(_norm_text(text_col), r"\s+")).alias("pos", "w"),
+    )
+    wnd = Window.partitionBy("doc").orderBy("pos")
+    n = F.count("*").over(Window.partitionBy("doc"))
+    leads = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, k)]
+    sh = words.select(
+        "doc", "pos", F.concat_ws(" ", *leads).alias("sh"), n.alias("n")
+    )
+    return (
+        sh.where(F.col("pos") <= F.greatest(F.col("n") - k, F.lit(0)))
+        .select("doc", "sh")
+        .distinct()
+    )
 
 
 def jaccard_pairs(

@@ -103,6 +103,47 @@ def _sign_lsh_signature(
     return sig.cast("bigint")
 
 
+def _all_table_signatures(
+    vec_col: str, n_planes: int, n_tables: int, dim: int
+):
+    """array<long> of per-table sign signatures via ONE Arrow-batched pandas
+    UDF (numpy matmul). The per-plane zip_with/aggregate expressions are
+    higher-order functions that run interpreted — 60 of them per row cost
+    ~5s at sf0.1; one (batch x dim) @ (dim x tables*planes) matmul is
+    milliseconds. Coefficients are the same md5-derived values
+    (``_plane_coeff``), so semantics match the expression form up to
+    summation order (sign flips need |dot| ~ ulp — negligible, and this
+    path backs the approximate, rows-only-checked operators).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.array(
+        [
+            [_plane_coeff(t, p, d) for t in range(n_tables) for p in range(n_planes)]
+            for d in range(dim)
+        ]
+    )  # (dim, tables*planes)
+
+    def _sigs(v):
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
+        dots = mat @ planes  # (batch, tables*planes)
+        bits = (dots > 0).astype(np.int64)
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    int(sum(row[t * n_planes + p] << p for p in range(n_planes)))
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    sigs = pandas_udf(_sigs, "array<long>")
+    return sigs(F.col(vec_col))
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -126,25 +167,17 @@ def knn_lsh(
     against shuffle volume; candidates dedupe before scoring so re-rank
     cost is per unique pair.
     """
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _sign_lsh_signature(vec_col, n_planes, dim, table=t).alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    sig_arr = _all_table_signatures(vec_col, n_planes, n_tables, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.explode(tables).alias("b"),
-    ).select("neighbor_id", "c_vec", F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig"))
+        F.posexplode(sig_arr).alias("tbl", "sig"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(tables).alias("b"),
-    ).select("query_id", "q_vec", F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig"))
+        F.posexplode(sig_arr).alias("tbl", "sig"),
+    )
     pairs = q.join(c, ["tbl", "sig"]).select(
         "query_id", "q_vec", "neighbor_id", "c_vec"
     )
