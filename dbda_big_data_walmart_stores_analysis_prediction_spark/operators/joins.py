@@ -11,7 +11,7 @@ expensive mistake available, so determinism beats relying on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,3 +43,87 @@ def star_join(
             dim = F.broadcast(dim)
         out = out.join(dim, on=key_list, how=how)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` keys (left
+    outer — unmatched left rows keep NULLs).
+
+    Spark has no ASOF JOIN primitive, and the naive formulation
+    (inequality join → per-left-row rank → filter rank=1) materializes the
+    full O(|L|·|R|/keys) pair explosion before pruning. This instead unions
+    both sides into one stream, shuffles ONCE on the keys, sorts by event
+    time within each key partition, and carries the most recent right
+    payload forward with ``last(ignorenulls=True)`` over an unbounded
+    preceding row frame — O(|L|+|R|) rows end to end, no pair blowup, which
+    is the shape that survives 100 TB (one Exchange + one Sort, both on the
+    join keys).
+
+    Ties: a right row at exactly ``left_ts`` matches (inclusive). Multiple
+    right rows at the same timestamp resolve to the last under the sort
+    ``(ts, is_left, right_cols)`` — deterministic given distinct payloads.
+    ``tolerance_seconds`` nulls out matches staler than the given horizon
+    (pandas ``merge_asof(tolerance=...)`` semantics).
+    """
+    key_list = [on] if isinstance(on, str) else list(on)
+    out_right = set(right_cols) | {f"asof_{right_ts}"}
+    clash = out_right & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {sorted(clash)} collide with left "
+            "columns; alias the left side before joining"
+        )
+    payload = F.struct(
+        F.col(right_ts).alias("__asof_ts"),
+        *[F.col(c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(k) for k in key_list],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in key_list],
+    )
+    l = left.select(
+        *[F.col(k) for k in key_list],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[c for c in left.columns if c not in key_list],
+    )
+    # Right rows sort BEFORE left rows at an equal timestamp (is_left asc),
+    # so an exact-tie right row is visible to the left row's carry-forward.
+    w = (
+        Window.partitionBy(*key_list)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last("__payload", ignorenulls=True).over(w)
+    out = (
+        r.unionByName(l)
+        .withColumn("__carried", carried)
+        .where(F.col("__is_left") == 1)
+    )
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_micros(F.col("__ts"))
+            - F.unix_micros(F.col("__carried.__asof_ts"))
+        ) <= tolerance_seconds * 1_000_000
+        out = out.withColumn(
+            "__carried", F.when(fresh, F.col("__carried"))
+        )
+    return out.select(
+        *key_list,
+        *[c for c in left.columns if c not in key_list],
+        F.col("__carried.__asof_ts").alias(f"asof_{right_ts}"),
+        *[F.col(f"__carried.{c}").alias(c) for c in right_cols],
+    )

@@ -30,7 +30,10 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics 
     group_quartiles,
     histogram,
 )
-from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import star_join
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+    asof_join,
+    star_join,
+)
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
     add_lag_features,
     add_rolling_mean,
@@ -688,6 +691,73 @@ def q21_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+@_register(
+    "q45_asof_click_purchase",
+    """
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.ts AS asof_ts,
+           p.purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, round(value, 4) AS purchase_value
+          FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q45_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks — operators/joins.py::asof_join):
+    each click is matched to the user's most recent purchase at-or-before
+    the click. Single shuffle on user_id, no pair explosion; oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+    )
+
+
+@_register(
+    "q46_cube_order_stats",
+    """
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q46_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping-set combinations in one Expand +
+    hash aggregate — no multi-pass union). grouping() flags disambiguate
+    natural NULLs from subtotal rows. Complements q33's ROLLUP."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
 
 
