@@ -200,6 +200,104 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning — the
+    other standard ANN scale path next to sign-LSH (``knn_lsh``).
+
+    1. Unit-normalize vectors (spherical k-means: L2 on unit vectors ranks
+       identically to cosine), train MLlib KMeans (distributed, seeded) on
+       ``train_fraction`` of the corpus.
+    2. Assign every corpus vector to its nearest centroid JVM-side via
+       ``KMeansModel.transform`` — each vector lands in exactly ONE cell,
+       so candidate pairs never need dedup (unlike multi-table LSH).
+    3. Each query probes its ``n_probe`` closest centroids (one Arrow batch
+       matmul against the tiny driver-collected centroid matrix), explodes
+       to (query, cell), and joins corpus on the cell id.
+    4. Exact cosine re-ranks only the probed cells' vectors.
+
+    Scale shape: corpus-side work is one KMeans fit + one transform + one
+    shuffle keyed by cell id; query fan-out is x n_probe on the (small)
+    query side only. Recall/cost tune via n_centroids (cell granularity —
+    ~sqrt(N) at scale) and n_probe; recall vs the exact baseline is
+    asserted in tests (approximate by design → rows-only driver check).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.vectors import (
+        l2_norm_col,
+    )
+
+    def _unit(col: str) -> "F.Column":
+        norm = l2_norm_col(col)
+        return F.transform(
+            F.col(col).cast("array<double>"), lambda x: x / norm
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(_unit(vec_col)).alias("__fv"),
+    ).where(l2_norm_col("c_vec") > 0)
+    train = c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=20, featuresCol="__fv"
+    ).fit(train)
+    assigned = model.transform(c).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+    )
+
+    centers = np.stack(model.clusterCenters())  # (n_centroids, dim) — tiny
+
+    def _probes(v):
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        dots = (mat / norms) @ centers.T  # (batch, n_centroids)
+        top = np.argsort(-dots, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    probes = pandas_udf(_probes, "array<int>")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes(F.col(vec_col))).alias("cell"),
+    )
+    pairs = q.join(assigned, "cell").select(
+        "query_id", "q_vec", "neighbor_id", "c_vec"
+    )
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity_col("q_vec", "c_vec"), 6).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

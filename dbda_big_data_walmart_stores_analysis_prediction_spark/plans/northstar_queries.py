@@ -351,6 +351,18 @@ def q32_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_lsh(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+@_register("q47_knn_ivf")  # approximate: rows-only check, no oracle
+def q47_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (spherical k-means cells + n_probe closest cells
+    per query, exact cosine re-rank within probed cells). Approximate by
+    design → no SQL oracle; recall vs the q30 exact baseline is asserted in
+    tests/test_northstar.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_ivf(
+        emb, emb.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set-op / grouping breadth
 # ---------------------------------------------------------------------------

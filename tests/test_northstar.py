@@ -39,6 +39,25 @@ def test_knn_lsh_recall(spark):
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
 
 
+def test_knn_ivf_recall(spark):
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_bruteforce(emb, queries, k=10).collect()
+    }
+    ivf = sim.knn_ivf(emb, queries, k=10, n_centroids=16, n_probe=4).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(bf & hits) / len(bf)
+    # 4/16 cells probed on uniformly random vectors (worst case for any
+    # partition-based ANN); clustered real embeddings concentrate neighbors
+    # in fewer cells. Floor guards regressions, not absolute quality.
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # every query returns exactly k rows with rank 1..k
+    assert len(ivf) == 5 * 10
+    assert {r["rank"] for r in ivf} == set(range(1, 11))
+
+
 def test_dedup_exact_removes_injected_dups(spark):
     docs = _docs(spark).select("doc_id", "text")
     dup = docs.where(F.col("doc_id") < 20).select(
