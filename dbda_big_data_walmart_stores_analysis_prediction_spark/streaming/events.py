@@ -133,3 +133,52 @@ def streaming_sessionize(stream: DataFrame, gap: str = "30 minutes", watermark: 
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
     )
+
+
+def streaming_user_lifetime_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime aggregate (event count, value total, latest event time) carried
+    across micro-batches in explicit group state — the arbitrary-state API
+    for semantics the built-in windowed aggregates can't express (running
+    per-key accumulators, custom eviction, model-ish per-key state).
+
+    State is one fixed-width tuple per user — bounded by |users|, not
+    event volume, so it holds at 100 TB/day ingest; keys partition across
+    executors by the groupBy hash. Emits the refreshed per-user row each
+    micro-batch (``update`` output mode). For time-bounded state swap
+    ``NoTimeout`` for ``GroupStateTimeout.EventTimeTimeout`` plus a
+    watermark and drop keys in the timeout branch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
+    )
+    state_schema = "n bigint, total double, last_us bigint"
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                batch_last = int(pdf["ts"].astype("int64").max()) // 1000
+                last_us = max(last_us, batch_last)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.to_datetime(last_us, unit="us")],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

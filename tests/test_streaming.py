@@ -11,6 +11,7 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events imp
     sessionize,
     streaming_hourly_counts,
     streaming_sessionize,
+    streaming_user_lifetime_stats,
 )
 from tests.conftest import SF_SMOKE
 
@@ -65,6 +66,59 @@ def test_streaming_sessionize_runs(spark):
     assert rows
     # session counts must cover every event exactly once
     assert sum(r["n_events"] for r in rows) == events.count()
+
+
+def test_stateful_lifetime_stats_matches_batch(spark):
+    """applyInPandasWithState replay: two input files -> multiple micro
+    batches under availableNow; the LAST update per user must equal the
+    plain batch aggregate (state accumulated correctly across batches)."""
+    import tempfile
+
+    events = _events(spark)
+    with tempfile.TemporaryDirectory() as d:
+        events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{d}/in")
+        events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/in")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in")
+        )
+        q = (
+            streaming_user_lifetime_stats(stream)
+            .writeStream.format("memory")
+            .queryName("lifetime_smoke")
+            .outputMode("update")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("lifetime_smoke").collect()
+    assert rows
+    # last emitted row per user (update mode appends one row per batch)
+    final = {}
+    for r in rows:
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] >= prev["n_events"]:
+            final[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        f = final[uid]
+        assert f["n_events"] == b["n_events"]
+        assert abs(f["total_value"] - b["total_value"]) < 1e-6
+        assert f["last_ts"] == b["last_ts"]
 
 
 def test_native_vs_islands_sessionize(spark):
