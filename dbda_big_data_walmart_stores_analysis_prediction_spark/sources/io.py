@@ -55,3 +55,55 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """JSON-lines scan with explicit schema — never schema inference, which
+    at scale re-reads the dataset once just to guess types (and guesses
+    differently across dirty partitions)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange format; ~3-5x larger than parquet at
+    rest — use for handoff to non-columnar consumers, not storage)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet;
+    exists for interop with Hive-era lakes."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    null_value: str = "NA",
+) -> None:
+    """CSV sink, mirroring ``read_csv``'s sentinel convention so a
+    write→read round-trip is lossless for null-bearing columns. Complex
+    types (arrays/structs) are not CSV-representable — project them out
+    first."""
+    (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("nullValue", null_value)
+        .csv(path)
+    )
