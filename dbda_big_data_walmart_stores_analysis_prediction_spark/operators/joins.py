@@ -45,6 +45,41 @@ def star_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (big, skewed) left side into
+    ``salt_buckets`` sub-keys and replicate the right side once per bucket,
+    so one hot key's rows spread across ``salt_buckets`` tasks instead of
+    pinning a single straggler.
+
+    Cost model: right side is duplicated x salt_buckets through the
+    shuffle — use when right is too big to broadcast but far smaller than
+    the skewed left (the classic fact x medium-dim hot-key case). Prefer
+    AQE's runtime skew-join splitting (on by default in our session) when
+    it triggers; explicit salting is for plans AQE can't rewrite (e.g.
+    skew under a window or a streaming join) or when the skew is known
+    ahead of time. Salt values never appear in the output, so results are
+    identical to the unsalted join for inner/left joins.
+    """
+    key_list = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    salted_l = left.withColumn(
+        "__salt", F.floor(F.rand(seed) * salt_buckets).cast("int")
+    )
+    salted_r = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return salted_l.join(salted_r, key_list + ["__salt"], how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -761,6 +761,51 @@ def q46_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q48_pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS status_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS status_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q48_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): one hash aggregate with per-bucket conditional
+    sums. Pivot values are passed EXPLICITLY — omitting them makes Spark run
+    an extra eager distinct job over the pivot column, and unbounded
+    distinct values would explode the schema at scale. Oracle is the
+    conditional-aggregation form pivot desugars to."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )
+
+
+@_register("q49_stratified_sample")  # rows-only: sampling is seed-dependent
+def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-stratum Bernoulli fractions,
+    seeded — the scale-safe way to build class-balanced subsets without a
+    shuffle (each partition filters locally)."""
+    o = _t(spark, sf_dir, "orders")
+    sampled = o.sampleBy(
+        "o_orderstatus", {"F": 0.2, "O": 0.05, "P": 0.5}, seed=42
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_sampled")
+    )
+
+
 def flagship_top_customers_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check entry point (SURVEY §7 Phase 1)."""
     return q02_top_customers_rolling(spark, sf_dir)

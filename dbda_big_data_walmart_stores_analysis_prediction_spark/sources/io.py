@@ -57,6 +57,35 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table (parquet): rows are hash-partitioned
+    into ``n_buckets`` files per partition BY WRITE, so later equi-joins
+    and aggregations on ``bucket_cols`` between co-bucketed tables need no
+    Exchange at read time — the pre-shuffle is paid once at write. This is
+    the 100 TB idiom for fact tables joined repeatedly on the same key
+    (e.g. bucket lineitem and orders by orderkey; every downstream join is
+    then shuffle-free on both sides).
+
+    Bucketing requires the table catalog (``saveAsTable``) — plain
+    ``.parquet(path)`` writes can't record bucket metadata.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def read_json(
     spark: SparkSession, path: str, schema: StructType
 ) -> DataFrame:

@@ -8,7 +8,10 @@ import datetime as dt
 
 import pytest
 
-from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import asof_join
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+    asof_join,
+    salted_join,
+)
 
 
 def _ts(minute: int) -> dt.datetime:
@@ -47,6 +50,55 @@ def test_asof_tolerance(spark, frames):
     got = {r["tag"]: r["rv"] for r in out.collect()}
     # 12:10 is 600s after 12:00 -> staler than the 300s horizon -> nulled.
     assert got == {"a": 10.0, "b": None, "c": 20.0, "d": None}
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    # 90% of left rows share one hot key
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("lval"),
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("rval")
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(left, right, "k", how=how, salt_buckets=4).collect()
+        )
+        want = sorted(tuple(r) for r in left.join(right, "k", how).collect())
+        assert got == want, f"salted {how} join diverged"
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.sources.io import (
+        write_bucketed_table,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_table(a, "bkt_a", ["k"], n_buckets=4, sort_cols=["k"])
+        write_bucketed_table(b, "bkt_b", ["k"], n_buckets=4, sort_cols=["k"])
+        # force the shuffle-join path (tiny fixture would broadcast) so the
+        # assertion exercises what matters at scale: both sides too big to
+        # broadcast, bucketing must eliminate the hash-partition Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, (
+            "co-bucketed join still shuffles:\n" + plan
+        )
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
 def test_asof_name_clash_rejected(spark, frames):
