@@ -11,7 +11,7 @@ expensive mistake available, so determinism beats relying on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,6 +78,66 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
     return salted_l.join(salted_r, key_list + ["__salt"], how).drop("__salt")
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_seconds: int = 3600,
+    keys: list[str] | None = None,
+    inclusive_hi: bool = True,
+) -> DataFrame:
+    """Point-in-interval join that scales when BOTH sides are big.
+
+    The naive form (``points JOIN intervals ON p BETWEEN lo AND hi``) has no
+    equi-key, so Spark executes it as BroadcastNestedLoopJoin — O(|P|·|I|)
+    and only viable when one side broadcasts. This bins the domain: each
+    point maps to bin floor(p/w); each interval explodes to every bin it
+    overlaps (span/w + 1 rows, cheap for intervals shorter than ~a few
+    bins); an ordinary shuffle equi-join on (keys..., bin) meets each
+    point only with locally-overlapping intervals, and the exact BETWEEN
+    predicate filters within the bin. Pick ``bin_seconds`` near the typical
+    interval length: too small explodes intervals, too large degrades to
+    cross-join-within-bin.
+
+    Timestamp columns are binned on epoch micros; numeric columns bin on
+    their raw value (``bin_seconds`` then means plain units).
+    """
+    key_list = list(keys or [])
+
+    def _num(df: DataFrame, c: str) -> Column:
+        from pyspark.sql.types import TimestampType
+
+        if isinstance(df.schema[c].dataType, TimestampType):
+            return F.unix_micros(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
+    from pyspark.sql.types import TimestampType
+
+    is_ts = isinstance(points.schema[point_col].dataType, TimestampType)
+    width = float(bin_seconds) * (1_000_000.0 if is_ts else 1.0)
+
+    p = points.withColumn("__bin", F.floor(_num(points, point_col) / width))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(_num(intervals, lo_col) / width),
+                F.floor(_num(intervals, hi_col) / width),
+            )
+        ),
+    )
+    joined = p.join(i, key_list + ["__bin"]).drop("__bin")
+    in_range = F.col(point_col) >= F.col(lo_col)
+    in_range = in_range & (
+        F.col(point_col) <= F.col(hi_col)
+        if inclusive_hi
+        else F.col(point_col) < F.col(hi_col)
+    )
+    return joined.where(in_range)
 
 
 def asof_join(

@@ -110,6 +110,43 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus TF-IDF, fully declarative: (id, term, tf, tfidf) with
+    smooth idf = ln((N+1)/(df+1)) + 1.
+
+    Plan shape at scale: one explode (fan-out = tokens/doc), two hash
+    aggregates with map-side partial combine (tf over (doc, term), df over
+    term), one scalar job for N, then a join on ``term``. The term
+    dimension is heavy-tailed ("the" collides) — AQE skew-join splitting
+    handles the hot terms; the idf side is only |vocab| rows, so Catalyst
+    broadcasts it when it fits. No UDFs anywhere.
+
+    Tokenization (lower + split on non-alphanumerics, drop empties) is
+    regex-dialect-portable, so the whole operator is DuckDB
+    oracle-comparable (q50).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n_docs = df.select(id_col).distinct().count()
+    idf = (
+        F.log((F.lit(float(n_docs) + 1.0)) / (F.col("dfreq") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    return tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+
+
 def add_fingerprints(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Deterministic document fingerprints:
 

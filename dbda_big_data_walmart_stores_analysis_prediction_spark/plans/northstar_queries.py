@@ -351,6 +351,107 @@ def q32_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_lsh(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+@_register(
+    "q50_tfidf_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id, t AS term
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS u(t)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.dfreq + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf, dfq, n WHERE tf.term = dfq.term
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) AS rnk
+          FROM scored WHERE doc_id < 20)
+    SELECT doc_id, term, tf, tfidf, rnk::INTEGER AS rnk FROM r WHERE rnk <= 3
+    """,
+)
+def q50_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (operators/text.py::tfidf_scores — explode, two
+    partial-combine hash aggs, term join) with idf computed over the FULL
+    corpus, then top-3 terms for the first 20 docs via window top-k.
+    Deterministic ties: (tfidf DESC, term ASC)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.tfidf_scores(docs).where(F.col("doc_id") < 20)
+    return top_k_per_group(
+        scored,
+        partition_by=["doc_id"],
+        order_by=[F.desc("tfidf"), F.asc("term")],
+        k=3,
+        keep_rank=True,
+        rank_col="rnk",
+    )
+
+
+@_register(
+    "q51_range_join_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, ts,
+             sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM o),
+    iv AS (SELECT user_id, session_id::BIGINT AS session_id,
+                  min(ts) AS session_start, max(ts) AS session_end
+           FROM s GROUP BY user_id, session_id)
+    SELECT iv.user_id, iv.session_id, count(*) AS n_matched
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id
+     AND e.ts BETWEEN iv.session_start AND iv.session_end
+    GROUP BY iv.user_id, iv.session_id
+    """,
+)
+def q51_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join at big-big scale
+    (operators/joins.py::range_join_binned): events joined to per-user
+    session intervals through domain bins + exact BETWEEN filter — an
+    ordinary shuffle equi-join on (user_id, bin) instead of the
+    BroadcastNestedLoopJoin the inequality predicate would force. Session
+    intervals are disjoint per user, so n_matched reproduces each
+    session's event count end-to-end."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        range_join_binned,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events import (
+        sessionize,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    intervals = sessionize(events, gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    matched = range_join_binned(
+        events.select("user_id", F.col("ts")),
+        intervals,
+        point_col="ts",
+        lo_col="session_start",
+        hi_col="session_end",
+        bin_seconds=3600,
+        keys=["user_id"],
+    )
+    return matched.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_matched")
+    )
+
+
 @_register("q47_knn_ivf")  # approximate: rows-only check, no oracle
 def q47_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (spherical k-means cells + n_probe closest cells

@@ -10,6 +10,7 @@ import pytest
 
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
     asof_join,
+    range_join_binned,
     salted_join,
 )
 
@@ -99,6 +100,32 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_range_join_binned_numeric_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    points = spark.range(0, 500).select((F.col("id") * 1.7).alias("p"))
+    intervals = spark.createDataFrame(
+        [(i, float(i * 37), float(i * 37 + 25)) for i in range(30)],
+        "iv_id int, lo double, hi double",
+    )
+    for inclusive in (True, False):
+        got = sorted(
+            (r["p"], r["iv_id"])
+            for r in range_join_binned(
+                points, intervals, "p", "lo", "hi",
+                bin_seconds=10, inclusive_hi=inclusive,
+            ).collect()
+        )
+        op = "<=" if inclusive else "<"
+        want = sorted(
+            (r["p"], r["iv_id"])
+            for r in points.join(
+                intervals, (F.col("p") >= F.col("lo")) & F.expr(f"p {op} hi")
+            ).collect()
+        )
+        assert got == want, f"binned range join diverged (inclusive={inclusive})"
 
 
 def test_asof_name_clash_rejected(spark, frames):
