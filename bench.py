@@ -50,6 +50,10 @@ HEADLINE = [
     "q37_sessionization",
     "q38_sliding_windows",
     "q39_multimodal_features",
+    "q45_asof_click_purchase",
+    "q47_knn_ivf",
+    "q50_tfidf_top_terms",
+    "q51_range_join_sessions",
 ]
 
 

@@ -136,6 +136,47 @@ def extract_features(
     )
 
 
+def resize_media(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize stage: mapInPandas with the exact shape of a real image
+    resize (payload in → transformed payload + dims out). The pixel
+    transform itself is a STUB — with no codec in this container the
+    deterministic stand-in truncates/pads the payload to ``w*h`` bytes —
+    but schema, Arrow batching, and output contract are the real thing;
+    swapping in PIL's ``Image.resize`` touches only the inner loop
+    (see ``decode_image``).
+    """
+    target_bytes = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                b = bytes(payload or b"")
+                resized = b[:target_bytes].ljust(target_bytes, b"\x00")
+                out.append((mid, mtype, resized, target_w, target_h))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "media_type", "payload", "width", "height"],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+    return media.select("media_id", "payload", "media_type").mapInPandas(
+        batches, schema
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:
