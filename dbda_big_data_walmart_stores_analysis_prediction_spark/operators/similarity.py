@@ -254,8 +254,15 @@ def knn_ivf(
         array_to_vector(_unit(vec_col)).alias("__fv"),
     ).where(l2_norm_col("c_vec") > 0)
     train = c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
+    # random init + few Lloyd iterations: IVF needs cells that balance load,
+    # not converged clusters — k-means|| init alone costs ~2x maxIter in
+    # extra distributed passes and buys no recall for this use.
     model = KMeans(
-        k=n_centroids, seed=seed, maxIter=20, featuresCol="__fv"
+        k=n_centroids,
+        seed=seed,
+        maxIter=8,
+        initMode="random",
+        featuresCol="__fv",
     ).fit(train)
     assigned = model.transform(c).select(
         "neighbor_id", "c_vec", F.col("prediction").alias("cell")
