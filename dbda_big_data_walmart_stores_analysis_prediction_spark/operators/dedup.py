@@ -259,11 +259,13 @@ def simhash(
 ) -> DataFrame:
     """60-bit SimHash over distinct whitespace tokens.
 
-    ``bit_b(sig) = 1 iff sum over tokens of (2*bit_b(md5int(token)) - 1) > 0``.
-    Computed with one explode over (token x bit) and two hash aggregates —
-    no UDF, fully oracle-expressible. At 100 TB the explode fan-out (tokens
-    x 60) is the cost; the scale alternative is a pandas-UDF per-doc loop,
-    but the relational form keeps it inside codegen and partial aggregation.
+    ``bit_b(sig) = 1 iff sum over tokens of (2*bit_b(md5int(token)) - 1) > 0``
+    — equivalently ``2 * sum(bit_b) > n_tokens``, which is how it's computed:
+    ONE hash aggregate with 60 codegen'd ``sum((h >> b) & 1)`` expressions
+    plus a count, no (token x bit) explode. The earlier explode formulation
+    shuffled tokens x 60 rows through a (doc, bit) aggregate — 60x the
+    shuffle volume for identical output (measured ~2x wall-clock at sf0.1,
+    worse at scale). No UDF, fully oracle-expressible.
     """
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -272,30 +274,18 @@ def simhash(
         ).alias("tok"),
     ).distinct()
     h = toks.select("doc", md5_int64(F.col("tok")).alias("h"))
-    bits = h.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h",
-    ).select(
-        "doc",
-        "b",
-        # expr strings: the pyspark shiftright/shiftleft helpers only take
-        # int literals for the shift amount, the SQL functions take columns
-        F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("vote"),
-    )
-    return (
-        bits.groupBy("doc", "b")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy("doc")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
-                    "ELSE CAST(0 AS BIGINT) END"
-                )
-            ).alias("simhash")
-        )
-    )
+    bit_sums = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = h.groupBy("doc").agg(*bit_sums, F.count("*").alias("n"))
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{b}") * 2 > F.col("n"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc", sig.alias("simhash"))
 
 
 def simhash_near_pairs(
