@@ -172,7 +172,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Banded LSH: hash each band of ``n_hashes/bands`` signature values,
     bucket-join docs sharing any (band, band_hash).
@@ -180,7 +183,14 @@ def lsh_candidate_pairs(
     Shuffle key = (band, band_hash) — collision groups are tiny for honest
     data, and a skewed bucket (a shingle-degenerate crowd) is exactly what
     AQE skew-join splitting handles.
+
+    ``carry_cols`` ride along the banding and come out as ``<col>_a`` /
+    ``<col>_b`` on each pair — letting callers attach per-doc stats (e.g.
+    shingle-set size) computed in the SAME aggregate as the signatures,
+    instead of re-deriving the doc table later for a join (at 100 TB each
+    avoided re-derivation is a full scan + explode + shuffle).
     """
+    carry = list(carry_cols or [])
     rows_per_band = n_hashes // bands
     band_structs = []
     for b in range(bands):
@@ -190,8 +200,10 @@ def lsh_candidate_pairs(
             F.struct(F.lit(b).alias("band"), bh.alias("bh"))
         )
     banded = signatures.select(
-        F.col("doc"), F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        F.col("doc"), *carry, F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        "doc", *carry, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -201,7 +213,12 @@ def lsh_candidate_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+        )
         .distinct()
     )
 
@@ -217,26 +234,30 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → banded candidates → verify with
     exact Jaccard (computed only on candidates — the LSH recall/precision
-    story at scale: candidates are a vanishing fraction of all pairs)."""
+    story at scale: candidates are a vanishing fraction of all pairs).
+
+    Shingle-set sizes are aggregated in the SAME groupBy as the signatures
+    and carried through the banding (``carry_cols``), so the Jaccard
+    denominator needs no extra sizes table — the shingle explode runs 3
+    times total (signatures + the two candidate-verification joins), the
+    minimum for a cache-free plan.
+    """
     # cache-free for the same reason as jaccard_pairs (see NOTE there)
     sh = shingle_table(df, id_col, text_col, k)
     mins = [
         F.min(md5_int64(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
         for i in range(n_hashes)
     ]
-    sigs = sh.groupBy("doc").agg(*mins)
-    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sigs = sh.groupBy("doc").agg(*mins, F.count("*").alias("sz"))
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands, carry_cols=["sz"])
     shared = (
         cands.join(sh.toDF("doc_a", "sh"), "doc_a")
         .join(sh.toDF("doc_b", "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("shared"))
     )
     return (
-        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .select(
+        shared.select(
             "doc_a",
             "doc_b",
             F.round(
