@@ -1,0 +1,79 @@
+"""Physical-plan audits: pin the plan shapes the engine's scale story
+depends on (README design rules). A regression here usually costs nothing
+at sf0.01 and everything at 100 TB, which is exactly why it's asserted."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entry_mod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # shipdate predicate must reach the parquet scan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    # projection must prune: the scan's column list (complete in the plan
+    # text, unlike the tail-truncated ReadSchema) stays far narrower than
+    # the full lineitem schema
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, "no FileScan in plan"
+    read_cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
+    assert "l_comment" not in read_cols
+    assert len(read_cols) <= 8, read_cols
+
+
+def test_q07_star_join_all_broadcast(spark):
+    plan = _plan(spark, "q07_revenue_by_region_nation")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q08_window_block_single_shuffle(spark):
+    plan = _plan(spark, "q08_lag_rolling_features")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+def test_q09_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "q09_top3_orders_per_customer")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q02_topk_take_ordered(spark):
+    plan = _plan(spark, "q02_top_customers_rolling")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q45_asof_single_shuffle(spark):
+    plan = _plan(spark, "q45_asof_click_purchase")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+def test_q51_range_join_no_nested_loop(spark):
+    plan = _plan(spark, "q51_range_join_sessions")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_everywhere_hot(spark):
+    # the relational headliners must run inside codegen stages; the *(n)
+    # markers only appear once AQE finalizes, so execute first
+    for name in ("q01_pricing_summary", "q13_orders_by_date_parts"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, name
+        assert re.search(r"\*\(\d+\)", plan), f"no codegen stage in {name}"
