@@ -806,6 +806,45 @@ def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q52_merge_upsert",
+    """
+    WITH u AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT * FROM u
+      UNION ALL
+      SELECT c.* FROM orders c ANTI JOIN u ON c.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q52_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot upsert (operators/maintenance.py::merge_upsert): a 10%
+    update batch (repriced orders) overrides on key, the rest of the
+    snapshot survives via a broadcast-able anti join, then an aggregate
+    proves the merged content exactly. This is the plain-files MERGE
+    pattern: build the combined frame, write a new snapshot."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        merge_upsert,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merged = merge_upsert(orders, updates, "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def flagship_top_customers_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check entry point (SURVEY §7 Phase 1)."""
     return q02_top_customers_rolling(spark, sf_dir)

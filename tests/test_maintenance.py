@@ -1,0 +1,39 @@
+"""Row-level semantics for snapshot maintenance operators
+(operators/maintenance.py); q52's oracle covers the aggregate view."""
+
+from __future__ import annotations
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+    delete_keys,
+    merge_upsert,
+)
+
+
+def _frames(spark):
+    current = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)],
+        "k int, name string, v double",
+    )
+    return current, updates
+
+
+def test_merge_upsert_semantics(spark):
+    current, updates = _frames(spark)
+    got = {r["k"]: (r["name"], r["v"]) for r in merge_upsert(current, updates, "k").collect()}
+    assert got == {
+        1: ("a", 10.0),   # untouched survivor
+        2: ("b2", 99.0),  # update wins on collision
+        3: ("c", 30.0),   # untouched survivor
+        4: ("d", 40.0),   # new key inserted
+    }
+
+
+def test_delete_keys_semantics(spark):
+    current, _ = _frames(spark)
+    tombstones = spark.createDataFrame([(1,), (3,), (99,)], "k int")
+    got = {r["k"] for r in delete_keys(current, tombstones, "k").collect()}
+    assert got == {2}
