@@ -845,6 +845,21 @@ def q52_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("q53_approx_distinct")  # sketch values are engine-specific: rows-only
+def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch next to the exact count —
+    the constant-memory scale path for cardinality (exact countDistinct
+    is a full shuffle of the distinct values; the sketch is a few KB per
+    group regardless of data volume). Sketch values differ across engines
+    by design → rows-only driver check; the relative-error floor vs exact
+    is asserted in tests/test_properties.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def flagship_top_customers_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check entry point (SURVEY §7 Phase 1)."""
     return q02_top_customers_rolling(spark, sf_dir)

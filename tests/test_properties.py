@@ -96,3 +96,16 @@ def test_exact_quantiles_match_python(spark, xs):
         lo, hi = math.floor(r), math.ceil(r)
         want = s[lo] + (s[hi] - s[lo]) * (r - lo)
         assert abs(g - want) <= 1e-9 * max(1.0, abs(want))
+
+
+def test_approx_distinct_within_rsd(spark):
+    from tests.conftest import SF_ORACLE
+
+    import __spark_entry__ as em
+
+    rows = em.queries()["q53_approx_distinct"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users"]
+        # rsd=0.02 → ±3σ ≈ 6%; assert a loose 10% ceiling to stay stable
+        assert abs(r["approx_users"] - exact) <= max(1, 0.1 * exact), r
