@@ -452,6 +452,38 @@ def q51_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q54_attribution_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           round(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '1 hour'
+    """,
+)
+def q54_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: time-bounded equi-join, the BATCH form
+    of streaming/events.py::streaming_click_purchase_join (same expression
+    runs under readStream with watermarked, evictable join state — pinned
+    equal in tests/test_streaming.py)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events import (
+        streaming_click_purchase_join,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return streaming_click_purchase_join(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "purchase"),
+    )
+
+
 @_register("q47_knn_ivf")  # approximate: rows-only check, no oracle
 def q47_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (spherical k-means cells + n_probe closest cells

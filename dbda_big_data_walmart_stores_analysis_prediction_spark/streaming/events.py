@@ -135,6 +135,58 @@ def streaming_sessionize(stream: DataFrame, gap: str = "30 minutes", watermark: 
     )
 
 
+def streaming_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase is
+    attributed to clicks by the same user within ``attribution_window``
+    BEFORE the purchase.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so Spark can size the join state buffer and evict rows
+    once the watermark passes — the required shape for an unbounded
+    stream-stream join (without the time bound, state grows forever).
+    State is keyed by user_id; the same expression runs identically in
+    batch for verification.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
 def streaming_user_lifetime_stats(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     lifetime aggregate (event count, value total, latest event time) carried

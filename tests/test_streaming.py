@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events import (
     native_session_windows,
     sessionize,
+    streaming_click_purchase_join,
     streaming_hourly_counts,
     streaming_sessionize,
     streaming_user_lifetime_stats,
@@ -119,6 +120,41 @@ def test_stateful_lifetime_stats_matches_batch(spark):
         assert f["n_events"] == b["n_events"]
         assert abs(f["total_value"] - b["total_value"]) < 1e-6
         assert f["last_ts"] == b["last_ts"]
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream inner join: replayed result must equal the
+    same join expression run in batch (inner joins emit eagerly; the
+    watermark only bounds state)."""
+    import tempfile
+
+    events = _events(spark)
+    with tempfile.TemporaryDirectory() as d:
+        events.coalesce(1).write.parquet(f"{d}/in")
+        stream = spark.readStream.schema(events.schema).parquet(f"{d}/in")
+        clicks_s = stream.where(F.col("event_type") == "click")
+        purchases_s = stream.where(F.col("event_type") == "purchase")
+        q = (
+            streaming_click_purchase_join(clicks_s, purchases_s)
+            .writeStream.format("memory")
+            .queryName("attrib_smoke")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.table("attrib_smoke").collect()
+        }
+    batch = streaming_click_purchase_join(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "purchase"),
+    )
+    want = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert want, "fixture should contain attributable purchases"
+    assert got == want
 
 
 def test_native_vs_islands_sessionize(spark):
