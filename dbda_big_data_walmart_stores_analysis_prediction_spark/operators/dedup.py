@@ -269,6 +269,90 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (pairs -> components -> keep set)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every vertex
+    converges to the smallest id reachable from it. Returns (id, component).
+
+    Iterative — NOT SQL-expressible — so this is the one operator family
+    that runs a driver-side loop over DataFrames. Each round is one shuffle
+    (neighbor-min aggregate); rounds needed = graph diameter, and near-dup
+    graphs are unions of tiny dense clusters (diameter ≤ ~3), so it
+    converges in 2-4 rounds. ``localCheckpoint`` truncates lineage per
+    round — without it the plan doubles each iteration and analysis time
+    explodes. Convergence is detected with a changed-labels count (one
+    tiny job per round).
+
+    At 1000-executor scale the same loop holds: state is (id, label) pairs
+    partitioned by id; for graphs with giant diameters swap in the
+    large-star/small-star formulation, which this API deliberately leaves
+    room for.
+    """
+    bidir = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        bidir.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id2"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Collapse near-duplicate clusters to one survivor each: docs in a
+    component keep only the min-id member; docs in no pair survive as-is.
+    ``pairs`` is any near-dup pair output (MinHash-LSH, SimHash, embedding
+    cosine) — composition point of the whole dedup family.
+    """
+    comp = connected_components(pairs, pair_a, pair_b)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

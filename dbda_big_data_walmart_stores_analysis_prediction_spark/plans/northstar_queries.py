@@ -484,6 +484,26 @@ def q54_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("q55_dedup_clusters")  # iterative (driver loop): rows-only check
+def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup collapse: MinHash-LSH pairs → connected
+    components (iterative min-label propagation — not SQL-expressible) →
+    per-component survivor stats. The missing last mile between pair
+    detection and an actually-deduplicated corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
+    comp = dd.connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .where(F.col("cluster_size") > 1)
+        .select(
+            F.col("component").alias("keep_id"),
+            "cluster_size",
+        )
+    )
+
+
 @_register("q47_knn_ivf")  # approximate: rows-only check, no oracle
 def q47_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (spherical k-means cells + n_probe closest cells

@@ -39,6 +39,29 @@ def test_knn_lsh_recall(spark):
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
 
 
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 plus island pair 10-11 plus isolated-by-absence 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r["id"]: r["component"] for r in dd.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_near_collapses_clusters(spark):
+    docs = _docs(spark).select("doc_id", "text")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
+    kept = dd.dedup_near(docs, pairs, "doc_id")
+    n_docs, n_kept = docs.count(), kept.count()
+    comp = dd.connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")).count()
+    assert n_kept == n_docs - losers
+    # survivors of multi-doc clusters are exactly the component labels
+    keep_ids = {r["component"] for r in comp.collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert keep_ids <= kept_ids
+
+
 def test_knn_ivf_recall(spark):
     emb = _emb(spark)
     queries = emb.where(F.col("vec_id") < 5)
