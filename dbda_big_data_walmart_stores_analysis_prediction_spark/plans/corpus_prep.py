@@ -1,0 +1,64 @@
+"""End-to-end training-corpus preparation — the composition the north-star
+operators exist for: quality filter → language filter → exact dedup →
+near-dup collapse → token accounting, as ONE lazy plan (plus the two
+iterative jobs inside connected components).
+
+Pipeline shape at 100 TB: every stage is a narrow projection or a
+key-partitioned shuffle; nothing collects to the driver except the final
+summary. Stages compose on DataFrames, so callers can slot in their own
+filters (or swap MinHash-LSH for SimHash/embedding pairs) without touching
+the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import dedup as dd
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+    add_text_features,
+    language_id,
+)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    keep_langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Filter + dedup a raw document table into a training-ready corpus.
+
+    Returns the surviving rows of ``docs`` with ``quality_score``,
+    ``lang_pred`` and ``n_tokens`` attached. Survivor rules: quality ≥
+    ``min_quality``, predicted language in ``keep_langs``, one doc per
+    exact-duplicate group and per near-duplicate cluster (min id wins).
+    """
+    scored = add_text_features(docs, text_col)
+    scored = language_id(scored, text_col)
+    filtered = scored.where(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("lang_pred").isin(*keep_langs))
+    )
+    exact = dd.dedup_exact(filtered, id_col, text_col)
+    pairs = dd.minhash_lsh_pairs(
+        exact, id_col, text_col, threshold=near_dup_threshold
+    )
+    return dd.dedup_near(exact, pairs, id_col)
+
+
+def corpus_summary(corpus: DataFrame) -> DataFrame:
+    """Tiny per-language accounting frame for the prepared corpus (the only
+    thing that ever reaches the driver)."""
+    return (
+        corpus.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )

@@ -504,6 +504,22 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("q56_corpus_prep")  # composition over iterative dedup: rows-only
+def q56_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition (plans/corpus_prep.py): quality + language
+    filters → exact dedup → MinHash-LSH near-dup collapse → per-language
+    token accounting. Every constituent operator is oracle-checked
+    individually (q22/q23/q25/q27); the composed pipeline gets the
+    rows-only check because connected components is iterative."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        corpus_summary,
+        prepare_training_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_summary(prepare_training_corpus(docs))
+
+
 @_register("q47_knn_ivf")  # approximate: rows-only check, no oracle
 def q47_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (spherical k-means cells + n_probe closest cells

@@ -62,6 +62,32 @@ def test_dedup_near_collapses_clusters(spark):
     assert keep_ids <= kept_ids
 
 
+def test_corpus_prep_invariants(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    docs = _docs(spark)
+    corpus = prepare_training_corpus(docs).cache()
+    try:
+        assert 0 < corpus.count() < docs.count()
+        # every survivor passes the filters
+        assert corpus.where(F.col("quality_score") < 0.3).count() == 0
+        assert corpus.where(F.col("lang_pred") != "en").count() == 0
+        # no exact duplicates remain (by normalized-text fingerprint)
+        from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+            exact_dup_groups,
+        )
+
+        assert exact_dup_groups(corpus, "doc_id").count() == 0
+        # no near-dup pairs above threshold remain among survivors
+        assert (
+            dd.minhash_lsh_pairs(corpus, "doc_id", threshold=0.5).count() == 0
+        )
+    finally:
+        corpus.unpersist()
+
+
 def test_knn_ivf_recall(spark):
     emb = _emb(spark)
     queries = emb.where(F.col("vec_id") < 5)
