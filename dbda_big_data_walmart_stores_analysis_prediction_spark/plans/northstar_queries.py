@@ -209,9 +209,10 @@ def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_minhash_lsh_pairs",
     f"""
     WITH {_SQL_SH_TABLE},
-    seeds AS (SELECT unnest(range(16)) AS i),
+    seeds AS (SELECT i, {_SQL_HEX.format(x="'perm:' || i")} AS c
+              FROM (SELECT unnest(range(16)) AS i)),
     sigs AS (
-      SELECT doc, i, min({_SQL_HEX.format(x="i || ':' || sh")}) AS m
+      SELECT doc, i, min(xor({_SQL_HEX.format(x="sh")}, c)) AS m
       FROM sh, seeds GROUP BY doc, i
     ),
     bands AS (
@@ -241,10 +242,10 @@ def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q27_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16 seeded-md5 perms) → 4-band LSH buckets → exact-Jaccard
-    verification on candidates only. The oracle replicates the entire
-    pipeline hash-for-hash, so parity holds even for borderline pairs LSH
-    may drop."""
+    """MinHash(16 XOR-family perms over one md5 per shingle) → 4-band LSH
+    buckets → exact-Jaccard verification on candidates only. The oracle
+    replicates the entire pipeline hash-for-hash, so parity holds even for
+    borderline pairs LSH may drop."""
     docs = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
         docs, "doc_id", k=3, n_hashes=16, bands=4, threshold=0.5
