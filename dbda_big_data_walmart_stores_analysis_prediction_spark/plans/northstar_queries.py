@@ -768,14 +768,17 @@ def q41_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
            dense_rank() OVER w AS drnk,
            ntile(4)     OVER w AS quartile,
            lead(o_totalprice, 1) OVER w AS next_price,
-           first_value(o_totalprice) OVER w AS best_price
+           first_value(o_totalprice) OVER w AS best_price,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
     """,
 )
 def q42_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank/ntile/lead/first_value — the ranking-family surface
-    absent from the reference (SURVEY §2.5), one shared window spec."""
+    """rank/dense_rank/ntile/lead/first_value/percent_rank/cume_dist — the
+    ranking-family surface absent from the reference (SURVEY §2.5), one
+    shared window spec (one shuffle + one sort for all seven)."""
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders")
@@ -790,6 +793,8 @@ def q42_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.lead("o_totalprice", 1).over(w).alias("next_price"),
         F.first("o_totalprice").over(w).alias("best_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
 
 
