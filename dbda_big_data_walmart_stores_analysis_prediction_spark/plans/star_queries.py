@@ -860,6 +860,36 @@ def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q57_grouping_sets_sql",
+    """
+    SELECT o_orderpriority,
+           o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q57_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS through the raw ``spark.sql`` entry path —
+    the engine's SQL front door (every other query uses the DataFrame API;
+    both compile to the same Catalyst plan: one Expand + hash aggregate).
+    The two single-column sets plus the grand total are exactly the
+    combination CUBE/ROLLUP can't express."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
 def flagship_top_customers_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check entry point (SURVEY §7 Phase 1)."""
     return q02_top_customers_rolling(spark, sf_dir)
