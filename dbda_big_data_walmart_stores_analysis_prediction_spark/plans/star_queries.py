@@ -890,6 +890,43 @@ def q57_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q58_array_agg",
+    """
+    SELECT o_custkey AS custkey,
+           list_sort(list(o_orderkey)) AS orderkeys,
+           len(list(o_orderkey)) AS n_orders,
+           round(list_aggregate(list(o_totalprice), 'sum'), 2) AS total_price
+    FROM orders
+    WHERE o_custkey < 30
+    GROUP BY o_custkey
+    """,
+)
+def q58_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: collect_list into a SORTED array
+    (collect_list order is partition-dependent — any array built by
+    aggregation MUST be canonicalized before comparison or storage),
+    plus array length/sum functions. Complements the JSON (q21) and
+    array-math (q30/q31) nested-type coverage."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_custkey") < 30)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.aggregate(
+                    F.collect_list("o_totalprice"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                2,
+            ).alias("total_price"),
+        )
+    )
+
+
 def flagship_top_customers_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check entry point (SURVEY §7 Phase 1)."""
     return q02_top_customers_rolling(spark, sf_dir)
