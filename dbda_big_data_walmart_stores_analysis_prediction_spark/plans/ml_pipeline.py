@@ -154,6 +154,20 @@ def fit_predict(
     return TunedModel(model=model, r2=r2), preds.select(*val.columns, "prediction")
 
 
+def feature_importances(model: PipelineModel) -> list[tuple[str, float]]:
+    """(feature, importance) pairs from the fitted forest, sorted by
+    importance desc with names recovered from the assembler's inputCols —
+    the model-inspection surface the reference computes but never exposes
+    (importances live only inside its saved model metadata)."""
+    assembler = next(
+        s for s in model.stages if isinstance(s, VectorAssembler)
+    )
+    rf = model.stages[-1]
+    names = assembler.getInputCols()
+    pairs = list(zip(names, (float(v) for v in rf.featureImportances)))
+    return sorted(pairs, key=lambda p: (-p[1], p[0]))
+
+
 def backfill_lag_columns(df: DataFrame, lag_cols: list[str]) -> DataFrame:
     """Test frames lack label-derived lag features; backfill with 0 literals
     (reference ``Scripts/model.py:123-126``)."""

@@ -181,6 +181,12 @@ def test_ml_smoke(spark, train, test_fact, stores, features):
     assert preds.count() == val.count()
     assert isinstance(tuned.r2, float)
 
+    # feature importances: every assembler input named, weights sum to ~1
+    imps = M.feature_importances(tuned.model)
+    assert len(imps) == len({n for n, _ in imps}), "duplicate feature names"
+    assert abs(sum(v for _, v in imps) - 1.0) < 1e-6
+    assert imps == sorted(imps, key=lambda p: (-p[1], p[0]))
+
     # inference on the label-less test frame with lag backfill
     test_ready = M.backfill_lag_columns(merged_test, W.LAG_COLS)
     out = tuned.model.transform(M.cast_booleans(test_ready))
