@@ -122,9 +122,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     )
     SELECT o_custkey AS custkey, c_name AS name,
-           round(avg(o_totalprice), 2) AS avg_order_total,
-           round(avg(roll4), 2)        AS avg_roll4,
-           count(*)                    AS n_orders
+           floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_order_total,
+           floor(avg(roll4) * 100 + 0.5) / 100        AS avg_roll4,
+           count(*)                                   AS n_orders
     FROM w
     GROUP BY o_custkey, c_name
     ORDER BY avg_order_total DESC, custkey ASC
@@ -148,8 +148,11 @@ def q02_top_customers_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rolled.groupBy(F.col("o_custkey").alias("custkey"), F.col("c_name").alias("name"))
         .agg(
-            F.round(F.avg("o_totalprice"), 2).alias("avg_order_total"),
-            F.round(F.avg("roll4"), 2).alias("avg_roll4"),
+            # round() is round-half-even in Spark but half-up in DuckDB on the
+            # exact .5 doubles this avg produces — use the repo's half-up-stable
+            # idiom floor(x*100+0.5)/100 on BOTH sides (see oracle SQL above).
+            (F.floor(F.avg("o_totalprice") * 100 + F.lit(0.5)) / 100).alias("avg_order_total"),
+            (F.floor(F.avg("roll4") * 100 + F.lit(0.5)) / 100).alias("avg_roll4"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(F.desc("avg_order_total"), F.asc("custkey"))
@@ -894,9 +897,10 @@ def q57_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q58_array_agg",
     """
     SELECT o_custkey AS custkey,
-           list_sort(list(o_orderkey)) AS orderkeys,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
            len(list(o_orderkey)) AS n_orders,
-           round(list_aggregate(list(o_totalprice), 'sum'), 2) AS total_price
+           floor(list_aggregate(list_sort(list(o_totalprice)), 'sum') * 100 + 0.5) / 100
+               AS total_price
     FROM orders
     WHERE o_custkey < 30
     GROUP BY o_custkey
@@ -907,21 +911,31 @@ def q58_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collect_list order is partition-dependent — any array built by
     aggregation MUST be canonicalized before comparison or storage),
     plus array length/sum functions. Complements the JSON (q21) and
-    array-math (q30/q31) nested-type coverage."""
+    array-math (q30/q31) nested-type coverage.
+
+    The array is serialized with array_join at the query boundary: the
+    driver's value-hash canonicalizer can't hash raw list cells, and a
+    string form is also what a sink/fingerprint would want. The array sum
+    folds over the SORTED array so floating-point addition order matches
+    the oracle's list_sort order exactly."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.where(F.col("o_custkey") < 30)
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias("orderkeys"),
             F.count("*").alias("n_orders"),
-            F.round(
-                F.aggregate(
-                    F.collect_list("o_totalprice"),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                2,
+            (
+                F.floor(
+                    F.aggregate(
+                        F.array_sort(F.collect_list("o_totalprice")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
             ).alias("total_price"),
         )
     )

@@ -34,6 +34,11 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in STAR_TABLES:
         raise KeyError(f"unknown star table {name!r}; have {STAR_TABLES}")
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS); callers may hand us a vanilla
+        # session (the correctness driver does), so set the legacy conf here —
+        # it is runtime-settable — rather than relying on our session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is TIMESTAMP(NANOS) on disk, surfaced as int64 nanos via
