@@ -38,8 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered oracled-first: if the driver bounds how many queries it runs,
+    the hash-checked entries must all land inside the bound; the rows-only
+    entries (sampling, ANN recall, stubs) carry the weaker signal and go
+    last.
+    """
+    oracled = {k: v for k, v in QUERIES.items() if k in ORACLE_SQL}
+    rows_only = {k: v for k, v in QUERIES.items() if k not in ORACLE_SQL}
+    return {**oracled, **rows_only}
 
 
 def oracle_sql() -> dict[str, str]:

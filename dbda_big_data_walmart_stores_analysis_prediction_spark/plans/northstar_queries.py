@@ -485,12 +485,67 @@ def q54_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q55_dedup_clusters")  # iterative (driver loop): rows-only check
+@_register(
+    "q55_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SH_TABLE},
+    seeds AS (SELECT i, {_SQL_HEX.format(x="'perm:' || i")} AS c
+              FROM (SELECT unnest(range(16)) AS i)),
+    sigs AS (
+      SELECT doc, i, min(xor({_SQL_HEX.format(x="sh")}, c)) AS m
+      FROM sh, seeds GROUP BY doc, i
+    ),
+    bands AS (
+      SELECT doc, i // 4 AS band,
+             {_SQL_HEX.format(x="string_agg(m::VARCHAR, ',' ORDER BY i)")} AS bh
+      FROM sigs GROUP BY doc, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc = c.doc_a
+      JOIN sh b ON b.doc = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sz sa ON sa.doc = doc_a
+      JOIN sz sb ON sb.doc = doc_b
+      WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+    SELECT component AS keep_id, count(*) AS cluster_size
+    FROM comp GROUP BY component HAVING count(*) > 1
+    """,
+)
 def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup collapse: MinHash-LSH pairs → connected
-    components (iterative min-label propagation — not SQL-expressible) →
-    per-component survivor stats. The missing last mile between pair
-    detection and an actually-deduplicated corpus."""
+    components (iterative min-label propagation) → per-component survivor
+    stats. The missing last mile between pair detection and an
+    actually-deduplicated corpus.
+
+    The Spark side is iterative (driver loop), but the FIXPOINT is still
+    SQL-expressible: the oracle reruns the q27 pair pipeline and closes it
+    transitively with a DuckDB ``WITH RECURSIVE`` reachability CTE —
+    component label = min reachable id, exactly the min-label-propagation
+    invariant."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
     comp = dd.connected_components(pairs)
