@@ -19,7 +19,8 @@ def exact_quantiles(
     df: DataFrame, col: str, probs: list[float], n_ranges: int = 16
 ) -> list[float]:
     """Exact linear-interpolated quantiles (``quantile_cont`` semantics) via
-    distributed rank selection — NOT the builtin ``percentile`` aggregate.
+    distributed histogram refinement — NOT the builtin ``percentile``
+    aggregate.
 
     Spark's ``percentile`` is a TypedImperativeAggregate that buffers an
     OpenHashMap of every distinct value per partial buffer; on a
@@ -28,69 +29,74 @@ def exact_quantiles(
     agg, then 10-30x slowdowns on unrelated follow-up queries). It is also
     the wrong shape at 100 TB — all values funnel into one final buffer.
 
-    This operator instead:
-      1. range-partitions the column into ``n_ranges`` sorted slices,
-      2. computes per-slice row counts (tiny job) and prefix-sums them on
-         the driver to turn target global ranks into (slice, local-rank),
-      3. selects the ~2|probs| needed rows with a partition-local
-         ``row_number`` filter — no single-task sort, no value buffering.
-    Memory per task is bounded by the slice size regardless of total rows.
+    See ``exact_quantiles_multi`` for the algorithm. ``n_ranges`` is kept
+    for API compatibility with the earlier range-partition implementation
+    and is ignored.
     """
     return exact_quantiles_multi(df, [col], probs, n_ranges)[col]
 
 
 def exact_quantiles_multi(
-    df: DataFrame, columns: list[str], probs: list[float], n_ranges: int = 16
-) -> dict[str, list[float]]:
-    """Exact quantiles for SEVERAL columns in two jobs total.
+    df: DataFrame,
+    columns: list[str],
+    probs: list[float],
+    n_ranges: int = 16,
+    return_stats: bool = False,
+    bins: int = 1024,
+    collect_limit: int = 65536,
+    max_depth: int = 6,
+):
+    """Exact quantiles for SEVERAL columns by iterative histogram
+    refinement — never shuffles or caches the data rows.
 
-    Melts the columns into (name, value) pairs with ``stack`` (one scan),
-    range-partitions by (name, value) so each slice is sorted and
-    column-contiguous, then does the same prefix-sum rank selection as
-    ``exact_quantiles`` with (name, pid) bookkeeping.
+    1. ONE whole-stage-codegen wide aggregate computes count / sum / sum² /
+       min / max for every column (no melt, no shuffle).
+    2. Target ranks ``floor/ceil((n-1)·p)`` are bracketed by histogram
+       passes: the columns are melted with ``stack`` (a projection, not a
+       shuffle), each active bracket buckets its value range into ``bins``
+       uniform cells, and ``groupBy(bracket, bucket).count()`` — map-side
+       combined, ≤ brackets·bins result rows — tells the driver which cell
+       each rank falls in. A cell with more than ``collect_limit`` rows
+       becomes the next round's bracket (depth ≤ ``max_depth``; each round
+       divides the bracket population by up to ``bins``, so even 10^12-row
+       columns resolve in 2-3 rounds).
+    3. A final pass collects ``(value, count)`` for the surviving bracket
+       cells only and reads the exact rank values off the sorted runs.
+
+    Bucket membership is re-derived from the same deterministic value
+    expression in every pass, so no persist() is needed for cross-job
+    consistency (unlike range-partitioning, whose sampled boundaries are
+    per-execution). NaNs are excluded (count, mean, quantiles) — matching
+    SQL ``quantile_cont`` semantics.
+
+    With ``return_stats=True`` also returns per-column
+    ``(n, mean, stddev, min, max)`` assembled from step 1's moments —
+    ``describe``-style stats then cost zero extra scans. Returns
+    ``quantiles`` or ``(quantiles, stats)``. ``n_ranges`` is accepted for
+    API compatibility and ignored.
     """
-    stack_expr = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
-    vals = (
-        df.selectExpr(f"stack({len(columns)}, {stack_expr}) as (name, v)")
-        .where(F.col("v").isNotNull())
-        .repartitionByRange(n_ranges, "name", "v")
-        .withColumn("pid", F.spark_partition_id())
-        # MUST persist: RangePartitioner picks boundaries by sampling with a
-        # per-RDD seed, so re-executing the shuffle in the second job would
-        # place rows differently than the sizes computed in the first.
-        .persist()
-    )
-    sizes: dict[str, dict[int, int]] = {c: {} for c in columns}
-    for r in vals.groupBy("name", "pid").agg(F.count("*").alias("cnt")).collect():
-        sizes[r["name"]][r["pid"]] = r["cnt"]
-
-    offsets: dict[str, dict[int, int]] = {}
-    totals: dict[str, int] = {}
+    aggs = []
     for c in columns:
-        acc = 0
-        offsets[c] = {}
-        for pid in sorted(sizes[c]):
-            offsets[c][pid] = acc
-            acc += sizes[c][pid]
-        totals[c] = acc
-
-    def locate(c: str, rank: int) -> tuple[int, int]:
-        for pid in sorted(sizes[c]):
-            if rank < offsets[c][pid] + sizes[c][pid]:
-                return pid, rank - offsets[c][pid] + 1  # row_number is 1-based
-        last = max(sizes[c])
-        return last, sizes[c][last]
-
-    # Partition-local row numbers (below) count ALL rows in a slice; when a
-    # boundary slice holds several columns' rows (sorted name-contiguously),
-    # a column's first row sits after every lexicographically-smaller
-    # column's rows — shift the wanted local rank by that intra-slice offset.
-    def intra_offset(c: str, pid: int) -> int:
-        return sum(
-            sizes[c2].get(pid, 0) for c2 in columns if c2 < c
+        vc = F.col(c).cast("double")
+        vc = F.when(~F.isnan(vc), vc)
+        aggs.extend(
+            [
+                F.count(vc).alias(f"{c}__n"),
+                F.sum(vc).alias(f"{c}__s"),
+                F.sum(vc * vc).alias(f"{c}__s2"),
+                F.min(vc).alias(f"{c}__mn"),
+                F.max(vc).alias(f"{c}__mx"),
+            ]
         )
+    wide = df.agg(*aggs).collect()[0]
+    totals = {c: wide[f"{c}__n"] for c in columns}
+    moments = {
+        c: (wide[f"{c}__s"], wide[f"{c}__s2"], wide[f"{c}__mn"], wide[f"{c}__mx"])
+        for c in columns
+    }
 
-    cond = None
+    resolved: dict[str, dict[int, float]] = {c: {} for c in columns}
+    pending: list[dict] = []
     for c in columns:
         n = totals[c]
         if n == 0:
@@ -100,48 +106,151 @@ def exact_quantiles_multi(
             r = (n - 1) * p
             ranks.add(math.floor(r))
             ranks.add(math.ceil(r))
-        for pid, local in (locate(c, r) for r in sorted(ranks)):
-            term = (
-                (F.col("name") == c)
-                & (F.col("pid") == pid)
-                & (F.col("rn") == local + intra_offset(c, pid))
+        mn, mx = moments[c][2], moments[c][3]
+        if mn == mx:
+            for r in ranks:
+                resolved[c][r] = mn
+            continue
+        pending.append(
+            {
+                "col": c,
+                "cond": F.col("name") == c,
+                "lo": mn,
+                "hi": mx,
+                "below": 0,
+                "count": n,
+                "ranks": ranks,
+            }
+        )
+
+    stack_expr = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+    melted = df.selectExpr(
+        f"stack({len(columns)}, {stack_expr}) as (name, v)"
+    ).where(F.col("v").isNotNull() & ~F.isnan("v"))
+
+    def bucket_of(lo: float, hi: float):
+        raw = F.floor((F.col("v") - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * bins)
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+
+    finals: list[dict] = []
+    depth = 0
+    while pending:
+        big: list[dict] = []
+        for b in pending:
+            splittable = b["hi"] > b["lo"] and (b["hi"] - b["lo"]) / bins > 0
+            if b["count"] <= collect_limit or not splittable or depth >= max_depth:
+                finals.append(b)
+            else:
+                big.append(b)
+        pending = []
+        if not big:
+            break
+        sel_bid = None
+        sel_bucket = None
+        for i, b in enumerate(big):
+            expr = bucket_of(b["lo"], b["hi"])
+            sel_bid = F.when(b["cond"], i) if sel_bid is None else sel_bid.when(b["cond"], i)
+            sel_bucket = (
+                F.when(b["cond"], expr) if sel_bucket is None else sel_bucket.when(b["cond"], expr)
             )
-            cond = term if cond is None else (cond | term)
+        hist_rows = (
+            melted.select(sel_bid.alias("bid"), sel_bucket.alias("bucket"))
+            .where(F.col("bid").isNotNull())
+            .groupBy("bid", "bucket")
+            .count()
+            .collect()
+        )
+        counts: dict[int, dict[int, int]] = {}
+        for r in hist_rows:
+            counts.setdefault(r["bid"], {})[r["bucket"]] = r["count"]
+        for i, b in enumerate(big):
+            span = b["hi"] - b["lo"]
+            cnts = counts.get(i, {})
+            cum = b["below"]
+            children: dict[int, dict] = {}
+            kranks = sorted(b["ranks"])
+            ki = 0
+            for k in sorted(cnts):
+                cnt = cnts[k]
+                while ki < len(kranks) and cum <= kranks[ki] < cum + cnt:
+                    child = children.get(k)
+                    if child is None:
+                        child = children[k] = {
+                            "col": b["col"],
+                            "cond": b["cond"] & (bucket_of(b["lo"], b["hi"]) == k),
+                            "lo": b["lo"] + span * k / bins,
+                            "hi": b["lo"] + span * (k + 1) / bins,
+                            "below": cum,
+                            "count": cnt,
+                            "ranks": set(),
+                        }
+                    child["ranks"].add(kranks[ki])
+                    ki += 1
+                cum += cnt
+            if ki != len(kranks):
+                raise RuntimeError(
+                    f"histogram pass lost ranks for {b['col']}: {kranks[ki:]}"
+                )
+            pending.extend(children.values())
+        depth += 1
+
+    if finals:
+        sel_fid = None
+        for i, b in enumerate(finals):
+            sel_fid = F.when(b["cond"], i) if sel_fid is None else sel_fid.when(b["cond"], i)
+        val_rows = (
+            melted.select(sel_fid.alias("fid"), "v")
+            .where(F.col("fid").isNotNull())
+            .groupBy("fid", "v")
+            .count()
+            .collect()
+        )
+        groups: dict[int, list[tuple[float, int]]] = {}
+        for r in val_rows:
+            groups.setdefault(r["fid"], []).append((r["v"], r["count"]))
+        for i, b in enumerate(finals):
+            cum = b["below"]
+            kranks = sorted(b["ranks"])
+            ki = 0
+            for v, cnt in sorted(groups.get(i, [])):
+                while ki < len(kranks) and cum <= kranks[ki] < cum + cnt:
+                    resolved[b["col"]][kranks[ki]] = v
+                    ki += 1
+                cum += cnt
+            if ki != len(kranks):
+                raise RuntimeError(
+                    f"final pass lost ranks for {b['col']}: {kranks[ki:]}"
+                )
+
+    def assemble_stats() -> dict[str, tuple]:
+        stats: dict[str, tuple] = {}
+        for c in columns:
+            n = totals[c]
+            if n == 0:
+                stats[c] = (0, None, None, None, None)
+                continue
+            s, s2, mn, mx = moments[c]
+            mean = s / n
+            # sample stddev from raw moments; the tiny catastrophic-
+            # cancellation risk is irrelevant at the 4dp describe rounds
+            var = max((s2 - s * s / n) / (n - 1), 0.0) if n > 1 else None
+            stats[c] = (n, mean, math.sqrt(var) if var is not None else None, mn, mx)
+        return stats
 
     out: dict[str, list[float]] = {c: [None] * len(probs) for c in columns}
-    if cond is None:
-        vals.unpersist()
-        return out
-    # Partition-local row numbers WITHOUT a window (a window over (name,pid)
-    # would hash-shuffle all rows again): sort within the already-range-
-    # partitioned slices, then decode monotonically_increasing_id, which is
-    # (partition_id << 33) | per-partition-sequence by construction.
-    picked = (
-        vals.sortWithinPartitions("name", "v")
-        .withColumn("mid", F.monotonically_increasing_id())
-        .withColumn("rn", (F.col("mid") % F.lit(1 << 33) + 1).cast("int"))
-        .where(cond)
-        .select("name", "pid", "rn", "v")
-        .collect()
-    )
-    vals.unpersist()
-    by_rank: dict[str, dict[int, float]] = {c: {} for c in columns}
-    for row in picked:
-        c = row["name"]
-        local = row["rn"] - intra_offset(c, row["pid"])
-        by_rank[c][offsets[c][row["pid"]] + local - 1] = row["v"]
     for c in columns:
-        if totals[c] == 0:
-            continue
         n = totals[c]
+        if n == 0:
+            continue
         res = []
         for p in probs:
             r = (n - 1) * p
             lo, hi = math.floor(r), math.ceil(r)
             g = r - lo
-            res.append(by_rank[c][lo] + (by_rank[c][hi] - by_rank[c][lo]) * g)
+            vlo, vhi = resolved[c][lo], resolved[c][hi]
+            res.append(vlo + (vhi - vlo) * g)
         out[c] = res
-    return out
+    return (out, assemble_stats()) if return_stats else out
 
 
 def describe_plus(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -153,40 +262,20 @@ def describe_plus(df: DataFrame, columns: list[str]) -> DataFrame:
     q3, max). Uses exact ``percentile``; swap to ``percentile_approx`` when
     the column cardinality is huge.
     """
-    # Two-phase plan: (1) all codegen-able stats for every column in ONE
-    # whole-stage-codegen hash aggregate; (2) exact quantiles per column via
-    # the distributed rank-selection operator (see exact_quantiles — the
-    # builtin percentile() aggregate is a session-degrading GC bomb on
-    # high-cardinality columns and a single-buffer funnel at scale).
-    basic = []
-    for c in columns:
-        basic.extend(
-            [
-                F.count(c).cast("bigint").alias(f"{c}__n"),
-                F.avg(c).cast("double").alias(f"{c}__mean"),
-                F.stddev(c).cast("double").alias(f"{c}__stddev"),
-                F.min(c).cast("double").alias(f"{c}__min"),
-                F.max(c).cast("double").alias(f"{c}__max"),
-            ]
-        )
-    wide = df.agg(*basic).collect()[0]
-    quartiles = exact_quantiles_multi(df, columns, [0.25, 0.5, 0.75])
+    # ONE melted scan serves everything: the rank-selection quantile pass
+    # (see exact_quantiles — the builtin percentile() aggregate is a
+    # session-degrading GC bomb on high-cardinality columns and a
+    # single-buffer funnel at scale) already aggregates per range slice, so
+    # count/mean/stddev/min/max ride along as extra moments in that same
+    # aggregate — no separate wide-stats job, no second table scan.
+    quartiles, stats = exact_quantiles_multi(
+        df, columns, [0.25, 0.5, 0.75], return_stats=True
+    )
     rows = []
     for c in columns:
         q1, median, q3 = quartiles[c]
-        rows.append(
-            (
-                c,
-                wide[f"{c}__n"],
-                wide[f"{c}__mean"],
-                wide[f"{c}__stddev"],
-                wide[f"{c}__min"],
-                q1,
-                median,
-                q3,
-                wide[f"{c}__max"],
-            )
-        )
+        n, mean, stddev, mn, mx = stats[c]
+        rows.append((c, n, mean, stddev, mn, q1, median, q3, mx))
     schema = (
         "column string, n bigint, mean double, stddev double, min double, "
         "q1 double, median double, q3 double, max double"

@@ -109,3 +109,30 @@ def test_approx_distinct_within_rsd(spark):
         exact = r["exact_users"]
         # rsd=0.02 → ±3σ ≈ 6%; assert a loose 10% ceiling to stay stable
         assert abs(r["approx_users"] - exact) <= max(1, 0.1 * exact), r
+
+
+def test_exact_quantiles_skewed_multi_round(spark):
+    """Force the histogram-refinement recursion: a tiny collect_limit makes
+    every root bracket overflow, and a 90%-duplicate spike exercises the
+    zero-span (all-one-value cell) exit alongside the normal subdivide."""
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        exact_quantiles_multi,
+    )
+
+    xs = [42.0] * 900 + [i / 7.0 for i in range(100)]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    probs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    got, stats = exact_quantiles_multi(
+        df, ["x"], probs, return_stats=True, bins=8, collect_limit=50, max_depth=6
+    )
+    s = sorted(xs)
+    for g, p in zip(got["x"], probs):
+        r = (len(s) - 1) * p
+        lo, hi = math.floor(r), math.ceil(r)
+        want = s[lo] + (s[hi] - s[lo]) * (r - lo)
+        assert abs(g - want) <= 1e-9 * max(1.0, abs(want)), (p, g, want)
+    n, mean, stddev, mn, mx = stats["x"]
+    assert n == len(xs) and mn == min(xs) and mx == max(xs)
+    assert abs(mean - sum(xs) / len(xs)) < 1e-9
