@@ -38,6 +38,7 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus.
 
@@ -144,6 +145,33 @@ def _all_table_signatures(
     return sigs(F.col(vec_col))
 
 
+def _cosine_arrow():
+    """Arrow-batched cosine over candidate PAIRS (two vector columns in,
+    double out) — one numpy einsum per batch. The JVM alternative is either
+    interpreted HOFs (~10-30x slower per pair) or a 64-dim unrolled
+    expression that breaks whole-stage codegen (see functions/vectors.py).
+    Null-safe: zero-norm vectors yield real NULLs (not NaN — Spark orders
+    NaN above every number, which would pass a ``>= threshold`` filter)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _cos(va, vb):
+        a = np.asarray(va.tolist(), dtype=np.float64)
+        b = np.asarray(vb.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", a, b)
+        denom = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+            np.einsum("ij,ij->i", b, b)
+        )
+        safe = denom > 0
+        out = pd.Series(np.divide(dots, denom, out=np.zeros_like(dots), where=safe))
+        out = out.astype("Float64")
+        out[~safe] = pd.NA
+        return out
+
+    return pandas_udf(_cos, "double")
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,10 +213,11 @@ def knn_lsh(
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     # candidate pairs collide in several tables — dedupe BEFORE the cosine
     pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    cos = _cosine_arrow()
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity_col("q_vec", "c_vec"), 6).alias("cosine"),
+        F.round(cos(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
     return top_k_per_group(
         scored,
@@ -211,6 +240,7 @@ def knn_ivf(
     seed: int = 42,
     exclude_self: bool = True,
     train_fraction: float = 1.0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) partitioning — the
     other standard ANN scale path next to sign-LSH (``knn_lsh``).
@@ -256,11 +286,12 @@ def knn_ivf(
     train = c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
     # random init + few Lloyd iterations: IVF needs cells that balance load,
     # not converged clusters — k-means|| init alone costs ~2x maxIter in
-    # extra distributed passes and buys no recall for this use.
+    # extra distributed passes and buys no recall for this use; 4 Lloyd
+    # rounds already balance cell loads (recall-floor test pins it).
     model = KMeans(
         k=n_centroids,
         seed=seed,
-        maxIter=8,
+        maxIter=4,
         initMode="random",
         featuresCol="__fv",
     ).fit(train)
@@ -290,10 +321,11 @@ def knn_ivf(
     )
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    cos = _cosine_arrow()
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity_col("q_vec", "c_vec"), 6).alias("cosine"),
+        F.round(cos(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
     return top_k_per_group(
         scored,
@@ -313,19 +345,30 @@ def embedding_near_dup_pairs(
     n_planes: int = 6,
     dim: int = 64,
     exact: bool = False,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
 
     ``exact=True`` scores ALL pairs (O(n²) — oracle/verification mode);
     default buckets by sign-LSH first (scale mode; near-identical vectors
     almost always share all sign bits).
-    """
+
+    Signatures come from the Arrow-batched numpy path by default — the
+    per-plane zip_with/aggregate expression form (``use_arrow=False``) runs
+    interpreted and costs ~30x more at sf0.1. Both derive the same
+    md5-seeded integer hyperplanes, so the bucket ids agree (a divergence
+    would need |dot| within float ulp of 0)."""
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        sig = _sign_lsh_signature(vec_col, n_planes, dim)
+        if use_arrow:
+            sig = F.element_at(
+                _all_table_signatures(vec_col, n_planes, 1, dim), 1
+            )
+        else:
+            sig = _sign_lsh_signature(vec_col, n_planes, dim)
         banded = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket")
         )
@@ -335,8 +378,12 @@ def embedding_near_dup_pairs(
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "v_a", "id_b", "v_b")
         )
+    if exact:
+        score = F.round(cosine_similarity_col("v_a", "v_b"), 6)
+    else:
+        score = F.round(_cosine_arrow()(F.col("v_a"), F.col("v_b")), 6)
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine_similarity_col("v_a", "v_b"), 6).alias("cosine"),
+        score.alias("cosine"),
     ).where(F.col("cosine") >= threshold)
