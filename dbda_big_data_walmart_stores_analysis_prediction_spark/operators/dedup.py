@@ -70,31 +70,57 @@ def shingle_table(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the inverted-index input.
 
-    Built with posexplode + lead() windows rather than the array-HOF form
-    (``transform(sequence, slice+array_join)``): higher-order-function
-    lambdas run interpreted, NOT in whole-stage codegen, and measured 3.7x
-    slower at sf0.1. The window shuffles on doc id — the same key every
-    downstream consumer aggregates on. Short docs (< k words) yield one
-    partial shingle (= the whole text), matching the array form and the
-    SQL-oracle list comprehension exactly.
+    SHUFFLE-FREE shingling: split once, ``explode(sequence(...))`` the
+    start indices, and build each k-gram with ``slice`` + ``concat_ws`` —
+    generator + ordinary expressions, all inside one whole-stage-codegen
+    span. Neither the lambda-HOF form (``transform(...)``: interpreted,
+    measured 3.7x slower) nor the earlier posexplode + lead() window form
+    (a per-doc shuffle before any consumer runs — measured 1.5x slower at
+    sf0.1 and strictly worse at scale) can say that. The only shuffle left
+    is the set-semantics ``distinct``. Short docs (< k words) yield one
+    partial shingle (= the whole text), matching the SQL-oracle list
+    comprehension exactly.
     """
-    from pyspark.sql import Window
-
-    words = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(_norm_text(text_col), r"\s+")).alias("pos", "w"),
-    )
-    wnd = Window.partitionBy("doc").orderBy("pos")
-    n = F.count("*").over(Window.partitionBy("doc"))
-    leads = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, k)]
-    sh = words.select(
-        "doc", "pos", F.concat_ws(" ", *leads).alias("sh"), n.alias("n")
-    )
+    arr = F.split(_norm_text(text_col), r"\s+")
+    base = df.select(F.col(id_col).alias("doc"), arr.alias("__w"))
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(F.size("__w") - k, F.lit(0))))
     return (
-        sh.where(F.col("pos") <= F.greatest(F.col("n") - k, F.lit(0)))
-        .select("doc", "sh")
+        base.select("doc", "__w", idx.alias("__i"))
+        .select(
+            "doc", F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, k)).alias("sh")
+        )
         .distinct()
     )
+
+
+
+def cap_shingle_doc_freq(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop stop-shingles: shingles appearing in more than ``max_doc_freq``
+    docs are removed from the (doc, shingle) table.
+
+    THE scale guard for shingle inverted-index joins: one viral boilerplate
+    shingle in f of N docs creates ~(fN)² candidate pairs inside a single
+    bucket — at web scale a quadratic blowup AQE can split into tasks but
+    cannot shrink. Capping doc-frequency bounds every shingle's fan-out at
+    ``max_doc_freq²`` pairs. Semantics are the FILTERED shingle space:
+    set sizes, shared counts, and signatures all use the capped table, so
+    Jaccard stays a true Jaccard (of the non-boilerplate shingle sets) and
+    an oracle can replicate it exactly. The frequency aggregate shuffles on
+    the shingle — the same key the downstream self-join shuffles on.
+
+    ``None`` disables the cap (exact semantics over the full space).
+    """
+    if max_doc_freq is None:
+        return sh
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") <= max_doc_freq)
+        .select("sh")
+    )
+    # restore (doc, sh) order — a USING join moves the key column first and
+    # downstream consumers rename positionally with toDF
+    return sh.join(keep, "sh").select("doc", "sh")
 
 
 def jaccard_pairs(
@@ -103,22 +129,23 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard over candidate pairs sharing ≥1 shingle.
 
     Plan: inverted-index self-join on the shingle (shuffle key = shingle,
     never a cross join), count shared shingles per pair, join per-doc
     set sizes, ``J = shared / (|A| + |B| - shared)``, filter ≥ threshold.
-    At scale, stop-shingle removal (drop shingles with huge doc-frequency)
-    bounds the join fan-out; exposed via ``max_doc_freq``-style filtering in
-    the LSH path which subsumes this for 100 TB runs.
+    ``max_doc_freq`` drops stop-shingles before the self-join
+    (``cap_shingle_doc_freq``) — set it for any at-scale run; the join
+    fan-out is otherwise unbounded in the worst shingle's doc-frequency.
     """
     # NOTE: deliberately NOT persisted — the shingle explode recomputes per
     # consumer, but measured at sf0.1 the columnar cache build + storage
     # memory churn costs more than re-running the scan+regex (34s vs 6s
     # cold). At much larger scale, persist(DISK_ONLY) on sh may win; keep
     # the logical plan cache-free and let callers decide.
-    sh = shingle_table(df, id_col, text_col, k)
+    sh = cap_shingle_doc_freq(shingle_table(df, id_col, text_col, k), max_doc_freq)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -250,6 +277,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → banded candidates → verify with
     exact Jaccard (computed only on candidates — the LSH recall/precision
@@ -262,7 +290,9 @@ def minhash_lsh_pairs(
     minimum for a cache-free plan.
     """
     # cache-free for the same reason as jaccard_pairs (see NOTE there)
-    sh = shingle_table(df, id_col, text_col, k)
+    sh = cap_shingle_doc_freq(
+        shingle_table(df, id_col, text_col, k), max_doc_freq
+    )
     sigs = sh.groupBy("doc").agg(
         *_minhash_aggs(n_hashes), F.count("*").alias("sz")
     )
@@ -389,12 +419,14 @@ def simhash(
     shuffle volume for identical output (measured ~2x wall-clock at sf0.1,
     worse at scale). No UDF, fully oracle-expressible.
     """
+    # explode(array_distinct(...)) is already (doc, tok)-unique — a
+    # .distinct() here would be a redundant full shuffle of the token table
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         ).alias("tok"),
-    ).distinct()
+    )
     h = toks.select("doc", md5_int64(F.col("tok")).alias("h"))
     bit_sums = [
         F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"s{b}")
@@ -414,17 +446,27 @@ def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
-    max_hamming: int = 12,
-    n_chunks: int = 4,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Candidate generation bands the 60-bit fingerprint into ``n_chunks``
-    15-bit chunks (pigeonhole: pairs within distance < n_chunks must agree
-    on ≥1 chunk... for larger budgets the chunk count scales) and
-    bucket-joins on (chunk_idx, chunk_value); verification is
-    ``bit_count(xor) <= max_hamming``.
+    equal chunks and bucket-joins on (chunk_idx, chunk_value);
+    verification is ``bit_count(xor) <= max_hamming``.
+
+    Pigeonhole completeness needs ``n_chunks >= max_hamming + 1`` (≤ h
+    flipped bits can touch at most h chunks), so ``n_chunks`` defaults to
+    exactly that. Passing a smaller ``n_chunks`` trades recall for bucket
+    selectivity: each chunk then spans ``60 // n_chunks`` bits, and wider
+    chunks mean exponentially fewer bucket collisions — the right trade
+    only when missing distance-(n_chunks..max_hamming) pairs is
+    acceptable. Mind the fan-out: chunks of ``b`` bits split the corpus
+    into ~2^b buckets per chunk index, so a large ``max_hamming`` (many
+    narrow chunks) degrades toward a quadratic bucket join at scale.
     """
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
     sig = simhash(df, id_col, text_col)
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
@@ -447,7 +489,12 @@ def simhash_near_pairs(
     ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    # verify hamming BEFORE the dedup: a pair colliding in several chunks
+    # is duplicated in the join output, but filtering first means the
+    # distinct() shuffle carries only actual near-pairs (a vanishing
+    # fraction of candidates), not every collision
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
@@ -457,12 +504,8 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            ham.cast("int").alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select(
-        "doc_a", "doc_b", ham.cast("int").alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)

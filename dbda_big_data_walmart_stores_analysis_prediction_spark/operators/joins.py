@@ -197,9 +197,12 @@ def asof_join(
     )
     # Right rows sort BEFORE left rows at an equal timestamp (is_left asc),
     # so an exact-tie right row is visible to the left row's carry-forward.
+    # The payload struct completes the total order: several right rows with
+    # equal (key, ts) would otherwise carry whichever the shuffle delivered
+    # last.
     w = (
         Window.partitionBy(*key_list)
-        .orderBy("__ts", "__is_left")
+        .orderBy("__ts", "__is_left", "__payload")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = F.last("__payload", ignorenulls=True).over(w)

@@ -239,74 +239,92 @@ def knn_ivf(
     n_probe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
-    train_fraction: float = 1.0,
+    train_sample: int = 8192,
+    lloyd_iters: int = 8,
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) partitioning — the
     other standard ANN scale path next to sign-LSH (``knn_lsh``).
 
-    1. Unit-normalize vectors (spherical k-means: L2 on unit vectors ranks
-       identically to cosine), train MLlib KMeans (distributed, seeded) on
-       ``train_fraction`` of the corpus.
-    2. Assign every corpus vector to its nearest centroid JVM-side via
-       ``KMeansModel.transform`` — each vector lands in exactly ONE cell,
-       so candidate pairs never need dedup (unlike multi-table LSH).
-    3. Each query probes its ``n_probe`` closest centroids (one Arrow batch
-       matmul against the tiny driver-collected centroid matrix), explodes
-       to (query, cell), and joins corpus on the cell id.
+    1. Centroids train on a BOUNDED sample (≤ ``train_sample`` rows,
+       deterministic hash-order pick) collected to the driver and run
+       through seeded numpy Lloyd iterations on unit-normalized vectors
+       (spherical k-means: L2 on unit vectors ranks identically to
+       cosine). Sample-trained coarse quantizers are the standard IVF
+       design (FAISS trains on ~max(10k, 40·n_centroids) points at any
+       corpus size); a distributed fit buys nothing but per-iteration
+       job overhead, and the collected sample is bounded — 8192 x 64
+       doubles = 4 MB regardless of corpus size.
+    2. Every corpus vector is assigned to its nearest centroid with ONE
+       Arrow-batched argmax against the tiny centroid matrix — each
+       vector lands in exactly ONE cell, so candidate pairs never need
+       dedup (unlike multi-table LSH).
+    3. Each query probes its ``n_probe`` closest centroids (same batched
+       matmul), explodes to (query, cell), and joins corpus on the cell
+       id.
     4. Exact cosine re-ranks only the probed cells' vectors.
 
-    Scale shape: corpus-side work is one KMeans fit + one transform + one
-    shuffle keyed by cell id; query fan-out is x n_probe on the (small)
-    query side only. Recall/cost tune via n_centroids (cell granularity —
-    ~sqrt(N) at scale) and n_probe; recall vs the exact baseline is
-    asserted in tests (approximate by design → rows-only driver check).
+    Scale shape: corpus-side work is one bounded sample pass + one
+    assignment pass + one shuffle keyed by cell id; query fan-out is
+    x n_probe on the (small) query side only. Recall/cost tune via
+    n_centroids (cell granularity — ~sqrt(N) at scale) and n_probe;
+    recall vs the exact baseline is asserted in tests (approximate by
+    design → rows-only driver check).
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.pandas.functions import pandas_udf
 
     from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.vectors import (
         l2_norm_col,
     )
 
-    def _unit(col: str) -> "F.Column":
-        norm = l2_norm_col(col)
-        return F.transform(
-            F.col(col).cast("array<double>"), lambda x: x / norm
-        )
-
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        array_to_vector(_unit(vec_col)).alias("__fv"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).where(l2_norm_col("c_vec") > 0)
-    train = c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
-    # random init + few Lloyd iterations: IVF needs cells that balance load,
-    # not converged clusters — k-means|| init alone costs ~2x maxIter in
-    # extra distributed passes and buys no recall for this use; 4 Lloyd
-    # rounds already balance cell loads (recall-floor test pins it).
-    model = KMeans(
-        k=n_centroids,
-        seed=seed,
-        maxIter=4,
-        initMode="random",
-        featuresCol="__fv",
-    ).fit(train)
-    assigned = model.transform(c).select(
-        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+
+    # deterministic bounded sample: TakeOrdered by (hash, id) — one pass,
+    # no full sort, no fraction-vs-count chicken-and-egg
+    sample_rows = (
+        c.select("neighbor_id", "c_vec")
+        .orderBy(F.xxhash64("neighbor_id", F.lit(seed)), "neighbor_id")
+        .limit(train_sample)
+        .collect()
+    )
+    mat = np.asarray([r["c_vec"] for r in sample_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_centroids, len(mat))
+    centers = mat[rng.choice(len(mat), size=n_cells, replace=False)]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(mat @ centers.T, axis=1)
+        for j in range(n_cells):
+            members = mat[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    centers[j] = m / nm
+
+    def _nearest_cell(v):
+        batch = np.asarray(v.tolist(), dtype=np.float64)
+        bn = np.linalg.norm(batch, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        return pd.Series(np.argmax((batch / bn) @ centers.T, axis=1).astype(np.int32))
+
+    nearest_cell = pandas_udf(_nearest_cell, "int")
+    assigned = c.select(
+        "neighbor_id", "c_vec", nearest_cell(F.col("c_vec")).alias("cell")
     )
 
-    centers = np.stack(model.clusterCenters())  # (n_centroids, dim) — tiny
-
     def _probes(v):
-        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        dots = (mat / norms) @ centers.T  # (batch, n_centroids)
-        top = np.argsort(-dots, axis=1)[:, :n_probe].astype(np.int32)
+        batch = np.asarray(v.tolist(), dtype=np.float64)
+        bn = np.linalg.norm(batch, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        dots = (batch / bn) @ centers.T  # (batch, n_cells)
+        top = np.argsort(-dots, axis=1)[:, : min(n_probe, n_cells)].astype(np.int32)
         return pd.Series(list(top))
 
     probes = pandas_udf(_probes, "array<int>")

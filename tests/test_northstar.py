@@ -150,3 +150,22 @@ def test_simhash_near_pairs_complete_under_pigeonhole(spark):
         for r in dd.simhash_near_pairs(docs, "doc_id", max_hamming=3).collect()
     }
     assert got == expected
+
+
+def test_stop_shingle_cap_bounds_fanout(spark):
+    """A viral boilerplate shingle shared by every doc would otherwise
+    candidate-pair the whole corpus quadratically; max_doc_freq removes it
+    from the inverted index (and from the Jaccard space) entirely."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, f"common boiler plate w{i} x{i} y{i} z{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = jaccard_pairs(df, "doc_id", threshold=0.1)
+    assert uncapped.count() == 40 * 39 // 2  # every pair shares the stop-shingle
+    capped = jaccard_pairs(df, "doc_id", threshold=0.1, max_doc_freq=5)
+    assert capped.count() == 0
+    capped_lsh = minhash_lsh_pairs(df, "doc_id", threshold=0.1, max_doc_freq=5)
+    assert capped_lsh.count() == 0
