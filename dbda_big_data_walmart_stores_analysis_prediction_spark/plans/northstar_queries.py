@@ -560,13 +560,124 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q56_corpus_prep")  # composition over iterative dedup: rows-only
+@_register(
+    "q56_corpus_prep",
+    """
+    WITH RECURSIVE
+    f AS (
+      SELECT doc_id,
+        length(text)::DOUBLE AS n_chars,
+        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+        length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE AS n_punct,
+        length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit,
+        length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE AS n_space
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens > 0 THEN (n_chars - n_space) / n_tokens ELSE 0.0 END AS avg_tok,
+        CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+        CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio
+      FROM f
+    ),
+    q AS (
+      SELECT doc_id, n_tokens,
+        floor((least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
+              + CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 0.3 ELSE 0.0 END
+              + greatest(0.0, 0.15 - punct_ratio) * 2.0 / 3.0 * 1.0
+              + greatest(0.0, 0.2 - digit_ratio)) * 10000 + 0.5) / 10000 AS quality_score
+      FROM g
+    ),
+    lw AS (SELECT doc_id,
+                  list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS words
+           FROM documents),
+    lh AS (SELECT doc_id,
+      len(list_intersect(words, ['der','die','und','das','in','von','zu','mit','ist','den']))::BIGINT AS hits_de,
+      len(list_intersect(words, ['the','and','of','to','a','in','is','it','that','for']))::BIGINT AS hits_en,
+      len(list_intersect(words, ['el','la','de','que','y','en','un','es','se','no']))::BIGINT AS hits_es,
+      len(list_intersect(words, ['le','la','et','les','des','en','un','du','une','est']))::BIGINT AS hits_fr
+      FROM lw),
+    lp AS (SELECT doc_id,
+      CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+           WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+           WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+           WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+      FROM lh),
+    filtered AS (
+      SELECT d.doc_id, d.text, q.n_tokens, q.quality_score, lp.lang_pred
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      JOIN lp ON lp.doc_id = d.doc_id
+      WHERE q.quality_score >= 0.3 AND lp.lang_pred = 'en'
+    ),
+    fp AS (SELECT doc_id, ('0x' || substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fpx FROM filtered),
+    keepmin AS (SELECT fpx, min(doc_id) AS keep FROM fp GROUP BY fpx),
+    exact AS (
+      SELECT fl.doc_id, fl.text, fl.n_tokens, fl.quality_score, fl.lang_pred
+      FROM filtered fl
+      JOIN fp ON fp.doc_id = fl.doc_id
+      JOIN keepmin km ON km.fpx = fp.fpx AND km.keep = fl.doc_id
+    ),
+    norm2 AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM exact),
+    words AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM norm2),
+    sh AS (SELECT DISTINCT doc_id AS doc, unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS sh FROM words),
+    seeds AS (SELECT i, ('0x' || substring(md5('perm:' || i), 1, 15))::BIGINT AS c
+              FROM (SELECT unnest(range(16)) AS i)),
+    sigs AS (
+      SELECT doc, i, min(xor(('0x' || substring(md5(sh), 1, 15))::BIGINT, c)) AS m
+      FROM sh, seeds GROUP BY doc, i
+    ),
+    bands AS (
+      SELECT doc, i // 4 AS band,
+             ('0x' || substring(md5(string_agg(m::VARCHAR, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
+      FROM sigs GROUP BY doc, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc = c.doc_a
+      JOIN sh b ON b.doc = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      JOIN sz sa ON sa.doc = doc_a
+      JOIN sz sb ON sb.doc = doc_b
+      WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+    losers AS (SELECT id FROM comp WHERE id != component)
+    SELECT lang_pred, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+           round(avg(quality_score), 4) AS avg_quality
+    FROM exact
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    GROUP BY lang_pred ORDER BY lang_pred
+    """,
+)
 def q56_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition (plans/corpus_prep.py): quality + language
     filters → exact dedup → MinHash-LSH near-dup collapse → per-language
-    token accounting. Every constituent operator is oracle-checked
-    individually (q22/q23/q25/q27); the composed pipeline gets the
-    rows-only check because connected components is iterative."""
+    token accounting. Every constituent stage reuses an oracle-validated
+    fragment (q22/q23/q25/q27) and the iterative component collapse is
+    closed with the q55 recursive-CTE fixpoint, so even the composed
+    pipeline is hash-checked end to end."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
         corpus_summary,
         prepare_training_corpus,
