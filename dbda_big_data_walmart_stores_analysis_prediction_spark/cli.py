@@ -58,6 +58,16 @@ def _eda(args: argparse.Namespace) -> None:
     print(json.dumps({"n_rows": report.n_rows, "outliers": report.outlier_count}))
     report.describe.show(truncate=False)
     report.top_groups.show(truncate=False)
+    if getattr(args, "plots_dir", None):
+        from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.viz import (
+            save_plots,
+        )
+
+        try:
+            written = save_plots(report, args.plots_dir)
+            print(json.dumps({"plots": written}))
+        except ImportError as e:
+            print(json.dumps({"plots_error": str(e)}))
 
 
 def _model(args: argparse.Namespace) -> None:
@@ -102,6 +112,11 @@ def main(argv: list[str] | None = None) -> None:
     eda.add_argument("--data", required=True)
     eda.add_argument("--value-col", default="Weekly_Sales")
     eda.add_argument("--group-col", default="Store")
+    eda.add_argument(
+        "--plots-dir",
+        default=None,
+        help="write PNG figures of the aggregate frames here (S8; needs matplotlib)",
+    )
     eda.set_defaults(fn=_eda)
 
     model = sub.add_parser("model", help="fit, evaluate, predict, save")

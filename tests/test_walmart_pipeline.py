@@ -202,3 +202,35 @@ def test_ml_smoke(spark, train, test_fact, stores, features):
         loaded = PipelineModel.load(f"{d}/model")
         again = loaded.transform(M.cast_booleans(test_ready))
         assert again.count() == out.count()
+
+
+def test_save_plots_layer(spark, tmp_path):
+    """S8 PNG sink: renders from aggregate frames only. In containers
+    without matplotlib the layer must fail with a clear ImportError (the
+    frames themselves stay available for any other backend)."""
+    import os
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.eda_report import (
+        eda_report,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.viz import (
+        save_plots,
+    )
+
+    rows = [(i % 4, float(i), float(i) * 2.0) for i in range(48)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    report = eda_report(df, value_col="x", numeric_cols=["x", "y"], group_col="g")
+    try:
+        import matplotlib  # noqa: F401
+
+        have_mpl = True
+    except ImportError:
+        have_mpl = False
+    if have_mpl:
+        written = save_plots(report, str(tmp_path / "plots"))
+        assert written and all(os.path.exists(p) for p in written)
+    else:
+        with pytest.raises(ImportError, match="matplotlib"):
+            save_plots(report, str(tmp_path / "plots"))
