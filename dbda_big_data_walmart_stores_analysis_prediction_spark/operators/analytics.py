@@ -15,6 +15,123 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _refine_ranks(
+    melted: DataFrame,
+    pending: list[dict],
+    bins: int,
+    collect_limit: int,
+    max_depth: int,
+) -> dict:
+    """Shared histogram-refinement engine over a melted ``(name, v)`` frame.
+
+    ``pending`` brackets are dicts with ``key`` (result key), ``cond`` (a
+    Column predicate over the melted frame selecting the bracket's rows),
+    ``lo``/``hi`` (value range for bucket arithmetic), ``below`` (global
+    rank offset), ``count`` and ``ranks`` (0-based global ranks to
+    resolve). Returns ``{key: {rank: value}}``. See
+    ``exact_quantiles_multi`` for the algorithm and scale rationale.
+    """
+    resolved: dict = {}
+    for b in pending:
+        resolved.setdefault(b["key"], {})
+
+    def bucket_of(lo: float, hi: float):
+        raw = F.floor((F.col("v") - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * bins)
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+
+    finals: list[dict] = []
+    depth = 0
+    while pending:
+        big: list[dict] = []
+        for b in pending:
+            splittable = b["hi"] > b["lo"] and (b["hi"] - b["lo"]) / bins > 0
+            if b["count"] <= collect_limit or not splittable or depth >= max_depth:
+                finals.append(b)
+            else:
+                big.append(b)
+        pending = []
+        if not big:
+            break
+        sel_bid = None
+        sel_bucket = None
+        for i, b in enumerate(big):
+            expr = bucket_of(b["lo"], b["hi"])
+            sel_bid = F.when(b["cond"], i) if sel_bid is None else sel_bid.when(b["cond"], i)
+            sel_bucket = (
+                F.when(b["cond"], expr) if sel_bucket is None else sel_bucket.when(b["cond"], expr)
+            )
+        hist_rows = (
+            melted.select(sel_bid.alias("bid"), sel_bucket.alias("bucket"))
+            .where(F.col("bid").isNotNull())
+            .groupBy("bid", "bucket")
+            .count()
+            .collect()
+        )
+        counts: dict[int, dict[int, int]] = {}
+        for r in hist_rows:
+            counts.setdefault(r["bid"], {})[r["bucket"]] = r["count"]
+        for i, b in enumerate(big):
+            span = b["hi"] - b["lo"]
+            cnts = counts.get(i, {})
+            cum = b["below"]
+            children: dict[int, dict] = {}
+            kranks = sorted(b["ranks"])
+            ki = 0
+            for k in sorted(cnts):
+                cnt = cnts[k]
+                while ki < len(kranks) and cum <= kranks[ki] < cum + cnt:
+                    child = children.get(k)
+                    if child is None:
+                        child = children[k] = {
+                            "key": b["key"],
+                            "cond": b["cond"] & (bucket_of(b["lo"], b["hi"]) == k),
+                            "lo": b["lo"] + span * k / bins,
+                            "hi": b["lo"] + span * (k + 1) / bins,
+                            "below": cum,
+                            "count": cnt,
+                            "ranks": set(),
+                        }
+                    child["ranks"].add(kranks[ki])
+                    ki += 1
+                cum += cnt
+            if ki != len(kranks):
+                raise RuntimeError(
+                    f"histogram pass lost ranks for {b['key']}: {kranks[ki:]}"
+                )
+            pending.extend(children.values())
+        depth += 1
+
+    if finals:
+        sel_fid = None
+        for i, b in enumerate(finals):
+            sel_fid = F.when(b["cond"], i) if sel_fid is None else sel_fid.when(b["cond"], i)
+        val_rows = (
+            melted.select(sel_fid.alias("fid"), "v")
+            .where(F.col("fid").isNotNull())
+            .groupBy("fid", "v")
+            .count()
+            .collect()
+        )
+        groups: dict[int, list[tuple[float, int]]] = {}
+        for r in val_rows:
+            groups.setdefault(r["fid"], []).append((r["v"], r["count"]))
+        for i, b in enumerate(finals):
+            cum = b["below"]
+            kranks = sorted(b["ranks"])
+            ki = 0
+            for v, cnt in sorted(groups.get(i, [])):
+                while ki < len(kranks) and cum <= kranks[ki] < cum + cnt:
+                    resolved[b["key"]][kranks[ki]] = v
+                    ki += 1
+                cum += cnt
+            if ki != len(kranks):
+                raise RuntimeError(
+                    f"final pass lost ranks for {b['key']}: {kranks[ki:]}"
+                )
+    return resolved
+
+
+
 def exact_quantiles(
     df: DataFrame, col: str, probs: list[float], n_ranges: int = 16
 ) -> list[float]:
@@ -113,7 +230,7 @@ def exact_quantiles_multi(
             continue
         pending.append(
             {
-                "col": c,
+                "key": c,
                 "cond": F.col("name") == c,
                 "lo": mn,
                 "hi": mx,
@@ -128,99 +245,9 @@ def exact_quantiles_multi(
         f"stack({len(columns)}, {stack_expr}) as (name, v)"
     ).where(F.col("v").isNotNull() & ~F.isnan("v"))
 
-    def bucket_of(lo: float, hi: float):
-        raw = F.floor((F.col("v") - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * bins)
-        return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
-
-    finals: list[dict] = []
-    depth = 0
-    while pending:
-        big: list[dict] = []
-        for b in pending:
-            splittable = b["hi"] > b["lo"] and (b["hi"] - b["lo"]) / bins > 0
-            if b["count"] <= collect_limit or not splittable or depth >= max_depth:
-                finals.append(b)
-            else:
-                big.append(b)
-        pending = []
-        if not big:
-            break
-        sel_bid = None
-        sel_bucket = None
-        for i, b in enumerate(big):
-            expr = bucket_of(b["lo"], b["hi"])
-            sel_bid = F.when(b["cond"], i) if sel_bid is None else sel_bid.when(b["cond"], i)
-            sel_bucket = (
-                F.when(b["cond"], expr) if sel_bucket is None else sel_bucket.when(b["cond"], expr)
-            )
-        hist_rows = (
-            melted.select(sel_bid.alias("bid"), sel_bucket.alias("bucket"))
-            .where(F.col("bid").isNotNull())
-            .groupBy("bid", "bucket")
-            .count()
-            .collect()
-        )
-        counts: dict[int, dict[int, int]] = {}
-        for r in hist_rows:
-            counts.setdefault(r["bid"], {})[r["bucket"]] = r["count"]
-        for i, b in enumerate(big):
-            span = b["hi"] - b["lo"]
-            cnts = counts.get(i, {})
-            cum = b["below"]
-            children: dict[int, dict] = {}
-            kranks = sorted(b["ranks"])
-            ki = 0
-            for k in sorted(cnts):
-                cnt = cnts[k]
-                while ki < len(kranks) and cum <= kranks[ki] < cum + cnt:
-                    child = children.get(k)
-                    if child is None:
-                        child = children[k] = {
-                            "col": b["col"],
-                            "cond": b["cond"] & (bucket_of(b["lo"], b["hi"]) == k),
-                            "lo": b["lo"] + span * k / bins,
-                            "hi": b["lo"] + span * (k + 1) / bins,
-                            "below": cum,
-                            "count": cnt,
-                            "ranks": set(),
-                        }
-                    child["ranks"].add(kranks[ki])
-                    ki += 1
-                cum += cnt
-            if ki != len(kranks):
-                raise RuntimeError(
-                    f"histogram pass lost ranks for {b['col']}: {kranks[ki:]}"
-                )
-            pending.extend(children.values())
-        depth += 1
-
-    if finals:
-        sel_fid = None
-        for i, b in enumerate(finals):
-            sel_fid = F.when(b["cond"], i) if sel_fid is None else sel_fid.when(b["cond"], i)
-        val_rows = (
-            melted.select(sel_fid.alias("fid"), "v")
-            .where(F.col("fid").isNotNull())
-            .groupBy("fid", "v")
-            .count()
-            .collect()
-        )
-        groups: dict[int, list[tuple[float, int]]] = {}
-        for r in val_rows:
-            groups.setdefault(r["fid"], []).append((r["v"], r["count"]))
-        for i, b in enumerate(finals):
-            cum = b["below"]
-            kranks = sorted(b["ranks"])
-            ki = 0
-            for v, cnt in sorted(groups.get(i, [])):
-                while ki < len(kranks) and cum <= kranks[ki] < cum + cnt:
-                    resolved[b["col"]][kranks[ki]] = v
-                    ki += 1
-                cum += cnt
-            if ki != len(kranks):
-                raise RuntimeError(
-                    f"final pass lost ranks for {b['col']}: {kranks[ki:]}"
-                )
+    resolved.update(
+        _refine_ranks(melted, pending, bins, collect_limit, max_depth)
+    )
 
     def assemble_stats() -> dict[str, tuple]:
         stats: dict[str, tuple] = {}
@@ -341,26 +368,86 @@ def histogram(
     )
 
 
-def group_quartiles(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def group_quartiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 1024,
+    collect_limit: int = 65536,
+    max_depth: int = 6,
+) -> DataFrame:
     """A9: per-group five-number summary (the stats behind the reference's
-    seaborn boxplots, ``Scripts/eda.py:103-146``), exact percentiles."""
-    return (
+    seaborn boxplots, ``Scripts/eda.py:103-146``), exact interpolated
+    quartiles via the shared histogram-refinement engine.
+
+    The earlier form used the builtin ``percentile`` aggregate — per-GROUP
+    buffers of every distinct value, i.e. the same GC bomb as the global
+    case whenever one group is large (and at 100 TB some group always is).
+    Here per-group memory is bounded by ``bins`` histogram cells per
+    refinement round regardless of group size. Driver state is one
+    (count, min, max) row per GROUP, so this operator's contract is
+    bounded group cardinality (boxplot/EDA scale — thousands, not
+    millions, of groups); value rows per group are unbounded.
+    """
+    v = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    meta_rows = (
         df.groupBy(group_col)
         .agg(
-            F.min(value_col).cast("double").alias("min"),
-            # one shared percentile buffer per group (see describe_plus)
-            F.expr(f"percentile(`{value_col}`, array(0.25, 0.5, 0.75))").alias("q"),
-            F.max(value_col).cast("double").alias("max"),
+            F.count(v).alias("n"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
         )
-        .select(
-            group_col,
-            "min",
-            F.col("q")[0].alias("q1"),
-            F.col("q")[1].alias("median"),
-            F.col("q")[2].alias("q3"),
-            "max",
-        )
+        .collect()
     )
+    melted = df.select(
+        F.col(group_col).alias("name"), v.alias("v")
+    ).where(F.col("v").isNotNull())
+
+    probs = [0.25, 0.5, 0.75]
+    pending: list[dict] = []
+    resolved: dict = {}
+    metas: list[tuple] = []
+    for r in meta_rows:
+        g, n, mn, mx = r[0], r["n"], r["mn"], r["mx"]
+        metas.append((g, n, mn, mx))
+        if n == 0:
+            continue
+        ranks: set[int] = set()
+        for p in probs:
+            rk = (n - 1) * p
+            ranks.add(math.floor(rk))
+            ranks.add(math.ceil(rk))
+        if mn == mx:
+            resolved[g] = {rk: mn for rk in ranks}
+            continue
+        cond = F.col("name").isNull() if g is None else F.col("name") == F.lit(g)
+        pending.append(
+            {"key": g, "cond": cond, "lo": mn, "hi": mx, "below": 0, "count": n, "ranks": ranks}
+        )
+    resolved.update(_refine_ranks(melted, pending, bins, collect_limit, max_depth))
+
+    out_rows = []
+    for g, n, mn, mx in metas:
+        if n == 0:
+            out_rows.append((g, None, None, None, None, None))
+            continue
+        qs = []
+        for p in probs:
+            rk = (n - 1) * p
+            lo, hi = math.floor(rk), math.ceil(rk)
+            frac = rk - lo
+            vlo, vhi = resolved[g][lo], resolved[g][hi]
+            qs.append(vlo + (vhi - vlo) * frac)
+        out_rows.append((g, mn, qs[0], qs[1], qs[2], mx))
+    gtype = df.schema[group_col].dataType
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [StructField(group_col, gtype, True)]
+        + [StructField(c, DoubleType(), True) for c in ("min", "q1", "median", "q3", "max")]
+    )
+    return df.sparkSession.createDataFrame(out_rows, schema)
 
 
 def outlier_bounds(df: DataFrame, col: str, k: float = 1.5) -> tuple[float, float]:

@@ -136,3 +136,27 @@ def test_exact_quantiles_skewed_multi_round(spark):
     n, mean, stddev, mn, mx = stats["x"]
     assert n == len(xs) and mn == min(xs) and mx == max(xs)
     assert abs(mean - sum(xs) / len(xs)) < 1e-9
+
+
+def test_group_quartiles_match_python(spark):
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quartiles,
+    )
+
+    rows = []
+    data = {}
+    for g in range(3):
+        xs = [((i * 37 + g * 11) % 97) / 7.0 for i in range(50 + g * 30)]
+        data[g] = sorted(xs)
+        rows += [(g, x) for x in xs]
+    df = spark.createDataFrame(rows, "g int, x double")
+    got = {r["g"]: r for r in group_quartiles(df, "g", "x").collect()}
+    for g, s in data.items():
+        for col, p in [("q1", 0.25), ("median", 0.5), ("q3", 0.75)]:
+            r = (len(s) - 1) * p
+            lo, hi = math.floor(r), math.ceil(r)
+            want = s[lo] + (s[hi] - s[lo]) * (r - lo)
+            assert abs(got[g][col] - want) <= 1e-9, (g, col, got[g][col], want)
+        assert got[g]["min"] == s[0] and got[g]["max"] == s[-1]
