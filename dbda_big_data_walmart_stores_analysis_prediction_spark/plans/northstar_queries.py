@@ -1035,3 +1035,49 @@ def q44_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("price"), 2).alias("total_imputed"),
         F.round(F.avg("price"), 4).alias("avg_imputed"),
     )
+
+
+@_register(
+    "q59_event_dedup",
+    """
+    WITH u AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type, value * 2
+      FROM events
+    )
+    SELECT event_id,
+           min(ts) AS ts,
+           arg_min(user_id, ts) AS user_id,
+           arg_min(event_type, ts) AS event_type,
+           round(arg_min(value, ts), 4) AS value
+    FROM u GROUP BY event_id
+    """,
+)
+def q59_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event dedup on an idempotency key (streaming/events.py
+    dedup_events — the batch twin of dropDuplicatesWithinWatermark): the
+    fixture is doubled with retried copies (+1h, doubled value) and the
+    EARLIEST record per event_id must survive, deterministically."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events import (
+        dedup_events,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    retried = ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+    )
+    out = dedup_events(ev.unionAll(retried))
+    return out.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )

@@ -234,3 +234,38 @@ def streaming_user_lifetime_stats(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",)) -> DataFrame:
+    """Batch exactly-once dedup on an idempotency key: keep the EARLIEST
+    record per key (min_by on event time) — deterministic, unlike a bare
+    ``dropDuplicates`` whose survivor is partition-order-dependent. One
+    map-side-combinable shuffle on the key."""
+    others = [c for c in events.columns if c not in key_cols]
+    return (
+        events.groupBy(*key_cols)
+        .agg(
+            *[
+                F.expr(f"min_by(`{c}`, struct(ts, `{c}`))").alias(c)
+                for c in others
+            ]
+        )
+        .select(*events.columns)
+    )
+
+
+def streaming_dedup_events(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once dedup — ``dropDuplicatesWithinWatermark`` on
+    the idempotency key. State holds one entry per key seen within the
+    watermark horizon and is EVICTED as event time advances past it: the
+    only dedup formulation whose state is bounded on an unbounded stream
+    (plain ``dropDuplicates`` on a stream retains every key forever).
+    At-scale retry storms (the usual source of stream duplicates) land
+    well inside any sane watermark."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -135,3 +135,26 @@ def test_asof_name_clash_rejected(spark, frames):
             left.withColumnRenamed("tag", "rv"), right,
             on="k", left_ts="lts", right_ts="rts", right_cols=["rv"],
         )
+
+
+def test_asof_equal_ts_right_rows_deterministic(spark):
+    """Several right rows with identical (key, timestamp): the carry-forward
+    window totally orders them by the payload struct, so the max payload
+    wins regardless of shuffle arrival order (docstring contract)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k int, lts long"
+    ).select("k", F.timestamp_seconds("lts").alias("lts"))
+    right_rows = [(1, 50, v) for v in [7.0, 3.0, 9.0, 1.0]]
+    for attempt in range(3):
+        right = (
+            spark.createDataFrame(right_rows, "k int, rts long, rv double")
+            .repartition(4 + attempt)  # vary physical arrival order
+            .select("k", F.timestamp_seconds("rts").alias("rts"), "rv")
+        )
+        out = asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", right_cols=["rv"]
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["rv"] == 9.0, f"attempt {attempt}: {out}"

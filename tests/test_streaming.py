@@ -165,3 +165,44 @@ def test_native_vs_islands_sessionize(spark):
     n = {r["user_id"]: r["cnt"] for r in native.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
     i = {r["user_id"]: r["cnt"] for r in islands.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
     assert n == i
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """Replaying a doubled fixture through dropDuplicatesWithinWatermark
+    must recover exactly the batch dedup's row multiset."""
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events import (
+        dedup_events,
+        streaming_dedup_events,
+    )
+
+    ev = _events(spark).limit(200)
+    doubled = ev.unionAll(ev)
+    batch = dedup_events(doubled)
+    assert batch.count() == ev.count()
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # two identical files -> the duplicate arrives in a later micro-batch
+        ev.write.mode("overwrite").parquet(f"{d}/in")
+        ev.write.mode("append").parquet(f"{d}/in")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in")
+        )
+        out = streaming_dedup_events(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("dedup_stream")
+        assert got.count() == ev.count()
+        assert got.select(F.countDistinct("event_id")).first()[0] == ev.count()
