@@ -77,3 +77,24 @@ def test_whole_stage_codegen_everywhere_hot(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan, name
         assert re.search(r"\*\(\d+\)", plan), f"no codegen stage in {name}"
+
+
+def test_quantile_melt_prunes_scan_columns(spark):
+    """The histogram-refinement melt must push column pruning through
+    stack(): a 3-column quantile request over the 16-column lineitem scan
+    reads exactly those 3 columns (at 100 TB the difference IS the query)."""
+    from tests.conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stack_expr = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    melted = li.selectExpr(f"stack(3, {stack_expr}) as (name, v)").where(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    plan = melted.groupBy("name").count()._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == set(cols), read_cols
