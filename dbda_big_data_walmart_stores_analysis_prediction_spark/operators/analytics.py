@@ -44,7 +44,13 @@ def _refine_ranks(
     while pending:
         big: list[dict] = []
         for b in pending:
-            splittable = b["hi"] > b["lo"] and (b["hi"] - b["lo"]) / bins > 0
+            # an infinite span (values straddling ±~1e308) would turn the
+            # child bounds into inf*0 = NaN — such a bracket goes straight
+            # to the final collect instead of subdividing
+            span = b["hi"] - b["lo"]
+            splittable = (
+                b["hi"] > b["lo"] and math.isfinite(span) and span / bins > 0
+            )
             if b["count"] <= collect_limit or not splittable or depth >= max_depth:
                 finals.append(b)
             else:

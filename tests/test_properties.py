@@ -160,3 +160,25 @@ def test_group_quartiles_match_python(spark):
             want = s[lo] + (s[hi] - s[lo]) * (r - lo)
             assert abs(got[g][col] - want) <= 1e-9, (g, col, got[g][col], want)
         assert got[g]["min"] == s[0] and got[g]["max"] == s[-1]
+
+
+def test_exact_quantiles_extreme_magnitudes(spark):
+    """Values straddling ±1e308 make the root bracket span overflow to inf;
+    the engine must fall back to a final collect instead of producing NaN
+    child bounds."""
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        exact_quantiles_multi,
+    )
+
+    xs = [-1.0e308, -5.0, 0.0, 5.0, 1.0e308] * 40
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    probs = [0.25, 0.5, 0.75]
+    got = exact_quantiles_multi(df, ["x"], probs, collect_limit=50)["x"]
+    s = sorted(xs)
+    for g, p in zip(got, probs):
+        r = (len(s) - 1) * p
+        lo, hi = math.floor(r), math.ceil(r)
+        want = s[lo] + (s[hi] - s[lo]) * (r - lo)
+        assert g == want and math.isfinite(g), (p, g, want)
