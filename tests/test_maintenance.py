@@ -37,3 +37,28 @@ def test_delete_keys_semantics(spark):
     tombstones = spark.createDataFrame([(1,), (3,), (99,)], "k int")
     got = {r["k"] for r in delete_keys(current, tombstones, "k").collect()}
     assert got == {2}
+
+
+def test_compact_small_files(spark, tmp_path):
+    """200 tiny files compact to the computed target count with identical
+    row multiset."""
+    import glob
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    df.repartition(200).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 200
+
+    total = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(f"{src}/*.parquet")
+    )
+    n = compact_small_files(spark, src, dst, target_file_bytes=total // 3)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n <= 4
+    got = sorted(r["k"] for r in spark.read.parquet(dst).collect())
+    assert got == list(range(2000))
