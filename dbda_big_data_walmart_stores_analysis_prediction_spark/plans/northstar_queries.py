@@ -848,11 +848,31 @@ def q38_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register("q39_multimodal_features")  # rows-only: Python-side byte features
+@_register(
+    "q39_multimodal_features",
+    """
+    WITH b AS (
+      SELECT doc_id, ascii(substring(text, i, 1)) // 16 AS bin
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+            FROM documents)
+    ),
+    h AS (SELECT doc_id, bin, count(*)::DOUBLE AS c FROM b GROUP BY doc_id, bin),
+    n AS (SELECT doc_id, length(text)::BIGINT AS n FROM documents),
+    e AS (
+      SELECT h.doc_id, -sum((c / n.n) * log2(c / n.n)) AS ent
+      FROM h JOIN n ON n.doc_id = h.doc_id GROUP BY h.doc_id
+    )
+    SELECT n.doc_id AS media_id, 'text/plain' AS media_type, n.n AS n_bytes,
+           round(coalesce(e.ent, 0.0), 6) AS byte_entropy
+    FROM n LEFT JOIN e ON e.doc_id = n.doc_id
+    """,
+)
 def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media pipeline: attach_blob → mapInPandas byte features
-    (entropy + 16-bin histogram). Deterministic, but the histogram math
-    lives in Python — rows-only check by design."""
+    (entropy + 16-bin histogram). The Python histogram math is
+    deterministic over the utf-8 payload bytes, and the fixture corpus is
+    pure ASCII, so a char-wise DuckDB oracle reproduces byte entropy
+    exactly (bin = byte // 16)."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.multimodal import (
         attach_blob,
         extract_features,
@@ -863,10 +883,20 @@ def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).drop("byte_histogram")
 
 
-@_register("q40_frame_sampling")  # rows-only
+@_register(
+    "q40_frame_sampling",
+    """
+    SELECT doc_id AS media_id, 'text/plain' AS media_type,
+           len(list_filter([substring(text, i * 64 + 1, 64) FOR i IN range(0, 8)],
+                           s -> length(s) > 0))::INT AS n_frames
+    FROM documents
+    """,
+)
 def q40_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan shape over opaque payloads (JVM-side chunking —
-    stands in for video frame extraction without a codec)."""
+    stands in for video frame extraction without a codec). The chunking is
+    pure substring arithmetic, so the oracle replicates it with a DuckDB
+    list comprehension."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.multimodal import (
         attach_blob,
         frame_sample_plan,
