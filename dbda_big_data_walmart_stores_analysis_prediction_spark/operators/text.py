@@ -49,38 +49,55 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio, digit_ratio, space_ratio, quality_score (deterministic
     heuristic in [0,1]).
     """
+    # STAGED projections (see language_id): each regex/split runs ONCE per
+    # row in the counts stage instead of being re-inlined into every ratio
+    # and again into the quality formula (~6-10 redundant regexp passes in
+    # the single-select form).
     t = F.col(text_col)
-    words = tokens_col(t)
-    n_chars = F.length(t).cast("double")
-    n_tokens = F.size(words).cast("bigint")
-    n_bpe = F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).cast("bigint")
-    n_punct = F.length(F.regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("double")
-    n_digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
-    n_space = F.length(F.regexp_replace(t, "[^ ]", "")).cast("double")
-    avg_tok = F.when(n_tokens > 0, (n_chars - n_space) / n_tokens).otherwise(0.0)
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
-    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(0.0)
-    space_ratio = F.when(n_chars > 0, n_space / n_chars).otherwise(0.0)
+    counts = df.select(
+        "*",
+        F.length(t).cast("double").alias("__n_chars"),
+        F.size(tokens_col(t)).cast("bigint").alias("__n_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).cast("bigint").alias("__n_bpe"),
+        F.length(F.regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("double").alias("__n_punct"),
+        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double").alias("__n_digit"),
+        F.length(F.regexp_replace(t, "[^ ]", "")).cast("double").alias("__n_space"),
+    )
+    n_chars = F.col("__n_chars")
+    n_tokens = F.col("__n_tokens")
+    ratios = counts.select(
+        "*",
+        F.when(n_tokens > 0, (n_chars - F.col("__n_space")) / n_tokens)
+        .otherwise(0.0)
+        .alias("__avg_tok"),
+        F.when(n_chars > 0, F.col("__n_punct") / n_chars).otherwise(0.0).alias("__punct_ratio"),
+        F.when(n_chars > 0, F.col("__n_digit") / n_chars).otherwise(0.0).alias("__digit_ratio"),
+        F.when(n_chars > 0, F.col("__n_space") / n_chars).otherwise(0.0).alias("__space_ratio"),
+    )
+    avg_tok = F.col("__avg_tok")
     # quality: long-enough docs with word-like tokens and low punct/digit load
     quality = (
         F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * 0.4
         + F.when((avg_tok >= 3) & (avg_tok <= 10), 0.3).otherwise(0.0)
-        + F.greatest(F.lit(0.0), F.lit(0.15) - punct_ratio) * 2.0 / 3.0 * 1.0
-        + F.greatest(F.lit(0.0), F.lit(0.2) - digit_ratio)
+        + F.greatest(F.lit(0.0), F.lit(0.15) - F.col("__punct_ratio")) * 2.0 / 3.0 * 1.0
+        + F.greatest(F.lit(0.0), F.lit(0.2) - F.col("__digit_ratio"))
     )
-    return df.select(
+    return ratios.select(
         "*",
         n_tokens.alias("n_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
+        F.col("__n_bpe").alias("n_bpe_tokens"),
         F.round(avg_tok, 4).alias("avg_token_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(digit_ratio, 4).alias("digit_ratio"),
-        F.round(space_ratio, 4).alias("space_ratio"),
+        F.round("__punct_ratio", 4).alias("punct_ratio"),
+        F.round("__digit_ratio", 4).alias("digit_ratio"),
+        F.round("__space_ratio", 4).alias("space_ratio"),
         # floor-based half-up rounding: quality sums decimal fractions (0.4,
         # 0.3, ...) that frequently land on exact .XXXX5 doubles where
         # engines' round() implementations disagree; floor(x*1e4 + 0.5) is
         # plain double math and therefore bit-identical everywhere.
         (F.floor(quality * 10000 + F.lit(0.5)) / 10000).alias("quality_score"),
+    ).drop(
+        "__n_chars", "__n_tokens", "__n_bpe", "__n_punct", "__n_digit",
+        "__n_space", "__avg_tok", "__punct_ratio", "__digit_ratio", "__space_ratio"
     )
 
 
