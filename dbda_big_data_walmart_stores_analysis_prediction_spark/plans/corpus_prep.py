@@ -49,15 +49,21 @@ def prepare_training_corpus(
     # derivation would otherwise re-run scoring + language ID + the
     # dedup join from the raw scan. Individual operators stay cache-free
     # (measured right per-operator); compositions are exactly where one
-    # materialization amortizes. Measured at sf0.1: 22.7s -> ~6s.
+    # materialization amortizes. Measured at sf0.1: 22.7s -> 9.2s
+    # cold-cache (DuckDB runs the equivalent SQL in 36s).
     # Callers free the blocks with .unpersist() on the result's source or
     # let LRU eviction handle it. The count() materializes EAGERLY:
     # Spark submits independent downstream stages concurrently, and
     # sibling stages racing an unmaterialized cache all recompute the
     # lineage (measured: lazy persist left the cold run at ~20s; eager
     # materialization makes cold ≈ warm).
+    # filtered is ALSO persisted: dedup_exact derives it twice (the
+    # per-hash min aggregate and the keep join), which would re-run the
+    # scoring stage before the `exact` boundary even materializes
+    filtered = filtered.persist()
     exact = dd.dedup_exact(filtered, id_col, text_col).persist()
     exact.count()
+    filtered.unpersist()
     pairs = dd.minhash_lsh_pairs(
         exact, id_col, text_col, threshold=near_dup_threshold
     )
