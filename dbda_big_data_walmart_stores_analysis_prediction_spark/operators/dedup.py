@@ -82,7 +82,12 @@ def shingle_table(
     comprehension exactly.
     """
     arr = F.split(_norm_text(text_col), r"\s+")
-    base = df.select(F.col(id_col).alias("doc"), arr.alias("__w"))
+    # null text must yield NO shingles (greatest() ignores the null size and
+    # would otherwise emit one "" shingle, diverging from the oracle's
+    # unnest-of-NULL semantics and pairing null docs with empty ones)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), arr.alias("__w")
+    )
     idx = F.explode(F.sequence(F.lit(0), F.greatest(F.size("__w") - k, F.lit(0))))
     return (
         base.select("doc", "__w", idx.alias("__i"))

@@ -94,7 +94,14 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         # 0.3, ...) that frequently land on exact .XXXX5 doubles where
         # engines' round() implementations disagree; floor(x*1e4 + 0.5) is
         # plain double math and therefore bit-identical everywhere.
-        (F.floor(quality * 10000 + F.lit(0.5)) / 10000).alias("quality_score"),
+        # NULL text scores 0.0 outright — least()/greatest() ignore null
+        # operands, so the formula would otherwise sum the "no penalty"
+        # branches to 0.7 for a document with no content at all.
+        F.when(
+            t.isNotNull(), F.floor(quality * 10000 + F.lit(0.5)) / 10000
+        )
+        .otherwise(0.0)
+        .alias("quality_score"),
     ).drop(
         "__n_chars", "__n_tokens", "__n_bpe", "__n_punct", "__n_digit",
         "__n_space", "__avg_tok", "__punct_ratio", "__digit_ratio", "__space_ratio"

@@ -169,3 +169,25 @@ def test_stop_shingle_cap_bounds_fanout(spark):
     assert capped.count() == 0
     capped_lsh = minhash_lsh_pairs(df, "doc_id", threshold=0.1, max_doc_freq=5)
     assert capped_lsh.count() == 0
+
+
+def test_null_and_empty_text_semantics(spark):
+    """Real corpora contain null/empty documents: null text must score 0
+    quality, emit NO shingles (matching SQL unnest-of-NULL), and never
+    pair with genuinely-empty docs in the shingle pipelines."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        dedup as dd,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        text as tx,
+    )
+
+    rows = [(1, "the quick brown fox"), (2, None), (3, ""), (4, "the quick brown fox")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = {r["doc_id"]: r for r in tx.add_text_features(df).collect()}
+    assert feats[2]["quality_score"] == 0.0
+    assert feats[1]["quality_score"] > 0.0
+    sh_docs = {r["doc"] for r in dd.shingle_table(df, "doc_id").collect()}
+    assert 2 not in sh_docs and {1, 3, 4} <= sh_docs
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.jaccard_pairs(df, "doc_id", threshold=0.5).collect()}
+    assert pairs == {(1, 4)}
