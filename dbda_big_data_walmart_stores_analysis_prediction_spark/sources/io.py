@@ -136,3 +136,63 @@ def write_csv(
         .option("nullValue", null_value)
         .csv(path)
     )
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    media_type: str = "application/octet-stream",
+) -> DataFrame:
+    """Ingest raw media files through Spark's built-in ``binaryFile``
+    source into the opaque media schema (operators/multimodal.py) — the
+    real ingestion route the fixture's text-as-bytes stand-in mimics.
+
+    Each file becomes one row (media_id = md5-int64 of its path, payload =
+    file bytes, n_bytes = length); downstream mapInPandas stages consume
+    the same schema either way. ``binaryFile`` streams file content
+    lazily per task and supports ``pathGlobFilter`` pushdown, so a
+    100 TB media lake reads only matching files and never materializes
+    payloads on the driver.
+    """
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
+        md5_int64,
+    )
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        md5_int64(F.col("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("path").alias("source_path"),
+    )
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = False
+) -> DataFrame:
+    """Ingest raw text into the ``documents`` shape (doc_id, text) via the
+    built-in ``text`` source: one doc per LINE by default, or one doc per
+    FILE with ``whole_files=True``.
+
+    doc_id is the md5-int64 of the content — stable across re-reads and
+    partitionings (a positional id like monotonically_increasing_id would
+    renumber on every layout change, breaking dedup joins between runs).
+    Identical lines therefore collapse to one id: exactly the semantics
+    exact-dedup wants from a raw corpus.
+    """
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
+        md5_int64,
+    )
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path, wholetext=whole_files)
+    return raw.select(
+        md5_int64(F.col("value")).alias("doc_id"),
+        F.col("value").alias("text"),
+    ).where(F.length(F.trim("text")) > 0)
