@@ -49,11 +49,15 @@ def _eda(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="walmart-eda")
     df = spark.read.parquet(args.data)
     numeric = [c for c, t in df.dtypes if t in ("double", "float")][:8]
+    facets = tuple(
+        c for c in (args.facet_cols or "").split(",") if c and c in df.columns
+    )
     report = eda_report(
         df,
         value_col=args.value_col,
         numeric_cols=numeric,
         group_col=args.group_col,
+        facet_cols=facets,
     )
     print(json.dumps({"n_rows": report.n_rows, "outliers": report.outlier_count}))
     report.describe.show(truncate=False)
@@ -112,6 +116,11 @@ def main(argv: list[str] | None = None) -> None:
     eda.add_argument("--data", required=True)
     eda.add_argument("--value-col", default="Weekly_Sales")
     eda.add_argument("--group-col", default="Store")
+    eda.add_argument(
+        "--facet-cols",
+        default="",
+        help="comma-separated extra grouping columns for per-facet box summaries",
+    )
     eda.add_argument(
         "--plots-dir",
         default=None,

@@ -36,6 +36,7 @@ class EDAReport:
     correlations: DataFrame
     top_groups: DataFrame
     group_quartiles: DataFrame
+    facet_quartiles: dict[str, DataFrame]
     outlier_count: int
 
 
@@ -46,6 +47,7 @@ def eda_report(
     group_col: str,
     top_k: int = 10,
     n_bins: int = 50,
+    facet_cols: tuple[str, ...] = (),
 ) -> EDAReport:
     """One call ≡ the whole reference EDA stage, exact and bounded-memory:
 
@@ -53,6 +55,12 @@ def eda_report(
     (A5/A6) → histogram (A10) → correlation vector (A7) → top-k groups by
     mean (A8/O4) → per-group five-number summaries (A9) → IQR outlier count
     (A6/P10). Collects nothing bigger than `top_k`/`n_bins` rows per part.
+
+    ``facet_cols`` adds one more five-number-summary frame per listed
+    column (the reference boxplots Weekly_Sales against Month, DayOfWeek,
+    IsHoliday, and Type the same way, ``Scripts/eda.py:100-151``) — each
+    facet is a bounded-cardinality grouping, same contract as
+    ``group_col``.
     """
     from pyspark.sql import functions as F
 
@@ -72,6 +80,9 @@ def eda_report(
         correlations=correlations(df, numeric_cols, target=value_col),
         top_groups=top,
         group_quartiles=group_quartiles(df, group_col, value_col),
+        facet_quartiles={
+            c: group_quartiles(df, c, value_col) for c in facet_cols
+        },
         outlier_count=df.where(
             (F.col(value_col) < lo) | (F.col(value_col) > hi)
         ).count(),

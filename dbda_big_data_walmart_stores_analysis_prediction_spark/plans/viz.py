@@ -101,10 +101,14 @@ def save_plots(report: EDAReport, out_dir: str) -> list[str]:
         ax.set_title("Top groups by mean value")
         _save(fig, "top_groups.png")
 
-    # per-group box plot drawn from five-number summaries (no raw rows) —
-    # the sns.boxplot counterpart, Scripts/eda.py:102-108
-    gq = report.group_quartiles.collect()
-    if gq:
+    # per-group box plots drawn from five-number summaries (no raw rows) —
+    # the sns.boxplot counterparts: the primary grouping plus one figure
+    # per facet column (Scripts/eda.py:102-151 draws Month / DayOfWeek /
+    # IsHoliday / Type boxplots the same way)
+    def _boxfig(frame, title: str, name: str) -> None:
+        gq = frame.collect()
+        if not gq:
+            return
         boxes = [
             {
                 "label": str(r[0]),
@@ -116,12 +120,25 @@ def save_plots(report: EDAReport, out_dir: str) -> list[str]:
                 "fliers": [],
             }
             for r in gq
+            if r["min"] is not None
         ]
         fig, ax = plt.subplots(figsize=(10, 6))
         ax.bxp(boxes, showfliers=False)
         ax.set_ylabel("value")
         ax.tick_params(axis="x", rotation=45)
-        ax.set_title("Per-group distribution (exact five-number summaries)")
-        _save(fig, "group_quartiles.png")
+        ax.set_title(title)
+        _save(fig, name)
+
+    _boxfig(
+        report.group_quartiles,
+        "Per-group distribution (exact five-number summaries)",
+        "group_quartiles.png",
+    )
+    for col, frame in report.facet_quartiles.items():
+        _boxfig(
+            frame,
+            f"Distribution by {col} (exact five-number summaries)",
+            f"group_quartiles_{col}.png",
+        )
 
     return written

@@ -219,9 +219,13 @@ def test_save_plots_layer(spark, tmp_path):
         save_plots,
     )
 
-    rows = [(i % 4, float(i), float(i) * 2.0) for i in range(48)]
-    df = spark.createDataFrame(rows, "g int, x double, y double")
-    report = eda_report(df, value_col="x", numeric_cols=["x", "y"], group_col="g")
+    rows = [(i % 4, i % 2, float(i), float(i) * 2.0) for i in range(48)]
+    df = spark.createDataFrame(rows, "g int, h int, x double, y double")
+    report = eda_report(
+        df, value_col="x", numeric_cols=["x", "y"], group_col="g", facet_cols=("h",)
+    )
+    facet = {r["h"]: r for r in report.facet_quartiles["h"].collect()}
+    assert set(facet) == {0, 1} and facet[0]["min"] == 0.0
     try:
         import matplotlib  # noqa: F401
 
