@@ -98,3 +98,33 @@ def test_quantile_melt_prunes_scan_columns(spark):
     assert m, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert read_cols == set(cols), read_cols
+
+
+def test_dedup_pipelines_never_cartesian(spark):
+    """Every candidate generator must join on a key — a CartesianProduct or
+    BroadcastNestedLoopJoin in a dedup plan is the 100 TB failure mode."""
+    for name in ("q26_jaccard_pairs", "q27_minhash_lsh_pairs", "q29_simhash_near_pairs"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_shingle_table_single_shuffle(spark):
+    """Shuffle-free shingling: the only Exchange in a shingle derivation is
+    the set-semantics distinct (the old window form added a per-doc
+    shuffle before any consumer ran)."""
+    from tests.conftest import SF_SMOKE
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        shingle_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        shingle_table(docs, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Window" not in plan
