@@ -109,7 +109,13 @@ def extract_features(
             for mid, payload, mtype in zip(
                 pdf["media_id"], pdf["payload"], pdf["media_type"]
             ):
-                b = bytes(payload or b"")
+                # a NULL payload stays NULL-sized (len/entropy of a missing
+                # blob is unknown, not 0 — and the SQL oracle's length(NULL)
+                # agrees); only a present-but-empty payload scores n=0
+                if payload is None:
+                    out.append((mid, mtype, None, 0.0, [0.0] * n_bins))
+                    continue
+                b = bytes(payload)
                 n = len(b)
                 hist = [0.0] * n_bins
                 if n:
@@ -120,7 +126,7 @@ def extract_features(
                 else:
                     entropy = 0.0
                 out.append((mid, mtype, n, round(entropy, 6), [round(h / n, 6) if n else 0.0 for h in hist]))
-            yield pd.DataFrame(
+            pdf_out = pd.DataFrame(
                 out,
                 columns=[
                     "media_id",
@@ -130,6 +136,9 @@ def extract_features(
                     "byte_histogram",
                 ],
             )
+            # nullable int, not float-with-NaN: Arrow maps pd.NA -> long NULL
+            pdf_out["n_bytes"] = pd.array(pdf_out["n_bytes"], dtype="Int64")
+            yield pdf_out
 
     return media.select("media_id", "payload", "media_type").mapInPandas(
         batches, FEATURE_SCHEMA

@@ -238,18 +238,23 @@ def streaming_user_lifetime_stats(stream: DataFrame) -> DataFrame:
 
 def dedup_events(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",)) -> DataFrame:
     """Batch exactly-once dedup on an idempotency key: keep the EARLIEST
-    record per key (min_by on event time) — deterministic, unlike a bare
-    ``dropDuplicates`` whose survivor is partition-order-dependent. One
-    map-side-combinable shuffle on the key."""
+    record per key — deterministic, unlike a bare ``dropDuplicates`` whose
+    survivor is partition-order-dependent. One map-side-combinable shuffle
+    on the key.
+
+    The survivor is ONE real input record: the whole non-key record is
+    aggregated as ``min(struct(ts, <remaining cols>))`` (struct ordering =
+    earliest ts, remaining columns as the deterministic tiebreak), then the
+    struct is re-expanded. Aggregating each column independently
+    (``min_by(c, ts)`` per column) would, under a ts tie, stitch fields
+    from DIFFERENT tied records into a row that never existed."""
     others = [c for c in events.columns if c not in key_cols]
+    order = [c for c in others if c == "ts"] + [c for c in others if c != "ts"]
+    rec = F.min(F.struct(*[F.col(c) for c in order])).alias("__rec")
     return (
         events.groupBy(*key_cols)
-        .agg(
-            *[
-                F.expr(f"min_by(`{c}`, struct(ts, `{c}`))").alias(c)
-                for c in others
-            ]
-        )
+        .agg(rec)
+        .select(*key_cols, *[F.col(f"__rec.{c}").alias(c) for c in others])
         .select(*events.columns)
     )
 

@@ -57,6 +57,19 @@ def test_extract_features_deterministic(media):
     )
 
 
+def test_extract_features_null_payload(spark):
+    """A NULL payload is an unknown blob, not an empty one: n_bytes stays
+    NULL (= the SQL oracle's length(NULL)), entropy scores 0.0 — the
+    divergence the q39 oracle would catch if fixtures gained null docs."""
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    feats = extract_features(attach_blob(df, "doc_id", "text"))
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] is None
+    assert rows[1]["byte_entropy"] == 0.0
+    assert rows[2]["n_bytes"] == 0
+    assert rows[2]["byte_entropy"] == 0.0
+
+
 def test_resize_media_contract(media):
     out = resize_media(media, target_w=8, target_h=4)
     rows = {r["media_id"]: r for r in out.collect()}

@@ -167,6 +167,29 @@ def test_native_vs_islands_sessionize(spark):
     assert n == i
 
 
+def test_dedup_events_tie_keeps_one_real_record(spark):
+    """Two records sharing (key, ts) must survive as ONE of the actual
+    input records — per-column min_by would stitch user_id from one tied
+    record and value from the other into a row that never existed."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events import (
+        dedup_events,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 9, "click", 5.0),
+            (1, "2024-01-01 00:00:00", 2, "view", 7.0),
+            (1, "2024-01-01 00:00:01", 1, "aaaa", 1.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dedup_events(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    # survivor = lexicographic-min record among the ts ties: (2, view, 7.0)
+    assert (r["user_id"], r["event_type"], r["value"]) == (2, "view", 7.0)
+
+
 def test_streaming_dedup_matches_batch(spark):
     """Replaying a doubled fixture through dropDuplicatesWithinWatermark
     must recover exactly the batch dedup's row multiset."""
