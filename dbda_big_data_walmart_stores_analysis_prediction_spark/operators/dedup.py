@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
     md5_int64,
+    md5_int64_sql,
 )
 
 # ---------------------------------------------------------------------------
@@ -76,10 +77,16 @@ def shingle_table(
     span. Neither the lambda-HOF form (``transform(...)``: interpreted,
     measured 3.7x slower) nor the earlier posexplode + lead() window form
     (a per-doc shuffle before any consumer runs — measured 1.5x slower at
-    sf0.1 and strictly worse at scale) can say that. The only shuffle left
-    is the set-semantics ``distinct``. Short docs (< k words) yield one
-    partial shingle (= the whole text), matching the SQL-oracle list
-    comprehension exactly.
+    sf0.1 and strictly worse at scale) can say that. Short docs (< k words)
+    yield one partial shingle (= the whole text), matching the SQL-oracle
+    list comprehension exactly.
+
+    The only shuffle is the set-semantics ``distinct`` on ``(doc, sh)``.
+    A ``repartition(doc)``-then-dedup form was measured instead (it would
+    let doc-keyed consumers plan with no further exchange): one exchange
+    fewer, but it shuffles the RAW exploded rows and loses distinct's
+    map-side partial dedup — net 1.15x slower for jaccard and minhash at
+    sf0.1. Bytes shuffled beat exchange count.
     """
     arr = F.split(_norm_text(text_col), r"\s+")
     # null text must yield NO shingles (greatest() ignores the null size and
@@ -150,6 +157,13 @@ def jaccard_pairs(
     # memory churn costs more than re-running the scan+regex (34s vs 6s
     # cold). At much larger scale, persist(DISK_ONLY) on sh may win; keep
     # the logical plan cache-free and let callers decide.
+    #
+    # Plan shape kept deliberately: the two sizes joins run AFTER the pair
+    # aggregate, on the tiny aggregated pair table, with the sizes side
+    # auto-broadcast — measured faster than carrying sz through the
+    # self-join via a partition-only window (window adds a doc-shuffle of
+    # the full shingle table before the join; the broadcast joins touch
+    # only candidate pairs).
     sh = cap_shingle_doc_freq(shingle_table(df, id_col, text_col, k), max_doc_freq)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -194,15 +208,18 @@ def _minhash_aggs(n_hashes: int) -> list[Column]:
 
     ONE md5 per shingle, then ``n_hashes`` 1-cycle XOR mixes — the md5 was
     ~70% of signature CPU when evaluated per-permutation (16 md5s/shingle
-    measured 1.96s vs 0.61s at sf0.1). XOR with a constant is a bijection
-    of the 60-bit space, so each constant gives a valid (if less
-    independent than rehashing) min-wise permutation; LSH recall is
-    re-verified in tests. The classic ``(a*h+b) mod p`` family is unusable
-    here: bigint overflow THROWS under ANSI mode (Spark 4 default).
+    measured 1.96s vs 0.61s at sf0.1); the identical md5 subtree across all
+    mins collapses to one evaluation via codegen subexpression elimination.
+    XOR with a constant is a bijection of the 60-bit space, so each
+    constant gives a valid (if less independent than rehashing) min-wise
+    permutation; LSH recall is re-verified in tests. The classic
+    ``(a*h+b) mod p`` family is unusable here: bigint overflow THROWS
+    under ANSI mode (Spark 4 default). Built as one ``F.expr`` per
+    aggregate — see ``md5_int64_sql`` on Py4J build cost.
     """
-    h = md5_int64(F.col("sh"))
+    h_sql = md5_int64_sql("sh")
     return [
-        F.min(h.bitwiseXOR(F.lit(_perm_const(i)))).alias(f"sig_{i}")
+        F.expr(f"min({h_sql} ^ {_perm_const(i)}L) AS sig_{i}")
         for i in range(n_hashes)
     ]
 
@@ -245,13 +262,16 @@ def lsh_candidate_pairs(
     rows_per_band = n_hashes // bands
     band_structs = []
     for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bh = md5_int64(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bh.alias("bh"))
+        sig_names = ", ".join(
+            f"CAST(sig_{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
         )
+        bh = md5_int64_sql(f"concat_ws(',', {sig_names})")
+        band_structs.append(f"named_struct('band', {b}, 'bh', {bh})")
     banded = signatures.select(
-        F.col("doc"), *carry, F.explode(F.array(*band_structs)).alias("b")
+        F.col("doc"),
+        *carry,
+        F.expr(f"explode(array({', '.join(band_structs)}))").alias("b"),
     ).select(
         "doc", *carry, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
@@ -423,6 +443,11 @@ def simhash(
     shuffled tokens x 60 rows through a (doc, bit) aggregate — 60x the
     shuffle volume for identical output (measured ~2x wall-clock at sf0.1,
     worse at scale). No UDF, fully oracle-expressible.
+
+    The wide blocks (60 sums, 60-term signature reconstruction) are built
+    as SQL strings parsed by a single ``F.expr`` each: built node-by-node
+    from Python they cost ~0.9 s of Py4J round-trips PER PLAN BUILD
+    (measured; the JVM analyzes the identical tree in 0.09 s).
     """
     # explode(array_distinct(...)) is already (doc, tok)-unique — a
     # .distinct() here would be a redundant full shuffle of the token table
@@ -434,17 +459,15 @@ def simhash(
     )
     h = toks.select("doc", md5_int64(F.col("tok")).alias("h"))
     bit_sums = [
-        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        F.expr(f"sum(shiftright(h, {b}) & 1) AS s{b}")
         for b in range(SIMHASH_BITS)
     ]
     per_doc = h.groupBy("doc").agg(*bit_sums, F.count("*").alias("n"))
-    sig = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"s{b}") * 2 > F.col("n"), F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig = term if sig is None else sig + term
-    return per_doc.select("doc", sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"shiftleft(CAST(s{b} * 2 > n AS BIGINT), {b})"
+        for b in range(SIMHASH_BITS)
+    )
+    return per_doc.select("doc", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -472,45 +495,46 @@ def simhash_near_pairs(
     """
     if n_chunks is None:
         n_chunks = max_hamming + 1
-    sig = simhash(df, id_col, text_col)
+    # Materialize the signature table BEFORE the self-join: the two join
+    # sides cannot share a physical subtree (one becomes the broadcast
+    # build side), so without this the full scan → token explode → md5 →
+    # 60-sum aggregate executes TWICE (verified: FileScan x2,
+    # HashAggregate x4 in the executed plan). The checkpointed table is
+    # (doc, simhash) — 16 bytes/doc, a vanishing fraction of the corpus at
+    # any scale — and re-materializes per call, so benches time the real
+    # cold path. Same eager-localCheckpoint pattern as
+    # ``connected_components``.
+    sig = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
+    structs = ", ".join(
+        f"named_struct('ci', {i}, "
+        f"'cv', shiftright(simhash, {i * chunk_bits}) & {mask}L)"
+        for i in range(n_chunks)
+    )
     chunks = sig.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col("simhash"), i * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("cv"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
+        "doc", "simhash", F.expr(f"explode(array({structs}))").alias("c")
     ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a = chunks.alias("a")
     b = chunks.alias("b")
-    # verify hamming BEFORE the dedup: a pair colliding in several chunks
-    # is duplicated in the join output, but filtering first means the
-    # distinct() shuffle carries only actual near-pairs (a vanishing
-    # fraction of candidates), not every collision
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    # Emit each colliding pair EXACTLY ONCE with the min-colliding-chunk
+    # condition: both fingerprints ride the join row, so "which chunks
+    # collide" is a pure function of xor — keep only the row whose chunk
+    # index is the pair's FIRST colliding chunk. That replaces the old
+    # post-filter distinct() (a full extra shuffle of the pair table)
+    # with a codegen'd per-row predicate inside the existing bucket join.
+    first_collide = "coalesce(" + ", ".join(
+        f"CASE WHEN (shiftright(a.simhash ^ b.simhash, {i * chunk_bits})"
+        f" & {mask}L) = 0 THEN {i} END"
+        for i in range(n_chunks)
+    ) + ")"
+    cond = F.expr(
+        "a.ci = b.ci AND a.cv = b.cv AND a.doc < b.doc "
+        f"AND bit_count(a.simhash ^ b.simhash) <= {max_hamming} "
+        f"AND a.ci = {first_collide}"
+    )
+    return a.join(b, cond).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
     )
