@@ -367,7 +367,14 @@ def connected_components(
     partitioned by id; for graphs with giant diameters swap in the
     large-star/small-star formulation, which this API deliberately leaves
     room for.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (graph diameter > max_iter): returning the
+    still-changing labels would silently mislabel components, and a dedup
+    built on them would keep/drop the wrong documents.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     bidir = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -401,8 +408,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        f"rounds ({changed} labels still changing): the graph's diameter "
+        "exceeds the iteration budget. Raise max_iter, or use a "
+        "large-star/small-star contraction for giant-diameter graphs."
+    )
 
 
 def dedup_near(

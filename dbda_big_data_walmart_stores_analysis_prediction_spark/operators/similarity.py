@@ -44,6 +44,12 @@ def knn_bruteforce(
 
     Output: (query_id, neighbor_id, cosine, rank). Deterministic ties:
     (cosine DESC, neighbor_id ASC).
+
+    ``dim`` forwards to ``cosine_similarity_col``: ``None`` (default) uses
+    the length-agnostic HOF form; a small ``dim`` unrolls the dot product
+    into codegen arithmetic. Mind the Janino caveat in functions/vectors.py
+    — wide dims (≈64+) inside this join stage break whole-stage codegen
+    and end up slower than the HOF form.
     """
     q = F.broadcast(
         queries.select(
@@ -57,7 +63,7 @@ def knn_bruteforce(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity_col("q_vec", "c_vec"), 6).alias("cosine"),
+        F.round(cosine_similarity_col("q_vec", "c_vec", dim), 6).alias("cosine"),
     )
     return top_k_per_group(
         scored,
@@ -79,13 +85,18 @@ def _plane_coeff(table: int, plane: int, d: int) -> float:
     return float(h % 2001 - 1000)
 
 
-def _sign_lsh_signature(
+def _sign_lsh_signature_reference(
     vec_col: Column | str, n_planes: int, dim: int, table: int = 0
 ) -> Column:
-    """r-bit sign signature with deterministic pseudo-random hyperplanes —
-    reproducible in any engine from the md5 formula in ``_plane_coeff``;
-    no stored model. ``table`` seeds independent plane sets for multi-table
-    LSH."""
+    """ORACLE/TEST-ONLY reference implementation — do NOT wire into a hot
+    path. The per-plane ``zip_with``/``aggregate`` lambdas run on Spark's
+    interpreted expression path (measured ~30x slower than the Arrow
+    batch-matmul path ``_all_table_signatures``, which is the production
+    default everywhere). Kept because it is the executable documentation
+    of the signature semantics: an r-bit sign signature from deterministic
+    md5-seeded hyperplanes (``_plane_coeff``), reproducible in any SQL
+    engine with no stored model. ``table`` seeds independent plane sets
+    for multi-table LSH. Tests assert it agrees with the Arrow path."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
     for p in range(n_planes):
@@ -386,7 +397,7 @@ def embedding_near_dup_pairs(
                 _all_table_signatures(vec_col, n_planes, 1, dim), 1
             )
         else:
-            sig = _sign_lsh_signature(vec_col, n_planes, dim)
+            sig = _sign_lsh_signature_reference(vec_col, n_planes, dim)
         banded = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket")
         )

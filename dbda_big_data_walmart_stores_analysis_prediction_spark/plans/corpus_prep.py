@@ -29,6 +29,7 @@ def prepare_training_corpus(
     min_quality: float = 0.3,
     keep_langs: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.5,
+    storage_level: "StorageLevel | None" = None,
 ) -> DataFrame:
     """Filter + dedup a raw document table into a training-ready corpus.
 
@@ -36,7 +37,19 @@ def prepare_training_corpus(
     ``lang_pred`` and ``n_tokens`` attached. Survivor rules: quality ≥
     ``min_quality``, predicted language in ``keep_langs``, one doc per
     exact-duplicate group and per near-duplicate cluster (min id wins).
+
+    ``storage_level`` sets how the composition-boundary materialization is
+    held (see the inline persist note): default ``MEMORY_AND_DISK`` is
+    right when the filtered corpus fits cluster memory; pass
+    ``StorageLevel.DISK_ONLY`` for cluster-memory-scale corpora (100 TB in,
+    the filtered+deduped intermediate can itself exceed aggregate executor
+    memory, and eviction churn under MEMORY_AND_DISK costs more than
+    straight disk reads).
     """
+    from pyspark import StorageLevel
+
+    if storage_level is None:
+        storage_level = StorageLevel.MEMORY_AND_DISK
     scored = add_text_features(docs, text_col)
     scored = language_id(scored, text_col)
     filtered = scored.where(
@@ -60,8 +73,8 @@ def prepare_training_corpus(
     # filtered is ALSO persisted: dedup_exact derives it twice (the
     # per-hash min aggregate and the keep join), which would re-run the
     # scoring stage before the `exact` boundary even materializes
-    filtered = filtered.persist()
-    exact = dd.dedup_exact(filtered, id_col, text_col).persist()
+    filtered = filtered.persist(storage_level)
+    exact = dd.dedup_exact(filtered, id_col, text_col).persist(storage_level)
     exact.count()
     filtered.unpersist()
     pairs = dd.minhash_lsh_pairs(
