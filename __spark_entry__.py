@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -36,17 +37,52 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 DRIVER_QUERY_CAP = 50
 
 
-def _driver_verified() -> set[str]:
-    """Query names that already have at least one driver CORRECTNESS row
-    (any past round). Used to put never-verified oracled entries first."""
-    seen: set[str] = set()
+def _last_verified_round() -> dict[str, int]:
+    """Latest round in which each query received a driver CORRECTNESS row
+    (any outcome — a crash row is still driver contact worth rotating on).
+    Queries absent from every file have no entry (treated as round 0)."""
+    rounds: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                keys = list(json.load(f).keys())
         except Exception:
             continue
-    return seen
+        for k in keys:
+            rounds[k] = max(rounds.get(k, 0), rnd)
+    return rounds
+
+
+def _check_rotation(ordered: list[str], last: dict[str, int], oracled: set[str]) -> None:
+    """Pin the rotation invariant with a REAL exception (asserts vanish
+    under ``python -O`` and the old one was nearly vacuous — it only
+    inspected the fronted list, never the final ordering).
+
+    Invariant: no oracled query past the driver cap may be STALER (smaller
+    last-verified round; never-verified = 0) than any oracled query inside
+    the cap. That is exactly "least-recently-verified runs first" observed
+    at the only boundary that matters, it fires the moment an ordering
+    regression lands (not two rounds later once starvation shows), and it
+    degrades correctly in a fresh clone where every entry ties at round 0
+    and overflow past the cap is unavoidable. Guarantees no oracled query
+    goes ≥2 rounds without a driver row while 50 slots cover 59 entries.
+    """
+    in_cap = [k for k in ordered[:DRIVER_QUERY_CAP] if k in oracled]
+    freshest_in_cap = max((last.get(k, 0) for k in in_cap), default=0)
+    starved = [
+        k
+        for k in ordered[DRIVER_QUERY_CAP:]
+        if k in oracled and last.get(k, 0) < freshest_in_cap
+    ]
+    if starved:
+        raise RuntimeError(
+            f"oracled queries {starved!r} ordered past the driver cap "
+            f"{DRIVER_QUERY_CAP} while fresher entries (verified round "
+            f"{freshest_in_cap}) hold in-cap slots; the "
+            "least-recently-verified rotation is broken"
+        )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -61,32 +97,34 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering, strongest-signal-first under the driver's ~50-query bound:
+    Ordering = least-recently-driver-verified first, so all entries cycle
+    through the driver's ~50-query bound within two rounds. Round 3 proved
+    the old static ordering starves once-verified entries forever: with 59
+    registered queries competing for 50 slots, q42/q43/q44 and the six
+    rows-only entries sat permanently past the cap after their one green
+    row. Sort key:
 
-    1. oracled entries with NO driver CORRECTNESS row from any past round
-       (a hash check that has never actually run is the weakest link —
-       round 2 proved re-verifying twice-green queries while the newest
-       oracles sat past the cap inverts the marginal value);
-    2. the established oracled set, registration order;
-    3. rows-only entries (seeded sampling / ANN recall / HLL — weaker
-       check by nature) last.
+    1. the latest round the query received ANY driver row (ascending;
+       never-verified sorts first — a check that has never run is the
+       weakest link, and a crash like round 1's q53 must surface the next
+       round, not three rounds later);
+    2. oracled (hash-checked) before rows-only on ties — the stronger
+       check wins marginal slots;
+    3. registration order as the final tiebreak, keeping timings and
+       CORRECTNESS rows comparable across rounds.
 
-    The trailing assert pins the invariant so a future registration can't
-    silently push a never-verified oracle past the bound again.
+    ``_check_rotation`` raises (a real exception, not an ``-O``-stripped
+    assert) if a future edit leaves a stale oracled query past the bound.
     """
-    verified = _driver_verified()
-    never_run = [
-        k for k in QUERIES if k in ORACLE_SQL and verified and k not in verified
-    ]
-    ordered = {k: QUERIES[k] for k in never_run}
-    ordered.update({k: v for k, v in QUERIES.items() if k in ORACLE_SQL})
-    ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLE_SQL})
-    for i, k in enumerate(ordered):
-        assert not (k in never_run and i >= DRIVER_QUERY_CAP), (
-            f"never-driver-verified oracled query {k!r} at position {i} "
-            f">= driver cap {DRIVER_QUERY_CAP}; reorder or raise the cap"
-        )
-    return ordered
+    last = _last_verified_round()
+    oracled = set(ORACLE_SQL)
+    reg_index = {k: i for i, k in enumerate(QUERIES)}
+    ordered_keys = sorted(
+        QUERIES,
+        key=lambda k: (last.get(k, 0), 0 if k in oracled else 1, reg_index[k]),
+    )
+    _check_rotation(ordered_keys, last, oracled)
+    return {k: QUERIES[k] for k in ordered_keys}
 
 
 def oracle_sql() -> dict[str, str]:

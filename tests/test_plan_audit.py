@@ -128,3 +128,36 @@ def test_shingle_table_single_shuffle(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Window" not in plan
+
+
+def test_driver_rotation_least_recently_verified_first():
+    """The driver runs only the first ~50 of 59 registered queries; the
+    ordering must cycle every entry through within two rounds (round 3
+    showed a static ordering permanently starves 9 of them)."""
+    last = entry_mod._last_verified_round()
+    ordered = list(entry_mod.queries())
+    cap = entry_mod.DRIVER_QUERY_CAP
+    oracled = set(entry_mod.oracle_sql())
+    in_cap_fresh = max((last.get(k, 0) for k in ordered[:cap] if k in oracled), default=0)
+    for k in ordered[cap:]:
+        if k in oracled:
+            assert last.get(k, 0) >= in_cap_fresh, (k, last.get(k, 0), in_cap_fresh)
+    # a broken (reversed) ordering must raise a REAL exception, not an
+    # -O-strippable assert
+    if any(last.get(k, 0) != last.get(ordered[0], 0) for k in ordered):
+        with pytest.raises(RuntimeError, match="rotation is broken"):
+            entry_mod._check_rotation(list(reversed(ordered)), last, oracled)
+
+
+def test_driver_rotation_fresh_clone_safe(monkeypatch):
+    """With no CORRECTNESS history (fresh clone) every query ties at round
+    0: ordering must fall back to oracled-first registration order and NOT
+    raise, even though >cap oracled entries overflow unavoidably."""
+    monkeypatch.setattr(entry_mod, "_last_verified_round", lambda: {})
+    ordered = list(entry_mod.queries())
+    assert len(ordered) == len(entry_mod.oracle_sql()) + 6
+    oracled = set(entry_mod.oracle_sql())
+    # oracled entries sort before rows-only on the all-tied sort, so the
+    # weaker checks are what overflow the cap in a fresh clone
+    first_rows_only = next(i for i, k in enumerate(ordered) if k not in oracled)
+    assert all(k not in oracled for k in ordered[first_rows_only:])
