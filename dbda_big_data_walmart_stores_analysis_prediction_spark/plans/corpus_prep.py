@@ -29,6 +29,7 @@ def prepare_training_corpus(
     min_quality: float = 0.3,
     keep_langs: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.5,
+    max_doc_freq: int | None = 10_000,
     storage_level: "StorageLevel | None" = None,
 ) -> DataFrame:
     """Filter + dedup a raw document table into a training-ready corpus.
@@ -38,8 +39,20 @@ def prepare_training_corpus(
     ``min_quality``, predicted language in ``keep_langs``, one doc per
     exact-duplicate group and per near-duplicate cluster (min id wins).
 
+    ``max_doc_freq`` caps shingle document-frequency in the near-dup stage
+    (``cap_shingle_doc_freq``): a boilerplate shingle shared by f·N docs
+    otherwise fans the LSH bucket join out toward (f·N)² candidate pairs —
+    and shared headers/footers are the NORMAL case for web-scale training
+    corpora, so the capstone defaults the cap ON. 10k bounds any single
+    shingle's worst-case fan-out at 10⁸ comparable-key rows (a few tasks'
+    work) while touching only shingles that appear in >10k documents —
+    pure boilerplate by any definition, whose Jaccard contribution is
+    noise. Pass ``None`` for exact full-space semantics on curated/small
+    corpora (the q56 oracle-checked query does, to stay SQL-replicable).
+
     ``storage_level`` sets how the composition-boundary materialization is
-    held (see the inline persist note): default ``MEMORY_AND_DISK`` is
+    held (see the inline persist note): the default deserialized
+    ``MEMORY_AND_DISK`` (Spark's own ``DataFrame.persist()`` default) is
     right when the filtered corpus fits cluster memory; pass
     ``StorageLevel.DISK_ONLY`` for cluster-memory-scale corpora (100 TB in,
     the filtered+deduped intermediate can itself exceed aggregate executor
@@ -49,7 +62,11 @@ def prepare_training_corpus(
     from pyspark import StorageLevel
 
     if storage_level is None:
-        storage_level = StorageLevel.MEMORY_AND_DISK
+        # MEMORY_AND_DISK_DESER == DataFrame.persist()'s default: columnar
+        # deserialized in memory, spilling to disk. (Bare MEMORY_AND_DISK in
+        # the StorageLevel enum is the SERIALIZED variant — defaulting to it
+        # would silently change the memory format.)
+        storage_level = StorageLevel.MEMORY_AND_DISK_DESER
     scored = add_text_features(docs, text_col)
     scored = language_id(scored, text_col)
     filtered = scored.where(
@@ -78,7 +95,11 @@ def prepare_training_corpus(
     exact.count()
     filtered.unpersist()
     pairs = dd.minhash_lsh_pairs(
-        exact, id_col, text_col, threshold=near_dup_threshold
+        exact,
+        id_col,
+        text_col,
+        threshold=near_dup_threshold,
+        max_doc_freq=max_doc_freq,
     )
     return dd.dedup_near(exact, pairs, id_col)
 
