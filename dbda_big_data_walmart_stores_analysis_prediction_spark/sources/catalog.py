@@ -40,14 +40,25 @@ def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # it is runtime-settable — rather than relying on our session factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is TIMESTAMP(NANOS) on disk, surfaced as int64 nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros exactly as
-        # DuckDB does so oracle comparisons agree.
+    if name == "events":
         from pyspark.sql import functions as F  # noqa: F401
 
-        # integer `div` — a float division would shave precision off ~1e18 ns
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # events.ts as TIMESTAMP(NANOS) on disk, surfaced as int64 nanos
+            # via spark.sql.legacy.parquet.nanosAsLong; truncate to micros
+            # exactly as DuckDB does so oracle comparisons agree. Integer
+            # `div` — float division would shave precision off ~1e18 ns.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # events.ts as plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
+            # infers as TIMESTAMP_NTZ under Spark 4's default
+            # inferTimestampNTZ. Every event operator (unix_micros gaps,
+            # window alignment) and every oracle comparison was written for
+            # TIMESTAMP_LTZ in a UTC session, where the wall-clock values
+            # DuckDB sees and the instants Spark sees coincide — so
+            # normalize here, at the single load point, not per-operator.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
