@@ -41,6 +41,9 @@ HEADLINE = [
     "q20_events_hourly_window",
     "q21_events_json_extract",
     "q22_text_features",
+    "q23_language_id",
+    "q24_fingerprints",
+    "q25_exact_dup_groups",
     "q26_jaccard_pairs",
     "q27_minhash_lsh_pairs",
     "q29_simhash_near_pairs",

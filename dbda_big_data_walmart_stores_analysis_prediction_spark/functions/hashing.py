@@ -39,7 +39,13 @@ def md5_int64_sql(x: str) -> str:
     measured ~0.9 s of pure driver latency per simhash plan at ~800 calls.
     Rendering the block as ONE SQL string and parsing it JVM-side with a
     single ``F.expr`` call produces the identical expression tree for
-    microseconds of Python and one round-trip."""
+    microseconds of Python and one round-trip.
+
+    ``x`` is a raw SQL *expression fragment* interpolated verbatim — not a
+    quoted identifier. Callers pass trusted internal SQL (a plain column
+    name or a full expression like ``concat_ws(...)``); an identifier that
+    needs quoting must arrive already backtick-quoted. Internal plumbing
+    for the sketch builders, not a general-purpose public helper."""
     return f"CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 
 

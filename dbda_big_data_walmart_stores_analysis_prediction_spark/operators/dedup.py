@@ -515,7 +515,12 @@ def simhash_near_pairs(
     # (doc, simhash) — 16 bytes/doc, a vanishing fraction of the corpus at
     # any scale — and re-materializes per call, so benches time the real
     # cold path. Same eager-localCheckpoint pattern as
-    # ``connected_components``.
+    # ``connected_components``. eager=True is deliberate: every caller
+    # (query registry, corpus prep, tests) executes the returned plan
+    # immediately, so deferring the scan buys nothing; the checkpoint
+    # blocks are reclaimed by Spark's ContextCleaner once the returned
+    # plan is garbage-collected, and on executor loss the job fails and
+    # reruns from source (acceptable: the checkpoint is one cheap pass).
     sig = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1

@@ -611,7 +611,7 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN lp ON lp.doc_id = d.doc_id
       WHERE q.quality_score >= 0.3 AND lp.lang_pred = 'en'
     ),
-    fp AS (SELECT doc_id, ('0x' || substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fpx FROM filtered),
+    fp AS (SELECT doc_id, ('0x' || substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fpx FROM filtered),
     keepmin AS (SELECT fpx, min(doc_id) AS keep FROM fp GROUP BY fpx),
     exact AS (
       SELECT fl.doc_id, fl.text, fl.n_tokens, fl.quality_score, fl.lang_pred
@@ -619,7 +619,7 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN fp ON fp.doc_id = fl.doc_id
       JOIN keepmin km ON km.fpx = fp.fpx AND km.keep = fl.doc_id
     ),
-    norm2 AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM exact),
+    norm2 AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM exact),
     words AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM norm2),
     sh AS (SELECT DISTINCT doc_id AS doc, unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS sh FROM words),
     seeds AS (SELECT i, ('0x' || substring(md5('perm:' || i), 1, 15))::BIGINT AS c

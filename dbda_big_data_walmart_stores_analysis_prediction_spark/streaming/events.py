@@ -236,20 +236,36 @@ def streaming_user_lifetime_stats(stream: DataFrame) -> DataFrame:
     )
 
 
-def dedup_events(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",)) -> DataFrame:
+def dedup_events(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
     """Batch exactly-once dedup on an idempotency key: keep the EARLIEST
     record per key — deterministic, unlike a bare ``dropDuplicates`` whose
     survivor is partition-order-dependent. One map-side-combinable shuffle
     on the key.
 
     The survivor is ONE real input record: the whole non-key record is
-    aggregated as ``min(struct(ts, <remaining cols>))`` (struct ordering =
-    earliest ts, remaining columns as the deterministic tiebreak), then the
-    struct is re-expanded. Aggregating each column independently
-    (``min_by(c, ts)`` per column) would, under a ts tie, stitch fields
-    from DIFFERENT tied records into a row that never existed."""
+    aggregated as ``min(struct(ts_col, <remaining cols>))`` (struct
+    ordering = earliest event time, remaining columns as the deterministic
+    tiebreak), then the struct is re-expanded. Aggregating each column
+    independently (``min_by(c, ts)`` per column) would, under a ts tie,
+    stitch fields from DIFFERENT tied records into a row that never
+    existed.
+
+    ``ts_col`` must exist (and not be one of ``key_cols``): without it the
+    struct-min would silently become a lexicographic min over whatever
+    columns remain, losing the earliest-record semantics — so misuse fails
+    fast instead."""
+    if ts_col not in events.columns or ts_col in key_cols:
+        raise ValueError(
+            f"dedup_events needs a non-key event-time column {ts_col!r}; "
+            f"input has {events.columns} with key_cols={list(key_cols)}. "
+            "Pass ts_col= to name the event-time column."
+        )
     others = [c for c in events.columns if c not in key_cols]
-    order = [c for c in others if c == "ts"] + [c for c in others if c != "ts"]
+    order = [c for c in others if c == ts_col] + [c for c in others if c != ts_col]
     rec = F.min(F.struct(*[F.col(c) for c in order])).alias("__rec")
     return (
         events.groupBy(*key_cols)

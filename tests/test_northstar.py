@@ -48,6 +48,18 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    # a 4-chain needs >1 min-label round; max_iter=1 must fail LOUDLY,
+    # never return partially-propagated labels as if converged
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(edges, max_iter=1)
+
+
 def test_dedup_near_collapses_clusters(spark):
     docs = _docs(spark).select("doc_id", "text")
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
