@@ -182,19 +182,48 @@ def tfidf_scores(
     )
 
 
-def add_fingerprints(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Deterministic document fingerprints:
+def add_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic document fingerprint table ``(id, fp_exact,
+    fp_minshingle)``:
 
     * ``fp_exact``   — md5-int64 of the whitespace-normalized lowercased text
       (exact-dup key; oracle-reproducible).
     * ``fp_minshingle`` — min md5-int64 over the doc's word k-shingles
       (a 1-permutation MinHash: equal for docs sharing their lowest shingle).
+
+    Same shuffle-free shingling as ``dedup.shingle_table`` — explode the
+    k-gram start indices and build each shingle with ``slice``+``concat_ws``
+    inside one whole-stage-codegen span. The earlier
+    ``array_min(transform(...))`` lambda-HOF form computed the identical
+    value but evaluated interpreted, measured ~3.5x slower. The per-shingle
+    md5 is folded map-side by the partial ``min`` aggregate, so only the
+    16-byte ``(id, fp)`` pairs ever reach the shuffle — at any corpus scale
+    the exchanged bytes are O(docs), never O(shingles). A null/empty text
+    keeps its row with null fingerprints (matching the oracle's semantics
+    over NULL token arrays); distinct-ing shingles first would be wasted
+    work under ``min``.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    sh = shingles_col(norm, k)
-    min_h = F.array_min(F.transform(sh, lambda s: md5_int64(s)))
-    return df.select(
-        "*",
+    base = df.select(
+        F.col(id_col),
         md5_int64(norm).alias("fp_exact"),
-        min_h.alias("fp_minshingle"),
+        F.split(F.trim(norm), r"\s+").alias("__w"),
+    )
+    # one index row even for null text so the doc survives with null fps
+    idx = F.explode(
+        F.coalesce(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - (k - 1), F.lit(1))),
+            F.array(F.lit(1)),
+        )
+    )
+    sh = F.when(
+        F.col("__w").isNotNull(), F.concat_ws(" ", F.slice("__w", F.col("__i"), k))
+    )
+    return (
+        base.select(id_col, "fp_exact", "__w", idx.alias("__i"))
+        .select(id_col, "fp_exact", sh.alias("__sh"))
+        .groupBy(id_col, "fp_exact")
+        .agg(F.min(md5_int64(F.col("__sh"))).alias("fp_minshingle"))
     )

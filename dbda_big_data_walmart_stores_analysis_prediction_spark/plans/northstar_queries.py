@@ -149,7 +149,7 @@ def q23_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact md5-int64 + 1-perm MinHash."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.add_fingerprints(docs).select("doc_id", "fp_exact", "fp_minshingle")
+    return tx.add_fingerprints(docs)
 
 
 # ---------------------------------------------------------------------------
