@@ -314,12 +314,28 @@ def minhash_lsh_pairs(
     times total (signatures + the two candidate-verification joins), the
     minimum for a cache-free plan.
     """
-    # cache-free for the same reason as jaccard_pairs (see NOTE there)
+    # the shingle table stays cache-free for the same reason as
+    # jaccard_pairs (see NOTE there)
     sh = cap_shingle_doc_freq(
         shingle_table(df, id_col, text_col, k), max_doc_freq
     )
-    sigs = sh.groupBy("doc").agg(
-        *_minhash_aggs(n_hashes), F.count("*").alias("sz")
+    # Checkpoint the signature table before the banded SELF-join: its two
+    # sides are separate physical subtrees, so without this the whole
+    # scan -> shingle explode -> distinct -> 16-min aggregate executes
+    # twice (and with the doc-freq cap, each of those re-runs the cap's
+    # aggregate+join as well). (doc, 16 sigs, sz) is ~136 bytes/doc — a
+    # vanishing fraction of the corpus at any scale. Same pattern as
+    # ``simhash_near_pairs`` but LAZY (eager=False): the checkpoint is one
+    # RDD identity shared by both join sides, so the first action computes
+    # it once either way, composing callers pay no plan-construction job,
+    # and the local wall-clock cost of losing scan/join pipelining is
+    # smaller (measured 1.45s vs 2.07s eager at sf0.1; the cache-free
+    # double-execution plan is 1.13s locally only because idle cores hide
+    # the duplicated work — at cluster scale it costs 2x the scans).
+    sigs = (
+        sh.groupBy("doc")
+        .agg(*_minhash_aggs(n_hashes), F.count("*").alias("sz"))
+        .localCheckpoint(eager=False)
     )
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, carry_cols=["sz"])
     shared = (
@@ -375,9 +391,28 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    bidir = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # Materialize the symmetrized edge list ONCE. `edges` is usually the
+    # far end of a whole candidate-generation pipeline (shingle -> minhash
+    # -> banded self-join); without this checkpoint that entire plan
+    # re-executes inside EVERY propagation round's join (measured: the
+    # corpus-prep capstone spent most of its runtime re-deriving the same
+    # pair table). The checkpointed table is two ints per edge — O(pairs),
+    # a sliver of the corpus at any scale.
+    # Symmetrize with one explode, NOT a self-union: the union's two
+    # branches are two separate physical subtrees, so the whole upstream
+    # pair pipeline would execute twice inside this one materialization.
+    bidir = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         bidir.select(F.col("a").alias("id"))
         .distinct()
@@ -390,23 +425,22 @@ def connected_components(
             .groupBy(F.col("a").alias("id2"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # Carry the previous label through the checkpoint so convergence
+        # detection is a scan of the checkpointed blocks — not the extra
+        # shuffle join of new-vs-old labels it used to be per round.
         new_labels = (
             labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
             .select(
                 "id",
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("component") != F.col("__prev")).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -67,12 +67,6 @@ def prepare_training_corpus(
         # the StorageLevel enum is the SERIALIZED variant — defaulting to it
         # would silently change the memory format.)
         storage_level = StorageLevel.MEMORY_AND_DISK_DESER
-    scored = add_text_features(docs, text_col)
-    scored = language_id(scored, text_col)
-    filtered = scored.where(
-        (F.col("quality_score") >= min_quality)
-        & (F.col("lang_pred").isin(*keep_langs))
-    )
     # Persist at the COMPOSITION boundary: the downstream near-dup stage
     # derives this frame five times (signatures, two candidate-verification
     # joins, the survivor anti-join, and the final projection), and each
@@ -87,13 +81,25 @@ def prepare_training_corpus(
     # sibling stages racing an unmaterialized cache all recompute the
     # lineage (measured: lazy persist left the cold run at ~20s; eager
     # materialization makes cold ≈ warm).
-    # filtered is ALSO persisted: dedup_exact derives it twice (the
-    # per-hash min aggregate and the keep join), which would re-run the
-    # scoring stage before the `exact` boundary even materializes
-    filtered = filtered.persist(storage_level)
+    # The persist sits on SCORED — one step ABOVE the quality/language
+    # filter — not on the filtered frame: a filter over the cache reads
+    # the stored quality_score/lang_pred columns, whereas a filter pushed
+    # into the scoring lineage inlines the staged regex projections into
+    # one giant predicate that re-evaluates every regex per reference
+    # (measured: count() through the inlined predicate was 5x the cost of
+    # computing the entire scored frame). The cache also feeds
+    # dedup_exact's two derivations (min aggregate + keep join).
+    scored = language_id(add_text_features(docs, text_col), text_col).persist(
+        storage_level
+    )
+    scored.count()
+    filtered = scored.where(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("lang_pred").isin(*keep_langs))
+    )
     exact = dd.dedup_exact(filtered, id_col, text_col).persist(storage_level)
     exact.count()
-    filtered.unpersist()
+    scored.unpersist()
     pairs = dd.minhash_lsh_pairs(
         exact,
         id_col,
