@@ -152,11 +152,15 @@ def jaccard_pairs(
     (``cap_shingle_doc_freq``) — set it for any at-scale run; the join
     fan-out is otherwise unbounded in the worst shingle's doc-frequency.
     """
-    # NOTE: deliberately NOT persisted — the shingle explode recomputes per
-    # consumer, but measured at sf0.1 the columnar cache build + storage
-    # memory churn costs more than re-running the scan+regex (34s vs 6s
-    # cold). At much larger scale, persist(DISK_ONLY) on sh may win; keep
-    # the logical plan cache-free and let callers decide.
+    # NOTE: the shingle table is consumed by three subtrees (self-join a/b
+    # sides + the sizes aggregate); a LAZY localCheckpoint makes them share
+    # one RDD identity, so the scan -> explode -> distinct pipeline runs
+    # once instead of three times (measured 1.57s -> 1.23s at sf0.1). The
+    # stored blocks are the same magnitude as the shuffle files the
+    # distinct already writes (MEMORY_AND_DISK, spills), so this does NOT
+    # reintroduce the columnar-cache build that an earlier persist()
+    # attempt measured at 5x the recompute cost — checkpoint blocks are
+    # the raw rows as shuffled, no cache-encoding pass.
     #
     # Plan shape kept deliberately: the two sizes joins run AFTER the pair
     # aggregate, on the tiny aggregated pair table, with the sizes side
@@ -164,7 +168,9 @@ def jaccard_pairs(
     # self-join via a partition-only window (window adds a doc-shuffle of
     # the full shingle table before the join; the broadcast joins touch
     # only candidate pairs).
-    sh = cap_shingle_doc_freq(shingle_table(df, id_col, text_col, k), max_doc_freq)
+    sh = cap_shingle_doc_freq(
+        shingle_table(df, id_col, text_col, k), max_doc_freq
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -314,11 +320,12 @@ def minhash_lsh_pairs(
     times total (signatures + the two candidate-verification joins), the
     minimum for a cache-free plan.
     """
-    # the shingle table stays cache-free for the same reason as
-    # jaccard_pairs (see NOTE there)
+    # lazily checkpointed for the same reason as jaccard_pairs (see NOTE
+    # there): signatures + the two candidate-verification joins all read
+    # one materialization of the shingle table instead of re-deriving it
     sh = cap_shingle_doc_freq(
         shingle_table(df, id_col, text_col, k), max_doc_freq
-    )
+    ).localCheckpoint(eager=False)
     # Checkpoint the signature table before the banded SELF-join: its two
     # sides are separate physical subtrees, so without this the whole
     # scan -> shingle explode -> distinct -> 16-min aggregate executes
