@@ -477,6 +477,112 @@ def dedup_near(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    corpus_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus WITHOUT re-deduping the
+    corpus — the daily-ingest shape of a training-data pipeline: the corpus
+    is the accepted state, each new crawl batch lands against it, and only
+    the batch's survivors ``(id, fp_exact)`` come back (append them and go).
+
+    Stages, both exact-semantics and oracle-replicable:
+
+    1. exact — a new doc is dropped if its normalized-text md5 matches ANY
+       corpus doc (left-anti on the fingerprint), and within the batch one
+       doc per fingerprint survives (min id; computed with a partition
+       window so a null-text group also keeps exactly one survivor —
+       a groupBy+equi-join would silently lose null keys).
+    2. near — word-k-gram Jaccard ≥ ``threshold`` against EITHER side:
+       a surviving new doc is dropped if it near-matches any corpus doc,
+       or any smaller-id batch survivor (the deterministic
+       keep-the-earliest rule; smaller-id survivors count even if they are
+       themselves dropped by a corpus match — the rule stays a pure pair
+       predicate, which is what a SQL oracle can replicate; run
+       ``dedup_near`` over the union instead when full transitive
+       clustering is wanted).
+
+    Scale shape: candidate generation is the shingle inverted-index join
+    with the NEW side as the probe — the pair space is bounded by the
+    batch's shingles, never corpus x corpus. The corpus shingle table is
+    the only corpus-wide derivation, and a precomputed/stored one can be
+    passed as ``corpus_shingles`` (columns ``doc, sh``) so steady-state
+    daily runs touch the corpus zero times. ``max_doc_freq`` caps
+    boilerplate fan-out across the union space (`cap_shingle_doc_freq`).
+
+    Ids must be unique within each side; a corpus id may numerically
+    collide with a batch id (sides are tagged, never mixed by id).
+    """
+    from pyspark.sql.window import Window
+
+    fp = md5_int64(_norm_text(text_col))
+    nfp = new.select(F.col(id_col), F.col(text_col), fp.alias("__fp"))
+    keep = F.min(id_col).over(Window.partitionBy("__fp"))
+    surv = (
+        nfp.withColumn("__keep", keep)
+        .where(F.col(id_col) == F.col("__keep"))
+        .join(corpus.select(fp.alias("__fp")), "__fp", "left_anti")
+        .select(id_col, text_col, "__fp")
+        # consumed by the batch shingle table AND the final anti-join
+        .localCheckpoint(eager=False)
+    )
+    sh_n = shingle_table(surv, id_col, text_col, k)
+    sh_c = (
+        corpus_shingles.select(F.col("doc"), F.col("sh"))
+        if corpus_shingles is not None
+        else shingle_table(corpus, id_col, text_col, k)
+    )
+    sh_all = sh_c.withColumn("is_new", F.lit(False)).unionByName(
+        sh_n.withColumn("is_new", F.lit(True))
+    )
+    if max_doc_freq is not None:
+        keep_sh = (
+            sh_all.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh_all = sh_all.join(keep_sh, "sh").select("doc", "sh", "is_new")
+    # one materialization feeds the sizes aggregate and both join sides
+    sh_all = sh_all.localCheckpoint(eager=False)
+    sizes = sh_all.groupBy("doc").agg(F.count("*").alias("sz"))
+    n = sh_all.where(F.col("is_new")).alias("n")
+    o = sh_all.alias("o")
+    shared = (
+        n.join(
+            o,
+            (F.col("n.sh") == F.col("o.sh"))
+            & (~F.col("o.is_new") | (F.col("o.doc") < F.col("n.doc"))),
+        )
+        .groupBy(F.col("n.doc").alias("doc_n"), F.col("o.doc").alias("doc_o"))
+        .agg(F.count("*").alias("shared"))
+    )
+    matched = (
+        shared.join(
+            sizes.toDF("doc_n", "sz_n"), "doc_n"
+        )
+        .join(sizes.toDF("doc_o", "sz_o"), "doc_o")
+        .where(
+            F.round(
+                F.col("shared") / (F.col("sz_n") + F.col("sz_o") - F.col("shared")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("doc_n").alias(id_col))
+        .distinct()
+    )
+    return surv.join(matched, id_col, "left_anti").select(
+        F.col(id_col), F.col("__fp").alias("fp_exact")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

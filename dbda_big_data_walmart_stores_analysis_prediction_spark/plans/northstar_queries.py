@@ -181,6 +181,60 @@ def q25_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q60_incremental_dedup",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3
+    ),
+    cfp AS (SELECT DISTINCT {_SQL_HEX.format(x=_SQL_NORM)} AS fp FROM corpus),
+    nfp AS (SELECT doc_id, text, {_SQL_HEX.format(x=_SQL_NORM)} AS fp FROM newb),
+    surv AS (
+      SELECT n.doc_id, n.text, n.fp FROM nfp n
+      WHERE n.doc_id = (SELECT min(n2.doc_id) FROM nfp n2
+                        WHERE n2.fp IS NOT DISTINCT FROM n.fp)
+        AND NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp = n.fp)
+    ),
+    shn AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES}) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS w
+                  FROM surv)),
+    shc AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES}) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS w
+                  FROM corpus)),
+    sh_all AS (SELECT doc, sh, FALSE AS is_new FROM shc
+               UNION ALL SELECT doc, sh, TRUE AS is_new FROM shn),
+    sz AS (SELECT doc, count(*) AS sz FROM sh_all GROUP BY doc),
+    shared AS (SELECT n.doc AS doc_n, o.doc AS doc_o, count(*) AS shared
+               FROM shn n JOIN sh_all o
+                 ON n.sh = o.sh AND (NOT o.is_new OR o.doc < n.doc)
+               GROUP BY 1, 2),
+    matched AS (SELECT DISTINCT s.doc_n FROM shared s
+                JOIN sz a ON a.doc = s.doc_n
+                JOIN sz b ON b.doc = s.doc_o
+                WHERE round(s.shared / (a.sz + b.sz - s.shared), 6) >= 0.5)
+    SELECT doc_id, fp AS fp_exact FROM surv
+    WHERE doc_id NOT IN (SELECT doc_n FROM matched)
+    """,
+)
+def q60_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup (operators/dedup.py::
+    dedup_incremental): corpus = 80% of documents, new batch = the other
+    20% plus injected re-idded copies (exact dups of both sides). Survivors
+    are the batch docs that are neither exact- nor near-duplicates of the
+    corpus or an earlier batch doc."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    newb = docs.where(F.col("doc_id") % 5 == 0).unionAll(
+        docs.where(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return dd.dedup_incremental(corpus, newb, "doc_id", "text", threshold=0.5)
+
+
+@_register(
     "q26_jaccard_pairs",
     f"""
     WITH {_SQL_SH_TABLE},

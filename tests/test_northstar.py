@@ -203,3 +203,35 @@ def test_null_and_empty_text_semantics(spark):
     assert 2 not in sh_docs and {1, 3, 4} <= sh_docs
     pairs = {(r["doc_a"], r["doc_b"]) for r in dd.jaccard_pairs(df, "doc_id", threshold=0.5).collect()}
     assert pairs == {(1, 4)}
+
+
+def test_incremental_dedup_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd"), (2, "xxx yyy zzz www")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "aaa bbb ccc ddd"),                  # exact dup of corpus 1
+            (11, "completely different text here now"),
+            (12, "completely different text here now"),  # exact dup of 11
+            (13, "aaa bbb ccc ddd eee"),              # near-dup of corpus 1 (J=2/3)
+            (14, "completely different text here soon"),  # near-dup of 11 (J=1/2)
+        ],
+        "doc_id long, text string",
+    )
+    out = dd.dedup_incremental(corpus, new, "doc_id", "text", threshold=0.5)
+    assert {r["doc_id"] for r in out.collect()} == {11}
+
+
+def test_incremental_dedup_precomputed_corpus_shingles(spark):
+    docs = _docs(spark).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    base = {r["doc_id"] for r in dd.dedup_incremental(corpus, new).collect()}
+    pre = dd.shingle_table(corpus, "doc_id", "text", 3)
+    via_pre = {
+        r["doc_id"]
+        for r in dd.dedup_incremental(corpus, new, corpus_shingles=pre).collect()
+    }
+    assert base == via_pre and len(base) > 0

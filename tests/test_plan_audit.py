@@ -103,7 +103,12 @@ def test_quantile_melt_prunes_scan_columns(spark):
 def test_dedup_pipelines_never_cartesian(spark):
     """Every candidate generator must join on a key — a CartesianProduct or
     BroadcastNestedLoopJoin in a dedup plan is the 100 TB failure mode."""
-    for name in ("q26_jaccard_pairs", "q27_minhash_lsh_pairs", "q29_simhash_near_pairs"):
+    for name in (
+        "q26_jaccard_pairs",
+        "q27_minhash_lsh_pairs",
+        "q29_simhash_near_pairs",
+        "q60_incremental_dedup",
+    ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
