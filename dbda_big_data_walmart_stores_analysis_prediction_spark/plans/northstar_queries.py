@@ -836,6 +836,37 @@ def q36_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q61_stratified_corpus_mix",
+    f"""
+    WITH h AS (SELECT doc_id, lang,
+                      {_SQL_HEX.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} AS hv
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS cnt
+          FROM h)
+    SELECT doc_id, lang FROM r
+    WHERE rn <= ceil(cnt * CASE lang WHEN 'en' THEN 0.5
+                                     WHEN 'de' THEN 0.25 ELSE 0.1 END)
+    """,
+)
+def q61_stratified_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (operators/sampling.py::stratified_sample):
+    keep a hash-selected 50% of English docs, 25% of German, 10% of every
+    other language — bit-reproducible across engines and cluster layouts,
+    unlike the RNG samplers (q35/q36), so it hash-checks against the
+    oracle."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25}, "doc_id", default_fraction=0.1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows / sessionization (streaming-shaped batch semantics)
 # ---------------------------------------------------------------------------

@@ -235,3 +235,26 @@ def test_incremental_dedup_precomputed_corpus_shingles(spark):
         for r in dd.dedup_incremental(corpus, new, corpus_shingles=pre).collect()
     }
     assert base == via_pre and len(base) > 0
+
+
+def test_stratified_sample_exact_quotas_and_determinism(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        stratified_sample,
+    )
+    import math
+
+    docs = _docs(spark).select("doc_id", "lang")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fractions = {"en": 0.5, "de": 0.25}
+    out = stratified_sample(docs, "lang", fractions, "doc_id", default_fraction=0.1)
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in totals.items():
+        expect = math.ceil(n * fractions.get(lang, 0.1))
+        assert kept.get(lang, 0) == expect, (lang, kept.get(lang), expect)
+    # deterministic: a rerun selects the identical id set
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in stratified_sample(docs, "lang", fractions, "doc_id", default_fraction=0.1).collect()}
+    assert ids1 == ids2
+    # zero default drops unlisted strata entirely
+    only = stratified_sample(docs, "lang", {"en": 1.0}, "doc_id")
+    assert {r["lang"] for r in only.select("lang").distinct().collect()} == {"en"}
