@@ -1,0 +1,68 @@
+"""Sequence packing: assign documents to fixed token-budget training bins.
+
+Training pipelines concatenate documents into fixed-length sequences
+(e.g. 4096 tokens); the assignment of docs to sequences must be
+deterministic so a rerun (or a resumed job) rebuilds byte-identical
+batches. This is the distributed, reproducible version of that step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
+    md5_int64,
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    budget: int = 512,
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic contiguous packing: ``(id, shard, bin_id, n_tokens)``.
+
+    Docs are hashed into ``n_shards`` shards, ordered within their shard by
+    ``md5(salt:id)`` (reproducible shuffle), and packed greedily in that
+    order: a doc's bin is ``floor(preceding_tokens / budget)`` — bins fill
+    to the budget and overflow docs start the next bin. Everything is a
+    pure function of the data, so reruns and differently-sized clusters
+    produce identical bins.
+
+    Scale shape: the only shuffle is the shard partitioning, and shards are
+    the parallelism unit — each shard's window sort is independent, so
+    ``n_shards`` ≳ cluster cores keeps every executor busy and bounds the
+    per-task sort to ``rows / n_shards``. Packing quality loses nothing
+    from sharding (bins never span shards by design — a training shard maps
+    to a data-loader worker). ``tokens_col`` supplies precomputed token
+    counts; otherwise whitespace tokens of ``text_col`` are counted inline.
+    """
+    ntok = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    )
+    h = md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        ntok.alias("n_tokens"),
+        h.alias("__h"),
+        F.pmod(h, F.lit(n_shards)).alias("shard"),
+    )
+    in_shard = Window.partitionBy("shard").orderBy("__h", id_col)
+    prior = F.coalesce(
+        F.sum("n_tokens").over(in_shard.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return base.select(
+        id_col,
+        "shard",
+        F.floor(prior / budget).alias("bin_id"),
+        "n_tokens",
+    )

@@ -227,3 +227,57 @@ def add_fingerprints(
         .groupBy(id_col, "fp_exact")
         .agg(F.min(md5_int64(F.col("__sh"))).alias("fp_minshingle"))
     )
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition: the fraction of word n-grams that are
+    repeats of an earlier n-gram in the same doc — the standard
+    boilerplate/degenerate-text quality gate (docs full of repeated
+    paragraphs or looping phrases score high and get filtered before
+    training).
+
+    Returns ``(id, n_grams, uniq_grams, dup_gram_frac)`` with
+    ``dup_gram_frac = 1 - uniq/total`` rounded to 6dp. Docs shorter than
+    ``n`` words contribute their full token string as the one n-gram
+    (scoring 0.0), mirroring the shingle convention; null-text docs keep a
+    row with null counts.
+
+    Same codegen explode(sequence)+slice n-gram build as
+    ``dedup.shingle_table`` but WITHOUT the distinct — the whole point is
+    counting duplicates — so the only shuffle is the map-side-combinable
+    per-doc aggregate: count + approx-free countDistinct over grams that
+    never leave their doc's group. O(tokens) work, no inverted index.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(
+        F.col(id_col), F.split(F.trim(norm), r"\s+").alias("__w")
+    )
+    idx = F.explode(
+        F.coalesce(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - (n - 1), F.lit(1))),
+            F.array(F.lit(1)),
+        )
+    )
+    gram = F.when(
+        F.col("__w").isNotNull(), F.concat_ws(" ", F.slice("__w", F.col("__i"), n))
+    )
+    return (
+        base.select(id_col, "__w", idx.alias("__i"))
+        .select(id_col, gram.alias("__g"))
+        .groupBy(id_col)
+        .agg(
+            F.count("__g").alias("n_grams"),
+            F.count_distinct(F.col("__g")).alias("uniq_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "uniq_grams",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(1 - F.col("uniq_grams") / F.col("n_grams"), 6),
+            ).alias("dup_gram_frac"),
+        )
+    )

@@ -135,6 +135,58 @@ def q23_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q62_repetition_scores",
+    f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 [array_to_string(w[i:i+4], ' ')
+                  FOR i IN range(1, greatest(len(w) - 4, 1) + 1)] AS grams
+          FROM w)
+    SELECT doc_id,
+      len(grams)::BIGINT AS n_grams,
+      len(list_distinct(grams))::BIGINT AS uniq_grams,
+      round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS dup_gram_frac
+    FROM g
+    """,
+)
+def q62_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition gate (operators/text.py::repetition_scores):
+    fraction of word 5-grams that repeat within the doc — the
+    boilerplate/degenerate-text quality filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_scores(docs, "text", 5)
+
+
+@_register(
+    "q63_sequence_packing",
+    f"""
+    WITH b AS (SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+        {_SQL_HEX.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents),
+    s AS (SELECT doc_id, n_tokens, hv, (hv % 32)::BIGINT AS shard FROM b),
+    p AS (SELECT doc_id, shard, n_tokens,
+        coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hv, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM s)
+    SELECT doc_id, shard, (prior // 512)::BIGINT AS bin_id, n_tokens FROM p
+    """,
+)
+def q63_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget packing (operators/packing.py::
+    pack_sequences): docs hash-sharded 32 ways, ordered by a reproducible
+    hash inside each shard, and packed greedily into 512-token bins —
+    rerun-identical training batches."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, "doc_id", "text", budget=512, n_shards=32)
+
+
+@_register(
     "q24_fingerprints",
     f"""
     WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),

@@ -258,3 +258,56 @@ def test_stratified_sample_exact_quotas_and_determinism(spark):
     # zero default drops unlisted strata entirely
     only = stratified_sample(docs, "lang", {"en": 1.0}, "doc_id")
     assert {r["lang"] for r in only.select("lang").distinct().collect()} == {"en"}
+
+
+def test_pack_sequences_invariants(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = _docs(spark).select("doc_id", "text")
+    out = pack_sequences(docs, "doc_id", "text", budget=512, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()                       # every doc assigned once
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    assert all(r["bin_id"] >= 0 for r in rows)
+    # boundary rule: a doc's bin is floor(preceding-tokens-in-shard / budget)
+    import collections
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    again = {(r["doc_id"], r["shard"], r["bin_id"]) for r in
+             pack_sequences(docs, "doc_id", "text", budget=512, n_shards=8).collect()}
+    assert {(r["doc_id"], r["shard"], r["bin_id"]) for r in rows} == again  # deterministic
+    # full independent recomputation: same md5 hash/shard/order/cumsum in
+    # plain Python must reproduce every single bin assignment
+    import hashlib
+
+    def h(doc_id):
+        return int(hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()[:15], 16)
+
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: (h(r["doc_id"]), r["doc_id"]))
+        assert all(h(r["doc_id"]) % 8 == shard for r in rs)
+        prior = 0
+        for r in rs:
+            assert r["bin_id"] == prior // 512, (shard, r)
+            prior += r["n_tokens"]
+
+
+def test_repetition_scores_flags_degenerate_text(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),   # 4 identical 5-grams
+            (2, "one two three four five six seven eight"),   # all distinct
+            (3, "tiny doc"),                                  # < n words -> one gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_scores(df, "text", 5).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["uniq_grams"] == 1
+    assert out[1]["dup_gram_frac"] == 0.75
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert out[3]["n_grams"] == 1 and out[3]["dup_gram_frac"] == 0.0
