@@ -63,6 +63,12 @@ HEADLINE = [
     # 5.8s / 36s at sf0.1 vs ~3.3s / ~8s here)
     "q55_dedup_clusters",
     "q56_corpus_prep",
+    # round-4 additions: incremental ingest dedup, deterministic corpus
+    # mixing, repetition gate, sequence packing
+    "q60_incremental_dedup",
+    "q61_stratified_corpus_mix",
+    "q62_repetition_scores",
+    "q63_sequence_packing",
 ]
 
 
