@@ -69,6 +69,8 @@ HEADLINE = [
     "q61_stratified_corpus_mix",
     "q62_repetition_scores",
     "q63_sequence_packing",
+    "q64_pii_redaction",
+    "q65_contamination_report",
 ]
 
 

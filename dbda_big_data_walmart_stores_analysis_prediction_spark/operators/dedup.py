@@ -583,6 +583,59 @@ def dedup_incremental(
     )
 
 
+def cross_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Bipartite near-match pairs between two document tables:
+    ``(doc_left, doc_right, jaccard)`` for every cross pair with word-k-gram
+    Jaccard ≥ ``threshold``. Never compares within a side.
+
+    THE contamination check for training data: ``left`` = a benchmark /
+    eval set, ``right`` = the training corpus; every returned pair is a
+    benchmark item leaked (near-)verbatim into training. Same machinery
+    covers cross-source overlap audits (crawl A vs crawl B).
+
+    Plan: each side's shingle table materializes once (lazy checkpoint:
+    sizes aggregate + join side share it), the join shuffles on the
+    shingle, and with both sides capped at ``max_doc_freq`` the worst
+    shingle's fan-out is bounded by cap² — identical scale posture to
+    ``jaccard_pairs``, with the pair space further bounded by
+    |left shingles| x collision rate, not corpus².
+    """
+    sh_l = cap_shingle_doc_freq(
+        shingle_table(left, id_col, text_col, k), max_doc_freq
+    ).localCheckpoint(eager=False)
+    sh_r = cap_shingle_doc_freq(
+        shingle_table(right, id_col, text_col, k), max_doc_freq
+    ).localCheckpoint(eager=False)
+    sz_l = sh_l.groupBy("doc").agg(F.count("*").alias("sz_l")).toDF("doc_left", "sz_l")
+    sz_r = sh_r.groupBy("doc").agg(F.count("*").alias("sz_r")).toDF("doc_right", "sz_r")
+    shared = (
+        sh_l.toDF("doc_left", "sh")
+        .join(sh_r.toDF("doc_right", "sh"), "sh")
+        .groupBy("doc_left", "doc_right")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sz_l, "doc_left")
+        .join(sz_r, "doc_right")
+        .select(
+            "doc_left",
+            "doc_right",
+            F.round(
+                F.col("shared") / (F.col("sz_l") + F.col("sz_r") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

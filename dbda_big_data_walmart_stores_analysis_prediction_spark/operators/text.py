@@ -281,3 +281,47 @@ def repetition_scores(
             ).alias("dup_gram_frac"),
         )
     )
+
+
+# Redaction patterns shared verbatim with the DuckDB oracle — a portable
+# regex subset (character classes, bounded repetition, alternation; no
+# lookaround) that Java regex and RE2 interpret identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "ipv4": "([0-9]{1,3}[.]){3}[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub PII-shaped spans from a document table before training:
+    ``(id, clean_text, n_email, n_ipv4, n_redactions)`` with each matched
+    span replaced by a typed placeholder token (``<EMAIL>``, ``<IP>``).
+
+    Counting happens on the ORIGINAL text (regexp_count), redaction by
+    chained regexp_replace — all JVM codegen expressions inside the scan
+    projection; zero shuffles, trivially scan-parallel at any corpus size.
+    Patterns are deliberately a portable regex subset so the oracle
+    replicates the behavior byte-for-byte; swap in jurisdiction-specific
+    pattern packs via ``PII_PATTERNS`` at deployment.
+    """
+    t = F.col(text_col)
+    counts = df.select(
+        F.col(id_col),
+        t,
+        F.regexp_count(t, F.lit(PII_PATTERNS["email"])).cast("bigint").alias("n_email"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["ipv4"])).cast("bigint").alias("n_ipv4"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>"),
+        PII_PATTERNS["ipv4"],
+        "<IP>",
+    )
+    return counts.select(
+        id_col,
+        clean.alias("clean_text"),
+        "n_email",
+        "n_ipv4",
+        (F.col("n_email") + F.col("n_ipv4")).alias("n_redactions"),
+    )

@@ -187,6 +187,91 @@ def q63_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q64_pii_redaction",
+    f"""
+    WITH pii AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0
+             THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+        '([0-9]{{1,3}}[.]){{3}}[0-9]{{1,3}}', '<IP>', 'g') AS clean_text,
+      len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,}}'))::BIGINT AS n_email,
+      len(regexp_extract_all(text,
+          '([0-9]{{1,3}}[.]){{3}}[0-9]{{1,3}}'))::BIGINT AS n_ipv4,
+      (len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,}}'))
+       + len(regexp_extract_all(text,
+          '([0-9]{{1,3}}[.]){{3}}[0-9]{{1,3}}')))::BIGINT AS n_redactions
+    FROM pii
+    """,
+)
+def q64_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py::redact_pii) over documents with
+    deterministic synthetic emails/IPs appended to every 10th doc (the
+    fixture corpus contains none — injection makes the redaction paths do
+    real, hash-checkable work)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return tx.redact_pii(injected, "text", "doc_id")
+
+
+@_register(
+    "q65_contamination_report",
+    f"""
+    WITH bench AS (SELECT doc_id + 200000 AS doc_id, text FROM documents
+                   WHERE doc_id % 11 = 0),
+    wl AS (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS w
+           FROM bench),
+    shl AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES}) AS sh FROM wl),
+    wr AS (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS w
+           FROM documents),
+    shr AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES}) AS sh FROM wr),
+    szl AS (SELECT doc, count(*) AS sz FROM shl GROUP BY doc),
+    szr AS (SELECT doc, count(*) AS sz FROM shr GROUP BY doc),
+    shared AS (SELECT l.doc AS doc_left, r.doc AS doc_right, count(*) AS shared
+               FROM shl l JOIN shr r ON l.sh = r.sh GROUP BY 1, 2)
+    SELECT s.doc_left, s.doc_right,
+           round(s.shared / (a.sz + b.sz - s.shared), 6) AS jaccard
+    FROM shared s JOIN szl a ON a.doc = s.doc_left
+                  JOIN szr b ON b.doc = s.doc_right
+    WHERE round(s.shared / (a.sz + b.sz - s.shared), 6) >= 0.8
+    """,
+)
+def q65_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit (operators/dedup.py::
+    cross_jaccard_pairs): a simulated eval set (every 11th doc, re-idded)
+    checked against the full corpus — each returned pair is an eval item
+    leaked (near-)verbatim into training."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return dd.cross_jaccard_pairs(bench, docs, "doc_id", "text", threshold=0.8)
+
+
+@_register(
     "q24_fingerprints",
     f"""
     WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),

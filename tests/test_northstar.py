@@ -311,3 +311,41 @@ def test_repetition_scores_flags_degenerate_text(spark):
     assert out[1]["dup_gram_frac"] == 0.75
     assert out[2]["dup_gram_frac"] == 0.0
     assert out[3]["n_grams"] == 1 and out[3]["dup_gram_frac"] == 0.0
+
+
+def test_redact_pii_semantics(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@corp.example.org or 192.168.001.5 ok"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.co one ip 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1 and out[1]["n_redactions"] == 2
+    assert "<EMAIL>" in out[1]["clean_text"] and "<IP>" in out[1]["clean_text"]
+    assert "@" not in out[1]["clean_text"] and "192.168" not in out[1]["clean_text"]
+    assert out[2]["n_redactions"] == 0 and out[2]["clean_text"] == "no pii here at all"
+    assert out[3]["n_email"] == 2 and out[3]["n_ipv4"] == 1
+
+
+def test_cross_jaccard_finds_leaked_docs_only_across_sides(spark):
+    docs = _docs(spark).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    pairs = dd.cross_jaccard_pairs(bench, docs, threshold=0.8).collect()
+    hits = {(r["doc_left"], r["doc_right"]) for r in pairs}
+    # every leaked doc is found against its verbatim source with J = 1.0
+    expected_self = {
+        (r["doc_id"] + 200000, r["doc_id"])
+        for r in docs.where(F.col("doc_id") % 11 == 0).collect()
+    }
+    assert expected_self <= hits
+    assert all(r["jaccard"] == 1.0 for r in pairs
+               if (r["doc_left"], r["doc_right"]) in expected_self)
+    # bipartite: nothing compared within a side
+    assert all(left >= 200000 and right < 200000 for left, right in hits)
