@@ -103,6 +103,29 @@ def _model(args: argparse.Namespace) -> None:
     tuned.model.write().overwrite().save(f"{args.out}/model")
 
 
+def _corpus(args: argparse.Namespace) -> None:
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        corpus_summary,
+        prepare_training_corpus,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.sources.io import (
+        write_parquet,
+    )
+
+    spark = get_spark(app_name="corpus-prep")
+    docs = spark.read.parquet(args.input)
+    corpus = prepare_training_corpus(
+        docs,
+        min_quality=args.min_quality,
+        keep_langs=tuple(args.langs.split(",")),
+        near_dup_threshold=args.near_dup_threshold,
+        max_doc_freq=args.max_doc_freq or None,
+    )
+    write_parquet(corpus, args.out)
+    summary = [r.asDict() for r in corpus_summary(corpus).collect()]
+    print(json.dumps({"out": args.out, "by_lang": summary}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dbda-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -133,6 +156,23 @@ def main(argv: list[str] | None = None) -> None:
     model.add_argument("--test")
     model.add_argument("--out", required=True)
     model.set_defaults(fn=_model)
+
+    corpus = sub.add_parser(
+        "corpus",
+        help="filter + dedup a raw document table into a training corpus",
+    )
+    corpus.add_argument("--input", required=True, help="parquet with doc_id, text")
+    corpus.add_argument("--out", required=True)
+    corpus.add_argument("--min-quality", type=float, default=0.3)
+    corpus.add_argument("--langs", default="en", help="comma-separated lang codes")
+    corpus.add_argument("--near-dup-threshold", type=float, default=0.5)
+    corpus.add_argument(
+        "--max-doc-freq",
+        type=int,
+        default=10_000,
+        help="stop-shingle doc-frequency cap (0 disables)",
+    )
+    corpus.set_defaults(fn=_corpus)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -81,3 +81,25 @@ def test_cli_three_stage_chain(spark, raw_dir, tmp_path, capsys):
     preds = spark.read.parquet(str(out / "test_predictions"))
     assert preds.count() == 2
     assert "prediction" in preds.columns
+
+
+def test_cli_corpus_stage(spark, tmp_path, capsys):
+    out = tmp_path / "corpus"
+    main(
+        [
+            "corpus",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--langs", "en,de",
+            "--min-quality", "0.2",
+        ]
+    )
+    line = next(
+        line for line in capsys.readouterr().out.splitlines() if line.startswith("{")
+    )
+    summary = json.loads(line)
+    assert summary["out"] == str(out)
+    assert {s["lang_pred"] for s in summary["by_lang"]} <= {"en", "de"}
+    written = spark.read.parquet(str(out))
+    assert written.count() == sum(s["n_docs"] for s in summary["by_lang"])
+    assert "quality_score" in written.columns
