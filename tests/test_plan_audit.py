@@ -108,6 +108,7 @@ def test_dedup_pipelines_never_cartesian(spark):
         "q27_minhash_lsh_pairs",
         "q29_simhash_near_pairs",
         "q60_incremental_dedup",
+        "q65_contamination_report",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
