@@ -171,7 +171,11 @@ def jaccard_pairs(
     sh = cap_shingle_doc_freq(
         shingle_table(df, id_col, text_col, k), max_doc_freq
     ).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # sizes feeds BOTH post-aggregate joins (sz_a and sz_b rename branches)
+    # — same one-materialization rule, tiny (one long per doc)
+    sizes = (
+        sh.groupBy("doc").agg(F.count("*").alias("sz")).localCheckpoint(eager=False)
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
