@@ -182,3 +182,104 @@ def test_exact_quantiles_extreme_magnitudes(spark):
         lo, hi = math.floor(r), math.ceil(r)
         want = s[lo] + (s[hi] - s[lo]) * (r - lo)
         assert g == want and math.isfinite(g), (p, g, want)
+
+
+# word pool kept tiny so random docs actually collide (exact + near dups)
+_words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+_doc_texts = st.lists(
+    st.lists(_words, min_size=1, max_size=8).map(" ".join), min_size=1, max_size=10
+)
+
+
+def _py_shingles(text, k=3):
+    w = text.lower().strip().split()
+    if len(w) <= k:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def _py_jaccard(a, b):
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    return round(len(sa & sb) / len(sa | sb), 6)
+
+
+@given(corpus_texts=_doc_texts, new_texts=_doc_texts)
+@settings(**SETTINGS)
+def test_dedup_incremental_matches_python_reference(spark, corpus_texts, new_texts):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    corpus = [(i, t) for i, t in enumerate(corpus_texts)]
+    new = [(100 + i, t) for i, t in enumerate(new_texts)]
+    out = dedup_incremental(
+        spark.createDataFrame(corpus, "doc_id long, text string"),
+        spark.createDataFrame(new, "doc_id long, text string"),
+        threshold=0.5,
+    )
+    got = {r["doc_id"] for r in out.collect()}
+
+    # reference: exact stage then pair-predicate near stage
+    def norm(t):
+        return " ".join(t.lower().strip().split())
+
+    corpus_fps = {norm(t) for _, t in corpus}
+    seen_fp = {}
+    exact_surv = []
+    for i, t in sorted(new):
+        if norm(t) in seen_fp:
+            continue
+        seen_fp[norm(t)] = i
+        if norm(t) not in corpus_fps:
+            exact_surv.append((i, t))
+    expect = set()
+    for i, t in exact_surv:
+        near_corpus = any(_py_jaccard(t, ct) >= 0.5 for _, ct in corpus)
+        near_earlier = any(
+            _py_jaccard(t, et) >= 0.5 for j, et in exact_surv if j < i
+        )
+        if not near_corpus and not near_earlier:
+            expect.add(i)
+    assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=25
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    # min-label: component id must be the smallest member, so normalize
+    # union-find roots to min-of-component
+    comp_members = {}
+    for x, r in expect.items():
+        comp_members.setdefault(r, set()).add(x)
+    expect_min = {
+        x: min(comp_members[r]) for x, r in expect.items()
+    }
+    assert got == expect_min
