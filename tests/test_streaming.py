@@ -229,3 +229,45 @@ def test_streaming_dedup_matches_batch(spark):
         got = spark.table("dedup_stream")
         assert got.count() == ev.count()
         assert got.select(F.countDistinct("event_id")).first()[0] == ev.count()
+
+
+def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.corpus import (
+        streaming_corpus_ingest,
+    )
+
+    inp = tmp_path / "in"
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+    # batch 1: two novel docs; batch 2: one exact dup of batch 1, one near-dup
+    # (J=2/3 >= 0.5), one novel doc. maxFilesPerTrigger=1 -> sequential batches.
+    spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd"), (2, "xxx yyy zzz www")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(inp / "b1"))
+    spark.createDataFrame(
+        [(10, "aaa bbb ccc ddd"), (11, "aaa bbb ccc ddd eee"), (12, "fresh new words only here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(inp / "b2"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*")
+    )
+    q = streaming_corpus_ingest(
+        stream, str(corpus), checkpoint_dir=str(ckpt), threshold=0.5
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(str(corpus))
+    kept = {r["doc_id"] for r in final.collect()}
+    # whichever batch order the file source picked: the "aaa bbb ccc ddd"
+    # text family keeps exactly one representative (1 or 10), the near-dup
+    # 11 never survives, and the two novel docs always land
+    assert len(kept) == 3, kept
+    assert 11 not in kept
+    assert {2, 12} <= kept
+    assert len(kept & {1, 10}) == 1
+    assert "fp_exact" in final.columns
+    # idempotent state: every surviving text is unique post-normalization
+    texts = [r["text"].lower().strip() for r in final.collect()]
+    assert len(texts) == len(set(texts))
