@@ -18,7 +18,6 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing im
     md5_int64,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
-    shingles_col,
     tokens_col,
 )
 
