@@ -71,6 +71,7 @@ HEADLINE = [
     "q63_sequence_packing",
     "q64_pii_redaction",
     "q65_contamination_report",
+    "q66_dedup_keep_longest",
 ]
 
 

@@ -481,6 +481,51 @@ def dedup_near(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_near_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    prefer_col: str,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    descending: bool = True,
+) -> DataFrame:
+    """``dedup_near`` with an explicit survivor policy: each near-dup
+    cluster keeps its best row by ``prefer_col`` (descending by default,
+    ascending-id tiebreak) instead of the min id.
+
+    The policy that matters for training corpora: near-dup clusters often
+    pair a full article with its truncated or boilerplate-wrapped copies —
+    min-id keeps whichever crawled first; preferring length or a quality
+    score keeps the most complete one. Deterministic (total order via the
+    id tiebreak), so it stays oracle-replicable.
+
+    Plan adds one row_number window partitioned by component over only the
+    CLUSTERED docs (docs in no pair bypass via anti-join, never shuffle
+    through the window) — cluster sizes are small by construction, so the
+    window sort is bounded.
+    """
+    comp = connected_components(pairs, pair_a, pair_b)
+    from pyspark.sql.window import Window
+
+    order = [
+        F.col(prefer_col).desc() if descending else F.col(prefer_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    members = df.join(comp, df[id_col] == comp["id"], "inner").drop("id")
+    best = (
+        members.withColumn(
+            "__rn", F.row_number().over(Window.partitionBy("component").orderBy(*order))
+        )
+        .where(F.col("__rn") == 1)
+        .select(*df.columns)
+    )
+    loners = df.join(
+        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    return loners.unionByName(best)
+
+
 def dedup_incremental(
     corpus: DataFrame,
     new: DataFrame,

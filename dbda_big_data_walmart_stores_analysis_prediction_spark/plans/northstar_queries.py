@@ -677,6 +677,76 @@ def q54_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q66_dedup_keep_longest",
+    f"""
+    WITH RECURSIVE {_SQL_SH_TABLE},
+    seeds AS (SELECT i, {_SQL_HEX.format(x="'perm:' || i")} AS c
+              FROM (SELECT unnest(range(16)) AS i)),
+    sigs AS (
+      SELECT doc, i, min(xor({_SQL_HEX.format(x='sh')}, c)) AS m
+      FROM sh, seeds GROUP BY doc, i
+    ),
+    bands AS (
+      SELECT doc, i // 4 AS band,
+             {_SQL_HEX.format(x="string_agg(m::VARCHAR, ',' ORDER BY i)")} AS bh
+      FROM sigs GROUP BY doc, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc = c.doc_a
+      JOIN sh b ON b.doc = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sz sa ON sa.doc = doc_a
+      JOIN sz sb ON sb.doc = doc_b
+      WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+    ranked AS (
+      SELECT d.doc_id,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM documents d JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM comp)
+    UNION ALL
+    SELECT d.doc_id, d.n_chars FROM documents d
+    JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+    """,
+)
+def q66_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse (operators/dedup.py::dedup_near_by):
+    same MinHash-LSH cluster graph as q55, but each cluster keeps its
+    LONGEST member (n_chars desc, id tiebreak) — the survivor policy a
+    training corpus wants when near-dup clusters pair full articles with
+    truncated copies."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return dd.dedup_near_by(docs, pairs, "n_chars").select("doc_id", "n_chars")
+
+
+@_register(
     "q55_dedup_clusters",
     f"""
     WITH RECURSIVE {_SQL_SH_TABLE},

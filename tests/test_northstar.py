@@ -349,3 +349,21 @@ def test_cross_jaccard_finds_leaked_docs_only_across_sides(spark):
                if (r["doc_left"], r["doc_right"]) in expected_self)
     # bipartite: nothing compared within a side
     assert all(left >= 200000 and right < 200000 for left, right in hits)
+
+
+def test_dedup_near_by_keeps_preferred_survivor(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb ccc ddd", 15),
+            (2, "aaa bbb ccc ddd eee", 19),   # same cluster, longest -> survives
+            (3, "xxx yyy zzz", 11),           # loner, untouched
+            (4, "aaa bbb ccc ddd fff", 19),   # ties with 2 on length -> min id wins
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "doc_a long, doc_b long")
+    out = {r["doc_id"] for r in dd.dedup_near_by(docs, pairs, "n_chars").collect()}
+    assert out == {2, 3}
+    # min-id policy (dedup_near) would have kept 1 instead
+    base = {r["doc_id"] for r in dd.dedup_near(docs, pairs).collect()}
+    assert base == {1, 3}
