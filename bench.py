@@ -72,6 +72,7 @@ HEADLINE = [
     "q64_pii_redaction",
     "q65_contamination_report",
     "q66_dedup_keep_longest",
+    "q67_markup_stripping",
 ]
 
 

@@ -324,3 +324,31 @@ def redact_pii(
         "n_ipv4",
         (F.col("n_email") + F.col("n_ipv4")).alias("n_redactions"),
     )
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Strip HTML-ish markup from crawled text: ``(id, clean_text,
+    n_tags)``.
+
+    Three chained regex passes, all in one codegen scan projection (zero
+    shuffles): drop <script>/<style> blocks wholesale ((?s) dotall,
+    non-greedy body), remove remaining tags, collapse the whitespace the
+    removals leave behind. ``n_tags`` counts tags in the RAW text — the
+    usual boilerplate-density signal (a high tag:text ratio marks nav/chrome
+    pages worth dropping before training). Patterns stay in the regex
+    subset Java and RE2 interpret identically, so the oracle replicates the
+    output byte-for-byte.
+    """
+    t = F.col(text_col)
+    no_blocks = F.regexp_replace(
+        t, r"(?s)<(script|style)[^>]*>.*?</(script|style)>", " "
+    )
+    no_tags = F.regexp_replace(no_blocks, r"<[^>]+>", " ")
+    clean = F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(r"<[^>]+>")).cast("bigint").alias("n_tags"),
+    )

@@ -272,6 +272,50 @@ def q65_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q67_markup_stripping",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+             THEN '<html><body><p class="c">' || text
+                  || '</p><script>var x=1;</script></body></html>'
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '(?s)<(script|style)[^>]*>.*?</(script|style)>',
+                         ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '\\s+', ' ', 'g')) AS clean_text,
+      len(regexp_extract_all(text, '<[^>]+>'))::BIGINT AS n_tags
+    FROM raw
+    """,
+)
+def q67_markup_stripping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping (operators/text.py::strip_markup) over documents
+    with deterministic HTML wrapping injected on every 7th doc (the
+    fixture corpus is plain text — injection makes the tag-removal paths
+    do real hash-checked work)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit('<html><body><p class="c">'),
+                F.col("text"),
+                F.lit("</p><script>var x=1;</script></body></html>"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return tx.strip_markup(injected, "text", "doc_id")
+
+
+@_register(
     "q24_fingerprints",
     f"""
     WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),

@@ -367,3 +367,23 @@ def test_dedup_near_by_keeps_preferred_survivor(spark):
     # min-id policy (dedup_near) would have kept 1 instead
     base = {r["doc_id"] for r in dd.dedup_near(docs, pairs).collect()}
     assert base == {1, 3}
+
+
+def test_strip_markup_semantics(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, '<html><body><p class="x">hello   world</p>'
+                '<script>var a = "<b>";</script></body></html>'),
+            (2, "plain text stays untouched"),
+            (3, "<style>p { color: red }</style>just this"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.strip_markup(df).collect()}
+    assert out[1]["clean_text"] == "hello world"
+    assert out[1]["n_tags"] >= 6        # html body p script /script /body /html
+    assert out[2]["clean_text"] == "plain text stays untouched"
+    assert out[2]["n_tags"] == 0
+    assert out[3]["clean_text"] == "just this"
