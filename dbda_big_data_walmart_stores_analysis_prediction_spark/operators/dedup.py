@@ -505,23 +505,30 @@ def dedup_near_by(
     through the window) — cluster sizes are small by construction, so the
     window sort is bounded.
     """
-    comp = connected_components(pairs, pair_a, pair_b)
+    # Reserved-name aliases (the `__rn` convention): joining the raw
+    # (id, component) frame and then .drop("id") would drop EVERY column
+    # named "id" — wrong whenever id_col == "id" or df already carries an
+    # "id"/"component" column of its own.
+    comp = connected_components(pairs, pair_a, pair_b).select(
+        F.col("id").alias("__cc_id"), F.col("component").alias("__component")
+    )
     from pyspark.sql.window import Window
 
     order = [
         F.col(prefer_col).desc() if descending else F.col(prefer_col).asc(),
         F.col(id_col).asc(),
     ]
-    members = df.join(comp, df[id_col] == comp["id"], "inner").drop("id")
+    members = df.join(comp, df[id_col] == F.col("__cc_id"), "inner")
     best = (
         members.withColumn(
-            "__rn", F.row_number().over(Window.partitionBy("component").orderBy(*order))
+            "__rn",
+            F.row_number().over(Window.partitionBy("__component").orderBy(*order)),
         )
         .where(F.col("__rn") == 1)
         .select(*df.columns)
     )
     loners = df.join(
-        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        comp.select(F.col("__cc_id").alias(id_col)), id_col, "left_anti"
     )
     return loners.unionByName(best)
 
@@ -600,7 +607,10 @@ def dedup_incremental(
         sh_all = sh_all.join(keep_sh, "sh").select("doc", "sh", "is_new")
     # one materialization feeds the sizes aggregate and both join sides
     sh_all = sh_all.localCheckpoint(eager=False)
-    sizes = sh_all.groupBy("doc").agg(F.count("*").alias("sz"))
+    # sizes are grouped (and later joined) on (doc, is_new), not bare doc:
+    # a corpus id may numerically collide with a batch id, and a bare-doc
+    # groupBy would merge the two docs' shingle counts into one wrong size.
+    sizes = sh_all.groupBy("doc", "is_new").agg(F.count("*").alias("sz"))
     n = sh_all.where(F.col("is_new")).alias("n")
     o = sh_all.alias("o")
     shared = (
@@ -609,14 +619,28 @@ def dedup_incremental(
             (F.col("n.sh") == F.col("o.sh"))
             & (~F.col("o.is_new") | (F.col("o.doc") < F.col("n.doc"))),
         )
-        .groupBy(F.col("n.doc").alias("doc_n"), F.col("o.doc").alias("doc_o"))
+        .groupBy(
+            F.col("n.doc").alias("doc_n"),
+            F.col("o.doc").alias("doc_o"),
+            F.col("o.is_new").alias("o_new"),
+        )
         .agg(F.count("*").alias("shared"))
     )
     matched = (
         shared.join(
-            sizes.toDF("doc_n", "sz_n"), "doc_n"
+            sizes.where(F.col("is_new")).select(
+                F.col("doc").alias("doc_n"), F.col("sz").alias("sz_n")
+            ),
+            "doc_n",
         )
-        .join(sizes.toDF("doc_o", "sz_o"), "doc_o")
+        .join(
+            sizes.select(
+                F.col("doc").alias("doc_o"),
+                F.col("is_new").alias("o_new"),
+                F.col("sz").alias("sz_o"),
+            ),
+            ["doc_o", "o_new"],
+        )
         .where(
             F.round(
                 F.col("shared") / (F.col("sz_n") + F.col("sz_o") - F.col("shared")),

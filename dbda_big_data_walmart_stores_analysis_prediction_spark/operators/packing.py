@@ -29,11 +29,13 @@ def pack_sequences(
     """Deterministic contiguous packing: ``(id, shard, bin_id, n_tokens)``.
 
     Docs are hashed into ``n_shards`` shards, ordered within their shard by
-    ``md5(salt:id)`` (reproducible shuffle), and packed greedily in that
-    order: a doc's bin is ``floor(preceding_tokens / budget)`` — bins fill
-    to the budget and overflow docs start the next bin. Everything is a
-    pure function of the data, so reruns and differently-sized clusters
-    produce identical bins.
+    ``md5(salt:id)`` (reproducible shuffle), and packed by cumulative
+    boundary: a doc's bin is ``floor(preceding_tokens / budget)``, i.e. the
+    budget multiple its first token lands in. A doc that straddles a
+    boundary stays in the bin it started (bins can exceed the budget by up
+    to one doc's length) — the token-stream-chunking rule, not a
+    strict-capacity bin packer. Everything is a pure function of the data,
+    so reruns and differently-sized clusters produce identical bins.
 
     Scale shape: the only shuffle is the shard partitioning, and shards are
     the parallelism unit — each shard's window sort is independent, so

@@ -301,6 +301,11 @@ def redact_pii(
     Counting happens on the ORIGINAL text (regexp_count), redaction by
     chained regexp_replace — all JVM codegen expressions inside the scan
     projection; zero shuffles, trivially scan-parallel at any corpus size.
+    Counts are therefore raw-text pattern frequencies, not inserted-token
+    tallies: a span matching two patterns (an IPv4-shaped email local part
+    like ``1.2.3.4@example.com``) is counted by both but consumed by the
+    first replacement, so ``n_redactions`` can exceed the number of
+    placeholder tokens in ``clean_text``.
     Patterns are deliberately a portable regex subset so the oracle
     replicates the behavior byte-for-byte; swap in jurisdiction-specific
     pattern packs via ``PII_PATTERNS`` at deployment.

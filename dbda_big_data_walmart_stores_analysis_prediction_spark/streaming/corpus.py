@@ -45,7 +45,10 @@ def streaming_corpus_ingest(
     already bounded by batch-side shingles. Exactly-once: replays of a
     committed batch re-dedup against the corpus that already contains
     their survivors, so re-appends are filtered by the exact stage —
-    idempotent by construction.
+    idempotent by construction. Null/empty-text rows are dropped before
+    dedup: a null text yields a null fingerprint, and the exact-stage
+    anti-join on the fingerprint never matches null keys, so a replayed
+    batch would re-append its null-text survivor on every replay.
 
     Returns the ``StreamingQuery``; callers stop it or await termination.
     """
@@ -66,7 +69,9 @@ def streaming_corpus_ingest(
             )
         survivors = dedup_incremental(
             corpus,
-            batch.select(id_col, text_col),
+            batch.select(id_col, text_col).where(
+                F.col(text_col).isNotNull() & (F.col(text_col) != "")
+            ),
             id_col,
             text_col,
             threshold=threshold,

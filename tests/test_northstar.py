@@ -224,6 +224,26 @@ def test_incremental_dedup_semantics(spark):
     assert {r["doc_id"] for r in out.collect()} == {11}
 
 
+def test_incremental_dedup_id_collision_across_sides(spark):
+    # A corpus id may numerically collide with a batch id; shingle sizes
+    # must stay per-side. With a bare-doc sizes groupBy, corpus doc 1
+    # (4 shingles) and batch doc 1 (3 shingles) would merge to sz=7,
+    # deflating batch doc 2's Jaccard vs corpus doc 1 from 0.8 to 0.5 and
+    # wrongly keeping it at threshold 0.6.
+    corpus = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd eee fff")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "xxx yyy zzz www vvv"),              # id collides, text novel
+            (2, "aaa bbb ccc ddd eee fff ggg"),      # J=4/5 vs corpus doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = dd.dedup_incremental(corpus, new, "doc_id", "text", threshold=0.6)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
 def test_incremental_dedup_precomputed_corpus_shingles(spark):
     docs = _docs(spark).select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 5 != 0)
@@ -367,6 +387,26 @@ def test_dedup_near_by_keeps_preferred_survivor(spark):
     # min-id policy (dedup_near) would have kept 1 instead
     base = {r["doc_id"] for r in dd.dedup_near(docs, pairs).collect()}
     assert base == {1, 3}
+
+
+def test_dedup_near_by_survives_reserved_column_names(spark):
+    # id_col named "id" plus a user "component" column: the internal
+    # component join must not collide with either (regression: .drop("id")
+    # used to drop the user's id column too).
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb ccc ddd", 15, "x"),
+            (2, "aaa bbb ccc ddd eee", 19, "y"),
+            (3, "xxx yyy zzz", 11, "z"),
+        ],
+        "id long, text string, n_chars long, component string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = dd.dedup_near_by(docs, pairs, "n_chars", id_col="id")
+    assert set(out.columns) == {"id", "text", "n_chars", "component"}
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2]["component"] == "y" and rows[3]["component"] == "z"
 
 
 def test_strip_markup_semantics(spark):
