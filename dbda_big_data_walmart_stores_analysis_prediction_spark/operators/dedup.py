@@ -709,6 +709,48 @@ def cross_jaccard_pairs(
     )
 
 
+def ngram_overlap_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram benchmark decontamination: ``(doc_train, doc_eval,
+    n_shared)`` for every train/eval pair sharing ≥1 exact word-n-gram
+    (default n=13 — the GPT-3/PaLM eval-hygiene rule). Complements the
+    Jaccard audit (`cross_jaccard_pairs`): that catches near-verbatim
+    whole-document leaks; this flags ANY train doc containing a verbatim
+    13-word span of an eval item, however large the surrounding doc.
+
+    Plan is built for a small eval side against a 100 TB train side: the
+    train shingle stream is first semi-joined against the BROADCAST eval
+    shingle set — the train table never shuffles on the shingle; only the
+    (tiny) matching fraction continues. The doc-freq cap is applied to the
+    survivors, which is exactly equivalent to capping the full train table
+    (the semi-join keeps every train row of a matching shingle, so per-
+    shingle frequencies are unchanged) at a sliver of the aggregate cost.
+    Docs shorter than ``n`` words follow `shingle_table`'s partial-shingle
+    rule (one whole-text gram), so two identical short docs still match.
+    """
+    sh_t = shingle_table(train, id_col, text_col, n)
+    # eval shingles feed the semi-join set AND the pair join — materialize
+    # once; a benchmark set is broadcast-sized by definition
+    sh_e = shingle_table(eval_df, id_col, text_col, n).localCheckpoint(eager=False)
+    if max_doc_freq is not None:
+        sh_t = sh_t.join(
+            F.broadcast(sh_e.select("sh").distinct()), "sh", "left_semi"
+        ).select("doc", "sh")
+        sh_t = cap_shingle_doc_freq(sh_t, max_doc_freq)
+    return (
+        sh_t.toDF("doc_train", "sh")
+        .join(F.broadcast(sh_e.toDF("doc_eval", "sh")), "sh")
+        .groupBy("doc_train", "doc_eval")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

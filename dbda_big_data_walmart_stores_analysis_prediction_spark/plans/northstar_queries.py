@@ -271,6 +271,50 @@ def q65_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cross_jaccard_pairs(bench, docs, "doc_id", "text", threshold=0.8)
 
 
+_SQL_SHINGLES13 = (
+    r"list_distinct([array_to_string(w[i:i+12], ' ') "
+    r"FOR i IN range(1, greatest(len(w) - 12, 1) + 1)])"
+)
+
+
+@_register(
+    "q68_ngram_decontamination",
+    f"""
+    WITH ev AS (
+      SELECT doc_id + 300000 AS doc_id,
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:33], ' ') AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    nt AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    wt AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nt),
+    sht AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh FROM wt),
+    ne AS (SELECT doc_id, {_SQL_NORM} AS t FROM ev),
+    we AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM ne),
+    she AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh FROM we)
+    SELECT t.doc AS doc_train, e.doc AS doc_eval, count(*) AS n_shared
+    FROM sht t JOIN she e ON t.sh = e.sh
+    GROUP BY 1, 2
+    """,
+)
+def q68_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 13-gram benchmark decontamination (operators/dedup.py::
+    ngram_overlap_pairs): a simulated eval set (a 30-word window from every
+    13th doc, re-idded) audited against the full corpus — any train doc
+    sharing one exact word-13-gram with an eval item is flagged with the
+    overlap count. Catches span-level leaks the whole-doc Jaccard audit
+    (q65) can miss."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
+        ).alias("text"),
+    )
+    return dd.ngram_overlap_pairs(
+        docs, ev, "doc_id", "text", n=13, max_doc_freq=10_000
+    )
+
+
 @_register(
     "q67_markup_stripping",
     """

@@ -371,6 +371,36 @@ def test_cross_jaccard_finds_leaked_docs_only_across_sides(spark):
     assert all(left >= 200000 and right < 200000 for left, right in hits)
 
 
+def test_ngram_overlap_flags_span_leaks(spark):
+    # an eval item buried verbatim inside a larger train doc must be
+    # flagged (span-level), while near-verbatim (words changed so no 5
+    # consecutive originals survive) must NOT match at n=5
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here " + " ".join(f"w{i}" for i in range(10)) + " trailing tail"),
+            (2, "w0 w1 X w3 w4 w5 w6 Y w8 w9"),
+            (3, "totally unrelated text with other words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = {(r["doc_train"], r["doc_eval"]): r["n_shared"]
+           for r in dd.ngram_overlap_pairs(train, ev, n=5).collect()}
+    assert set(out) == {(1, 100)}
+    assert out[(1, 100)] == 6  # 10-word span -> 6 overlapping 5-grams
+    # capped run (cap not binding) and uncapped agree
+    capped = {(r["doc_train"], r["doc_eval"]): r["n_shared"]
+              for r in dd.ngram_overlap_pairs(train, ev, n=5, max_doc_freq=100).collect()}
+    assert capped == out
+    # identical SHORT docs (< n words) match via the partial-shingle rule
+    t2 = spark.createDataFrame([(7, "tiny leak doc")], "doc_id long, text string")
+    e2 = spark.createDataFrame([(8, "tiny leak doc")], "doc_id long, text string")
+    short = dd.ngram_overlap_pairs(t2, e2, n=13).collect()
+    assert [(r["doc_train"], r["doc_eval"], r["n_shared"]) for r in short] == [(7, 8, 1)]
+
+
 def test_dedup_near_by_keeps_preferred_survivor(spark):
     docs = spark.createDataFrame(
         [

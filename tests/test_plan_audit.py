@@ -109,10 +109,21 @@ def test_dedup_pipelines_never_cartesian(spark):
         "q29_simhash_near_pairs",
         "q60_incremental_dedup",
         "q65_contamination_report",
+        "q68_ngram_decontamination",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q68_train_side_never_shuffles_on_shingle(spark):
+    """Decontamination probes the 100 TB train shingle stream against the
+    broadcast eval shingle set — a SortMergeJoin here means the whole train
+    corpus shuffles on 13-gram text keys, the exact plan this operator
+    exists to avoid."""
+    plan = _plan(spark, "q68_ngram_decontamination")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
 def test_shingle_table_single_shuffle(spark):
