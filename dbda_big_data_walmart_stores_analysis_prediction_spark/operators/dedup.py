@@ -709,6 +709,61 @@ def cross_jaccard_pairs(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal — the within-document
+    member of the dedup family: drop every line whose normalized form
+    appears in more than ``max_doc_freq`` documents (site headers, nav
+    bars, cookie banners, copyright footers), reassemble the survivors in
+    original order. Returns ``(id, clean_text, n_lines, n_kept)``;
+    null-text docs are dropped (no lines to judge).
+
+    Line identity is the md5-int64 of the whitespace-collapsed lowercased
+    line, counted per DISTINCT doc — a line repeated inside one document
+    is that document's own structure, not corpus boilerplate.
+
+    Scale shape: explode is shuffle-free; the doc-freq aggregate and the
+    tag-back join both shuffle 8-byte line hashes (never line text); the
+    reassembly groupBy shuffles each line once, keyed by doc. Nothing is
+    quadratic — boilerplate frequency only makes the frequency aggregate's
+    partial combine MORE effective, the exact inverse of the shingle-join
+    blowup `cap_shingle_doc_freq` guards against.
+    """
+    lines = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__i", "__line"),
+    )
+    key = md5_int64(
+        F.regexp_replace(F.lower(F.trim(F.col("__line"))), r"\s+", " ")
+    )
+    keyed = lines.withColumn("__k", key)
+    dfreq = keyed.groupBy("__k").agg(F.countDistinct(id_col).alias("__df"))
+    tagged = keyed.join(dfreq, "__k").select(
+        id_col,
+        "__i",
+        "__line",
+        (F.col("__df") <= max_doc_freq).alias("__keep"),
+    )
+    agg = tagged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("__i", "__line", "__keep"))).alias(
+            "__rows"
+        )
+    )
+    kept = F.filter("__rows", lambda s: s["__keep"])
+    return agg.select(
+        F.col(id_col),
+        F.concat_ws(
+            "\n", F.transform(kept, lambda s: s["__line"])
+        ).alias("clean_text"),
+        F.size("__rows").cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+    )
+
+
 def ngram_overlap_pairs(
     train: DataFrame,
     eval_df: DataFrame,

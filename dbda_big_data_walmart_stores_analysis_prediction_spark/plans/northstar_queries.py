@@ -271,6 +271,73 @@ def q65_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cross_jaccard_pairs(bench, docs, "doc_id", "text", threshold=0.8)
 
 
+_SQL_NORM_LINE = r"regexp_replace(lower(trim(line)), '\s+', ' ', 'g')"
+_SQL_LINE_KEY = _SQL_HEX.format(x=_SQL_NORM_LINE)
+
+
+@_register(
+    "q69_line_dedup",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN 'SITE NAV  Home | About | Contact' || chr(10) || text
+                  || chr(10) || 'Copyright 2099 Example Corp'
+             WHEN doc_id % 3 = 1
+             THEN 'SITE NAV  Home | About | Contact' || chr(10) || text
+             ELSE text END AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+      FROM raw
+    ),
+    keyed AS (
+      SELECT doc_id, i, line,
+             {_SQL_LINE_KEY} AS k
+      FROM lines
+    ),
+    freq AS (SELECT k, count(DISTINCT doc_id) AS df FROM keyed GROUP BY k)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN df <= 10 THEN line END,
+                               chr(10) ORDER BY i), '') AS clean_text,
+           count(*)::BIGINT AS n_lines,
+           (count(*) FILTER (df <= 10))::BIGINT AS n_kept
+    FROM keyed JOIN freq USING (k)
+    GROUP BY doc_id
+    """,
+)
+def q69_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/dedup.py::dedup_lines)
+    over documents with a deterministic nav header injected on 2/3 of docs
+    and a copyright footer on 1/3 (the fixture corpus is single-line —
+    injection gives the doc-frequency cap real boilerplate to strip while
+    every doc's own text line survives)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("SITE NAV  Home | About | Contact\n"),
+                F.col("text"),
+                F.lit("\nCopyright 2099 Example Corp"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("SITE NAV  Home | About | Contact\n"), F.col("text")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dd.dedup_lines(injected, "doc_id", "text", max_doc_freq=10)
+
+
 _SQL_SHINGLES13 = (
     r"list_distinct([array_to_string(w[i:i+12], ' ') "
     r"FOR i IN range(1, greatest(len(w) - 12, 1) + 1)])"

@@ -371,6 +371,39 @@ def test_cross_jaccard_finds_leaked_docs_only_across_sides(spark):
     assert all(left >= 200000 and right < 200000 for left, right in hits)
 
 
+def test_dedup_lines_strips_boilerplate_keeps_order(spark):
+    hdr, foot = "SITE NAV", "(c) corp"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hdr}\nalpha body one\nmiddle line\n{foot}"),
+            (2, f"{hdr}\nbeta body two\n{foot}"),
+            (3, f"{hdr}\ngamma body three\n{foot}"),
+            (4, f"{hdr}\n{foot}"),                     # all boilerplate
+            (5, "standalone doc no markup"),
+            (6, None),                                  # dropped entirely
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dd.dedup_lines(docs, max_doc_freq=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # hdr/foot appear in 4 docs > cap 2 -> stripped; body order preserved
+    assert out[1]["clean_text"] == "alpha body one\nmiddle line"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (4, 2)
+    assert out[2]["clean_text"] == "beta body two"
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+    assert out[5]["clean_text"] == "standalone doc no markup"
+    # normalization: case/whitespace variants of a line count as one key
+    v = spark.createDataFrame(
+        [(1, "Cookie  Notice\nbody a"), (2, "cookie notice\nbody b"),
+         (3, " COOKIE NOTICE \nbody c")],
+        "doc_id long, text string",
+    )
+    vout = {r["doc_id"]: r["clean_text"]
+            for r in dd.dedup_lines(v, max_doc_freq=2).collect()}
+    assert vout == {1: "body a", 2: "body b", 3: "body c"}
+
+
 def test_ngram_overlap_flags_span_leaks(spark):
     # an eval item buried verbatim inside a larger train doc must be
     # flagged (span-level), while near-verbatim (words changed so no 5
