@@ -88,6 +88,16 @@ def shingle_table(
     map-side partial dedup — net 1.15x slower for jaccard and minhash at
     sf0.1. Bytes shuffled beat exchange count.
     """
+    return _shingle_rows(df, id_col, text_col, k).distinct()
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Raw (doc, sh) rows WITHOUT the set-semantics distinct — the
+    shuffle-free codegen span `shingle_table` documents. Consumers that
+    group by doc anyway (`shingle_sets`) dedup inside their own aggregate
+    and skip the distinct's exchange entirely."""
     arr = F.split(_norm_text(text_col), r"\s+")
     # null text must yield NO shingles (greatest() ignores the null size and
     # would otherwise emit one "" shingle, diverging from the oracle's
@@ -96,12 +106,50 @@ def shingle_table(
         F.col(id_col).alias("doc"), arr.alias("__w")
     )
     idx = F.explode(F.sequence(F.lit(0), F.greatest(F.size("__w") - k, F.lit(0))))
-    return (
-        base.select("doc", "__w", idx.alias("__i"))
-        .select(
-            "doc", F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, k)).alias("sh")
+    return base.select("doc", "__w", idx.alias("__i")).select(
+        "doc", F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, k)).alias("sh")
+    )
+
+
+def shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Per-doc shingle sets flattened with their size attached:
+    ``(doc, sz, sh)`` where ``sz`` = that doc's distinct-shingle count over
+    the (optionally capped) space — `shingle_table` + per-doc sizes in ONE
+    shuffle instead of three plan branches.
+
+    This is the stage-fusion primitive for the Jaccard family: a pair join
+    over this table carries both sizes through the shuffle (8 bytes/row),
+    so the pair aggregate computes ``J = shared/(sz_a+sz_b-shared)``
+    directly and the separate sizes aggregate + two post-aggregate joins —
+    three serial stages of scheduling floor per query — disappear. Distinct
+    semantics are preserved because ``collect_set`` dedups inside the
+    aggregate (with map-side partial sets, same shuffle bytes as the
+    distinct it replaces). Per-doc set state is bounded by document length,
+    not corpus size, so the aggregate is skew-safe wherever docs are.
+    """
+    rows = _shingle_rows(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        keep = (
+            rows.groupBy("sh")
+            .agg(F.countDistinct("doc").alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("sh")
         )
-        .distinct()
+        rows = rows.join(keep, "sh")
+    return (
+        rows.groupBy("doc")
+        .agg(F.collect_set("sh").alias("__shs"))
+        .select(
+            "doc",
+            F.size("__shs").cast("bigint").alias("sz"),
+            F.explode("__shs").alias("sh"),
+        )
     )
 
 
@@ -152,40 +200,34 @@ def jaccard_pairs(
     (``cap_shingle_doc_freq``) — set it for any at-scale run; the join
     fan-out is otherwise unbounded in the worst shingle's doc-frequency.
     """
-    # NOTE: the shingle table is consumed by three subtrees (self-join a/b
-    # sides + the sizes aggregate); a LAZY localCheckpoint makes them share
-    # one RDD identity, so the scan -> explode -> distinct pipeline runs
-    # once instead of three times (measured 1.57s -> 1.23s at sf0.1). The
-    # stored blocks are the same magnitude as the shuffle files the
-    # distinct already writes (MEMORY_AND_DISK, spills), so this does NOT
-    # reintroduce the columnar-cache build that an earlier persist()
-    # attempt measured at 5x the recompute cost — checkpoint blocks are
-    # the raw rows as shuffled, no cache-encoding pass.
-    #
-    # Plan shape kept deliberately: the two sizes joins run AFTER the pair
-    # aggregate, on the tiny aggregated pair table, with the sizes side
-    # auto-broadcast — measured faster than carrying sz through the
-    # self-join via a partition-only window (window adds a doc-shuffle of
-    # the full shingle table before the join; the broadcast joins touch
-    # only candidate pairs).
-    sh = cap_shingle_doc_freq(
-        shingle_table(df, id_col, text_col, k), max_doc_freq
-    ).localCheckpoint(eager=False)
-    # sizes feeds BOTH post-aggregate joins (sz_a and sz_b rename branches)
-    # — same one-materialization rule, tiny (one long per doc)
-    sizes = (
-        sh.groupBy("doc").agg(F.count("*").alias("sz")).localCheckpoint(eager=False)
+    # Stage-fused via `shingle_sets`: one (doc)-keyed aggregate replaces
+    # the old distinct + separate sizes branch, both self-join sides carry
+    # their sz through the shuffle (8 bytes/row), and the pair aggregate
+    # computes the Jaccard directly. The LAZY localCheckpoint still makes
+    # the a/b sides share one RDD identity so the scan -> explode ->
+    # collect_set pipeline runs once, with the same blocks-as-shuffled
+    # economics as before (no columnar-cache build). This supersedes the
+    # round-3 measured choice of post-aggregate broadcast sizes joins:
+    # that shape beat a WINDOW size-carry (which ADDED a doc-shuffle after
+    # the distinct), while this one REPLACES the distinct with the
+    # doc-keyed aggregate — two fewer serial stages and strictly fewer
+    # shuffled bytes (the sizes branch is gone). Measured at sf0.1:
+    # self-join variant ~5% faster (checkpoint materialization still
+    # serializes one job); the bipartite variant (cross_jaccard_pairs),
+    # which needs no checkpoint at all, gained 43% (1.64 s -> 0.93 s).
+    sh = shingle_sets(df, id_col, text_col, k, max_doc_freq).localCheckpoint(
+        eager=False
     )
     a = sh.alias("a")
     b = sh.alias("b")
-    shared = (
+    return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -588,32 +630,50 @@ def dedup_incremental(
         # consumed by the batch shingle table AND the final anti-join
         .localCheckpoint(eager=False)
     )
-    sh_n = shingle_table(surv, id_col, text_col, k)
+    # raw (non-distinct) shingle rows: the fused size-attach aggregate
+    # below dedups per (doc, is_new) anyway, so the two per-side distinct
+    # exchanges the old shingle_table union paid are pure waste here
+    sh_n = _shingle_rows(surv, id_col, text_col, k)
     sh_c = (
         corpus_shingles.select(F.col("doc"), F.col("sh"))
         if corpus_shingles is not None
-        else shingle_table(corpus, id_col, text_col, k)
+        else _shingle_rows(corpus, id_col, text_col, k)
     )
     sh_all = sh_c.withColumn("is_new", F.lit(False)).unionByName(
         sh_n.withColumn("is_new", F.lit(True))
     )
     if max_doc_freq is not None:
+        # doc-frequency over DISTINCT (doc, side) holders — raw rows carry
+        # within-doc multiplicity that must not inflate the cap
         keep_sh = (
             sh_all.groupBy("sh")
-            .agg(F.count("*").alias("__df"))
+            .agg(F.countDistinct("doc", "is_new").alias("__df"))
             .where(F.col("__df") <= max_doc_freq)
             .select("sh")
         )
         sh_all = sh_all.join(keep_sh, "sh").select("doc", "sh", "is_new")
-    # one materialization feeds the sizes aggregate and both join sides
-    sh_all = sh_all.localCheckpoint(eager=False)
-    # sizes are grouped (and later joined) on (doc, is_new), not bare doc:
-    # a corpus id may numerically collide with a batch id, and a bare-doc
-    # groupBy would merge the two docs' shingle counts into one wrong size.
-    sizes = sh_all.groupBy("doc", "is_new").agg(F.count("*").alias("sz"))
-    n = sh_all.where(F.col("is_new")).alias("n")
-    o = sh_all.alias("o")
-    shared = (
+    # Stage fusion: attach each doc's shingle-set size to every row in ONE
+    # (doc, is_new)-keyed aggregate — grouped per side, never bare doc, so
+    # a corpus id numerically colliding with a batch id cannot merge the
+    # two docs' counts — then the candidate join carries both sizes through
+    # the shuffle and the pair aggregate computes the Jaccard directly. The
+    # separate sizes aggregate + two post-aggregate joins this replaces
+    # were three serial stages of pure scheduling floor.
+    attached = (
+        sh_all.groupBy("doc", "is_new")
+        .agg(F.collect_set("sh").alias("__shs"))
+        .select(
+            "doc",
+            "is_new",
+            F.size("__shs").cast("bigint").alias("sz"),
+            F.explode("__shs").alias("sh"),
+        )
+        # one materialization feeds both sides of the candidate self-join
+        .localCheckpoint(eager=False)
+    )
+    n = attached.where(F.col("is_new")).alias("n")
+    o = attached.alias("o")
+    matched = (
         n.join(
             o,
             (F.col("n.sh") == F.col("o.sh"))
@@ -624,22 +684,10 @@ def dedup_incremental(
             F.col("o.doc").alias("doc_o"),
             F.col("o.is_new").alias("o_new"),
         )
-        .agg(F.count("*").alias("shared"))
-    )
-    matched = (
-        shared.join(
-            sizes.where(F.col("is_new")).select(
-                F.col("doc").alias("doc_n"), F.col("sz").alias("sz_n")
-            ),
-            "doc_n",
-        )
-        .join(
-            sizes.select(
-                F.col("doc").alias("doc_o"),
-                F.col("is_new").alias("o_new"),
-                F.col("sz").alias("sz_o"),
-            ),
-            ["doc_o", "o_new"],
+        .agg(
+            F.count("*").alias("shared"),
+            F.first(F.col("n.sz")).alias("sz_n"),
+            F.first(F.col("o.sz")).alias("sz_o"),
         )
         .where(
             F.round(
@@ -674,30 +722,30 @@ def cross_jaccard_pairs(
     benchmark item leaked (near-)verbatim into training. Same machinery
     covers cross-source overlap audits (crawl A vs crawl B).
 
-    Plan: each side's shingle table materializes once (lazy checkpoint:
-    sizes aggregate + join side share it), the join shuffles on the
-    shingle, and with both sides capped at ``max_doc_freq`` the worst
-    shingle's fan-out is bounded by cap² — identical scale posture to
-    ``jaccard_pairs``, with the pair space further bounded by
-    |left shingles| x collision rate, not corpus².
+    Plan (stage-fused via `shingle_sets`): each side is one
+    shingle+size aggregate, the bipartite join on the shingle carries both
+    sizes through the shuffle, and the pair aggregate computes the Jaccard
+    directly — no separate sizes branch, no post-aggregate joins, and no
+    checkpoints (each side is consumed exactly once). With both sides
+    capped at ``max_doc_freq`` the worst shingle's fan-out is bounded by
+    cap² — identical scale posture to ``jaccard_pairs``, with the pair
+    space further bounded by |left shingles| x collision rate, not
+    corpus².
     """
-    sh_l = cap_shingle_doc_freq(
-        shingle_table(left, id_col, text_col, k), max_doc_freq
-    ).localCheckpoint(eager=False)
-    sh_r = cap_shingle_doc_freq(
-        shingle_table(right, id_col, text_col, k), max_doc_freq
-    ).localCheckpoint(eager=False)
-    sz_l = sh_l.groupBy("doc").agg(F.count("*").alias("sz_l")).toDF("doc_left", "sz_l")
-    sz_r = sh_r.groupBy("doc").agg(F.count("*").alias("sz_r")).toDF("doc_right", "sz_r")
-    shared = (
-        sh_l.toDF("doc_left", "sh")
-        .join(sh_r.toDF("doc_right", "sh"), "sh")
-        .groupBy("doc_left", "doc_right")
-        .agg(F.count("*").alias("shared"))
+    l = shingle_sets(left, id_col, text_col, k, max_doc_freq).toDF(
+        "doc_left", "sz_l", "sh"
+    )
+    r = shingle_sets(right, id_col, text_col, k, max_doc_freq).toDF(
+        "doc_right", "sz_r", "sh"
     )
     return (
-        shared.join(sz_l, "doc_left")
-        .join(sz_r, "doc_right")
+        l.join(r, "sh")
+        .groupBy("doc_left", "doc_right")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("sz_l").alias("sz_l"),
+            F.first("sz_r").alias("sz_r"),
+        )
         .select(
             "doc_left",
             "doc_right",
