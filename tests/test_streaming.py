@@ -231,6 +231,65 @@ def test_streaming_dedup_matches_batch(spark):
         assert got.select(F.countDistinct("event_id")).first()[0] == ev.count()
 
 
+def test_streaming_corpus_ingest_restart_and_replay_idempotent(spark, tmp_path):
+    """Fault-tolerance contract of the corpus ingest: (a) a restart from
+    the source checkpoint continues without re-reading committed input;
+    (b) a full REPLAY (lost checkpoint — every batch re-delivered) appends
+    nothing, because replayed survivors exact-match the corpus rows they
+    already wrote; (c) null/empty-text rows never reach the corpus — a
+    null fingerprint would defeat the anti-join that makes (b) true."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.corpus import (
+        streaming_corpus_ingest,
+    )
+
+    inp = tmp_path / "in"
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+
+    def mkstream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inp}/*")
+        )
+
+    spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd"), (2, None), (3, "")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(inp / "b1"))
+    q = streaming_corpus_ingest(
+        mkstream(), str(corpus), checkpoint_dir=str(ckpt), threshold=0.5
+    )
+    q.awaitTermination(120)
+    after1 = spark.read.parquet(str(corpus)).collect()
+    assert {r["doc_id"] for r in after1} == {1} and len(after1) == 1
+
+    # stop/crash between micro-batches: new input lands, restart from the
+    # SAME checkpoint — b1 must not be re-read, 11 dedups against corpus
+    spark.createDataFrame(
+        [(10, "fresh new words only here"), (11, "aaa bbb ccc ddd")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(inp / "b2"))
+    q = streaming_corpus_ingest(
+        mkstream(), str(corpus), checkpoint_dir=str(ckpt), threshold=0.5
+    )
+    q.awaitTermination(120)
+    after2 = spark.read.parquet(str(corpus)).collect()
+    assert {r["doc_id"] for r in after2} == {1, 10} and len(after2) == 2
+
+    # lost-checkpoint replay: EVERY batch re-delivered against the corpus
+    # that already holds its survivors -> zero growth, no duplicate rows
+    q = streaming_corpus_ingest(
+        mkstream(),
+        str(corpus),
+        checkpoint_dir=str(tmp_path / "ckpt_fresh"),
+        threshold=0.5,
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(str(corpus)).collect()
+    assert {r["doc_id"] for r in final} == {1, 10} and len(final) == 2
+
+
 def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
     from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.corpus import (
         streaming_corpus_ingest,
