@@ -94,6 +94,10 @@ LONGTAIL = [
     "q59_event_dedup",
     "q68_ngram_decontamination",
     "q69_line_dedup",
+    # round-5 capstone: full web-crawl pipeline (clean -> filter -> dedup);
+    # Spark ~6.8s vs the DuckDB oracle's ~210s at sf0.1 (the recursive-CTE
+    # closure over the composed CTE chain is where single-node dies)
+    "q70_web_corpus_pipeline",
 ]
 
 

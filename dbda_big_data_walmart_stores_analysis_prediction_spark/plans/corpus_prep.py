@@ -110,6 +110,46 @@ def prepare_training_corpus(
     return dd.dedup_near(exact, pairs, id_col)
 
 
+def clean_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Raw-crawl cleaning prelude — the stages that run BEFORE scoring and
+    dedup in a web pipeline (CCNet/RefinedWeb shape), in the order that
+    preserves each stage's signal:
+
+    1. line-level boilerplate dedup (`dedup_lines`) on the RAW text —
+       must run first because markup stripping collapses the newlines the
+       line splitter keys on;
+    2. markup stripping (`strip_markup`) on the line-deduped text;
+    3. PII redaction (`redact_pii`) on the cleaned prose.
+
+    Returns ``(id, text)`` with the cleaned text under the original
+    column name, ready for `prepare_training_corpus`. Every stage is a
+    scan projection except the line-dedup's two hash-keyed shuffles, so
+    the whole prelude adds no join or aggregate over document pairs.
+    """
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        dedup_lines,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        redact_pii,
+        strip_markup,
+    )
+
+    ld = dedup_lines(docs, id_col, text_col, max_doc_freq=line_max_doc_freq).select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+    ms = strip_markup(ld, text_col, id_col).select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+    return redact_pii(ms, text_col, id_col).select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+
+
 def corpus_summary(corpus: DataFrame) -> DataFrame:
     """Tiny per-language accounting frame for the prepared corpus (the only
     thing that ever reaches the driver)."""

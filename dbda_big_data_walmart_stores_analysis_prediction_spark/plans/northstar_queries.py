@@ -22,6 +22,7 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
     text as tx,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.star_queries import (
+    ORACLE_SQL,
     _register,
     _t,
 )
@@ -1101,6 +1102,132 @@ def q56_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return corpus_summary(prepare_training_corpus(docs))
+
+
+# q70's oracle = the cleaning prelude's CTEs spliced in front of the q56
+# capstone SQL, with the capstone's `documents` scans retargeted at the
+# cleaned CTE. Deriving it from the REGISTERED q56 string keeps one source
+# of truth: any change to the corpus-prep oracle propagates to q70.
+_Q70_PRELUDE = (
+    """
+    raw0 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+             THEN '<html><body><p class="c">' || text
+                  || '</p><script>var x=1;</script></body></html>'
+             ELSE text END AS b1
+      FROM documents
+    ),
+    raw1 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0
+             THEN b1 || ' contact user' || doc_id::VARCHAR
+                  || '@example.com from 10.0.0.' || (doc_id % 256)::VARCHAR
+             ELSE b1 END AS b2
+      FROM raw0
+    ),
+    raw AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN 'SITE NAV  Home | About | Contact' || chr(10) || b2
+                  || chr(10) || 'Copyright 2099 Example Corp'
+             WHEN doc_id % 3 = 1
+             THEN 'SITE NAV  Home | About | Contact' || chr(10) || b2
+             ELSE b2 END AS text
+      FROM raw1
+    ),
+    rlines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+      FROM raw
+    ),
+    rkeyed AS (SELECT doc_id, i, line, __LINEKEY__ AS k FROM rlines),
+    rfreq AS (SELECT k, count(DISTINCT doc_id) AS df FROM rkeyed GROUP BY k),
+    ld AS (SELECT doc_id,
+                  coalesce(string_agg(CASE WHEN df <= 10 THEN line END,
+                                      chr(10) ORDER BY i), '') AS text
+           FROM rkeyed JOIN rfreq USING (k) GROUP BY doc_id),
+    ms AS (SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS text
+           FROM ld),
+    red AS (SELECT doc_id,
+              regexp_replace(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g') AS text
+            FROM ms)
+    """.replace("__LINEKEY__", _SQL_LINE_KEY)
+)
+# retarget the capstone's scans FIRST, then splice the prelude (whose own
+# raw0 CTE legitimately scans `documents` and must not be rewritten)
+_Q70_SQL = (
+    ORACLE_SQL["q56_corpus_prep"]
+    .replace("FROM documents", "FROM red")
+    .replace("WITH RECURSIVE", "WITH RECURSIVE " + _Q70_PRELUDE + ",", 1)
+)
+
+
+@_register("q70_web_corpus_pipeline", _Q70_SQL)
+def q70_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full web-crawl capstone (plans/corpus_prep.py::clean_documents +
+    prepare_training_corpus): line-level boilerplate dedup → markup strip
+    → PII redaction → quality + language filter → exact dedup →
+    MinHash-LSH near-dup collapse → per-language token accounting — the
+    CCNet/RefinedWeb pipeline shape end to end, hash-checked against the
+    composed oracle. Injections wrap the plain-text fixture with nav
+    header/footer lines (2/3 of docs), HTML chrome (every 7th), and PII
+    (every 10th) so every cleaning stage does real, checkable work."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        clean_documents,
+        corpus_summary,
+        prepare_training_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit('<html><body><p class="c">'),
+            F.col("text"),
+            F.lit("</p><script>var x=1;</script></body></html>"),
+        ),
+    ).otherwise(F.col("text"))
+    body = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            body,
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    ).otherwise(body)
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("SITE NAV  Home | About | Contact\n"),
+                body,
+                F.lit("\nCopyright 2099 Example Corp"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("SITE NAV  Home | About | Contact\n"), body),
+        )
+        .otherwise(body)
+        .alias("text"),
+    )
+    cleaned = clean_documents(raw, line_max_doc_freq=10)
+    return corpus_summary(prepare_training_corpus(cleaned))
 
 
 @_register("q47_knn_ivf")  # approximate: rows-only check, no oracle

@@ -404,6 +404,34 @@ def test_dedup_lines_strips_boilerplate_keeps_order(spark):
     assert vout == {1: "body a", 2: "body b", 3: "body c"}
 
 
+def test_clean_documents_stage_order_and_composition(spark):
+    """Line dedup must see RAW newlines (markup stripping collapses them),
+    then tags vanish, then PII redacts — the full cleaning prelude on one
+    adversarial doc family."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        clean_documents,
+    )
+
+    hdr = "SITE NAV"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hdr}\n<p>alpha body</p> mail a@b.io ok"),
+            (2, f"{hdr}\n<p>beta body</p> fine text"),
+            (3, f"{hdr}\ngamma body plain"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in clean_documents(docs, line_max_doc_freq=2).collect()}
+    assert out[1] == "alpha body mail <EMAIL> ok"     # nav gone, tags gone, PII gone
+    assert out[2] == "beta body fine text"
+    assert out[3] == "gamma body plain"
+    # order matters: stripping first would fuse the nav line into the body
+    # (newline collapsed to a space) and the boilerplate could never be
+    # removed line-wise — assert the nav text is truly absent
+    assert all(hdr not in t for t in out.values())
+
+
 def test_ngram_overlap_flags_span_leaks(spark):
     # an eval item buried verbatim inside a larger train doc must be
     # flagged (span-level), while near-verbatim (words changed so no 5
