@@ -98,6 +98,8 @@ LONGTAIL = [
     # Spark ~6.8s vs the DuckDB oracle's ~210s at sf0.1 (the recursive-CTE
     # closure over the composed CTE chain is where single-node dies)
     "q70_web_corpus_pipeline",
+    "q71_temperature_mix",
+    "q72_semantic_dedup",
 ]
 
 

@@ -20,6 +20,69 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing im
 )
 
 
+def _mix_hash(id_col: str, salt: str):
+    return md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    total_frac: float = 0.6,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-flattened corpus mixing (the GPT-3 data-balancing rule):
+    stratum ``s`` gets a quota ∝ ``n_s^alpha`` of a target corpus of
+    ``ceil(total_frac * N)`` docs, capped at the stratum's own size —
+    ``alpha < 1`` upweights small sources relative to their raw share, 1
+    reduces to proportional sampling, 0 to equal shares. Selection within a
+    stratum is the same hash-ordered deterministic rule as
+    `stratified_sample`, so the kept set is a pure function of the data.
+
+    Unlike `stratified_sample` the shares are DATA-DEPENDENT: quotas come
+    from the stratum counts, not a caller dict, so the whole policy stays
+    in-plan (no collect). Quota arithmetic rounds the real-valued quota to
+    6 dp before the ceil, putting both engines' float noise far inside the
+    rounding step so the oracle stays bit-reproducible.
+
+    Plan: one tiny counts aggregate + its grand-total (both broadcast
+    back), then one shuffle on the stratum shared by the rank window —
+    same scale shape as `stratified_sample`, plus two broadcast joins of
+    stratum-count-sized frames.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    tots = counts.agg(
+        F.sum(F.pow("__n", F.lit(float(alpha)))).alias("__z"),
+        F.sum("__n").alias("__N"),
+    )
+    # alias-qualify: tots is derived FROM counts, so an unqualified __n is
+    # ambiguous across the self-derived cross join's two children
+    quotas = counts.alias("c").crossJoin(F.broadcast(tots).alias("t")).select(
+        F.col(f"c.{strata_col}").alias(strata_col),
+        F.least(
+            F.col("c.__n").cast("double"),
+            F.ceil(
+                F.round(
+                    F.ceil(F.col("t.__N") * F.lit(float(total_frac)))
+                    * F.pow(F.col("c.__n"), F.lit(float(alpha)))
+                    / F.col("t.__z"),
+                    6,
+                )
+            ).cast("double"),
+        ).alias("__q"),
+    )
+    by_stratum = Window.partitionBy(strata_col)
+    return (
+        df.join(F.broadcast(quotas), strata_col)
+        .withColumn("__h", _mix_hash(id_col, salt))
+        .withColumn("__rn", F.row_number().over(by_stratum.orderBy("__h", id_col)))
+        .where(F.col("__rn") <= F.col("__q"))
+        .drop("__h", "__rn", "__q")
+        .select(*df.columns)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -48,7 +111,7 @@ def stratified_sample(
     share is acceptable, ``df.sampleBy`` is the cheaper shuffle-free
     alternative; this operator's niche is exactness + reproducibility.
     """
-    h = md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    h = _mix_hash(id_col, salt)
     frac = F.lit(float(default_fraction))
     for value, share in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(share))).otherwise(

@@ -1356,6 +1356,78 @@ def q61_stratified_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q71_temperature_mix",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    z AS (SELECT sum(pow(n, 0.5)) AS zsum, sum(n) AS grand FROM c),
+    q AS (SELECT lang,
+                 least(n::DOUBLE,
+                       ceil(round(ceil(grand * 0.6) * pow(n, 0.5) / zsum, 6))) AS q
+          FROM c, z),
+    h AS (SELECT doc_id, lang,
+                 {_SQL_HEX.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} AS hv
+          FROM documents),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+          FROM h)
+    SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rn <= q
+    """,
+)
+def q71_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mixing (operators/sampling.py::
+    temperature_mix): per-language quotas ∝ sqrt(n) of a 60%-of-corpus
+    target — small languages keep a larger-than-proportional share, the
+    GPT-3 balancing rule — selected by the deterministic hash order so the
+    mix hash-checks against the oracle. Quotas are data-dependent and
+    computed in-plan (no collect)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(docs, "lang", "doc_id", alpha=0.5, total_frac=0.6)
+
+
+# q72's oracle wraps the REGISTERED q31 pair SQL as a CTE and closes it
+# with the q55-style recursive-CTE fixpoint — the dedup-family composition
+# point (pairs from ANY generator -> components -> collapse) proven over
+# EMBEDDING pairs, one source of truth with q31.
+_Q72_SQL = (
+    "WITH RECURSIVE pairs AS (\n"
+    + ORACLE_SQL["q31_embedding_near_dups"]
+    + """
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+    losers AS (SELECT id FROM comp WHERE id != component)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM losers)
+    """
+)
+
+
+@_register("q72_semantic_dedup", _Q72_SQL)
+def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic collapse: sign-LSH embedding near-dup pairs
+    (q31's oracled scale path) → connected components → keep the min-id
+    member per cluster. Proves the dedup family's composition point over
+    embedding-cosine pairs, not just text shingles — the same
+    `dedup_near` collapse accepts pairs from any generator."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_near_dup_pairs(emb, threshold=0.25, exact=False)
+    return dd.dedup_near(emb.select("vec_id"), pairs, "vec_id", "id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows / sessionization (streaming-shaped batch semantics)
 # ---------------------------------------------------------------------------

@@ -280,6 +280,42 @@ def test_stratified_sample_exact_quotas_and_determinism(spark):
     assert {r["lang"] for r in only.select("lang").distinct().collect()} == {"en"}
 
 
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        temperature_mix,
+    )
+    import math
+
+    docs = _docs(spark).select("doc_id", "lang")
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = temperature_mix(docs, "lang", "doc_id", alpha=0.5, total_frac=0.6)
+    kept = {r["lang"]: r["n"] for r in
+            out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # quotas replicate the documented formula exactly
+    z = sum(math.sqrt(n) for n in totals.values())
+    target = math.ceil(sum(totals.values()) * 0.6)
+    for lang, n in totals.items():
+        expect = min(n, math.ceil(round(target * math.sqrt(n) / z, 6)))
+        assert kept.get(lang, 0) == expect, (lang, kept.get(lang), expect)
+    # flattening: the dominant stratum's kept share drops below its raw share
+    big = max(totals, key=totals.get)
+    assert kept[big] / sum(kept.values()) < totals[big] / sum(totals.values())
+    # deterministic id set across reruns
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in
+            temperature_mix(docs, "lang", "doc_id", alpha=0.5, total_frac=0.6).collect()}
+    assert ids1 == ids2
+    # alpha=1 reduces to proportional quotas
+    prop = temperature_mix(docs, "lang", "doc_id", alpha=1.0, total_frac=0.5)
+    pk = {r["lang"]: r["n"] for r in
+          prop.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    grand = sum(totals.values())
+    for lang, n in totals.items():
+        expect = min(n, math.ceil(round(math.ceil(grand * 0.5) * n / grand, 6)))
+        assert pk.get(lang, 0) == expect
+
+
 def test_pack_sequences_invariants(spark):
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
         pack_sequences,
