@@ -283,3 +283,46 @@ def test_connected_components_matches_union_find(spark, edges):
         x: min(comp_members[r]) for x, r in expect.items()
     }
     assert got == expect_min
+
+
+# multi-line docs from a tiny line pool so boilerplate lines actually
+# repeat across documents
+_line_pool = st.sampled_from(
+    ["nav home", "copyright corp", "Body Alpha", "body beta", "  spaced  line ", ""]
+)
+_multiline_docs = st.lists(
+    st.lists(_line_pool, min_size=1, max_size=5).map("\n".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_multiline_docs, cap=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_dedup_lines_matches_python_reference(spark, texts, cap):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        dedup_lines,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept"])
+        for r in dedup_lines(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            max_doc_freq=cap,
+        ).collect()
+    }
+
+    def norm(line):
+        return " ".join(line.lower().strip().split())
+
+    df_count = {}
+    for _, t in docs:
+        for key in {norm(ln) for ln in t.split("\n")}:
+            df_count[key] = df_count.get(key, 0) + 1
+    expect = {}
+    for i, t in docs:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if df_count[norm(ln)] <= cap]
+        expect[i] = ("\n".join(kept), len(lines), len(kept))
+    assert out == expect
