@@ -419,6 +419,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    driver_edge_bound: int = 1_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every vertex
     converges to the smallest id reachable from it. Returns (id, component).
@@ -432,10 +433,21 @@ def connected_components(
     explodes. Convergence is detected with a changed-labels count (one
     tiny job per round).
 
-    At 1000-executor scale the same loop holds: state is (id, label) pairs
-    partitioned by id; for graphs with giant diameters swap in the
-    large-star/small-star formulation, which this API deliberately leaves
-    room for.
+    SIZE-GATED driver shortcut (same decision class as Spark's broadcast
+    join threshold): once the edge list is materialized, if it holds at
+    most ``driver_edge_bound`` edges — two longs each, so the default 1M
+    bound is ~16 MB, far under any driver budget — the components are
+    closed with a driver-side union-find instead of the loop. Dedup
+    graphs are edge-sparse by construction (capped candidate generation),
+    so in practice this path handles everything up to corpora whose PAIR
+    count reaches millions, while each avoided propagation round saves
+    2-3 serial jobs. Labels are identical (min reachable id) either way;
+    pass ``driver_edge_bound=0`` to force the distributed loop.
+
+    At 1000-executor scale the distributed loop holds: state is (id,
+    label) pairs partitioned by id; for graphs with giant diameters swap
+    in the large-star/small-star formulation, which this API deliberately
+    leaves room for.
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iter`` rounds (graph diameter > max_iter): returning the
@@ -466,6 +478,31 @@ def connected_components(
         .select("__e.a", "__e.b")
         .localCheckpoint(eager=True)
     )
+    if driver_edge_bound and bidir.count() <= 2 * driver_edge_bound:
+        # Driver union-find over the materialized edge blocks. Union-by-min
+        # keeps every root the minimum id of its component, so find(v) IS
+        # the min-label the distributed loop converges to.
+        rows = bidir.where(F.col("a") <= F.col("b")).collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r["a"], r["b"]
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        t = bidir.schema["a"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            [(v, find(v)) for v in parent], f"id {t}, component {t}"
+        )
     labels = (
         bidir.select(F.col("a").alias("id"))
         .distinct()

@@ -53,11 +53,29 @@ def test_connected_components_raises_on_non_convergence(spark):
 
     # a 4-chain needs >1 min-label round; max_iter=1 must fail LOUDLY,
     # never return partially-propagated labels as if converged
+    # (driver_edge_bound=0 forces the distributed loop — the size gate
+    # would otherwise close this tiny graph driver-side)
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(edges, max_iter=1)
+        dd.connected_components(edges, max_iter=1, driver_edge_bound=0)
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    # identical labels from the size-gated union-find and the min-label
+    # loop, on a graph with chains, a dense clique, islands, a self-loop,
+    # and reversed edge directions
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (7, 7), (10, 11), (11, 10),
+         (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    fast = {r["id"]: r["component"] for r in dd.connected_components(edges).collect()}
+    slow = {r["id"]: r["component"]
+            for r in dd.connected_components(edges, driver_edge_bound=0).collect()}
+    assert fast == slow
+    assert fast[5] == 1 and fast[7] == 7 and fast[22] == 20
 
 
 def test_dedup_near_collapses_clusters(spark):
