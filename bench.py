@@ -100,6 +100,7 @@ LONGTAIL = [
     "q70_web_corpus_pipeline",
     "q71_temperature_mix",
     "q72_semantic_dedup",
+    "q73_corpus_report",
 ]
 
 

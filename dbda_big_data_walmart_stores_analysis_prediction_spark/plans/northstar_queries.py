@@ -1428,6 +1428,84 @@ def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_near(emb.select("vec_id"), pairs, "vec_id", "id_a", "id_b")
 
 
+@_register(
+    "q73_corpus_report",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source,
+        length(text)::DOUBLE AS n_chars,
+        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+        length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE AS n_punct,
+        length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit,
+        length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE AS n_space,
+        {_SQL_HEX.format(x=_SQL_NORM)} AS fpx
+      FROM (SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 400000 AS doc_id, 'mirror' AS source, text
+            FROM documents WHERE doc_id % 9 = 0)
+    ),
+    g AS (
+      SELECT doc_id, source, n_tokens, fpx,
+        CASE WHEN n_tokens > 0 THEN (n_chars - n_space) / n_tokens ELSE 0.0 END AS avg_tok,
+        CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+        CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio
+      FROM f
+    ),
+    q AS (
+      SELECT doc_id, source, n_tokens, fpx,
+        floor((least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
+              + CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 0.3 ELSE 0.0 END
+              + greatest(0.0, 0.15 - punct_ratio) * 2.0 / 3.0 * 1.0
+              + greatest(0.0, 0.2 - digit_ratio)) * 10000 + 0.5) / 10000 AS quality_score
+      FROM g
+    ),
+    c AS (SELECT fpx, count(*) AS cnt FROM q GROUP BY fpx)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+           round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_rate,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           round(avg(quality_score), 4) AS avg_quality
+    FROM q JOIN c USING (fpx)
+    GROUP BY source
+    """,
+)
+def q73_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report per source: doc counts, exact-duplicate
+    membership rate (docs whose normalized fingerprint appears more than
+    once ANYWHERE in the corpus — cross-source dup detection is the
+    point), token totals, and average quality. The operational dashboard
+    query behind every ingest decision; one scan + two tiny fingerprint
+    aggregates, no pair joins. A simulated 'mirror' source re-hosting
+    every 9th doc gives the dup-rate path real cross-source work (the
+    fixture corpus itself is exact-dup-free)."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = base.unionAll(
+        base.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
+    )
+    feats = tx.add_text_features(docs).withColumn(
+        "__fp", dd.md5_int64(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    )
+    counts = feats.groupBy("__fp").agg(F.count("*").alias("__cnt"))
+    return (
+        feats.join(counts, "__fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("__cnt") > 1).cast("bigint")).alias("n_dup_docs"),
+            F.round(
+                F.sum((F.col("__cnt") > 1).cast("bigint")) / F.count("*"), 6
+            ).alias("dup_rate"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows / sessionization (streaming-shaped batch semantics)
 # ---------------------------------------------------------------------------
