@@ -101,6 +101,7 @@ LONGTAIL = [
     "q71_temperature_mix",
     "q72_semantic_dedup",
     "q73_corpus_report",
+    "q74_doc_chunking",
 ]
 
 

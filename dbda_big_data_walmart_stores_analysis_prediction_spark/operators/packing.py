@@ -17,6 +17,51 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing im
 )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the RAG/pretraining
+    prep step that turns long documents into model-sized pieces:
+    ``(id, chunk_id, chunk_text, n_tokens)``, one row per window of
+    ``size`` whitespace tokens advancing by ``size - overlap``. The last
+    window is emitted as soon as it covers the tail (windows start while
+    ``start < max(n - overlap, 1)``), so every token lands in ≥1 chunk,
+    short docs yield exactly one chunk, and no chunk is a strict suffix
+    of its predecessor.
+
+    Shuffle-free: split once per doc, explode the window starts, build
+    each chunk with ``slice`` + ``concat_ws`` — the same codegen
+    generator pattern as `shingle_table`, scan-parallel at any corpus
+    size.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), arr.alias("__w"), F.size(arr).alias("__n")
+    )
+    start = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("__n") - overlap, F.lit(1)) - 1,
+            F.lit(stride),
+        )
+    )
+    return base.select(id_col, "__w", "__n", start.alias("__s")).select(
+        F.col(id_col),
+        (F.col("__s") / stride).cast("bigint").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("__w", F.col("__s") + 1, size)).alias("chunk_text"),
+        F.least(F.lit(size), F.col("__n") - F.col("__s")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1429,6 +1429,39 @@ def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q74_doc_chunking",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, n,
+             unnest(range(0, greatest(n - 16, 1), 48)) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           (start // 48)::BIGINT AS chunk_id,
+           array_to_string(w[start + 1 : start + 64], ' ') AS chunk_text,
+           least(64, n - start)::BIGINT AS n_tokens
+    FROM s
+    """,
+)
+def q74_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking (operators/packing.py::chunk_documents):
+    64-token windows advancing by 48 (16-token overlap) — every token in
+    at least one chunk, short docs yield exactly one. Shuffle-free codegen
+    explode, the RAG/pretraining document splitter."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "doc_id", "text", size=64, overlap=16)
+
+
+@_register(
     "q73_corpus_report",
     f"""
     WITH f AS (

@@ -369,6 +369,35 @@ def test_pack_sequences_invariants(spark):
             prior += r["n_tokens"]
 
 
+def test_chunk_documents_invariants(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        chunk_documents,
+    )
+    import pytest
+
+    words = [f"w{i}" for i in range(130)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc"), (3, " ".join(words[:64]))],
+        "doc_id long, text string",
+    )
+    out = [r for r in chunk_documents(docs, size=64, overlap=16).collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 130 tokens, stride 48 -> starts 0/48/96: three chunks, tail covered
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"].split() == words[0:64]
+    assert c1[1]["chunk_text"].split() == words[48:112]     # 16-token overlap
+    assert c1[2]["chunk_text"].split() == words[96:130]
+    assert [r["n_tokens"] for r in c1] == [64, 64, 34]
+    # short and exactly-one-window docs yield a single full chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 64
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, size=16, overlap=16)
+
+
 def test_repetition_scores_flags_degenerate_text(spark):
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import text as tx
 
