@@ -68,7 +68,7 @@ def _check_rotation(ordered: list[str], last: dict[str, int], oracled: set[str])
     degrades correctly in a fresh clone where every entry ties at round 0
     and overflow past the cap is unavoidable. Guarantees no oracled query
     goes ≥2 rounds without a driver row while the 50-slot cap covers only
-    part of the registry (69 entries as of round 5).
+    part of the registry (see ``len(QUERIES)`` — counts in prose go stale).
     """
     in_cap = [k for k in ordered[:DRIVER_QUERY_CAP] if k in oracled]
     freshest_in_cap = max((last.get(k, 0) for k in in_cap), default=0)

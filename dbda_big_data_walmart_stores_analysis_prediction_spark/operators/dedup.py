@@ -420,6 +420,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 20,
     driver_edge_bound: int = 1_000_000,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every vertex
     converges to the smallest id reachable from it. Returns (id, component).
@@ -435,14 +436,24 @@ def connected_components(
 
     SIZE-GATED driver shortcut (same decision class as Spark's broadcast
     join threshold): once the edge list is materialized, if it holds at
-    most ``driver_edge_bound`` edges — two longs each, so the default 1M
-    bound is ~16 MB, far under any driver budget — the components are
-    closed with a driver-side union-find instead of the loop. Dedup
-    graphs are edge-sparse by construction (capped candidate generation),
-    so in practice this path handles everything up to corpora whose PAIR
-    count reaches millions, while each avoided propagation round saves
-    2-3 serial jobs. Labels are identical (min reachable id) either way;
-    pass ``driver_edge_bound=0`` to force the distributed loop.
+    most ``driver_edge_bound`` edges the components are closed with a
+    driver-side union-find instead of the loop. Driver memory at the
+    default 1M bound is ~150-300 MB peak, NOT the raw 16 bytes/edge:
+    edges stream in as per-partition batches of primitive tuples
+    (``toLocalIterator`` — peak is one partition's rows, not the whole
+    edge list), but the parent dict holds up to 2M boxed Python ints
+    (~60-100 bytes each with dict overhead) and the result ships back
+    through one Arrow batch. That is broadcast-threshold territory, well
+    under a driver budget but not free — lower the bound on a small
+    driver. Dedup graphs are edge-sparse by construction (capped
+    candidate generation), so in practice this path handles everything up
+    to corpora whose PAIR count reaches millions, while each avoided
+    propagation round saves 2-3 serial jobs. Labels are identical (min
+    reachable id) either way; pass ``driver_edge_bound=0`` to force the
+    distributed loop. Callers that already know the pair count can pass
+    ``edge_count`` to skip the gate's count job (the count runs over the
+    checkpointed blocks — cheap, but it is one extra scheduled job whose
+    result the distributed path discards).
 
     At 1000-executor scale the distributed loop holds: state is (id,
     label) pairs partitioned by id; for graphs with giant diameters swap
@@ -466,23 +477,31 @@ def connected_components(
     # Symmetrize with one explode, NOT a self-union: the union's two
     # branches are two separate physical subtrees, so the whole upstream
     # pair pipeline would execute twice inside this one materialization.
+    # array_distinct collapses a self-loop's two identical (v, v) structs
+    # to one row, so the gate's `<= 2 * bound` comparison counts every
+    # edge at most twice (self-loops once) instead of over-counting them.
     bidir = (
         edges.select(
             F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                F.array_distinct(
+                    F.array(
+                        F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                        F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                    )
                 )
             ).alias("__e")
         )
         .select("__e.a", "__e.b")
         .localCheckpoint(eager=True)
     )
-    if driver_edge_bound and bidir.count() <= 2 * driver_edge_bound:
+    n_bidir = 2 * edge_count if edge_count is not None else bidir.count()
+    if driver_edge_bound and n_bidir <= 2 * driver_edge_bound:
         # Driver union-find over the materialized edge blocks. Union-by-min
         # keeps every root the minimum id of its component, so find(v) IS
-        # the min-label the distributed loop converges to.
-        rows = bidir.where(F.col("a") <= F.col("b")).collect()
+        # the min-label the distributed loop converges to. Edges stream to
+        # the driver as primitive tuples one partition at a time
+        # (toLocalIterator over the checkpointed blocks — no full-list Row
+        # materialization), and the result returns through one Arrow batch.
         parent: dict = {}
 
         def find(x):
@@ -491,8 +510,10 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in rows:
-            a, b = r["a"], r["b"]
+        for a, b in (
+            (r[0], r[1])
+            for r in bidir.where(F.col("a") <= F.col("b")).toLocalIterator()
+        ):
             for v in (a, b):
                 if v not in parent:
                     parent[v] = v
@@ -500,9 +521,12 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         t = bidir.schema["a"].dataType.simpleString()
-        return edges.sparkSession.createDataFrame(
-            [(v, find(v)) for v in parent], f"id {t}, component {t}"
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {"id": list(parent), "component": [find(v) for v in parent]}
         )
+        return edges.sparkSession.createDataFrame(pdf, f"id {t}, component {t}")
     labels = (
         bidir.select(F.col("a").alias("id"))
         .distinct()

@@ -50,7 +50,16 @@ def temperature_mix(
     back), then one shuffle on the stratum shared by the rank window —
     same scale shape as `stratified_sample`, plus two broadcast joins of
     stratum-count-sized frames.
+
+    NULL-stratum rows are excluded from BOTH the quota computation and the
+    output (an unlabeled doc has no source to temperature-weight). Without
+    the up-front filter the null stratum would get its own count/quota and
+    inflate the grand total ``__N`` — raising every other stratum's quota —
+    while the equi-join on ``strata_col`` silently drops the null rows
+    anyway, so the realized total would undershoot ``ceil(total_frac*N)``.
+    Pre-bucket nulls into a sentinel source if they should participate.
     """
+    df = df.where(F.col(strata_col).isNotNull())
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
     tots = counts.agg(
         F.sum(F.pow("__n", F.lit(float(alpha)))).alias("__z"),

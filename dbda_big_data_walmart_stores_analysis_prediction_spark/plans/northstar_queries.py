@@ -1359,7 +1359,8 @@ def q61_stratified_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q71_temperature_mix",
     f"""
-    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    WITH c AS (SELECT lang, count(*) AS n FROM documents
+               WHERE lang IS NOT NULL GROUP BY lang),
     z AS (SELECT sum(pow(n, 0.5)) AS zsum, sum(n) AS grand FROM c),
     q AS (SELECT lang,
                  least(n::DOUBLE,

@@ -45,10 +45,13 @@ def streaming_corpus_ingest(
     already bounded by batch-side shingles. Exactly-once: replays of a
     committed batch re-dedup against the corpus that already contains
     their survivors, so re-appends are filtered by the exact stage —
-    idempotent by construction. Null/empty-text rows are dropped before
-    dedup: a null text yields a null fingerprint, and the exact-stage
-    anti-join on the fingerprint never matches null keys, so a replayed
-    batch would re-append its null-text survivor on every replay.
+    idempotent by construction. Null-text rows (and ONLY null — empty
+    strings hash to a valid fingerprint and replay idempotently, and the
+    batch path ``dedup_incremental`` accepts them, so filtering empties
+    here would make streaming and batch diverge) are dropped before dedup:
+    a null text yields a null fingerprint, and the exact-stage anti-join
+    on the fingerprint never matches null keys, so a replayed batch would
+    re-append its null-text survivor on every replay.
 
     Returns the ``StreamingQuery``; callers stop it or await termination.
     """
@@ -69,9 +72,7 @@ def streaming_corpus_ingest(
             )
         survivors = dedup_incremental(
             corpus,
-            batch.select(id_col, text_col).where(
-                F.col(text_col).isNotNull() & (F.col(text_col) != "")
-            ),
+            batch.select(id_col, text_col).where(F.col(text_col).isNotNull()),
             id_col,
             text_col,
             threshold=threshold,

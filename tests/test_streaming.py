@@ -236,8 +236,11 @@ def test_streaming_corpus_ingest_restart_and_replay_idempotent(spark, tmp_path):
     the source checkpoint continues without re-reading committed input;
     (b) a full REPLAY (lost checkpoint — every batch re-delivered) appends
     nothing, because replayed survivors exact-match the corpus rows they
-    already wrote; (c) null/empty-text rows never reach the corpus — a
-    null fingerprint would defeat the anti-join that makes (b) true."""
+    already wrote; (c) null-text rows never reach the corpus — a null
+    fingerprint would defeat the anti-join that makes (b) true — while
+    EMPTY-text rows do survive (they hash to a valid fingerprint, replay
+    idempotently, and the batch path ``dedup_incremental`` accepts them;
+    same policy both sides)."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.corpus import (
         streaming_corpus_ingest,
     )
@@ -262,7 +265,7 @@ def test_streaming_corpus_ingest_restart_and_replay_idempotent(spark, tmp_path):
     )
     q.awaitTermination(120)
     after1 = spark.read.parquet(str(corpus)).collect()
-    assert {r["doc_id"] for r in after1} == {1} and len(after1) == 1
+    assert {r["doc_id"] for r in after1} == {1, 3} and len(after1) == 2
 
     # stop/crash between micro-batches: new input lands, restart from the
     # SAME checkpoint — b1 must not be re-read, 11 dedups against corpus
@@ -275,7 +278,7 @@ def test_streaming_corpus_ingest_restart_and_replay_idempotent(spark, tmp_path):
     )
     q.awaitTermination(120)
     after2 = spark.read.parquet(str(corpus)).collect()
-    assert {r["doc_id"] for r in after2} == {1, 10} and len(after2) == 2
+    assert {r["doc_id"] for r in after2} == {1, 3, 10} and len(after2) == 3
 
     # lost-checkpoint replay: EVERY batch re-delivered against the corpus
     # that already holds its survivors -> zero growth, no duplicate rows
@@ -287,7 +290,7 @@ def test_streaming_corpus_ingest_restart_and_replay_idempotent(spark, tmp_path):
     )
     q.awaitTermination(120)
     final = spark.read.parquet(str(corpus)).collect()
-    assert {r["doc_id"] for r in final} == {1, 10} and len(final) == 2
+    assert {r["doc_id"] for r in final} == {1, 3, 10} and len(final) == 3
 
 
 def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
