@@ -8,22 +8,33 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 Each query is forced end-to-end with a ``noop``-format write (full plan
 executes, nothing is collected to the driver), so the number measures the
 distributed plan rather than driver materialization.
+
+Two round-over-round comparability mechanisms (the raw per-query numbers
+were confounded by session and machine effects across rounds):
+
+* **DuckDB calibration anchor** — a fixed oracle query (q26's SQL, the
+  shingle self-join) is timed in-process at bench start and emitted as
+  ``duckdb_anchor_sec``. Machine-speed drift between rounds moves the
+  anchor and the Spark timings together, so cross-round ratios
+  (``query_sec / anchor_sec``) are self-normalizing without any prose.
+* **Fresh-session chunks** — queries run in ``$SPARK_GRAFT_BENCH_CHUNKS``
+  (default 4) child processes, each with its own JVM, so one long session's
+  accumulating heap/GC/code-cache pressure stops inflating late queries
+  (measured round 5: up to 35% inflation by the tail of a 56-query
+  session). Chunks split the REGISTRATION order into contiguous runs, so a
+  query keeps its chunk (and warm-up position) across rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
-
-from dbda_big_data_walmart_stores_analysis_prediction_spark import get_spark  # noqa: E402
-from dbda_big_data_walmart_stores_analysis_prediction_spark.plans import (  # noqa: E402
-    QUERIES,
-)
 
 # Headline set: one representative per operator family (agg, join tree,
 # window, top-k, date parts, describe, histogram, events/JSON, text, dedup,
@@ -76,7 +87,7 @@ HEADLINE = [
 ]
 
 # Every-operator-measured long tail: sub-second relational queries plus the
-# round-5 additions. Measured identically but kept OUT of the headline
+# round-5/6 additions. Measured identically but kept OUT of the headline
 # total so `value` stays comparable across rounds; their timings appear in
 # the same per-query dict and sum under `longtail_total`.
 LONGTAIL = [
@@ -102,12 +113,51 @@ LONGTAIL = [
     "q72_semantic_dedup",
     "q73_corpus_report",
     "q74_doc_chunking",
+    "q75_exact_substring_spans",
 ]
 
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+# Fixed anchor: q26's oracle SQL — heavy enough (~0.5-1s at sf0.1) that
+# machine-speed drift dominates timer noise, stable across rounds as long
+# as the q26 oracle text is stable (the anchor is re-read from the live
+# registry, so an SQL change shows up as an anchor shift in the SAME
+# artifact that records it).
+ANCHOR_QUERY = "q26_jaccard_pairs"
+
+
+def _duckdb_anchor(sf_dir: str) -> float:
+    import duckdb
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans import (
+        ORACLE_SQL,
+    )
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    sql = ORACLE_SQL[ANCHOR_QUERY]
+    con.execute(sql).fetchall()  # warm the buffer pool / JIT
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    con.close()
+    return round(best, 3)
+
+
+def _run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Measure ``names`` in THIS process (one fresh JVM per invocation)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark import get_spark
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans import (
+        QUERIES,
+    )
+
     # Shuffle partitioning is sized to the data, not the core count: the
     # bench tables are tens of MB, where 8 post-shuffle partitions beat 32
     # by ~3x in task-scheduling overhead (AQE can only coalesce the initial
@@ -133,17 +183,39 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name in QUERIES:
-            timings[name] = measure(name)
-    total = round(sum(timings.values()), 3)
+    return {n: measure(n) for n in names if n in QUERIES}
 
-    longtail: dict[str, float] = {}
-    for name in LONGTAIL:
-        if name in QUERIES:
-            longtail[name] = measure(name)
-    timings.update(longtail)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--chunk":
+        # child mode: run the named queries, print a json dict, exit
+        print(json.dumps(_run_chunk(sys.argv[2].split(","), sf_dir)))
+        return
+
+    anchor = _duckdb_anchor(sf_dir)
+
+    n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "4")))
+    all_names = HEADLINE + LONGTAIL
+    size = -(-len(all_names) // n_chunks)  # ceil division
+    chunks = [all_names[i : i + size] for i in range(0, len(all_names), size)]
+
+    timings: dict[str, float] = {}
+    for chunk in chunks:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--chunk", ",".join(chunk)],
+            capture_output=True,
+            text=True,
+            env=os.environ,
+            check=True,
+        )
+        # stderr carries Spark logs; the child's LAST stdout line is the dict
+        timings.update(json.loads(out.stdout.strip().splitlines()[-1]))
+
+    total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    longtail_total = round(sum(timings[n] for n in LONGTAIL if n in timings), 3)
 
     print(
         json.dumps(
@@ -152,7 +224,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "longtail_total": round(sum(longtail.values()), 3),
+                "longtail_total": longtail_total,
+                "duckdb_anchor_sec": anchor,
+                "anchor_query": ANCHOR_QUERY,
+                "n_sessions": len(chunks),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
