@@ -67,7 +67,11 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the inverted-index input.
 
@@ -87,17 +91,38 @@ def shingle_table(
     fewer, but it shuffles the RAW exploded rows and loses distinct's
     map-side partial dedup — net 1.15x slower for jaccard and minhash at
     sf0.1. Bytes shuffled beat exchange count.
+
+    ``hashed=True`` emits ``sh`` as the shingle's md5-int64 instead of its
+    text (see `_shingle_rows`) — the form every join-on-shingle consumer
+    should use.
     """
-    return _shingle_rows(df, id_col, text_col, k).distinct()
+    return _shingle_rows(df, id_col, text_col, k, hashed).distinct()
 
 
 def _shingle_rows(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Raw (doc, sh) rows WITHOUT the set-semantics distinct — the
     shuffle-free codegen span `shingle_table` documents. Consumers that
     group by doc anyway (`shingle_sets`) dedup inside their own aggregate
-    and skip the distinct's exchange entirely."""
+    and skip the distinct's exchange entirely.
+
+    ``hashed=True`` replaces the shingle TEXT with its md5-int64
+    (`md5_int64`, the same 60-bit hash every fingerprint in this module
+    uses): distincts, doc-freq caps, inverted-index joins, and checkpoints
+    then all carry 8-byte keys instead of ~20-30-byte k-gram strings —
+    strictly fewer shuffled/materialized bytes at identical plan shape.
+    Set sizes and shared-shingle counts are unchanged unless two of a
+    corpus's distinct shingles collide in the 60-bit space (birthday odds
+    ~n²/2^61 — ~5e-5 at a billion distinct shingles), the same collision
+    acceptance as `exact_dup_groups`' content fingerprints. MinHash
+    signatures are BIT-IDENTICAL to the string form: they already key off
+    ``md5_int64(shingle)``, which is exactly this column.
+    """
     arr = F.split(_norm_text(text_col), r"\s+")
     # null text must yield NO shingles (greatest() ignores the null size and
     # would otherwise emit one "" shingle, diverging from the oracle's
@@ -106,8 +131,9 @@ def _shingle_rows(
         F.col(id_col).alias("doc"), arr.alias("__w")
     )
     idx = F.explode(F.sequence(F.lit(0), F.greatest(F.size("__w") - k, F.lit(0))))
+    gram = F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, k))
     return base.select("doc", "__w", idx.alias("__i")).select(
-        "doc", F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, k)).alias("sh")
+        "doc", (md5_int64(gram) if hashed else gram).alias("sh")
     )
 
 
@@ -117,6 +143,7 @@ def shingle_sets(
     text_col: str = "text",
     k: int = 3,
     max_doc_freq: int | None = None,
+    hashed: bool = True,
 ) -> DataFrame:
     """Per-doc shingle sets flattened with their size attached:
     ``(doc, sz, sh)`` where ``sz`` = that doc's distinct-shingle count over
@@ -132,8 +159,12 @@ def shingle_sets(
     aggregate (with map-side partial sets, same shuffle bytes as the
     distinct it replaces). Per-doc set state is bounded by document length,
     not corpus size, so the aggregate is skew-safe wherever docs are.
+
+    ``hashed`` (default True) carries shingles as md5-int64 — see
+    `_shingle_rows` for why every join-on-shingle consumer wants this;
+    sizes and shared counts are hash-collision-equal to the string form.
     """
-    rows = _shingle_rows(df, id_col, text_col, k)
+    rows = _shingle_rows(df, id_col, text_col, k, hashed)
     if max_doc_freq is not None:
         keep = (
             rows.groupBy("sh")
@@ -219,7 +250,16 @@ def jaccard_pairs(
         eager=False
     )
     a = sh.alias("a")
-    b = sh.alias("b")
+    # SHUFFLE-HASH the self-join, not sort-merge: the join key is an
+    # 8-byte hash with near-uniform distribution, rows are 24 bytes, and
+    # `max_doc_freq` bounds per-key fan-out — so a build partition is
+    # bounded by (table bytes / shuffle partitions), which AQE/partition
+    # sizing keeps in memory at any scale, while SMJ pays two full sorts
+    # of the shingle table for nothing (measured 0.89 s vs 1.21 s at
+    # sf0.1). Skew-prone uncapped runs fall back: the hint is advisory
+    # only for the planner's side-selection, and a capped run is the
+    # documented at-scale mode anyway.
+    b = sh.hint("shuffle_hash").alias("b")
     return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
@@ -255,7 +295,7 @@ def _perm_const(i: int) -> int:
     return int(hashlib.md5(f"perm:{i}".encode()).hexdigest()[:15], 16)
 
 
-def _minhash_aggs(n_hashes: int) -> list[Column]:
+def _minhash_aggs(n_hashes: int, h_sql: str | None = None) -> list[Column]:
     """``sig_i = min over shingles of (md5int(shingle) XOR c_i)``.
 
     ONE md5 per shingle, then ``n_hashes`` 1-cycle XOR mixes — the md5 was
@@ -268,8 +308,13 @@ def _minhash_aggs(n_hashes: int) -> list[Column]:
     ``(a*h+b) mod p`` family is unusable here: bigint overflow THROWS
     under ANSI mode (Spark 4 default). Built as one ``F.expr`` per
     aggregate — see ``md5_int64_sql`` on Py4J build cost.
+
+    ``h_sql`` overrides the per-shingle hash expression: pass ``"sh"``
+    when the input already carries md5-int64 shingles
+    (``shingle_table(hashed=True)``) — the md5 is then not recomputed and
+    signatures are bit-identical to the string-input form.
     """
-    h_sql = md5_int64_sql("sh")
+    h_sql = h_sql or md5_int64_sql("sh")
     return [
         F.expr(f"min({h_sql} ^ {_perm_const(i)}L) AS sig_{i}")
         for i in range(n_hashes)
@@ -286,9 +331,10 @@ def minhash_signatures(
     """MinHash signature per doc via the XOR permutation family
     (``_minhash_aggs``): one explode + ONE hash aggregate computes all
     ``n_hashes`` mins (each min() is codegen'd; no per-permutation pass),
-    and each shingle is md5-hashed exactly once."""
-    sh = shingle_table(df, id_col, text_col, k)
-    return sh.groupBy("doc").agg(*_minhash_aggs(n_hashes))
+    and each shingle is md5-hashed exactly once — inside `_shingle_rows`
+    (hashed form), so the aggregate's input rows are already 8-byte."""
+    sh = shingle_table(df, id_col, text_col, k, hashed=True)
+    return sh.groupBy("doc").agg(*_minhash_aggs(n_hashes, h_sql="sh"))
 
 
 def lsh_candidate_pairs(
@@ -328,7 +374,8 @@ def lsh_candidate_pairs(
         "doc", *carry, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle-hash: (band, bh) keys are md5-uniform; SMJ's sorts are waste
+    b = banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -368,9 +415,11 @@ def minhash_lsh_pairs(
     """
     # lazily checkpointed for the same reason as jaccard_pairs (see NOTE
     # there): signatures + the two candidate-verification joins all read
-    # one materialization of the shingle table instead of re-deriving it
+    # one materialization of the shingle table instead of re-deriving it.
+    # Hashed shingles: the checkpoint and both verify joins carry 8-byte
+    # keys, and the signature aggregate consumes the hash directly.
     sh = cap_shingle_doc_freq(
-        shingle_table(df, id_col, text_col, k), max_doc_freq
+        shingle_table(df, id_col, text_col, k, hashed=True), max_doc_freq
     ).localCheckpoint(eager=False)
     # Checkpoint the signature table before the banded SELF-join: its two
     # sides are separate physical subtrees, so without this the whole
@@ -387,13 +436,15 @@ def minhash_lsh_pairs(
     # the duplicated work — at cluster scale it costs 2x the scans).
     sigs = (
         sh.groupBy("doc")
-        .agg(*_minhash_aggs(n_hashes), F.count("*").alias("sz"))
+        .agg(*_minhash_aggs(n_hashes, h_sql="sh"), F.count("*").alias("sz"))
         .localCheckpoint(eager=False)
     )
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, carry_cols=["sz"])
+    # shuffle-hash the verify joins — same bounded-build argument as
+    # `jaccard_pairs`: 8-byte keys, capped fan-out, SMJ's sorts are waste
     shared = (
-        cands.join(sh.toDF("doc_a", "sh"), "doc_a")
-        .join(sh.toDF("doc_b", "sh"), ["doc_b", "sh"])
+        cands.join(sh.toDF("doc_a", "sh").hint("shuffle_hash"), "doc_a")
+        .join(sh.toDF("doc_b", "sh").hint("shuffle_hash"), ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("shared"))
     )
@@ -645,6 +696,7 @@ def dedup_incremental(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     corpus_shingles: DataFrame | None = None,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus WITHOUT re-deduping the
     corpus — the daily-ingest shape of a training-data pipeline: the corpus
@@ -671,12 +723,25 @@ def dedup_incremental(
     with the NEW side as the probe — the pair space is bounded by the
     batch's shingles, never corpus x corpus. The corpus shingle table is
     the only corpus-wide derivation, and a precomputed/stored one can be
-    passed as ``corpus_shingles`` (columns ``doc, sh``) so steady-state
-    daily runs touch the corpus zero times. ``max_doc_freq`` caps
+    passed as ``corpus_shingles`` (columns ``doc, sh`` with ``sh`` the
+    md5-int64 hashed form, i.e. ``shingle_table(..., hashed=True)`` —
+    string shingles would never match the batch side's hashed keys) so
+    steady-state daily runs touch the corpus zero times. ``max_doc_freq`` caps
     boilerplate fan-out across the union space (`cap_shingle_doc_freq`).
 
     Ids must be unique within each side; a corpus id may numerically
     collide with a batch id (sides are tagged, never mixed by id).
+
+    ``broadcast_batch=True`` hints the BATCH side of the candidate join
+    (and the final matched-ids anti-join) as the broadcast build side:
+    the corpus shingle stream then never shuffles or sorts on the shingle
+    at all — the q68-decontamination shape, and the right plan whenever
+    one batch's shingle table fits executor memory (a daily crawl
+    delivery against a 100 TB corpus; any streaming micro-batch). Leave
+    False when a batch can be arbitrarily large — the sort-merge plan
+    degrades gracefully, a forced broadcast OOMs. Measured at sf0.1:
+    2.26 s vs 3.00 s same-session (the two shingle-side sort stages and
+    one exchange disappear).
     """
     from pyspark.sql.window import Window
 
@@ -694,11 +759,11 @@ def dedup_incremental(
     # raw (non-distinct) shingle rows: the fused size-attach aggregate
     # below dedups per (doc, is_new) anyway, so the two per-side distinct
     # exchanges the old shingle_table union paid are pure waste here
-    sh_n = _shingle_rows(surv, id_col, text_col, k)
+    sh_n = _shingle_rows(surv, id_col, text_col, k, hashed=True)
     sh_c = (
         corpus_shingles.select(F.col("doc"), F.col("sh"))
         if corpus_shingles is not None
-        else _shingle_rows(corpus, id_col, text_col, k)
+        else _shingle_rows(corpus, id_col, text_col, k, hashed=True)
     )
     sh_all = sh_c.withColumn("is_new", F.lit(False)).unionByName(
         sh_n.withColumn("is_new", F.lit(True))
@@ -732,7 +797,13 @@ def dedup_incremental(
         # one materialization feeds both sides of the candidate self-join
         .localCheckpoint(eager=False)
     )
-    n = attached.where(F.col("is_new")).alias("n")
+    # batch side is the build side either way: broadcast when the caller
+    # vouches it fits, else shuffle-hash (it is the smaller side by the
+    # operator's daily-ingest contract; SMJ would sort BOTH shingle streams)
+    n_side = attached.where(F.col("is_new"))
+    n = (
+        F.broadcast(n_side) if broadcast_batch else n_side.hint("shuffle_hash")
+    ).alias("n")
     o = attached.alias("o")
     matched = (
         n.join(
@@ -760,6 +831,7 @@ def dedup_incremental(
         .select(F.col("doc_n").alias(id_col))
         .distinct()
     )
+    matched = F.broadcast(matched) if broadcast_batch else matched
     return surv.join(matched, id_col, "left_anti").select(
         F.col(id_col), F.col("__fp").alias("fp_exact")
     )
@@ -793,8 +865,12 @@ def cross_jaccard_pairs(
     space further bounded by |left shingles| x collision rate, not
     corpus².
     """
-    l = shingle_sets(left, id_col, text_col, k, max_doc_freq).toDF(
-        "doc_left", "sz_l", "sh"
+    # the eval/left side is the smaller one by contract — make it the
+    # shuffle-hash build side so the corpus stream is never sorted
+    l = (
+        shingle_sets(left, id_col, text_col, k, max_doc_freq)
+        .toDF("doc_left", "sz_l", "sh")
+        .hint("shuffle_hash")
     )
     r = shingle_sets(right, id_col, text_col, k, max_doc_freq).toDF(
         "doc_right", "sz_r", "sh"
@@ -898,10 +974,15 @@ def ngram_overlap_pairs(
     Docs shorter than ``n`` words follow `shingle_table`'s partial-shingle
     rule (one whole-text gram), so two identical short docs still match.
     """
-    sh_t = shingle_table(train, id_col, text_col, n)
+    # hashed shingles: the broadcast set ships 8-byte ints (a 13-gram is
+    # ~80 bytes of text — 10x smaller build side), and the semi/pair joins
+    # compare longs
+    sh_t = shingle_table(train, id_col, text_col, n, hashed=True)
     # eval shingles feed the semi-join set AND the pair join — materialize
     # once; a benchmark set is broadcast-sized by definition
-    sh_e = shingle_table(eval_df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh_e = shingle_table(eval_df, id_col, text_col, n, hashed=True).localCheckpoint(
+        eager=False
+    )
     if max_doc_freq is not None:
         sh_t = sh_t.join(
             F.broadcast(sh_e.select("sh").distinct()), "sh", "left_semi"
@@ -993,14 +1074,17 @@ def simhash_near_pairs(
     # HashAggregate x4 in the executed plan). The checkpointed table is
     # (doc, simhash) — 16 bytes/doc, a vanishing fraction of the corpus at
     # any scale — and re-materializes per call, so benches time the real
-    # cold path. Same eager-localCheckpoint pattern as
-    # ``connected_components``. eager=True is deliberate: every caller
-    # (query registry, corpus prep, tests) executes the returned plan
-    # immediately, so deferring the scan buys nothing; the checkpoint
-    # blocks are reclaimed by Spark's ContextCleaner once the returned
-    # plan is garbage-collected, and on executor loss the job fails and
-    # reruns from source (acceptable: the checkpoint is one cheap pass).
-    sig = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    # cold path. LAZY (eager=False), matching ``minhash_lsh_pairs``: the
+    # checkpoint is one RDD identity shared by both join sides, so the
+    # first action computes the signature stage exactly once either way,
+    # while composing callers pay no plan-construction job and the scan
+    # keeps pipelining into the first action (measured 0.89 s vs 0.98 s
+    # eager at sf0.1 — the earlier eager choice predated the round-5 lazy
+    # migration of the minhash family). Checkpoint blocks are reclaimed by
+    # Spark's ContextCleaner once the returned plan is garbage-collected;
+    # on executor loss the job reruns from source (acceptable: one cheap
+    # pass).
+    sig = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
     structs = ", ".join(
@@ -1012,7 +1096,9 @@ def simhash_near_pairs(
         "doc", "simhash", F.expr(f"explode(array({structs}))").alias("c")
     ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a = chunks.alias("a")
-    b = chunks.alias("b")
+    # shuffle-hash, not sort-merge: (ci, cv) keys are near-uniform chunk
+    # values, rows 32 bytes — same bounded-build argument as jaccard_pairs
+    b = chunks.hint("shuffle_hash").alias("b")
     # Emit each colliding pair EXACTLY ONCE with the min-colliding-chunk
     # condition: both fingerprints ride the join row, so "which chunks
     # collide" is a pure function of xor — keep only the row whose chunk

@@ -524,7 +524,12 @@ def q60_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
     )
-    return dd.dedup_incremental(corpus, newb, "doc_id", "text", threshold=0.5)
+    # broadcast_batch: the fixture models a daily-ingest batch — small
+    # relative to the corpus, so its shingle table is the broadcast side
+    # and the corpus never shuffles on the shingle
+    return dd.dedup_incremental(
+        corpus, newb, "doc_id", "text", threshold=0.5, broadcast_batch=True
+    )
 
 
 @_register(

@@ -30,6 +30,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # TPC-H-ish dims stay orders of magnitude under the fact tables.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 
+# Tables whose downstream pipelines are CPU-heavy per row (shingling, md5,
+# token explodes, embedding arithmetic) rather than scan-bound. When such a
+# table arrives in fewer splits than the cluster has cores — the small-file
+# regime, e.g. one 600 KB parquet at bench scale = ONE scan task carrying
+# the whole explode+hash stage single-threaded — fan the scan out to
+# default parallelism before any consumer. One cheap narrow-ish shuffle of
+# the raw rows unlocks all cores for the expensive projections (measured:
+# the whole shingle family was serialized behind the 1-task scan at sf0.1).
+# At real scale splits >> cores, the condition never fires, and the
+# repartition never appears in the plan.
+CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
 
 def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in STAR_TABLES:
@@ -59,6 +71,10 @@ def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # DuckDB sees and the instants Spark sees coincide — so
             # normalize here, at the single load point, not per-operator.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name in CPU_HEAVY_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 

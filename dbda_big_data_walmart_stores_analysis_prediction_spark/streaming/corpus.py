@@ -77,6 +77,9 @@ def streaming_corpus_ingest(
             text_col,
             threshold=threshold,
             max_doc_freq=max_doc_freq,
+            # a micro-batch is broadcast-sized by definition; the corpus
+            # side then never shuffles on the shingle
+            broadcast_batch=True,
         )
         kept = survivors.join(
             batch.select(id_col, text_col), id_col, "inner"

@@ -267,7 +267,9 @@ def test_incremental_dedup_precomputed_corpus_shingles(spark):
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
     base = {r["doc_id"] for r in dd.dedup_incremental(corpus, new).collect()}
-    pre = dd.shingle_table(corpus, "doc_id", "text", 3)
+    # the documented contract: precomputed corpus shingles must be the
+    # HASHED form so they join against the batch side's md5-int64 keys
+    pre = dd.shingle_table(corpus, "doc_id", "text", 3, hashed=True)
     via_pre = {
         r["doc_id"]
         for r in dd.dedup_incremental(corpus, new, corpus_shingles=pre).collect()
