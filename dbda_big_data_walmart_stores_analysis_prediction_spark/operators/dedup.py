@@ -996,6 +996,103 @@ def ngram_overlap_pairs(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    k: int = 13,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Maximal shared verbatim token runs between document pairs — the
+    ExactSubstr family (RefinedWeb/BigCode: drop or flag any ≥50-token
+    span appearing verbatim in more than one document). Completes the
+    dedup ladder: q69/`dedup_lines` catches repeated LINES, q68/
+    `ngram_overlap_pairs` catches ANY shared 13-gram, this one finds the
+    LONG verbatim spans with their exact positions and lengths. Returns
+    ``(doc_a, doc_b, start_a, start_b, n_tokens)`` — one row per maximal
+    run of ≥ ``min_tokens`` whitespace tokens (0-based token offsets,
+    ``doc_a < doc_b``).
+
+    Plan — no suffix array, no cross join; three bounded stages:
+
+    1. positional k-grams: ``(doc, pos, hash(gram))`` via the same
+       shuffle-free split + explode(sequence) + slice codegen span as
+       `_shingle_rows`, with the gram carried as its md5-int64 (8-byte
+       join keys; collision acceptance as everywhere else). Docs shorter
+       than ``k`` tokens yield nothing — they cannot contain a
+       ``min_tokens ≥ k`` run.
+    2. inverted-index self-join on the gram hash (shuffle-hash, capped by
+       ``max_doc_freq`` against viral boilerplate grams) → aligned
+       position pairs ``(pa, pb)``.
+    3. gaps-and-islands run-length: two matches extend the same run iff
+       they sit on the same DIAGONAL ``pa - pb`` at consecutive ``pa`` —
+       one window (``pa - row_number`` island id) + one aggregate per
+       (pair, diagonal, island); a run of ``g`` consecutive k-grams is a
+       verbatim span of ``g + k - 1`` tokens.
+
+    A shared span of length L ≥ k produces exactly L-k+1 consecutive
+    aligned grams, so maximal islands ARE the maximal shared runs; with
+    ``k ≤ min_tokens`` no qualifying span is missed. Degenerate
+    repetitive docs ("spam spam spam…") match on O(L²) diagonals —
+    bound them upstream with the repetition gate (`operators/text.py`)
+    and ``max_doc_freq``, the same posture as every shingle join here.
+
+    Window state is one (pair, diagonal) group — bounded by the longer
+    doc's token count, never corpus-sized, so the run-length stage is
+    skew-safe wherever docs are.
+    """
+    from pyspark.sql.window import Window
+
+    arr = F.split(_norm_text(text_col), r"\s+")
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), arr.alias("__w"))
+        # sequence(0, size-k) DESCENDS for size < k (Spark generates
+        # backwards sequences) — the filter is correctness, not just a prune
+        .where(F.size("__w") >= k)
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.size("__w") - k))
+    grams = base.select("doc", "__w", idx.alias("pos")).select(
+        "doc",
+        "pos",
+        md5_int64(F.concat_ws(" ", F.slice("__w", F.col("pos") + 1, k))).alias("gh"),
+    )
+    if max_doc_freq is not None:
+        keep = (
+            grams.groupBy("gh")
+            .agg(F.countDistinct("doc").alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("gh")
+        )
+        grams = grams.join(keep, "gh").select("doc", "pos", "gh")
+    # one materialization feeds both self-join sides (jaccard_pairs NOTE)
+    grams = grams.localCheckpoint(eager=False)
+    a = grams.alias("a")
+    b = grams.hint("shuffle_hash").alias("b")
+    m = a.join(
+        b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    return (
+        m.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count("*") + F.lit(k - 1)).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= min_tokens)
+        .select("doc_a", "doc_b", "start_a", "start_b", "n_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

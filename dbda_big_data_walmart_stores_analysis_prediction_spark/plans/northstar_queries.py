@@ -1468,6 +1468,54 @@ def q74_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q75_exact_substring_spans",
+    r"""
+    WITH
+    norm AS (SELECT doc_id,
+                    regexp_split_to_array(
+                      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      '\s+') AS w
+             FROM documents WHERE text IS NOT NULL),
+    grams AS (
+      SELECT doc_id AS doc, u['pos'] AS pos, u['g'] AS g FROM (
+        SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        'g': array_to_string(w[i:i+12], ' ')}
+                       FOR i IN range(1, len(w) - 13 + 2)]) AS u
+        FROM norm WHERE len(w) >= 13)
+    ),
+    m AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                 a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc < b.doc),
+    isl AS (SELECT *,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                           ORDER BY pa) AS island
+            FROM m),
+    runs AS (SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+                    count(*) + 12 AS n_tokens
+             FROM isl GROUP BY doc_a, doc_b, diag, island)
+    SELECT doc_a, doc_b, start_a::BIGINT AS start_a,
+           start_b::BIGINT AS start_b, n_tokens::BIGINT AS n_tokens
+    FROM runs WHERE n_tokens >= 20
+    """,
+)
+def q75_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup detection (operators/dedup.py::
+    exact_substring_spans): maximal verbatim token runs of ≥20 tokens
+    between document pairs, located by exact (start_a, start_b, length) —
+    the RefinedWeb/BigCode companion to q69's line dedup and q68's 13-gram
+    decontamination. Positional 13-gram inverted-index join (8-byte hashed
+    keys, shuffle-hash) + one diagonal gaps-and-islands window; no suffix
+    array, no cross join. min_tokens=20 rather than the production 50 so
+    the fixture corpus exercises partial-overlap runs, not just re-idded
+    full copies."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.exact_substring_spans(
+        docs, "doc_id", "text", min_tokens=20, k=13
+    )
+
+
+@_register(
     "q73_corpus_report",
     f"""
     WITH f AS (

@@ -223,6 +223,43 @@ def test_null_and_empty_text_semantics(spark):
     assert pairs == {(1, 4)}
 
 
+def test_exact_substring_spans_hand_computed(spark):
+    """Known overlap geometry: an 8-token span shared mid-document, one
+    exact full copy, and a sub-k short doc. k=3 so the island arithmetic
+    (run of g consecutive grams = g + k - 1 tokens) is hand-checkable."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        dedup as dd,
+    )
+
+    rows = [
+        (1, "a1 a2 a3 a4 S1 S2 S3 S4 S5 S6 S7 S8 b1 b2"),
+        (2, "c1 S1 S2 S3 S4 S5 S6 S7 S8 d1 d2"),
+        (3, "a1 a2 a3 a4 S1 S2 S3 S4 S5 S6 S7 S8 b1 b2"),  # exact copy of 1
+        (4, "x1 x2"),  # shorter than k: no grams, no error
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in dd.exact_substring_spans(
+            df, "doc_id", "text", min_tokens=5, k=3
+        ).collect()
+    }
+    assert got == {
+        (1, 2, 4, 1, 8),   # shared S-span: doc1 pos 4, doc2 pos 1, 8 tokens
+        (1, 3, 0, 0, 14),  # full verbatim copy
+        (2, 3, 1, 4, 8),   # same span, roles flipped by doc order
+    }
+    # min_tokens filters out the 8-token runs, keeps the full copy
+    strict = {
+        tuple(r)
+        for r in dd.exact_substring_spans(
+            df, "doc_id", "text", min_tokens=9, k=3
+        ).collect()
+    }
+    assert strict == {(1, 3, 0, 0, 14)}
+
+
 def test_incremental_dedup_semantics(spark):
     corpus = spark.createDataFrame(
         [(1, "aaa bbb ccc ddd"), (2, "xxx yyy zzz www")],

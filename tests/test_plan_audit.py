@@ -110,10 +110,21 @@ def test_dedup_pipelines_never_cartesian(spark):
         "q60_incremental_dedup",
         "q65_contamination_report",
         "q68_ngram_decontamination",
+        "q75_exact_substring_spans",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q75_exact_substring_no_sorts_on_gram(spark):
+    """The positional-gram self-join must be a hash join on the 8-byte gram
+    hash (shuffle-hash hint) — SMJ would sort the full gram stream twice;
+    the only Sort allowed is the run-length window's (pair, diagonal)
+    ordering."""
+    plan = _plan(spark, "q75_exact_substring_spans")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
 
 
 def test_q68_train_side_never_shuffles_on_shingle(spark):
