@@ -465,6 +465,115 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014): per round, every node re-links its strictly-larger neighbors to
+    the minimum of its neighborhood (large-star), then every node re-links
+    its smaller neighbors — and itself — to their minimum (small-star).
+    The edge set converges to stars centered at each component's minimum
+    id in O(log) rounds REGARDLESS OF DIAMETER — the regime where
+    `connected_components`' min-label propagation (rounds = diameter)
+    cannot finish: a path-graph-shaped chain of near-dup merges, a
+    skew-merged boilerplate cluster at web scale. Returns (id, component),
+    identical labels to the min-label loop.
+
+    Per round: two groupBy-min aggregates and two key joins, all on
+    (node, node) pairs — O(edges) shuffle bytes, no neighborhood
+    materialized anywhere (the aggregate carries ONE min, never a
+    neighbor list, so a web-scale hub node costs nothing). Edge count is
+    non-increasing after the first round (each undirected edge is emitted
+    by exactly one endpoint's group). Fixpoint detection compares a
+    (count, hash-sum) signature of the canonical edge set — one tiny job
+    per round, same collision acceptance as the engine's fingerprints.
+
+    For the shallow graphs dedup actually produces (diameter ≤ ~3), the
+    min-label loop converges in fewer, cheaper rounds — use this one
+    directly only when the diameter is unknown or adversarial;
+    `connected_components` already falls back here when its round budget
+    runs out.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # every node that appears in any edge gets a label (self-loop-only and
+    # isolated-pair nodes included), matching the min-label loop's domain
+    nodes = (
+        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig_prev = None
+    for _ in range(max_iter):
+        # large-star over BOTH orientations: each node u relinks its
+        # strictly-larger neighbors to m = min(neighborhood ∪ {u}); an
+        # undirected edge is emitted by its smaller endpoint's group only
+        nb = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("__e")
+        ).select("__e.u", "__e.v")
+        mins = (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("m"))
+        )
+        large = (
+            nb.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the (big → small)-oriented output: relink the
+        # smaller neighbors and u itself to the group minimum
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            e.agg(
+                F.count("*"), F.sum(F.hash("u", "v").cast("long"))
+            ).first()
+        )
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} rounds — not expected for any graph "
+            "(round count is logarithmic in component size); raise "
+            "max_iter."
+        )
+    # at the fixpoint, e is the star set {(member, center)}; centers and
+    # singletons label themselves
+    lab = e.toDF("id", "component")
+    return nodes.join(lab, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -507,14 +616,13 @@ def connected_components(
     result the distributed path discards).
 
     At 1000-executor scale the distributed loop holds: state is (id,
-    label) pairs partitioned by id; for graphs with giant diameters swap
-    in the large-star/small-star formulation, which this API deliberately
-    leaves room for.
-
-    Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iter`` rounds (graph diameter > max_iter): returning the
-    still-changing labels would silently mislabel components, and a dedup
-    built on them would keep/drop the wrong documents.
+    label) pairs partitioned by id. If the fixpoint is not reached within
+    ``max_iter`` rounds (graph diameter > max_iter — a chain-shaped merge
+    cascade), the loop hands the already-materialized edge list to
+    `connected_components_star`, whose round count is logarithmic in
+    component size regardless of diameter — so every connected input
+    terminates with correct labels; nothing is ever returned
+    half-converged.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -608,12 +716,17 @@ def connected_components(
         labels = new_labels.select("id", "component")
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge within max_iter={max_iter} "
-        f"rounds ({changed} labels still changing): the graph's diameter "
-        "exceeds the iteration budget. Raise max_iter, or use a "
-        "large-star/small-star contraction for giant-diameter graphs."
-    )
+    # Round budget exhausted: the graph's diameter exceeds max_iter — the
+    # adversarial regime min-label propagation cannot finish (a chain of
+    # pairwise merges, a web-scale skew-merged cluster). Switch to the
+    # large-star/small-star contraction, whose round count is logarithmic
+    # in component size regardless of diameter; labels are identical (min
+    # reachable id). The heuristic is the round budget itself: diameter is
+    # unknowable up front without doing this same work, dedup graphs are
+    # near-always shallow (converge in 2-4 rounds), so the budget is spent
+    # on the cheap loop first and the contraction is the escape hatch,
+    # not the default.
+    return connected_components_star(bidir, "a", "b")
 
 
 def dedup_near(

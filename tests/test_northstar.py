@@ -48,18 +48,68 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_connected_components_raises_on_non_convergence(spark):
-    import pytest
-
-    # a 4-chain needs >1 min-label round; max_iter=1 must fail LOUDLY,
-    # never return partially-propagated labels as if converged
-    # (driver_edge_bound=0 forces the distributed loop — the size gate
+def test_connected_components_budget_exhaustion_falls_back_to_star(spark):
+    # a 4-chain needs >1 min-label round; with max_iter=1 the loop's
+    # budget runs out and the large-star/small-star contraction must
+    # finish the job with CORRECT labels — never a RuntimeError, never
+    # partially-propagated labels returned as if converged
+    # (driver_edge_bound=0 forces the distributed path — the size gate
     # would otherwise close this tiny graph driver-side)
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(edges, max_iter=1, driver_edge_bound=0)
+    comp = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            edges, max_iter=1, driver_edge_bound=0
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_connected_components_star_path_graph_beyond_diameter_budget(spark):
+    # a path graph of length 40 has diameter 40 — double the min-label
+    # loop's default 20-round budget, the exact regime the contraction
+    # exists for; its round count is logarithmic so max_iter=60 is ample.
+    # Ids descend so the min label (0) sits at the FAR end of every walk.
+    n = 40
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dd.connected_components_star(path).collect()
+    }
+    assert comp == {i: 0 for i in range(n + 1)}
+    # and the public API resolves the same graph via the fallback chain
+    # (driver gate off, tiny round budget -> star contraction)
+    via_cc = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            path, max_iter=2, driver_edge_bound=0
+        ).collect()
+    }
+    assert via_cc == comp
+
+
+def test_connected_components_star_matches_min_label_on_mixed_graph(spark):
+    # chains, a clique, islands, self-loops, reversed duplicates — star
+    # contraction and the min-label loop must label identically
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (7, 7), (10, 11), (11, 10),
+         (20, 21), (21, 22), (20, 22), (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    star = {
+        r["id"]: r["component"]
+        for r in dd.connected_components_star(edges).collect()
+    }
+    loop = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(edges, driver_edge_bound=0).collect()
+    }
+    assert star == loop
+    assert star[5] == 1 and star[7] == 7 and star[22] == 20
 
 
 def test_connected_components_driver_and_distributed_paths_agree(spark):

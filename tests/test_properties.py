@@ -285,6 +285,42 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == expect_min
 
 
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=25
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_star_matches_union_find(spark, edges):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["id"]: r["component"] for r in connected_components_star(df).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_members = {}
+    for x in parent:
+        comp_members.setdefault(find(x), set()).add(x)
+    expect = {x: min(comp_members[find(x)]) for x in parent}
+    assert got == expect
+
+
 # multi-line docs from a tiny line pool so boilerplate lines actually
 # repeat across documents
 _line_pool = st.sampled_from(
