@@ -31,6 +31,7 @@ def prepare_training_corpus(
     near_dup_threshold: float = 0.5,
     max_doc_freq: int | None = 10_000,
     storage_level: "StorageLevel | None" = None,
+    quality_scorer=None,
 ) -> DataFrame:
     """Filter + dedup a raw document table into a training-ready corpus.
 
@@ -49,6 +50,14 @@ def prepare_training_corpus(
     pure boilerplate by any definition, whose Jaccard contribution is
     noise. Pass ``None`` for exact full-space semantics on curated/small
     corpora (the q56 oracle-checked query does, to stay SQL-replicable).
+
+    ``quality_scorer``: an optional trained model from
+    `plans.quality_model.train_quality_scorer`. When given, the quality
+    gate filters on the model's calibrated ``quality_prob`` (≥
+    ``min_quality``) instead of the heuristic ``quality_score``, and the
+    survivors carry ``quality_prob`` too. The transform is an assembler
+    projection + 6-weight dot product over the feature columns the
+    pipeline computes anyway — no extra scan, shuffle, or Python.
 
     ``storage_level`` sets how the composition-boundary materialization is
     held (see the inline persist note): the default deserialized
@@ -89,13 +98,20 @@ def prepare_training_corpus(
     # (measured: count() through the inlined predicate was 5x the cost of
     # computing the entire scored frame). The cache also feeds
     # dedup_exact's two derivations (min aggregate + keep join).
-    scored = language_id(add_text_features(docs, text_col), text_col).persist(
-        storage_level
-    )
+    scored = language_id(add_text_features(docs, text_col), text_col)
+    if quality_scorer is not None:
+        from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.quality_model import (
+            attach_quality_prob,
+        )
+
+        scored = attach_quality_prob(quality_scorer, scored)
+        quality_gate = F.col("quality_prob") >= min_quality
+    else:
+        quality_gate = F.col("quality_score") >= min_quality
+    scored = scored.persist(storage_level)
     scored.count()
     filtered = scored.where(
-        (F.col("quality_score") >= min_quality)
-        & (F.col("lang_pred").isin(*keep_langs))
+        quality_gate & (F.col("lang_pred").isin(*keep_langs))
     )
     exact = dd.dedup_exact(filtered, id_col, text_col).persist(storage_level)
     exact.count()

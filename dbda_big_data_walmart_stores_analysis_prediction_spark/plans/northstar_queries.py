@@ -1515,6 +1515,33 @@ def q75_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("q76_quality_model_scores")
+def q76_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained document-quality scorer (plans/quality_model.py): logistic
+    regression distilled from the heuristic quality_score over the q22
+    feature vector, then transform back over the corpus —
+    (doc_id, quality_score, quality_prob, keep_pred). Rows-only by nature
+    (SURVEY §5: ML internals — coefficients are solver output, not
+    SQL-expressible); the local suite pins behavior (separation between
+    the weak classes, corpus-prep pluggability)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.quality_model import (
+        score_documents,
+        train_quality_scorer,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # 0.9: the synthetic corpus' heuristic scores sit in [0.66, 1.0],
+    # so the GPT-3-style keep/reject split lands at the upper decile
+    model = train_quality_scorer(docs, weak_label_threshold=0.9)
+    out = score_documents(model, docs)
+    return out.select(
+        "doc_id",
+        "quality_score",
+        "quality_prob",
+        (F.col("quality_prob") >= 0.5).alias("keep_pred"),
+    )
+
+
 @_register(
     "q73_corpus_report",
     f"""

@@ -273,6 +273,39 @@ def test_null_and_empty_text_semantics(spark):
     assert pairs == {(1, 4)}
 
 
+def test_quality_model_trains_scores_and_plugs_into_corpus_prep(spark):
+    """The trained scorer must (a) separate the weak classes it distilled
+    from (mean prob of heuristic-good docs > heuristic-bad docs), (b)
+    score every doc in [0,1], (c) slot into prepare_training_corpus as
+    the quality gate with survivors carrying quality_prob."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        prepare_training_corpus,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.quality_model import (
+        score_documents,
+        train_quality_scorer,
+    )
+
+    docs = _docs(spark).select("doc_id", "text")
+    model = train_quality_scorer(docs, weak_label_threshold=0.9)
+    scored = score_documents(model, docs)
+    stats = scored.agg(
+        F.min("quality_prob"), F.max("quality_prob"),
+        F.avg(F.when(F.col("quality_score") >= 0.9, F.col("quality_prob"))),
+        F.avg(F.when(F.col("quality_score") < 0.9, F.col("quality_prob"))),
+    ).first()
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+    assert stats[2] > stats[3], "no separation between weak classes"
+    assert scored.count() == docs.count()
+
+    kept = prepare_training_corpus(
+        docs, min_quality=0.5, quality_scorer=model, max_doc_freq=None
+    )
+    rows = kept.collect()
+    assert 0 < len(rows) < docs.count()
+    assert all(r["quality_prob"] >= 0.5 for r in rows)
+
+
 def test_exact_substring_spans_hand_computed(spark):
     """Known overlap geometry: an 8-token span shared mid-document, one
     exact full copy, and a sub-k short doc. k=3 so the island arithmetic

@@ -183,8 +183,11 @@ def test_driver_rotation_fresh_clone_safe(monkeypatch):
     raise, even though >cap oracled entries overflow unavoidably."""
     monkeypatch.setattr(entry_mod, "_last_verified_round", lambda: {})
     ordered = list(entry_mod.queries())
-    assert len(ordered) == len(entry_mod.oracle_sql()) + 6
     oracled = set(entry_mod.oracle_sql())
+    n_rows_only = sum(1 for k in ordered if k not in oracled)
+    # every oracled key is a registered query, and the rows-only tail is
+    # small (seeded sampling / ANN recall / sketches / ML internals)
+    assert oracled <= set(ordered) and 0 < n_rows_only <= 8
     # oracled entries sort before rows-only on the all-tied sort, so the
     # weaker checks are what overflow the cap in a fresh clone
     first_rows_only = next(i for i, k in enumerate(ordered) if k not in oracled)
