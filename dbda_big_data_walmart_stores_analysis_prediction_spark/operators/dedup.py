@@ -32,6 +32,26 @@ def _norm_text(text_col: str) -> Column:
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
 
 
+def _fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition to default parallelism when the input arrives in fewer
+    partitions than the cluster has cores — the small-file regime where a
+    600 KB parquet scan is ONE task that would otherwise carry an entire
+    explode+md5 shingling stage single-threaded (measured: the whole
+    Jaccard family serialized behind a 1-task scan at bench scale).
+
+    Deliberately OPERATOR-level, not catalog-level: only the shingle/token
+    hot paths have enough per-row CPU to buy back the exchange — a
+    catalog-wide version was measured to slow the Arrow-batched embedding
+    operators 1.3-2.8x (few-large-batch efficiency lost) and cheap doc
+    queries ~1.5x (an exchange for nothing). At real scale splits >>
+    cores, the condition never fires and the plan is untouched.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) docs: (fp_exact, n_docs,
     keep_id = min id). Only groups with n_docs > 1."""
@@ -123,13 +143,16 @@ def _shingle_rows(
     signatures are BIT-IDENTICAL to the string form: they already key off
     ``md5_int64(shingle)``, which is exactly this column.
     """
-    arr = F.split(_norm_text(text_col), r"\s+")
     # null text must yield NO shingles (greatest() ignores the null size and
     # would otherwise emit one "" shingle, diverging from the oracle's
-    # unnest-of-NULL semantics and pairing null docs with empty ones)
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc"), arr.alias("__w")
-    )
+    # unnest-of-NULL semantics and pairing null docs with empty ones).
+    # Fan out BEFORE the split: the exchange then moves raw text, not the
+    # (larger) word arrays, and the split+explode+md5 stage parallelizes.
+    base = _fan_out_small_scan(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+        )
+    ).select("doc", F.split(_norm_text("__t"), r"\s+").alias("__w"))
     idx = F.explode(F.sequence(F.lit(0), F.greatest(F.size("__w") - k, F.lit(0))))
     gram = F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, k))
     return base.select("doc", "__w", idx.alias("__i")).select(
@@ -657,10 +680,11 @@ def connected_components(
     if driver_edge_bound and n_bidir <= 2 * driver_edge_bound:
         # Driver union-find over the materialized edge blocks. Union-by-min
         # keeps every root the minimum id of its component, so find(v) IS
-        # the min-label the distributed loop converges to. Edges stream to
-        # the driver as primitive tuples one partition at a time
-        # (toLocalIterator over the checkpointed blocks — no full-list Row
-        # materialization), and the result returns through one Arrow batch.
+        # the min-label the distributed loop converges to. Edges land as
+        # ONE Arrow table (single job, primitive columns — no Row-object
+        # materialization; a toLocalIterator variant was measured 3x
+        # slower end-to-end because it schedules one serial job per
+        # partition), and the result returns through one Arrow batch.
         parent: dict = {}
 
         def find(x):
@@ -669,9 +693,9 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for a, b in (
-            (r[0], r[1])
-            for r in bidir.where(F.col("a") <= F.col("b")).toLocalIterator()
+        tbl = bidir.where(F.col("a") <= F.col("b")).toArrow()
+        for a, b in zip(
+            tbl.column("a").to_pylist(), tbl.column("b").to_pylist()
         ):
             for v in (a, b):
                 if v not in parent:
@@ -1157,10 +1181,13 @@ def exact_substring_spans(
     """
     from pyspark.sql.window import Window
 
-    arr = F.split(_norm_text(text_col), r"\s+")
     base = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc"), arr.alias("__w"))
+        _fan_out_small_scan(
+            df.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+            )
+        )
+        .select("doc", F.split(_norm_text("__t"), r"\s+").alias("__w"))
         # sequence(0, size-k) DESCENDS for size < k (Spark generates
         # backwards sequences) — the filter is correctness, not just a prune
         .where(F.size("__w") >= k)
@@ -1233,10 +1260,12 @@ def simhash(
     """
     # explode(array_distinct(...)) is already (doc, tok)-unique — a
     # .distinct() here would be a redundant full shuffle of the token table
-    toks = df.select(
-        F.col(id_col).alias("doc"),
+    toks = _fan_out_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    ).select(
+        "doc",
         F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            F.array_distinct(F.split(F.trim(F.lower(F.col("__t"))), r"\s+"))
         ).alias("tok"),
     )
     h = toks.select("doc", md5_int64(F.col("tok")).alias("h"))

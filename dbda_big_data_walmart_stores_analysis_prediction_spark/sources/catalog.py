@@ -30,17 +30,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # TPC-H-ish dims stay orders of magnitude under the fact tables.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 
-# Tables whose downstream pipelines are CPU-heavy per row (shingling, md5,
-# token explodes, embedding arithmetic) rather than scan-bound. When such a
-# table arrives in fewer splits than the cluster has cores — the small-file
-# regime, e.g. one 600 KB parquet at bench scale = ONE scan task carrying
-# the whole explode+hash stage single-threaded — fan the scan out to
-# default parallelism before any consumer. One cheap narrow-ish shuffle of
-# the raw rows unlocks all cores for the expensive projections (measured:
-# the whole shingle family was serialized behind the 1-task scan at sf0.1).
-# At real scale splits >> cores, the condition never fires, and the
-# repartition never appears in the plan.
-CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+# NOTE on small-file scan fan-out: a blanket catalog-level repartition of
+# "CPU-heavy" tables was tried and REVERTED — it helped the shingle
+# family (whose explode+md5 stage was serialized behind a 1-task scan at
+# bench scale) but hurt everything else reading the same tables: the
+# embedding operators lose their few-large-Arrow-batch efficiency
+# (measured 1.3-2.8x slower across q30/q31/q32/q47/q72) and cheap
+# relational/doc queries pay an exchange for nothing (q71 +53%). The
+# fan-out now lives INSIDE the operators whose per-row CPU justifies it
+# (operators/dedup.py::_fan_out_small_scan), which is the right altitude:
+# the operator knows its cost profile, the catalog doesn't.
 
 
 def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -71,10 +70,6 @@ def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # DuckDB sees and the instants Spark sees coincide — so
             # normalize here, at the single load point, not per-operator.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if name in CPU_HEAVY_TABLES:
-        par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par)
     return df
 
 
