@@ -888,7 +888,14 @@ def dedup_incremental(
     surv = (
         nfp.withColumn("__keep", keep)
         .where(F.col(id_col) == F.col("__keep"))
-        .join(corpus.select(fp.alias("__fp")), "__fp", "left_anti")
+        # shuffle-hash the exact-stage anti-join: __fp is md5-uniform, the
+        # corpus side is 8 bytes/row, and SMJ would sort both streams; the
+        # per-partition build is bounded by corpus-fps/partitions
+        .join(
+            corpus.select(fp.alias("__fp")).hint("shuffle_hash"),
+            "__fp",
+            "left_anti",
+        )
         .select(id_col, text_col, "__fp")
         # consumed by the batch shingle table AND the final anti-join
         .localCheckpoint(eager=False)
