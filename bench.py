@@ -90,6 +90,11 @@ HEADLINE = [
 # round-5/6 additions. Measured identically but kept OUT of the headline
 # total so `value` stays comparable across rounds; their timings appear in
 # the same per-query dict and sum under `longtail_total`.
+# Deliberately absent: q76_quality_model_scores — it FITS a logistic
+# regression per invocation (MLlib iterative job, ~10 s dominated by
+# solver rounds, not engine plan shape); benching it would add noise, not
+# signal. Its transform path is the same add_text_features plan q22
+# measures.
 LONGTAIL = [
     "q33_rollup_pricing",
     "q34_intersect_except",

@@ -539,7 +539,18 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sig_prev = None
+    def _sig(frame: DataFrame) -> tuple:
+        return tuple(
+            frame.agg(
+                F.count("*"), F.sum(F.hash("u", "v").cast("long"))
+            ).first()
+        )
+
+    # seed from the INPUT edge set: a graph that is already a star fixpoint
+    # (or empty) reproduces itself in round 1 and must break immediately —
+    # an un-seeded comparison needed one extra confirming round and raised
+    # a false "did not converge" at max_iter=1 on converged inputs
+    sig_prev = _sig(e)
     for _ in range(max_iter):
         # large-star over BOTH orientations: each node u relinks its
         # strictly-larger neighbors to m = min(neighborhood ∪ {u}); an
@@ -574,11 +585,7 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        sig = tuple(
-            e.agg(
-                F.count("*"), F.sum(F.hash("u", "v").cast("long"))
-            ).first()
-        )
+        sig = _sig(e)
         if sig == sig_prev:
             break
         sig_prev = sig
@@ -621,14 +628,15 @@ def connected_components(
     join threshold): once the edge list is materialized, if it holds at
     most ``driver_edge_bound`` edges the components are closed with a
     driver-side union-find instead of the loop. Driver memory at the
-    default 1M bound is ~150-300 MB peak, NOT the raw 16 bytes/edge:
-    edges stream in as per-partition batches of primitive tuples
-    (``toLocalIterator`` — peak is one partition's rows, not the whole
-    edge list), but the parent dict holds up to 2M boxed Python ints
-    (~60-100 bytes each with dict overhead) and the result ships back
-    through one Arrow batch. That is broadcast-threshold territory, well
-    under a driver budget but not free — lower the bound on a small
-    driver. Dedup graphs are edge-sparse by construction (capped
+    default 1M bound is ~300-500 MB peak, NOT the raw 16 bytes/edge: the
+    full edge set lands as ONE Arrow table whose two columns are then
+    boxed to Python lists (~60-100 bytes per int with list/dict
+    overhead), coexisting with the up-to-2M-entry parent dict, and the
+    result ships back through one Arrow batch. That is
+    broadcast-threshold territory, well under a driver budget but not
+    free — lower the bound on a small driver. (A per-partition
+    ``toLocalIterator`` stream was tried for a lower peak and reverted:
+    it schedules one serial job per partition, tripling wall-clock.) Dedup graphs are edge-sparse by construction (capped
     candidate generation), so in practice this path handles everything up
     to corpora whose PAIR count reaches millions, while each avoided
     propagation round saves 2-3 serial jobs. Labels are identical (min
@@ -904,11 +912,21 @@ def dedup_incremental(
     # below dedups per (doc, is_new) anyway, so the two per-side distinct
     # exchanges the old shingle_table union paid are pure waste here
     sh_n = _shingle_rows(surv, id_col, text_col, k, hashed=True)
-    sh_c = (
-        corpus_shingles.select(F.col("doc"), F.col("sh"))
-        if corpus_shingles is not None
-        else _shingle_rows(corpus, id_col, text_col, k, hashed=True)
-    )
+    if corpus_shingles is not None:
+        # Fail fast on the string-form table earlier releases produced:
+        # the union below would otherwise coerce the batch side's int64
+        # hashes to string (or die mid-job in an ANSI cast) and the
+        # anti-join would silently never match.
+        sh_type = corpus_shingles.schema["sh"].dataType.simpleString()
+        if sh_type not in ("bigint", "int", "long"):
+            raise TypeError(
+                f"corpus_shingles.sh must be the md5-int64 HASHED form "
+                f"(shingle_table(..., hashed=True)), got {sh_type!r}; "
+                "re-derive the stored table with hashed=True"
+            )
+        sh_c = corpus_shingles.select(F.col("doc"), F.col("sh"))
+    else:
+        sh_c = _shingle_rows(corpus, id_col, text_col, k, hashed=True)
     sh_all = sh_c.withColumn("is_new", F.lit(False)).unionByName(
         sh_n.withColumn("is_new", F.lit(True))
     )
@@ -1195,6 +1213,13 @@ def exact_substring_spans(
     """
     from pyspark.sql.window import Window
 
+    if k > min_tokens:
+        # spans of length min_tokens..k-1 contain no k-gram and would be
+        # silently missed — reject the parameterization instead
+        raise ValueError(
+            f"k={k} must be <= min_tokens={min_tokens}: a shared span "
+            "shorter than k produces no k-gram match"
+        )
     base = (
         _fan_out_small_scan(
             df.where(F.col(text_col).isNotNull()).select(

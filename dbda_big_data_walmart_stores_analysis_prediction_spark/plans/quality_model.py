@@ -66,7 +66,12 @@ def train_quality_scorer(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
-    feats = add_text_features(docs, text_col)
+    # null-text rows produce NULL counts under ANSI (size/regexp_count of
+    # NULL), which the assembler's handleInvalid="keep" turns into NaN
+    # features — and LogisticRegression.fit REJECTS NaN vectors. The rest
+    # of the engine supports null-text docs (scoring gives them 0.0 and
+    # the gate drops them), so exclude them from the FIT only.
+    feats = add_text_features(docs.where(F.col(text_col).isNotNull()), text_col)
     if label_col is None:
         label_col = "__weak_label"
         feats = feats.withColumn(
@@ -97,12 +102,7 @@ def score_documents(
     the ML vector columns never leave this function (vector types don't
     serialize to parquet sinks or oracle comparisons).
     """
-    from pyspark.ml.functions import vector_to_array
-
-    scored = model.transform(add_text_features(docs, text_col))
-    return scored.withColumn(
-        "quality_prob", F.round(vector_to_array("probability")[1], 6)
-    ).drop(*_ML_COLS)
+    return attach_quality_prob(model, add_text_features(docs, text_col))
 
 
 def attach_quality_prob(model, scored_feats: DataFrame) -> DataFrame:

@@ -112,6 +112,30 @@ def test_connected_components_star_matches_min_label_on_mixed_graph(spark):
     assert star[5] == 1 and star[7] == 7 and star[22] == 20
 
 
+def test_connected_components_edge_count_gate(spark):
+    """The caller-supplied edge_count must steer the gate exactly like the
+    counted value: a count within the bound takes the union-find path, a
+    count above it forces the distributed loop — labels identical, and a
+    self-loop (1 bidir row, counted as 2 by the 2*edge_count estimate —
+    deliberately conservative) doesn't break either path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (10, 11)], "doc_a long, doc_b long"
+    )
+    expect = {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10}
+    via_uf = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(edges, edge_count=4).collect()
+    }
+    # edge_count far above the bound: gate declines without counting
+    via_dist = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            edges, driver_edge_bound=1, edge_count=100
+        ).collect()
+    }
+    assert via_uf == expect and via_dist == expect
+
+
 def test_connected_components_driver_and_distributed_paths_agree(spark):
     # identical labels from the size-gated union-find and the min-label
     # loop, on a graph with chains, a dense clique, islands, a self-loop,
@@ -271,6 +295,46 @@ def test_null_and_empty_text_semantics(spark):
     assert 2 not in sh_docs and {1, 3, 4} <= sh_docs
     pairs = {(r["doc_a"], r["doc_b"]) for r in dd.jaccard_pairs(df, "doc_id", threshold=0.5).collect()}
     assert pairs == {(1, 4)}
+
+
+def test_round6_review_regressions(spark):
+    """Pins the round-6 code-review fixes: (a) q75 rejects k > min_tokens
+    instead of silently missing short spans; (b) an already-star graph
+    converges in ONE contraction round (the un-seeded fixpoint check used
+    to need a confirming round and raised falsely at max_iter=1); (c) a
+    string-form corpus_shingles table fails fast with an actionable
+    TypeError instead of a mid-job cast error; (d) training the quality
+    scorer on a corpus containing null-text docs does not crash."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.quality_model import (
+        train_quality_scorer,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="must be <= min_tokens"):
+        dd.exact_substring_spans(docs, min_tokens=10, k=13)
+
+    star = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dd.connected_components_star(star, max_iter=1).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    with pytest.raises(TypeError, match="hashed"):
+        dd.dedup_incremental(
+            docs,
+            docs,
+            corpus_shingles=dd.shingle_table(docs, "doc_id", hashed=False),
+        ).collect()
+
+    model = train_quality_scorer(_docs(spark).select("doc_id", "text").unionAll(docs.where("doc_id = 2")), weak_label_threshold=0.9)
+    assert model is not None
 
 
 def test_quality_model_trains_scores_and_plugs_into_corpus_prep(spark):
