@@ -119,6 +119,7 @@ LONGTAIL = [
     "q73_corpus_report",
     "q74_doc_chunking",
     "q75_exact_substring_spans",
+    "q77_cross_exact_substring",
 ]
 
 _TABLES = (

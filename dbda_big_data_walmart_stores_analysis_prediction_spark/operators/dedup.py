@@ -1211,8 +1211,6 @@ def exact_substring_spans(
     doc's token count, never corpus-sized, so the run-length stage is
     skew-safe wherever docs are.
     """
-    from pyspark.sql.window import Window
-
     if k > min_tokens:
         # spans of length min_tokens..k-1 contain no k-gram and would be
         # silently missed — reject the parameterization instead
@@ -1220,23 +1218,7 @@ def exact_substring_spans(
             f"k={k} must be <= min_tokens={min_tokens}: a shared span "
             "shorter than k produces no k-gram match"
         )
-    base = (
-        _fan_out_small_scan(
-            df.where(F.col(text_col).isNotNull()).select(
-                F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
-            )
-        )
-        .select("doc", F.split(_norm_text("__t"), r"\s+").alias("__w"))
-        # sequence(0, size-k) DESCENDS for size < k (Spark generates
-        # backwards sequences) — the filter is correctness, not just a prune
-        .where(F.size("__w") >= k)
-    )
-    idx = F.explode(F.sequence(F.lit(0), F.size("__w") - k))
-    grams = base.select("doc", "__w", idx.alias("pos")).select(
-        "doc",
-        "pos",
-        md5_int64(F.concat_ws(" ", F.slice("__w", F.col("pos") + 1, k))).alias("gh"),
-    )
+    grams = _positional_grams(df, id_col, text_col, k)
     if max_doc_freq is not None:
         keep = (
             grams.groupBy("gh")
@@ -1256,19 +1238,107 @@ def exact_substring_spans(
         F.col("b.doc").alias("doc_b"),
         F.col("a.pos").alias("pa"),
         F.col("b.pos").alias("pb"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    return _island_runs(m, "doc_a", "doc_b", "start_a", "start_b", k, min_tokens)
+
+
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """``(doc, pos, gh)`` positional k-gram hashes: the same shuffle-free
+    split + explode(sequence) + slice codegen span as `_shingle_rows`,
+    keeping the 0-based start position and hashing the gram to md5-int64.
+    Docs shorter than ``k`` tokens yield nothing."""
+    base = (
+        _fan_out_small_scan(
+            df.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+            )
+        )
+        .select("doc", F.split(_norm_text("__t"), r"\s+").alias("__w"))
+        # sequence(0, size-k) DESCENDS for size < k (Spark generates
+        # backwards sequences) — the filter is correctness, not just a prune
+        .where(F.size("__w") >= k)
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.size("__w") - k))
+    return base.select("doc", "__w", idx.alias("pos")).select(
+        "doc",
+        "pos",
+        md5_int64(F.concat_ws(" ", F.slice("__w", F.col("pos") + 1, k))).alias("gh"),
+    )
+
+
+def _island_runs(
+    matches: DataFrame,
+    left_col: str,
+    right_col: str,
+    start_left: str,
+    start_right: str,
+    k: int,
+    min_tokens: int,
+) -> DataFrame:
+    """Diagonal gaps-and-islands over aligned gram positions ``(pa, pb)``:
+    consecutive matches on one diagonal collapse to a maximal run of
+    ``count + k - 1`` tokens; runs below ``min_tokens`` drop."""
+    from pyspark.sql.window import Window
+
+    m = matches.withColumn("diag", F.col("pa") - F.col("pb"))
+    w = Window.partitionBy(left_col, right_col, "diag").orderBy("pa")
     return (
         m.withColumn("island", F.col("pa") - F.row_number().over(w))
-        .groupBy("doc_a", "doc_b", "diag", "island")
+        .groupBy(left_col, right_col, "diag", "island")
         .agg(
-            F.min("pa").alias("start_a"),
-            F.min("pb").alias("start_b"),
+            F.min("pa").alias(start_left),
+            F.min("pb").alias(start_right),
             (F.count("*") + F.lit(k - 1)).alias("n_tokens"),
         )
         .where(F.col("n_tokens") >= min_tokens)
-        .select("doc_a", "doc_b", "start_a", "start_b", "n_tokens")
+        .select(left_col, right_col, start_left, start_right, "n_tokens")
+    )
+
+
+def cross_exact_substring_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    k: int = 13,
+) -> DataFrame:
+    """Bipartite ExactSubstr decontamination — the form RefinedWeb/BigCode
+    actually run against benchmarks: every maximal verbatim run of ≥
+    ``min_tokens`` tokens shared between a TRAIN document and an EVAL
+    item, located exactly: ``(doc_train, doc_eval, start_train,
+    start_eval, n_tokens)``. Sharpens q68's `ngram_overlap_pairs` (which
+    flags any single shared 13-gram) into span extents — the evidence a
+    decontamination pass needs to cut the leaked span instead of dropping
+    the whole train doc.
+
+    Plan is the q68 shape fused with q75's island arithmetic: the train
+    gram stream probes the BROADCAST eval gram table (a benchmark set is
+    broadcast-sized by definition) — the 100 TB train side never
+    shuffles, never sorts, and is consumed exactly once (no checkpoint);
+    the only shuffle is the run-length window keyed by (pair, diagonal),
+    whose input is just the matching gram positions. Same ``k ≤
+    min_tokens`` completeness rule as `exact_substring_spans`.
+    """
+    if k > min_tokens:
+        raise ValueError(
+            f"k={k} must be <= min_tokens={min_tokens}: a shared span "
+            "shorter than k produces no k-gram match"
+        )
+    gt = _positional_grams(train, id_col, text_col, k)
+    ge = _positional_grams(eval_df, id_col, text_col, k).toDF(
+        "doc_eval", "pe", "gh"
+    )
+    m = gt.toDF("doc_train", "pos", "gh").join(F.broadcast(ge), "gh").select(
+        "doc_train",
+        "doc_eval",
+        F.col("pos").alias("pa"),
+        F.col("pe").alias("pb"),
+    )
+    return _island_runs(
+        m, "doc_train", "doc_eval", "start_train", "start_eval", k, min_tokens
     )
 
 

@@ -1515,6 +1515,75 @@ def q75_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q77_cross_exact_substring",
+    r"""
+    WITH ev AS (
+      SELECT doc_id + 300000 AS doc_id,
+             array_to_string(regexp_split_to_array(trim(text), '\s+')[4:33], ' ') AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    nt AS (SELECT doc_id,
+                  regexp_split_to_array(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                    '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+    ne AS (SELECT doc_id,
+                  regexp_split_to_array(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                    '\s+') AS w
+           FROM ev WHERE text IS NOT NULL),
+    gt AS (
+      SELECT doc_id AS doc, u['pos'] AS pos, u['g'] AS g FROM (
+        SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        'g': array_to_string(w[i:i+12], ' ')}
+                       FOR i IN range(1, len(w) - 13 + 2)]) AS u
+        FROM nt WHERE len(w) >= 13)
+    ),
+    ge AS (
+      SELECT doc_id AS doc, u['pos'] AS pos, u['g'] AS g FROM (
+        SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        'g': array_to_string(w[i:i+12], ' ')}
+                       FOR i IN range(1, len(w) - 13 + 2)]) AS u
+        FROM ne WHERE len(w) >= 13)
+    ),
+    m AS (SELECT t.doc AS doc_train, e.doc AS doc_eval,
+                 t.pos AS pa, e.pos AS pb, t.pos - e.pos AS diag
+          FROM gt t JOIN ge e ON t.g = e.g),
+    isl AS (SELECT *,
+                   pa - row_number() OVER (PARTITION BY doc_train, doc_eval,
+                                           diag ORDER BY pa) AS island
+            FROM m),
+    runs AS (SELECT doc_train, doc_eval, min(pa) AS start_train,
+                    min(pb) AS start_eval, count(*) + 12 AS n_tokens
+             FROM isl GROUP BY doc_train, doc_eval, diag, island)
+    SELECT doc_train, doc_eval, start_train::BIGINT AS start_train,
+           start_eval::BIGINT AS start_eval, n_tokens::BIGINT AS n_tokens
+    FROM runs WHERE n_tokens >= 20
+    """,
+)
+def q77_cross_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite ExactSubstr decontamination (operators/dedup.py::
+    cross_exact_substring_spans): q68's eval fixture (a 30-word window
+    from every 13th doc, re-idded) audited against the full corpus for
+    maximal shared verbatim runs ≥20 tokens, with exact span positions —
+    the evidence needed to CUT a leaked span rather than drop the train
+    doc. Train grams probe the broadcast eval grams: the corpus never
+    shuffles or sorts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
+        ).alias("text"),
+    )
+    return dd.cross_exact_substring_spans(
+        docs, ev, "doc_id", "text", min_tokens=20, k=13
+    )
+
+
 @_register("q76_quality_model_scores")
 def q76_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained document-quality scorer (plans/quality_model.py): logistic

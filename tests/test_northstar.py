@@ -407,6 +407,36 @@ def test_exact_substring_spans_hand_computed(spark):
     assert strict == {(1, 3, 0, 0, 14)}
 
 
+def test_cross_exact_substring_spans_hand_computed(spark):
+    """Bipartite span geometry: an eval item embedded mid-train-doc must
+    come back with the exact (start_train, start_eval, length); train-train
+    overlaps must NOT appear (bipartite only)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        dedup as dd,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "t1 t2 S1 S2 S3 S4 S5 S6 t3 t4"),
+            (2, "t1 t2 S1 S2 S3 S4 S5 S6 t3 t4"),  # exact copy of 1
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "e1 S1 S2 S3 S4 S5 S6"), (101, "zz yy xx")],
+        "doc_id long, text string",
+    )
+    got = {
+        tuple(r)
+        for r in dd.cross_exact_substring_spans(
+            train, ev, min_tokens=5, k=3
+        ).collect()
+    }
+    # the 6-token S-span sits at train pos 2, eval pos 1; both train docs
+    # match it; the train-train full overlap must NOT be emitted
+    assert got == {(1, 100, 2, 1, 6), (2, 100, 2, 1, 6)}
+
+
 def test_incremental_dedup_semantics(spark):
     corpus = spark.createDataFrame(
         [(1, "aaa bbb ccc ddd"), (2, "xxx yyy zzz www")],

@@ -127,6 +127,16 @@ def test_q75_exact_substring_no_sorts_on_gram(spark):
     assert "ShuffledHashJoin" in plan, plan
 
 
+def test_q77_train_grams_never_shuffle(spark):
+    """Bipartite ExactSubstr probes the broadcast eval gram table — the
+    100 TB train gram stream must reach the join without an exchange or a
+    sort (the q68 posture, with positions riding along)."""
+    plan = _plan(spark, "q77_cross_exact_substring")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_q68_train_side_never_shuffles_on_shingle(spark):
     """Decontamination probes the 100 TB train shingle stream against the
     broadcast eval shingle set — a SortMergeJoin here means the whole train
