@@ -120,6 +120,7 @@ LONGTAIL = [
     "q74_doc_chunking",
     "q75_exact_substring_spans",
     "q77_cross_exact_substring",
+    "q78_bigram_lm_scores",
 ]
 
 _TABLES = (

@@ -357,3 +357,78 @@ def strip_markup(
         clean.alias("clean_text"),
         F.regexp_count(t, F.lit(r"<[^>]+>")).cast("bigint").alias("n_tags"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality signal: per-document average bigram
+    cross-entropy ``(id, n_bigrams, avg_neg_logprob)`` under an add-one-
+    smoothed bigram model — low means fluent/in-distribution text, high
+    means gibberish, boilerplate soup, or out-of-domain noise. CCNet uses
+    a pretrained Wikipedia KenLM; with no model artifacts in the engine's
+    environment, the model here is trained IN-PLAN on ``reference``
+    (default: the scored corpus itself — self-perplexity, which still
+    separates degenerate from fluent documents because smoothing
+    penalizes rare transitions).
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with ``V`` the reference
+    vocabulary size; ``avg_neg_logprob = round(avg(-ln P), 4)`` over the
+    doc's bigrams. Docs with fewer than 2 tokens (or null text) emit no
+    row — they have no bigrams to judge; gate them on length instead.
+
+    Scale shape: training is two hash aggregates over the reference's
+    token stream (map-side combinable; V is a 1-row broadcast); scoring
+    joins each doc bigram against the count tables on the token keys —
+    shuffle-hash on md5-uniform-ish word keys, no sorts, no windows, no
+    UDFs. Unseen words/bigrams cost nothing extra: the left joins
+    coalesce their counts to 0 and smoothing covers them.
+    """
+    spark_norm = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), r"\s+"
+    )
+    ref = reference if reference is not None else df
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        base = frame.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc"), spark_norm.alias("__w")
+        ).where(F.size("__w") >= 2)
+        idx = F.explode(F.sequence(F.lit(0), F.size("__w") - 2))
+        return base.select("doc", "__w", idx.alias("__i")).select(
+            "doc",
+            F.element_at("__w", F.col("__i") + 1).alias("w1"),
+            F.element_at("__w", F.col("__i") + 2).alias("w2"),
+        )
+
+    ref_bi = bigrams(ref)
+    uni = ref_bi.groupBy("w1").agg(F.count("*").alias("__c1"))
+    bi = ref_bi.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
+    # V counts DISTINCT words anywhere in the reference (both bigram
+    # slots), matching the usual vocabulary definition
+    vocab = (
+        ref_bi.select(F.col("w1").alias("w"))
+        .unionByName(ref_bi.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("__V"))
+    )
+    doc_bi = bigrams(df)
+    scored = (
+        doc_bi.join(bi.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(uni.hint("shuffle_hash"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc",
+            (
+                -F.log(
+                    (F.coalesce("__c2", F.lit(0)) + 1)
+                    / (F.coalesce("__c1", F.lit(0)) + F.col("__V"))
+                )
+            ).alias("__nlp"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__nlp"), 4).alias("avg_neg_logprob"),
+    ).select(F.col("doc").alias(id_col), "n_bigrams", "avg_neg_logprob")

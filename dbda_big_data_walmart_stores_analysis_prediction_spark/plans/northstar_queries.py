@@ -1584,6 +1584,46 @@ def q77_cross_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q78_bigram_lm_scores",
+    r"""
+    WITH nt AS (SELECT doc_id,
+                       regexp_split_to_array(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         '\s+') AS w
+                FROM documents WHERE text IS NOT NULL),
+    bg AS (
+      SELECT doc_id AS doc, u['w1'] AS w1, u['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest([{'w1': w[i], 'w2': w[i+1]}
+                       FOR i IN range(1, len(w))]) AS u
+        FROM nt WHERE len(w) >= 2)
+    ),
+    uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    bi  AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    v AS (SELECT count(DISTINCT w) AS V FROM
+            (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)),
+    s AS (SELECT d.doc,
+                 -ln((coalesce(b.c2, 0) + 1)::DOUBLE
+                     / (coalesce(u.c1, 0) + v.V)) AS nlp
+          FROM bg d
+          LEFT JOIN bi b USING (w1, w2)
+          LEFT JOIN uni u USING (w1), v)
+    SELECT doc AS doc_id, count(*) AS n_bigrams,
+           round(avg(nlp), 4) AS avg_neg_logprob
+    FROM s GROUP BY doc
+    """,
+)
+def q78_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (operators/text.py::bigram_lm_scores):
+    per-doc average bigram cross-entropy under an add-one-smoothed bigram
+    model trained in-plan on the corpus itself — the perplexity gate of a
+    web pipeline with no external model artifact. Two hash aggregates to
+    train, two shuffle-hash joins to score; no UDFs, no windows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.bigram_lm_scores(docs, "doc_id", "text")
+
+
 @_register("q76_quality_model_scores")
 def q76_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained document-quality scorer (plans/quality_model.py): logistic

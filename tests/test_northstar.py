@@ -407,6 +407,24 @@ def test_exact_substring_spans_hand_computed(spark):
     assert strict == {(1, 3, 0, 0, 14)}
 
 
+def test_bigram_lm_scores_behavior(spark):
+    """The in-corpus bigram LM must (a) skip null/sub-2-token docs, (b)
+    score a doc of corpus-frequent transitions LOWER (more fluent) than a
+    doc of transitions seen nowhere else — the property the CCNet-style
+    quality gate rests on."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        text as tx,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows += [(100, "zqx wvu pqr nml"), (101, None), (102, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.bigram_lm_scores(df).collect()}
+    assert 101 not in out and 102 not in out
+    assert out[0]["n_bigrams"] == 5 and out[100]["n_bigrams"] == 3
+    assert out[0]["avg_neg_logprob"] < out[100]["avg_neg_logprob"]
+
+
 def test_cross_exact_substring_spans_hand_computed(spark):
     """Bipartite span geometry: an eval item embedded mid-train-doc must
     come back with the exact (start_train, start_eval, length); train-train
