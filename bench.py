@@ -121,6 +121,7 @@ LONGTAIL = [
     "q75_exact_substring_spans",
     "q77_cross_exact_substring",
     "q78_bigram_lm_scores",
+    "q79_decontaminated_corpus",
 ]
 
 _TABLES = (

@@ -1342,6 +1342,88 @@ def cross_exact_substring_spans(
     )
 
 
+def remove_token_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_doc: str = "doc_train",
+    span_start: str = "start_train",
+    span_len: str = "n_tokens",
+) -> DataFrame:
+    """Cut token ranges out of documents — the ACTION half of ExactSubstr
+    decontamination: feed `cross_exact_substring_spans` (or
+    `exact_substring_spans`) output in and get the corpus back with the
+    leaked spans excised instead of whole documents dropped (the
+    RefinedWeb remedy: a 50-token leak should not cost a 5,000-token
+    doc). Returns ``(id, clean_text, n_tokens, n_tokens_removed)`` for
+    EVERY input doc — docs with no spans pass through with
+    ``n_tokens_removed = 0``; null-text docs emit ``clean_text = NULL``.
+
+    Token positions use the same whitespace normalization as the span
+    producers, so offsets line up by construction. Overlapping spans cut
+    their union (each token is removed once).
+
+    Plan: positional token explode (shuffle-free) → equi-join on the doc
+    id against the per-doc span list (spans per doc are few — the join
+    fans out tokens x spans_per_doc, bounded) → a (doc, pos) aggregate
+    marks covered tokens → ordered reassembly in one doc-keyed aggregate.
+    All codegen expressions; the only shuffles are the doc/pos keyed
+    aggregates and the span join on the doc id.
+    """
+    toks = (
+        _fan_out_small_scan(
+            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        )
+        .where(F.col("__t").isNotNull())
+        .select("doc", F.posexplode(F.split(_norm_text("__t"), r"\s+")))
+        .toDF("doc", "pos", "w")
+    )
+    sp = spans.select(
+        F.col(span_doc).alias("doc"),
+        F.col(span_start).alias("__s"),
+        (F.col(span_start) + F.col(span_len) - 1).alias("__e"),
+    )
+    covered = (
+        toks.join(sp.hint("shuffle_hash"), "doc", "left")
+        .groupBy("doc", "pos")
+        .agg(
+            F.first("w").alias("w"),
+            F.max(
+                (F.col("pos") >= F.col("__s")) & (F.col("pos") <= F.col("__e"))
+            ).alias("__cut"),
+        )
+    )
+    rebuilt = covered.groupBy("doc").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("__cut").cast("bigint"), F.lit(0))).alias(
+            "n_tokens_removed"
+        ),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w", "__cut"))
+                    ),
+                    lambda s: ~F.coalesce(s["__cut"], F.lit(False)),
+                ),
+                lambda s: s["w"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            "clean_text",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

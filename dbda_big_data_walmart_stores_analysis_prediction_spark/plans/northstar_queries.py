@@ -1624,6 +1624,66 @@ def q78_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_lm_scores(docs, "doc_id", "text")
 
 
+# q79's oracle wraps the REGISTERED q77 span SQL as a CTE (the q72/q31
+# splice pattern — one source of truth for the span semantics) and applies
+# the cut: positional tokens, covered-mark via the span ranges, ordered
+# reassembly of the survivors.
+_Q79_SQL = (
+    "WITH spans AS (\n"
+    + ORACLE_SQL["q77_cross_exact_substring"]
+    + r"""
+    ),
+    ntx AS (SELECT doc_id,
+                   regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                     '\s+') AS w
+            FROM documents),
+    tok AS (
+      SELECT doc_id AS doc, u['pos'] AS pos, u['w'] AS tk FROM (
+        SELECT doc_id,
+               unnest([{'pos': i - 1, 'w': w[i]}
+                       FOR i IN range(1, len(w) + 1)]) AS u
+        FROM ntx WHERE w IS NOT NULL)
+    ),
+    cov AS (SELECT t.doc, t.pos, min(t.tk) AS tk,
+                   max(CASE WHEN t.pos >= s.start_train
+                             AND t.pos <= s.start_train + s.n_tokens - 1
+                            THEN TRUE ELSE FALSE END) AS cut
+            FROM tok t LEFT JOIN spans s ON s.doc_train = t.doc
+            GROUP BY t.doc, t.pos),
+    reb AS (SELECT doc, count(*) AS n_tokens,
+                   sum(CASE WHEN cut THEN 1 ELSE 0 END) AS n_tokens_removed,
+                   coalesce(string_agg(CASE WHEN NOT cut THEN tk END,
+                                       ' ' ORDER BY pos), '') AS clean_text
+            FROM cov GROUP BY doc)
+    SELECT d.doc_id, r.clean_text,
+           coalesce(r.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(r.n_tokens_removed, 0)::BIGINT AS n_tokens_removed
+    FROM documents d LEFT JOIN reb r ON r.doc = d.doc_id
+    """
+)
+
+
+@_register("q79_decontaminated_corpus", _Q79_SQL)
+def q79_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination ACTION composed end to end (operators/dedup.py::
+    remove_token_spans over cross_exact_substring_spans): q77's leaked
+    spans are cut out of the corpus token-exactly, every doc survives with
+    (clean_text, n_tokens, n_tokens_removed) — the RefinedWeb remedy
+    where a 30-token leak costs 30 tokens, not the whole document."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
+        ).alias("text"),
+    )
+    spans = dd.cross_exact_substring_spans(
+        docs, ev, "doc_id", "text", min_tokens=20, k=13
+    )
+    return dd.remove_token_spans(docs, spans, "doc_id", "text")
+
+
 @_register("q76_quality_model_scores")
 def q76_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained document-quality scorer (plans/quality_model.py): logistic

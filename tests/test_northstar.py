@@ -425,6 +425,29 @@ def test_bigram_lm_scores_behavior(spark):
     assert out[0]["avg_neg_logprob"] < out[100]["avg_neg_logprob"]
 
 
+def test_remove_token_spans_hand_computed(spark):
+    """Span cutting: a known range disappears token-exactly, OVERLAPPING
+    spans cut their union (no double count), span-free and null-text docs
+    pass through."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        dedup as dd,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z"), (3, None)],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 3), (1, 4, 2)],  # cuts pos 2-4 and 4-5 -> union pos 2-5
+        "doc_train long, start_train long, n_tokens long",
+    )
+    got = {r["doc_id"]: r for r in dd.remove_token_spans(docs, spans).collect()}
+    assert got[1]["clean_text"] == "a b g h"
+    assert got[1]["n_tokens"] == 8 and got[1]["n_tokens_removed"] == 4
+    assert got[2]["clean_text"] == "x y z" and got[2]["n_tokens_removed"] == 0
+    assert got[3]["clean_text"] is None and got[3]["n_tokens"] == 0
+
+
 def test_cross_exact_substring_spans_hand_computed(spark):
     """Bipartite span geometry: an eval item embedded mid-train-doc must
     come back with the exact (start_train, start_eval, length); train-train
