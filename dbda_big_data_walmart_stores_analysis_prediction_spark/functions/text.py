@@ -20,6 +20,18 @@ def tokens_col(text: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def norm_text_col(text: Column | str) -> Column:
+    """THE content-normalization every fingerprint/shingle/dedup operator
+    keys on: lowercase, trim, collapse runs of whitespace to one space.
+    One definition — the alignment between span offsets, fingerprints, and
+    shingles across operators is structural, not copy-paste discipline.
+    Splitting this on ``\\s+`` yields the same token BOUNDARIES as
+    ``tokens_col`` (case differs), which is what lets `remove_token_spans`
+    cut case-preserving tokens at offsets computed on normalized text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
 def shingles_col(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles of ``text`` as an array<string>.
 

@@ -29,7 +29,11 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing im
 
 
 def _norm_text(text_col: str) -> Column:
-    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
+        norm_text_col,
+    )
+
+    return norm_text_col(text_col)
 
 
 def _fan_out_small_scan(df: DataFrame) -> DataFrame:
@@ -1360,30 +1364,41 @@ def remove_token_spans(
     EVERY input doc — docs with no spans pass through with
     ``n_tokens_removed = 0``; null-text docs emit ``clean_text = NULL``.
 
-    Token positions use the same whitespace normalization as the span
-    producers, so offsets line up by construction. Overlapping spans cut
-    their union (each token is removed once).
+    Span offsets were computed over the NORMALIZED token stream
+    (`_norm_text` + split), but lowercasing and whitespace collapse do not
+    move token boundaries — so the cut operates on the CASE-PRESERVING
+    ``split(trim(text))`` tokens at the same offsets, and untouched docs
+    pass through with their original text byte-for-byte (newline
+    structure inside a REBUILT doc does collapse to single spaces — the
+    price of token-level surgery, paid only where a cut happened).
+    Overlapping spans cut their union (each token is removed once).
 
-    Plan: positional token explode (shuffle-free) → equi-join on the doc
-    id against the per-doc span list (spans per doc are few — the join
-    fans out tokens x spans_per_doc, bounded) → a (doc, pos) aggregate
-    marks covered tokens → ordered reassembly in one doc-keyed aggregate.
-    All codegen expressions; the only shuffles are the doc/pos keyed
-    aggregates and the span join on the doc id.
+    Plan: a left-semi join restricts the token-level work to the
+    (typically tiny) contaminated fraction of the corpus — everyone else
+    is a pass-through projection whose only cost is the token-count
+    expression. Contaminated docs: positional token explode
+    (shuffle-free) → equi-join on the doc id against the spans (fan-out =
+    tokens x spans_per_doc, bounded) → a (doc, pos) aggregate marks
+    covered tokens → ordered reassembly in one doc-keyed aggregate. All
+    codegen; the only shuffles are the semi/span joins on the doc id and
+    the doc/pos keyed aggregates, all over the contaminated slice only.
     """
-    toks = (
-        _fan_out_small_scan(
-            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
-        )
-        .where(F.col("__t").isNotNull())
-        .select("doc", F.posexplode(F.split(_norm_text("__t"), r"\s+")))
-        .toDF("doc", "pos", "w")
-    )
+    # spans is usually the far end of a whole detection pipeline (the
+    # positional-gram join); it feeds BOTH the semi-join and the cut join,
+    # so materialize the tiny (doc, start, end) projection once
     sp = spans.select(
         F.col(span_doc).alias("doc"),
         F.col(span_start).alias("__s"),
         (F.col(span_start) + F.col(span_len) - 1).alias("__e"),
-    )
+    ).localCheckpoint(eager=False)
+    tagged = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    # no _fan_out_small_scan here: `hit` is a semi-join output, already
+    # spread across the shuffle partitions — the fan-out helper would see
+    # post-shuffle partitions < cores and add a pointless exchange
+    hit = tagged.join(sp.select("doc").distinct(), "doc", "left_semi")
+    toks = hit.select(
+        "doc", F.posexplode(F.split(F.trim("__t"), r"\s+"))
+    ).toDF("doc", "pos", "w")
     covered = (
         toks.join(sp.hint("shuffle_hash"), "doc", "left")
         .groupBy("doc", "pos")
@@ -1395,10 +1410,8 @@ def remove_token_spans(
         )
     )
     rebuilt = covered.groupBy("doc").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(F.coalesce(F.col("__cut").cast("bigint"), F.lit(0))).alias(
-            "n_tokens_removed"
-        ),
+        F.count("*").alias("__nt"),
+        F.sum(F.col("__cut").cast("bigint")).alias("__nrm"),
         F.concat_ws(
             " ",
             F.transform(
@@ -1406,20 +1419,23 @@ def remove_token_spans(
                     F.array_sort(
                         F.collect_list(F.struct("pos", "w", "__cut"))
                     ),
-                    lambda s: ~F.coalesce(s["__cut"], F.lit(False)),
+                    lambda s: ~s["__cut"],
                 ),
                 lambda s: s["w"],
             ),
-        ).alias("clean_text"),
+        ).alias("__clean"),
     )
+    # empty/whitespace-only text splits to one phantom "" token — count 0
+    raw_n = F.when(
+        F.col("__t").isNull() | (F.trim("__t") == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("__t"), r"\s+")))
     return (
-        df.select(F.col(id_col))
-        .join(rebuilt.withColumnRenamed("doc", id_col), id_col, "left")
+        tagged.join(rebuilt, "doc", "left")
         .select(
-            id_col,
-            "clean_text",
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+            F.col("doc").alias(id_col),
+            F.coalesce("__clean", "__t").alias("clean_text"),
+            F.coalesce("__nt", raw_n.cast("bigint")).alias("n_tokens"),
+            F.coalesce("__nrm", F.lit(0)).alias("n_tokens_removed"),
         )
     )
 

@@ -18,6 +18,7 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing im
     md5_int64,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
+    norm_text_col,
     tokens_col,
 )
 
@@ -204,7 +205,7 @@ def add_fingerprints(
     over NULL token arrays); distinct-ing shingles first would be wasted
     work under ``min``.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = norm_text_col(text_col)
     base = df.select(
         F.col(id_col),
         md5_int64(norm).alias("fp_exact"),
@@ -249,7 +250,7 @@ def repetition_scores(
     per-doc aggregate: count + approx-free countDistinct over grams that
     never leave their doc's group. O(tokens) work, no inverted index.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = norm_text_col(text_col)
     base = df.select(
         F.col(id_col), F.split(F.trim(norm), r"\s+").alias("__w")
     )
@@ -387,9 +388,7 @@ def bigram_lm_scores(
     UDFs. Unseen words/bigrams cost nothing extra: the left joins
     coalesce their counts to 0 and smoothing covers them.
     """
-    spark_norm = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), r"\s+"
-    )
+    spark_norm = F.split(norm_text_col(text_col), r"\s+")
     ref = reference if reference is not None else df
 
     def bigrams(frame: DataFrame) -> DataFrame:
@@ -403,17 +402,23 @@ def bigram_lm_scores(
             F.element_at("__w", F.col("__i") + 2).alias("w2"),
         )
 
-    ref_bi = bigrams(ref)
+    # ONE materialization of the reference bigram stream feeds everything
+    # downstream — uni, bi, vocab, and (in the default self-scoring mode)
+    # the scoring probe itself; without it the tokenize+explode stage, the
+    # dominant cost at corpus scale, re-executes once per consumer.
+    ref_bi = bigrams(ref).localCheckpoint(eager=False)
     uni = ref_bi.groupBy("w1").agg(F.count("*").alias("__c1"))
     bi = ref_bi.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
     # V counts DISTINCT words anywhere in the reference (both bigram
-    # slots), matching the usual vocabulary definition
+    # slots), matching the usual vocabulary definition — derived from the
+    # ALREADY-AGGREGATED count tables (every w1 survives into uni and
+    # every w2 into bi), never from a fresh corpus scan
     vocab = (
-        ref_bi.select(F.col("w1").alias("w"))
-        .unionByName(ref_bi.select(F.col("w2").alias("w")))
+        uni.select(F.col("w1").alias("w"))
+        .unionByName(bi.select(F.col("w2").alias("w")))
         .agg(F.countDistinct("w").alias("__V"))
     )
-    doc_bi = bigrams(df)
+    doc_bi = ref_bi if reference is None else bigrams(df)
     scored = (
         doc_bi.join(bi.hint("shuffle_hash"), ["w1", "w2"], "left")
         .join(uni.hint("shuffle_hash"), "w1", "left")

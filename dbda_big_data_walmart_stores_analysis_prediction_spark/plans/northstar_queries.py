@@ -1633,17 +1633,15 @@ _Q79_SQL = (
     + ORACLE_SQL["q77_cross_exact_substring"]
     + r"""
     ),
-    ntx AS (SELECT doc_id,
-                   regexp_split_to_array(
-                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                     '\s+') AS w
-            FROM documents),
+    hit AS (SELECT DISTINCT doc_train AS doc FROM spans),
+    ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents JOIN hit ON hit.doc = documents.doc_id),
     tok AS (
       SELECT doc_id AS doc, u['pos'] AS pos, u['w'] AS tk FROM (
         SELECT doc_id,
                unnest([{'pos': i - 1, 'w': w[i]}
                        FOR i IN range(1, len(w) + 1)]) AS u
-        FROM ntx WHERE w IS NOT NULL)
+        FROM ct)
     ),
     cov AS (SELECT t.doc, t.pos, min(t.tk) AS tk,
                    max(CASE WHEN t.pos >= s.start_train
@@ -1656,8 +1654,12 @@ _Q79_SQL = (
                    coalesce(string_agg(CASE WHEN NOT cut THEN tk END,
                                        ' ' ORDER BY pos), '') AS clean_text
             FROM cov GROUP BY doc)
-    SELECT d.doc_id, r.clean_text,
-           coalesce(r.n_tokens, 0)::BIGINT AS n_tokens,
+    SELECT d.doc_id,
+           coalesce(r.clean_text, d.text) AS clean_text,
+           coalesce(r.n_tokens,
+                    CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(d.text), '\s+'))
+                    END)::BIGINT AS n_tokens,
            coalesce(r.n_tokens_removed, 0)::BIGINT AS n_tokens_removed
     FROM documents d LEFT JOIN reb r ON r.doc = d.doc_id
     """

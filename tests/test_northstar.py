@@ -426,15 +426,17 @@ def test_bigram_lm_scores_behavior(spark):
 
 
 def test_remove_token_spans_hand_computed(spark):
-    """Span cutting: a known range disappears token-exactly, OVERLAPPING
-    spans cut their union (no double count), span-free and null-text docs
-    pass through."""
+    """Span cutting: a known range disappears token-exactly with CASE
+    PRESERVED (offsets come from the lowercased stream, the cut operates
+    on the original tokens), OVERLAPPING spans cut their union (no double
+    count), and span-free / null-text / empty-text docs pass through
+    byte-for-byte with correct token accounting."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
         dedup as dd,
     )
 
     docs = spark.createDataFrame(
-        [(1, "a b c d e f g h"), (2, "x y z"), (3, None)],
+        [(1, "A b C d E f G h"), (2, "x  Y z"), (3, None), (4, "  ")],
         "doc_id long, text string",
     )
     spans = spark.createDataFrame(
@@ -442,10 +444,13 @@ def test_remove_token_spans_hand_computed(spark):
         "doc_train long, start_train long, n_tokens long",
     )
     got = {r["doc_id"]: r for r in dd.remove_token_spans(docs, spans).collect()}
-    assert got[1]["clean_text"] == "a b g h"
+    assert got[1]["clean_text"] == "A b G h"
     assert got[1]["n_tokens"] == 8 and got[1]["n_tokens_removed"] == 4
-    assert got[2]["clean_text"] == "x y z" and got[2]["n_tokens_removed"] == 0
+    # untouched doc: ORIGINAL text verbatim (double space preserved)
+    assert got[2]["clean_text"] == "x  Y z" and got[2]["n_tokens_removed"] == 0
+    assert got[2]["n_tokens"] == 3
     assert got[3]["clean_text"] is None and got[3]["n_tokens"] == 0
+    assert got[4]["clean_text"] == "  " and got[4]["n_tokens"] == 0
 
 
 def test_cross_exact_substring_spans_hand_computed(spark):
