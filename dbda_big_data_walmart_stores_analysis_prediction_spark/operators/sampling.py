@@ -134,3 +134,133 @@ def stratified_sample(
         .where(F.col("__rn") <= F.ceil(F.col("__cnt") * frac))
         .drop("__h", "__rn", "__cnt")
     )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely it is under a hashed-n-gram unigram model of
+    the TARGET distribution than under the same model of the raw corpus.
+
+    Features are word unigrams + bigrams (with multiplicity — bag of
+    n-grams, not a set) over the shared content normalization
+    (`norm_text_col`), hashed into ``n_buckets`` buckets with the
+    oracle-portable md5-int64 so an external SQL engine reproduces every
+    bucket id bit-for-bit. Both distributions use add-one smoothing over
+    the bucket vocabulary, so
+
+        log w(x) = sum_g [ln(ct_b(g)+1) - ln(cr_b(g)+1)]
+                   + |x| * [ln(Nr + B) - ln(Nt + B)]
+
+    where ct/cr are target/raw bucket counts, Nt/Nr the total gram counts
+    and B the bucket count. Higher means "more target-like". The absolute
+    sign is NOT meaningful under add-one smoothing (sparse buckets drag
+    every doc slightly negative), so the selection bit is RELATIVE:
+    ``keep`` = the doc's per-gram average log ratio exceeds the corpus
+    mean of that quantity — one scalar aggregate broadcast back, no sort,
+    no quantile. DSIR proper resamples ∝ w; pair with
+    `stratified_sample`/`temperature_mix` for a quota'd selection.
+
+    Output: one row per raw doc — (``id_col``, ``n_grams``,
+    ``log_importance`` rounded to 4 dp, ``avg_logratio`` = rounded
+    per-gram ratio, ``keep``). Docs with no grams (null/empty text)
+    survive with n_grams=0, weight 0.0, keep=false: scoring is a
+    projection over the corpus, never a silent filter.
+
+    Plan shape at 100 TB: the two bucket-count tables are ≤ ``n_buckets``
+    rows no matter the corpus size — they aggregate map-side down to B
+    rows and BROADCAST to the scoring join, so the only full-data shuffle
+    is the per-doc sum (map-side combinable on the doc id). The target
+    frame is typically a curated sliver (Wikipedia-sized vs web-sized raw),
+    scanned twice: once for its stats, never joined row-to-row.
+    """
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
+        norm_text_col,
+    )
+
+    def gram_buckets(df: DataFrame) -> DataFrame:
+        w = F.split(norm_text_col(text_col), " ")
+        bigrams = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc"), F.explode(F.concat(w, bigrams)).alias("g"))
+            .where(F.col("g") != "")
+            .select("doc", (md5_int64("g") % F.lit(n_buckets)).alias("b"))
+        )
+
+    raw_grams = gram_buckets(raw)
+    tgt_grams = gram_buckets(target)
+    raw_stats = raw_grams.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_stats = tgt_grams.groupBy("b").agg(F.count("*").alias("ct"))
+    # scalar totals, broadcast like temperature_mix's __N
+    totals = (
+        raw_stats.agg(F.sum("cr").alias("nr"))
+        .crossJoin(tgt_stats.agg(F.sum("ct").alias("nt")))
+    )
+
+    scored = (
+        raw_grams.join(F.broadcast(raw_stats), "b")
+        .join(F.broadcast(tgt_stats), "b", "left")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+                - F.log(F.col("cr") + F.lit(1))
+            ).alias("__s"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc",
+            "n_grams",
+            F.round(
+                F.col("__s")
+                + F.col("n_grams")
+                * (
+                    F.log(F.col("nr") + F.lit(float(n_buckets)))
+                    - F.log(F.col("nt") + F.lit(float(n_buckets)))
+                ),
+                4,
+            ).alias("log_importance"),
+        )
+        .select(
+            "*",
+            F.round(F.col("log_importance") / F.col("n_grams"), 4).alias(
+                "avg_logratio"
+            ),
+        )
+    )
+    # derived entirely from already-rounded values so an external oracle
+    # lands on the identical mean (up to its own 6-dp rounding)
+    mean_ratio = scored.agg(
+        F.round(F.avg("avg_logratio"), 6).alias("__mean_ratio")
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(scored.withColumnRenamed("doc", id_col), id_col, "left")
+        .crossJoin(F.broadcast(mean_ratio))
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("log_importance"), F.lit(0.0)).alias("log_importance"),
+            F.coalesce(F.col("avg_logratio"), F.lit(0.0)).alias("avg_logratio"),
+            (
+                F.col("n_grams").isNotNull()
+                & (F.col("avg_logratio") > F.col("__mean_ratio"))
+            ).alias("keep"),
+        )
+    )

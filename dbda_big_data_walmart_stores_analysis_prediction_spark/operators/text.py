@@ -437,3 +437,101 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("__nlp"), 4).alias("avg_neg_logprob"),
     ).select(F.col("doc").alias(id_col), "n_bigrams", "avg_neg_logprob")
+
+
+# The 8 required-stopword list from the Gopher paper (Rae et al. 2021,
+# A.1.1 "quality filtering"): a doc must contain at least 2 of these to
+# pass — a cheap English-fluency proxy that kills keyword-stuffed pages.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A.1.1 — the rule
+    set MassiveWeb/Gopher filtered on, reused near-verbatim by RefinedWeb
+    and Dolma): per-doc structural metrics plus the canonical thresholds,
+    as ONE codegen projection — no shuffle, no UDF, no second scan.
+
+    Rules (doc fails → filtered before training):
+
+    * word count in ``[min_words, max_words]``
+    * mean word length in [3, 10]
+    * symbol-to-word ratio (``#``, ``...``, ``…``) ≤ 0.1
+    * < 90% of lines start with a bullet (``-``/``*``/``•``)
+    * ≤ 30% of lines end with an ellipsis
+    * ≥ 80% of words contain at least one alphabetic character
+    * ≥ ``min_stopwords`` (Gopher: 2) distinct hits from the 8-word
+      required-stopword list
+
+    Returns ``(id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_req_stopwords, keep)``; ratios rounded to 4 dp and every threshold
+    compared against the ROUNDED value so an external SQL engine lands on
+    the identical keep bit. Null/empty docs keep a row (zero counts,
+    ``keep=false``) — like the other scorers this is a projection, never a
+    silent filter.
+
+    At 100 TB this is the cheapest gate in the pipeline — pure per-row
+    expressions inside whole-stage codegen, so it belongs FIRST in a
+    corpus-prep plan, ahead of anything that shuffles."""
+    nn = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    w = F.when(nn, F.split(F.trim(F.col(text_col)), r"\s+"))
+    lines = F.when(nn, F.split(F.col(text_col), "\n"))
+    n_words = F.coalesce(F.size(w), F.lit(0)).cast("bigint")
+    n_lines = F.greatest(F.coalesce(F.size(lines), F.lit(0)), F.lit(1))
+    non_space_chars = F.when(
+        nn, F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    ).otherwise(F.lit(0))
+    n_symbols = F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…")), F.lit(0)
+    )
+    n_bullet = F.coalesce(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))), F.lit(0)
+    )
+    n_ellipsis = F.coalesce(
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))), F.lit(0)
+    )
+    n_alpha = F.coalesce(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))), F.lit(0)
+    )
+    stop_hits = F.coalesce(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                ),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ),
+        F.lit(0),
+    ).cast("bigint")
+
+    safe_w = F.greatest(n_words, F.lit(1))
+    m = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(non_space_chars / safe_w, 4).alias("mean_word_len"),
+        F.round(n_symbols / safe_w, 4).alias("symbol_word_ratio"),
+        F.round(n_bullet / n_lines, 4).alias("bullet_line_frac"),
+        F.round(n_ellipsis / n_lines, 4).alias("ellipsis_line_frac"),
+        F.round(n_alpha / safe_w, 4).alias("alpha_word_frac"),
+        stop_hits.alias("n_req_stopwords"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_req_stopwords") >= min_stopwords)
+    )
+    return m.select("*", keep.alias("keep"))

@@ -2120,3 +2120,155 @@ def q59_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 4).alias("value"),
     )
+
+
+@_register(
+    "q80_dsir_importance",
+    r"""
+    WITH nt AS (SELECT doc_id,
+                       regexp_split_to_array(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         ' ') AS w
+                FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id AS doc, unnest(w) AS g FROM nt
+      UNION ALL
+      SELECT doc_id AS doc,
+             unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+      FROM nt WHERE len(w) >= 2
+    ),
+    b AS (SELECT doc, ('0x' || substring(md5(g), 1, 15))::BIGINT % 4096 AS b
+          FROM g WHERE g <> ''),
+    tgt AS (SELECT b.doc, b.b FROM b
+            JOIN documents d ON d.doc_id = b.doc WHERE d.lang = 'en'),
+    rs AS (SELECT b, count(*) AS cr FROM b GROUP BY b),
+    ts AS (SELECT b, count(*) AS ct FROM tgt GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM b) AS nr,
+                   (SELECT count(*) FROM tgt) AS nt),
+    sc AS (SELECT d.doc, count(*) AS n_grams,
+                  sum(ln(coalesce(ts.ct, 0) + 1) - ln(rs.cr + 1)) AS s
+           FROM b d JOIN rs USING (b) LEFT JOIN ts USING (b)
+           GROUP BY d.doc),
+    w8 AS (SELECT doc, n_grams,
+                  round(s + n_grams * (ln(nr + 4096) - ln(nt + 4096)), 4)
+                    AS log_importance
+           FROM sc, tot),
+    w9 AS (SELECT *, round(log_importance / n_grams, 4) AS avg_logratio
+           FROM w8),
+    mr AS (SELECT round(avg(avg_logratio), 6) AS mean_ratio FROM w9)
+    SELECT d.doc_id,
+           coalesce(w9.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(w9.log_importance, 0.0) AS log_importance,
+           coalesce(w9.avg_logratio, 0.0) AS avg_logratio,
+           coalesce(w9.avg_logratio > mr.mean_ratio, FALSE) AS keep
+    FROM documents d LEFT JOIN w9 ON w9.doc = d.doc_id, mr
+    """,
+)
+def q80_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py::dsir_log_weights):
+    every doc scored by the log-likelihood ratio of a hashed-ngram
+    (uni+bigram, 4096 buckets, add-one smoothing) model of the ENGLISH
+    subset vs the raw corpus — the Xie et al. 2023 recipe for selecting
+    web data that "looks like" a curated target. Bucket-count tables are
+    ≤4096 rows regardless of corpus size and broadcast to the scoring
+    join; the one full shuffle is the per-doc sum."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    raw = docs.select("doc_id", "text")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_log_weights(raw, target, "doc_id", "text", n_buckets=4096)
+
+
+@_register(
+    "q81_gopher_rules",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0
+             THEN base || chr(10) || 'see details below...' || chr(10) || '...'
+             ELSE base END AS text
+      FROM (
+        SELECT doc_id,
+          CASE WHEN doc_id % 6 = 0
+               THEN '- alpha beta' || chr(10) || '- gamma delta' || chr(10) || text
+               ELSE base_text END AS base
+        FROM (SELECT doc_id, text AS base_text, text FROM documents))
+    ),
+    m AS (
+      SELECT doc_id,
+        (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_words,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE length(regexp_replace(text, '\s', '', 'g')) END AS nsc,
+        coalesce(len(regexp_extract_all(text, '#|\.\.\.|…')), 0) AS n_sym,
+        greatest(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(string_split(text, chr(10))) END, 1) AS n_lines,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(list_filter(string_split(text, chr(10)),
+                                  x -> regexp_matches(x, '^\s*[-*•]'))) END AS n_bullet,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(list_filter(string_split(text, chr(10)),
+                                  x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) END AS n_ell,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> regexp_matches(x, '[A-Za-z]'))) END AS n_alpha,
+        coalesce(len(list_intersect(
+          list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+          ['the','be','to','of','and','that','have','with'])), 0)::BIGINT
+          AS n_req_stopwords
+      FROM raw
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+        round(nsc::DOUBLE / greatest(n_words, 1), 4) AS mean_word_len,
+        round(n_sym::DOUBLE / greatest(n_words, 1), 4) AS symbol_word_ratio,
+        round(n_bullet::DOUBLE / n_lines, 4) AS bullet_line_frac,
+        round(n_ell::DOUBLE / n_lines, 4) AS ellipsis_line_frac,
+        round(n_alpha::DOUBLE / greatest(n_words, 1), 4) AS alpha_word_frac,
+        n_req_stopwords
+      FROM m
+    )
+    SELECT *,
+      (n_words >= 50 AND n_words <= 100000
+       AND mean_word_len >= 3 AND mean_word_len <= 10
+       AND symbol_word_ratio <= 0.1
+       AND bullet_line_frac < 0.9
+       AND ellipsis_line_frac <= 0.3
+       AND alpha_word_frac >= 0.8
+       AND n_req_stopwords >= 1) AS keep
+    FROM r
+    """,
+)
+def q81_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (operators/text.py::gopher_rules)
+    over documents with deterministic structure injected — every 6th doc
+    gains two bullet lines, every 9th an ellipsis tail — so the
+    line-structure rules do real hash-checked work on the single-line
+    fixture corpus. ``min_stopwords=1``: the synthetic vocabulary contains
+    at most one of the 8 required stopwords per doc ('the'), so the
+    canonical ≥2 would be vacuously all-reject here; the operator default
+    stays at Gopher's 2. One codegen projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("- alpha beta\n- gamma delta\n"), F.col("text")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit("\nsee details below...\n...")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return tx.gopher_rules(injected, min_stopwords=1)

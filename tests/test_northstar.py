@@ -863,3 +863,73 @@ def test_strip_markup_semantics(spark):
     assert out[2]["clean_text"] == "plain text stays untouched"
     assert out[2]["n_tags"] == 0
     assert out[3]["clean_text"] == "just this"
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    # target vocabulary {aa,bb}, off-target {xx,yy}; doc 4 mixes, doc 5 empty
+    raw = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa"),
+            (2, "xx yy xx yy xx"),
+            (3, "aa bb bb aa aa"),
+            (4, "aa xx aa yy bb"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    target = raw.where(F.col("doc_id").isin(1, 3))
+    out = dsir_log_weights(raw, target, "doc_id", "text", n_buckets=64)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # target-vocab docs outrank the off-target doc, mixed doc in between
+    assert rows[1]["log_importance"] > rows[4]["log_importance"]
+    assert rows[4]["log_importance"] > rows[2]["log_importance"]
+    assert rows[1]["keep"] and rows[3]["keep"] and not rows[2]["keep"]
+    # null-text doc survives as a zero row, never kept
+    assert rows[5]["n_grams"] == 0
+    assert rows[5]["log_importance"] == 0.0
+    assert not rows[5]["keep"]
+    # uni+bigrams with multiplicity: 5 words -> 5 + 4 grams
+    assert rows[1]["n_grams"] == 9
+
+
+def test_gopher_rules_thresholds_and_structure(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        gopher_rules,
+    )
+
+    good = "the cat sat on the mat and looked to the dog with a smile " * 5
+    bullets = "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\nthe end"
+    ellipses = "the first thing...\nthe second thing...\nthe third\nthe fourth"
+    numeric = " ".join(["12345"] * 60) + " the of"
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, bullets),
+            (3, ellipses),
+            (4, numeric),
+            (5, None),
+            (6, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=10).collect()}
+    assert out[1]["keep"]
+    # 9 of 10 lines start with a bullet -> fails the <0.9 rule
+    assert out[2]["bullet_line_frac"] == 0.9 and not out[2]["keep"]
+    # 2 of 4 lines end with an ellipsis -> fails the <=0.3 rule
+    assert out[3]["ellipsis_line_frac"] == 0.5 and not out[3]["keep"]
+    # alphabetic-word fraction collapses on numeric spam
+    assert out[4]["alpha_word_frac"] < 0.8 and not out[4]["keep"]
+    # null and whitespace-only docs keep a zero row, keep=false
+    for d in (5, 6):
+        assert out[d]["n_words"] == 0 and not out[d]["keep"]
+    # canonical stopword default rejects a doc with only one hit
+    one_stop = "the quick brown fox jumps over lazy dogs again " * 6
+    df2 = spark.createDataFrame([(7, one_stop)], "doc_id long, text string")
+    r7 = gopher_rules(df2, min_words=10).collect()[0]
+    assert r7["n_req_stopwords"] == 1 and not r7["keep"]
