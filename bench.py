@@ -122,6 +122,9 @@ LONGTAIL = [
     "q77_cross_exact_substring",
     "q78_bigram_lm_scores",
     "q79_decontaminated_corpus",
+    "q80_dsir_importance",
+    "q81_gopher_rules",
+    "q82_dsir_resample",
 ]
 
 _TABLES = (

@@ -264,3 +264,42 @@ def dsir_log_weights(
             ).alias("keep"),
         )
     )
+
+
+def gumbel_top_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "gumbel",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k: draw ``k`` rows WITHOUT replacement with
+    probability ∝ ``exp(weight_col)`` — the exact resampling step DSIR
+    runs over its log importance weights (Vieira 2014: adding standard
+    Gumbel noise to log-weights and taking the top-k is distributionally
+    identical to weighted sampling without replacement).
+
+    The Gumbel draw is derandomized the same way every sampler in this
+    module is: ``u = (md5(salt:id) + 0.5) / 2^60`` is a reproducible
+    uniform in (0,1), ``g = -ln(-ln(u))`` its Gumbel transform — so the
+    selected set is a pure function of (data, salt, k) and an external
+    SQL engine replicates it row-for-row. ``gumbel_score`` is rounded to
+    4 dp and ties broken by id so both engines agree at the rank-k
+    boundary bit-for-bit.
+
+    Plan: one projection + global top-k — Spark plans ``orderBy().limit()``
+    as TakeOrderedAndProject (per-partition heap of k, then a k-sized
+    merge on the driver side of the exchange), NOT a full sort: no
+    shuffle of the data, O(k) memory per partition. The scale knob is k
+    itself — for corpus-sized selections prefer a threshold on the score
+    (one scalar aggregate) over a giant top-k.
+    """
+    u = (
+        _mix_hash(id_col, salt).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    score = F.round(F.col(weight_col) - F.log(-F.log(u)), 4)
+    return (
+        df.select("*", score.alias("gumbel_score"))
+        .orderBy(F.col("gumbel_score").desc(), F.col(id_col))
+        .limit(k)
+    )

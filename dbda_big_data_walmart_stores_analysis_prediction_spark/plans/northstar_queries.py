@@ -2272,3 +2272,46 @@ def q81_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return tx.gopher_rules(injected, min_stopwords=1)
+
+
+# q82's oracle wraps the REGISTERED q80 weight SQL as a CTE (the q79/q72
+# splice pattern — one source of truth for the weight semantics) and
+# applies the deterministic Gumbel-top-k selection.
+_Q82_SQL = (
+    "WITH w AS (\n"
+    + ORACLE_SQL["q80_dsir_importance"]
+    + r"""
+    )
+    SELECT doc_id, log_importance,
+           round(log_importance
+                 - ln(-ln((('0x' || substring(md5('dsir:' || doc_id::VARCHAR),
+                                              1, 15))::BIGINT + 0.5)
+                          / 1152921504606846976.0)), 4) AS gumbel_score
+    FROM w
+    ORDER BY gumbel_score DESC, doc_id
+    LIMIT 100
+    """
+)
+
+
+@_register("q82_dsir_resample", _Q82_SQL)
+def q82_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING half of DSIR (operators/sampling.py::gumbel_top_k
+    over dsir_log_weights): 100 docs drawn without replacement with
+    probability ∝ exp(log importance weight) via the derandomized
+    Gumbel-top-k trick — the exact selection rule Xie et al. run, made a
+    pure function of (data, salt) so the oracle replicates it row-for-row.
+    Plan: q80's broadcast-stats scoring + one TakeOrderedAndProject (no
+    full sort, no extra shuffle)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        dsir_log_weights,
+        gumbel_top_k,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    raw = docs.select("doc_id", "text")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    weights = dsir_log_weights(raw, target, "doc_id", "text", n_buckets=4096).select(
+        "doc_id", "log_importance"
+    )
+    return gumbel_top_k(weights, "doc_id", "log_importance", k=100, salt="dsir")

@@ -933,3 +933,27 @@ def test_gopher_rules_thresholds_and_structure(spark):
     df2 = spark.createDataFrame([(7, one_stop)], "doc_id long, text string")
     r7 = gopher_rules(df2, min_words=10).collect()[0]
     assert r7["n_req_stopwords"] == 1 and not r7["keep"]
+
+
+def test_gumbel_top_k_weighted_without_replacement(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        gumbel_top_k,
+    )
+
+    # 200 rows: ids 0-99 weight 3.0, ids 100-199 weight 0.0
+    df = spark.createDataFrame(
+        [(i, 3.0 if i < 100 else 0.0) for i in range(200)],
+        "doc_id long, w double",
+    )
+    picked = gumbel_top_k(df, "doc_id", "w", k=50, salt="s1")
+    rows = picked.collect()
+    assert len(rows) == 50
+    assert len({r["doc_id"] for r in rows}) == 50  # without replacement
+    # e^3 ≈ 20x upweight: the heavy class must dominate the draw
+    heavy = sum(1 for r in rows if r["doc_id"] < 100)
+    assert heavy >= 45, f"heavy class underdrawn: {heavy}/50"
+    # pure function of (data, salt): identical rerun, different salt differs
+    again = {r["doc_id"] for r in gumbel_top_k(df, "doc_id", "w", 50, "s1").collect()}
+    other = {r["doc_id"] for r in gumbel_top_k(df, "doc_id", "w", 50, "s2").collect()}
+    assert again == {r["doc_id"] for r in rows}
+    assert other != again

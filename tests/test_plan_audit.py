@@ -202,3 +202,26 @@ def test_driver_rotation_fresh_clone_safe(monkeypatch):
     # weaker checks are what overflow the cap in a fresh clone
     first_rows_only = next(i for i, k in enumerate(ordered) if k not in oracled)
     assert all(k not in oracled for k in ordered[first_rows_only:])
+
+
+def test_q80_dsir_stats_broadcast_no_cartesian(spark):
+    # the bucket-count tables must broadcast (they are <=n_buckets rows at
+    # ANY corpus size) and nothing may plan as a cartesian/nested loop
+    plan = _plan(spark, "q80_dsir_importance")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q82_resample_take_ordered_not_full_sort(spark):
+    # Gumbel-top-k must plan as TakeOrderedAndProject (per-partition heap),
+    # never a global sort of the scored corpus
+    plan = _plan(spark, "q82_dsir_resample")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q81_gopher_rules_zero_shuffle(spark):
+    plan = _plan(spark, "q81_gopher_rules")
+    assert "Exchange" not in plan, plan
+    assert "BroadcastHashJoin" not in plan  # single-scan projection
