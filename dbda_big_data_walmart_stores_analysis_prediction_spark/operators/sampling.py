@@ -142,6 +142,7 @@ def dsir_log_weights(
     id_col: str,
     text_col: str,
     n_buckets: int = 4096,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw document
@@ -185,31 +186,57 @@ def dsir_log_weights(
     )
 
     def gram_buckets(df: DataFrame) -> DataFrame:
-        w = F.split(norm_text_col(text_col), " ")
-        bigrams = F.when(
-            F.size(w) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(w, i), F.element_at(w, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # Index-explode with the token array bound as a column (the
+        # `_shingle_rows` idiom): the Generate node between the two
+        # projections stops CollapseProject from re-inlining the split
+        # into every gram — a lambda-over-transform build re-evaluated
+        # the regex split per OUTPUT gram, O(tokens²) per doc (measured
+        # 6.7 s vs 0.3 s for this stage at sf0.1). Indices 1..n are the
+        # unigrams, n+1..2n-1 the bigrams.
+        from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+            _fan_out_small_scan,
+        )
+
+        base = _fan_out_small_scan(
+            df.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+            )
+        ).select("doc", F.split(norm_text_col("__t"), " ").alias("__w"))
+        n = F.size("__w")
+        idx = F.explode(F.sequence(F.lit(1), F.lit(2) * n - 1))
+        gram = F.when(
+            F.col("__i") <= F.size("__w"),
+            F.element_at("__w", F.col("__i")),
+        ).otherwise(
+            F.concat_ws(" ", F.slice("__w", F.col("__i") - F.size("__w"), 2))
+        )
         return (
-            df.where(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("doc"), F.explode(F.concat(w, bigrams)).alias("g"))
+            base.select("doc", "__w", idx.alias("__i"))
+            .select("doc", gram.alias("g"))
             .where(F.col("g") != "")
             .select("doc", (md5_int64("g") % F.lit(n_buckets)).alias("b"))
         )
 
     raw_grams = gram_buckets(raw)
     tgt_grams = gram_buckets(target)
-    raw_stats = raw_grams.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt_stats = tgt_grams.groupBy("b").agg(F.count("*").alias("ct"))
+    # Lazy checkpoints (the dedup-module idiom): each stats frame is
+    # ≤n_buckets rows but has TWO consumers (its total + the scoring
+    # join), and `scored` has two (the corpus mean + the output).
+    # Without the cut, Spark re-executes the full explode+md5 lineage per
+    # consumer.
+    def _cut(frame: DataFrame) -> DataFrame:
+        # ``checkpoint=False`` keeps the whole plan in ONE lazy tree
+        # (plan audits, engines with cheap recompute); the default cuts it
+        return frame.localCheckpoint(eager=False) if checkpoint else frame
+
+    raw_stats = _cut(raw_grams.groupBy("b").agg(F.count("*").alias("cr")))
+    tgt_stats = _cut(tgt_grams.groupBy("b").agg(F.count("*").alias("ct")))
     # scalar totals, broadcast like temperature_mix's __N
+    # coalesce: sum over an EMPTY stats frame is null, and a null total
+    # would null out every weight (an all-empty target must still score)
     totals = (
-        raw_stats.agg(F.sum("cr").alias("nr"))
-        .crossJoin(tgt_stats.agg(F.sum("ct").alias("nt")))
+        raw_stats.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+        .crossJoin(tgt_stats.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
     )
 
     scored = (
@@ -244,26 +271,40 @@ def dsir_log_weights(
             ),
         )
     )
+    # per-doc frame (4 narrow columns), consumed twice — cheap to hold
+    scored = _cut(scored)
     # derived entirely from already-rounded values so an external oracle
     # lands on the identical mean (up to its own 6-dp rounding)
     mean_ratio = scored.agg(
         F.round(F.avg("avg_logratio"), 6).alias("__mean_ratio")
     )
-    return (
-        raw.select(F.col(id_col))
-        .join(scored.withColumnRenamed("doc", id_col), id_col, "left")
+    # Zero-gram docs are EXACTLY the null/whitespace-text docs (a non-empty
+    # normalized text always yields >=1 gram), so restoring them is a
+    # filtered scan + union — NOT a corpus-to-corpus left join back onto
+    # `raw`, which would shuffle both sides on the id for no information.
+    scored_out = (
+        scored.withColumnRenamed("doc", id_col)
         .crossJoin(F.broadcast(mean_ratio))
         .select(
             id_col,
-            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
-            F.coalesce(F.col("log_importance"), F.lit(0.0)).alias("log_importance"),
-            F.coalesce(F.col("avg_logratio"), F.lit(0.0)).alias("avg_logratio"),
-            (
-                F.col("n_grams").isNotNull()
-                & (F.col("avg_logratio") > F.col("__mean_ratio"))
-            ).alias("keep"),
+            "n_grams",
+            "log_importance",
+            "avg_logratio",
+            (F.col("avg_logratio") > F.col("__mean_ratio")).alias("keep"),
         )
     )
+    zero_out = (
+        raw.where(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+        ).select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_grams"),
+            F.lit(0.0).alias("log_importance"),
+            F.lit(0.0).alias("avg_logratio"),
+            F.lit(False).alias("keep"),
+        )
+    )
+    return scored_out.unionByName(zero_out)
 
 
 def gumbel_top_k(

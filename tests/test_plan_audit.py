@@ -205,12 +205,31 @@ def test_driver_rotation_fresh_clone_safe(monkeypatch):
 
 
 def test_q80_dsir_stats_broadcast_no_cartesian(spark):
-    # the bucket-count tables must broadcast (they are <=n_buckets rows at
-    # ANY corpus size) and nothing may plan as a cartesian/nested loop
-    plan = _plan(spark, "q80_dsir_importance")
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # audit the UNCUT plan (checkpoint=False keeps one lazy tree): the
+    # bucket-count tables must broadcast to the scoring join (they are
+    # <=n_buckets rows at ANY corpus size), the zero-gram restore must be
+    # a union (never a corpus-to-corpus join), nothing cartesian, and the
+    # only real joins anywhere are the broadcasts
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = dsir_log_weights(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        n_buckets=512,
+        checkpoint=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Union" in plan, plan
 
 
 def test_q82_resample_take_ordered_not_full_sort(spark):

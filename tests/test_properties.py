@@ -362,3 +362,60 @@ def test_dedup_lines_matches_python_reference(spark, texts, cap):
         kept = [ln for ln in lines if df_count[norm(ln)] <= cap]
         expect[i] = ("\n".join(kept), len(lines), len(kept))
     assert out == expect
+
+
+@given(
+    raw_texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=20), min_size=1, max_size=12
+    ),
+    n_target=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_dsir_weights_match_python_reference(spark, raw_texts, n_target):
+    """dsir_log_weights against a literal numpy-free Python reimplementation
+    of the Xie-et-al. formula (same md5 bucketing, add-one smoothing)."""
+    import hashlib
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    B = 32
+    rows = [(i, t) for i, t in enumerate(raw_texts)]
+    n_target = min(n_target, len(rows))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.where(F.col("doc_id") < n_target)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_importance"])
+        for r in dsir_log_weights(raw, target, "doc_id", "text", n_buckets=B).collect()
+    }
+
+    def grams(t):
+        w = [x for x in " ".join(t.lower().strip().split()).split(" ") if x]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    raw_b = {i: [bucket(g) for g in grams(t)] for i, t in rows}
+    tgt_b = {i: bs for i, bs in raw_b.items() if i < n_target}
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for bs in raw_b.values():
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+    for bs in tgt_b.values():
+        for b in bs:
+            ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    for i, bs in raw_b.items():
+        if not bs:
+            assert got[i] == (0, 0.0)
+            continue
+        s = sum(
+            math.log(ct.get(b, 0) + 1) - math.log(cr[b] + 1) for b in bs
+        ) + len(bs) * (math.log(nr + B) - math.log(nt + B))
+        n_g, log_w = got[i]
+        assert n_g == len(bs)
+        assert abs(log_w - s) < 1e-3, (i, log_w, s)
