@@ -125,6 +125,7 @@ LONGTAIL = [
     "q80_dsir_importance",
     "q81_gopher_rules",
     "q82_dsir_resample",
+    "q83_c4_rules",
 ]
 
 _TABLES = (

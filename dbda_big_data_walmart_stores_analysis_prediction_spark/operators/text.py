@@ -535,3 +535,68 @@ def gopher_rules(
         & (F.col("n_req_stopwords") >= min_stopwords)
     )
     return m.select("*", keep.alias("keep"))
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2 — the filter that
+    built the corpus T5 trained on): line-level REWRITING plus page-level
+    gates, the complement of `gopher_rules`' score-only battery.
+
+    * keep only lines that end in a terminal punctuation mark
+      (``. ! ? " '``)
+    * keep only lines with ≥ ``min_words_per_line`` words
+    * drop any line containing the word "javascript" (case-insensitive)
+    * drop the whole page if it contains "lorem ipsum" (case-insensitive)
+      or a ``{`` (code)
+    * drop the page if the cleaned text has < ``min_sentences`` sentences
+      (counted as ``[.!?]`` occurrences in the kept lines)
+
+    Returns ``(id, clean_text, n_lines, n_lines_kept, n_sentences,
+    keep)``; ``clean_text`` is the kept lines rejoined with newlines (the
+    rewritten page a downstream tokenizer would consume), whether or not
+    the page survives — like every scorer here, a projection, not a
+    silent filter. Null docs keep a zero row.
+
+    One codegen projection per row (array lambdas over the line split —
+    the lambda operates on the BOUND line element, so there is no
+    re-inlined-source blowup), no shuffle, no UDF: at 100 TB this runs at
+    scan speed, which is why C4-style gates go first in a pipeline.
+    """
+    nn = F.col(text_col).isNotNull()
+    lines = F.when(nn, F.split(F.col(text_col), "\n"))
+    kept = F.filter(
+        lines,
+        lambda line: line.rlike(r"""[.!?"']\s*$""")
+        & (F.size(F.split(F.trim(line), r"\s+")) >= min_words_per_line)
+        & ~F.lower(line).contains("javascript"),
+    )
+    clean = F.coalesce(F.array_join(kept, "\n"), F.lit(""))
+    page_bad = F.coalesce(
+        F.lower(F.col(text_col)).contains("lorem ipsum")
+        | F.col(text_col).contains("{"),
+        F.lit(True),
+    )
+    m = df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.coalesce(F.size(lines), F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias("n_lines_kept"),
+        F.coalesce(
+            F.regexp_count(clean, F.lit(r"[.!?]")), F.lit(0)
+        ).cast("bigint").alias("n_sentences"),
+        page_bad.alias("__bad"),
+    )
+    return m.select(
+        id_col,
+        "clean_text",
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        (~F.col("__bad") & (F.col("n_sentences") >= min_sentences)).alias("keep"),
+    )

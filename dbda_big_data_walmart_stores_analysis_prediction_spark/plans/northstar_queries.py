@@ -2315,3 +2315,86 @@ def q82_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "log_importance"
     )
     return gumbel_top_k(weights, "doc_id", "log_importance", k=100, salt="dsir")
+
+
+_Q83_TAIL = (
+    "the first check passed here. the second check passed again. "
+    "the third check passed at last."
+)
+
+
+@_register(
+    "q83_c4_rules",
+    rf"""
+    WITH raw AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+        || chr(10) || 'a short line.'
+        || chr(10) || '{_Q83_TAIL}'
+        || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'this page uses javascript for menus.'
+                ELSE '' END
+        || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END
+        || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'function() {{' ELSE '' END
+        AS text
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        string_split(text, chr(10)) AS lines,
+        list_filter(string_split(text, chr(10)),
+          l -> regexp_matches(l, '[.!?"'']\s*$')
+               AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept,
+        (contains(lower(text), 'lorem ipsum') OR contains(text, '{{')) AS bad
+      FROM raw WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT doc_id,
+        array_to_string(kept, chr(10)) AS clean_text,
+        len(lines)::BIGINT AS n_lines,
+        len(kept)::BIGINT AS n_lines_kept,
+        len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))::BIGINT
+          AS n_sentences,
+        bad
+      FROM m
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_lines, 0) AS n_lines,
+           coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+           coalesce(r.n_sentences, 0) AS n_sentences,
+           coalesce(NOT r.bad AND r.n_sentences >= 3, FALSE) AS keep
+    FROM documents d LEFT JOIN r USING (doc_id)
+    """,
+)
+def q83_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (operators/text.py::c4_rules) over documents
+    with deterministic structure injected — the single-line fixture corpus
+    has no terminal punctuation at all, so each rule is given real work:
+    every 2nd doc's main line gains a terminal period (the others' main
+    line is dropped by the punctuation rule), every doc a 3-word line
+    (min-words rule) and a 3-sentence tail paragraph (so clean pages pass
+    the ≥3-sentence gate), every 5th a javascript line, every 17th a
+    'lorem ipsum' page-kill, every 19th a code brace page-kill."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+            F.lit("\na short line.\n" + _Q83_TAIL),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nthis page uses javascript for menus."),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("\nlorem ipsum")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 19 == 0, F.lit("\nfunction() {")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return tx.c4_rules(injected)

@@ -957,3 +957,44 @@ def test_gumbel_top_k_weighted_without_replacement(spark):
     other = {r["doc_id"] for r in gumbel_top_k(df, "doc_id", "w", 50, "s2").collect()}
     assert again == {r["doc_id"] for r in rows}
     assert other != again
+
+
+def test_c4_rules_line_and_page_semantics(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        c4_rules,
+    )
+
+    three = (
+        "the first check passed here. the second check passed again. "
+        "the third check passed at last."
+    )
+    df = spark.createDataFrame(
+        [
+            (1, f"no terminal punctuation on this line\n{three}"),
+            (2, f"this line ends with a period right here.\n{three}"),
+            (3, f"tiny line.\n{three}"),
+            (4, f"this menu needs JavaScript to render fully.\n{three}"),
+            (5, f"lorem ipsum dolor sit amet over here.\n{three}"),
+            (6, f"var f = function() {{ return 1; }}.\n{three}"),
+            (7, "only one sentence lives on this page."),
+            (8, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_rules(df).collect()}
+    # line without terminal punct dropped, tail kept -> 3 sentences, page ok
+    assert out[1]["n_lines_kept"] == 1 and out[1]["keep"]
+    # both lines kept -> 4 sentences
+    assert out[2]["n_lines_kept"] == 2 and out[2]["n_sentences"] == 4
+    assert out[2]["keep"]
+    # <5-word line dropped
+    assert out[3]["n_lines_kept"] == 1
+    # javascript line dropped case-insensitively
+    assert out[4]["n_lines_kept"] == 1 and out[4]["keep"]
+    # page kills: lorem ipsum and brace
+    assert not out[5]["keep"] and not out[6]["keep"]
+    # under the sentence floor
+    assert out[7]["n_sentences"] == 1 and not out[7]["keep"]
+    # null text -> zero row, clean_text '', keep false
+    assert out[8]["clean_text"] == "" and out[8]["n_lines"] == 0
+    assert not out[8]["keep"]
