@@ -201,7 +201,17 @@ def dsir_log_weights(
             df.where(F.col(text_col).isNotNull()).select(
                 F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
             )
-        ).select("doc", F.split(norm_text_col("__t"), " ").alias("__w"))
+        ).select(
+            "doc",
+            # boundary tabs/newlines survive F.trim (spaces only), so the
+            # normalized text can carry leading/trailing spaces -> empty
+            # boundary tokens that would forge phantom " x" bigrams; docs
+            # left with NO tokens must not reach the sequence builder
+            # (sequence(1, -1) DESCENDS in Spark)
+            F.filter(
+                F.split(norm_text_col("__t"), " "), lambda x: x != ""
+            ).alias("__w"),
+        ).where(F.size("__w") >= 1)
         n = F.size("__w")
         idx = F.explode(F.sequence(F.lit(1), F.lit(2) * n - 1))
         gram = F.when(
@@ -294,8 +304,10 @@ def dsir_log_weights(
         )
     )
     zero_out = (
+        # regex, not trim(): a doc of pure tabs/newlines has zero grams
+        # too and must land here, not vanish from the output
         raw.where(
-            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+            F.col(text_col).isNull() | F.col(text_col).rlike(r"^\s*$")
         ).select(
             F.col(id_col),
             F.lit(0).cast("bigint").alias("n_grams"),

@@ -463,7 +463,9 @@ def gopher_rules(
     * word count in ``[min_words, max_words]``
     * mean word length in [3, 10]
     * symbol-to-word ratio (``#``, ``...``, ``…``) ≤ 0.1
-    * < 90% of lines start with a bullet (``-``/``*``/``•``)
+    * ≤ 90% of lines start with a bullet (``-``/``*``/``•``) — the paper
+      removes "more than 90%", so exactly 0.9 survives, matching the
+      ellipsis rule's boundary handling
     * ≤ 30% of lines end with an ellipsis
     * ≥ 80% of words contain at least one alphabetic character
     * ≥ ``min_stopwords`` (Gopher: 2) distinct hits from the 8-word
@@ -481,7 +483,12 @@ def gopher_rules(
     expressions inside whole-stage codegen, so it belongs FIRST in a
     corpus-prep plan, ahead of anything that shuffles."""
     nn = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    w = F.when(nn, F.split(F.trim(F.col(text_col)), r"\s+"))
+    # filter boundary empties instead of trim+split: F.trim strips only
+    # SPACES, so a leading/trailing tab or newline would otherwise leave
+    # phantom "" tokens that inflate n_words and dilute alpha_word_frac
+    w = F.filter(
+        F.when(nn, F.split(F.col(text_col), r"\s+")), lambda x: x != ""
+    )
     lines = F.when(nn, F.split(F.col(text_col), "\n"))
     n_words = F.coalesce(F.size(w), F.lit(0)).cast("bigint")
     n_lines = F.greatest(F.coalesce(F.size(lines), F.lit(0)), F.lit(1))
@@ -500,12 +507,12 @@ def gopher_rules(
     n_alpha = F.coalesce(
         F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))), F.lit(0)
     )
+    # reuse the word array (array_intersect already dedups) instead of a
+    # third full-text regex split — this battery's cost IS the splits
     stop_hits = F.coalesce(
         F.size(
             F.array_intersect(
-                F.array_distinct(
-                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-                ),
+                F.transform(w, lambda x: F.lower(x)),
                 F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
             )
         ),
@@ -529,7 +536,7 @@ def gopher_rules(
         & (F.col("mean_word_len") >= 3)
         & (F.col("mean_word_len") <= 10)
         & (F.col("symbol_word_ratio") <= 0.1)
-        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("bullet_line_frac") <= 0.9)
         & (F.col("ellipsis_line_frac") <= 0.3)
         & (F.col("alpha_word_frac") >= 0.8)
         & (F.col("n_req_stopwords") >= min_stopwords)
@@ -541,8 +548,8 @@ def c4_rules(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    min_words_per_line: int = 5,
-    min_sentences: int = 3,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
 ) -> DataFrame:
     """The C4 cleaning rules (Raffel et al. 2020 §2.2 — the filter that
     built the corpus T5 trained on): line-level REWRITING plus page-level
@@ -550,12 +557,12 @@ def c4_rules(
 
     * keep only lines that end in a terminal punctuation mark
       (``. ! ? " '``)
-    * keep only lines with ≥ ``min_words_per_line`` words
+    * keep only lines with ≥ ``min_words_per_line`` words (paper: 3)
     * drop any line containing the word "javascript" (case-insensitive)
     * drop the whole page if it contains "lorem ipsum" (case-insensitive)
       or a ``{`` (code)
     * drop the page if the cleaned text has < ``min_sentences`` sentences
-      (counted as ``[.!?]`` occurrences in the kept lines)
+      (paper: 5; counted as ``[.!?]`` occurrences in the kept lines)
 
     Returns ``(id, clean_text, n_lines, n_lines_kept, n_sentences,
     keep)``; ``clean_text`` is the kept lines rejoined with newlines (the

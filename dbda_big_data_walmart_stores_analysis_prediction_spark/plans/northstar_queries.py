@@ -2126,19 +2126,19 @@ def q59_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q80_dsir_importance",
     r"""
     WITH nt AS (SELECT doc_id,
-                       regexp_split_to_array(
+                       list_filter(regexp_split_to_array(
                          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                         ' ') AS w
+                         ' '), x -> x <> '') AS w
                 FROM documents WHERE text IS NOT NULL),
     g AS (
-      SELECT doc_id AS doc, unnest(w) AS g FROM nt
+      SELECT doc_id AS doc, unnest(w) AS g FROM nt WHERE len(w) >= 1
       UNION ALL
       SELECT doc_id AS doc,
              unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
       FROM nt WHERE len(w) >= 2
     ),
     b AS (SELECT doc, ('0x' || substring(md5(g), 1, 15))::BIGINT % 4096 AS b
-          FROM g WHERE g <> ''),
+          FROM g),
     tgt AS (SELECT b.doc, b.b FROM b
             JOIN documents d ON d.doc_id = b.doc WHERE d.lang = 'en'),
     rs AS (SELECT b, count(*) AS cr FROM b GROUP BY b),
@@ -2200,7 +2200,8 @@ def q80_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT doc_id,
         (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_words,
+              ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) END)::BIGINT AS n_words,
         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
              ELSE length(regexp_replace(text, '\s', '', 'g')) END AS nsc,
         coalesce(len(regexp_extract_all(text, '#|\.\.\.|…')), 0) AS n_sym,
@@ -2213,7 +2214,7 @@ def q80_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE len(list_filter(string_split(text, chr(10)),
                                   x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) END AS n_ell,
         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-             ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
                                   x -> regexp_matches(x, '[A-Za-z]'))) END AS n_alpha,
         coalesce(len(list_intersect(
           list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
@@ -2235,7 +2236,7 @@ def q80_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
       (n_words >= 50 AND n_words <= 100000
        AND mean_word_len >= 3 AND mean_word_len <= 10
        AND symbol_word_ratio <= 0.1
-       AND bullet_line_frac < 0.9
+       AND bullet_line_frac <= 0.9
        AND ellipsis_line_frac <= 0.3
        AND alpha_word_frac >= 0.8
        AND n_req_stopwords >= 1) AS keep
@@ -2288,6 +2289,7 @@ _Q82_SQL = (
                                               1, 15))::BIGINT + 0.5)
                           / 1152921504606846976.0)), 4) AS gumbel_score
     FROM w
+    WHERE n_grams > 0
     ORDER BY gumbel_score DESC, doc_id
     LIMIT 100
     """
@@ -2311,15 +2313,20 @@ def q82_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     raw = docs.select("doc_id", "text")
     target = docs.where(F.col("lang") == "en").select("doc_id", "text")
-    weights = dsir_log_weights(raw, target, "doc_id", "text", n_buckets=4096).select(
-        "doc_id", "log_importance"
+    # zero-gram (null/empty) docs carry the neutral weight 0.0, which
+    # OUTRANKS every negatively-weighted real doc under exp(w) — a
+    # resampler must never preferentially draw empty documents
+    weights = (
+        dsir_log_weights(raw, target, "doc_id", "text", n_buckets=4096)
+        .where(F.col("n_grams") > 0)
+        .select("doc_id", "log_importance")
     )
     return gumbel_top_k(weights, "doc_id", "log_importance", k=100, salt="dsir")
 
 
 _Q83_TAIL = (
     "the first check passed here. the second check passed again. "
-    "the third check passed at last."
+    "the third check passed at last. the fourth check passed as well."
 )
 
 
@@ -2330,7 +2337,7 @@ _Q83_TAIL = (
       SELECT doc_id,
         text
         || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
-        || chr(10) || 'a short line.'
+        || chr(10) || 'too short.'
         || chr(10) || '{_Q83_TAIL}'
         || CASE WHEN doc_id % 5 = 0
                 THEN chr(10) || 'this page uses javascript for menus.'
@@ -2345,7 +2352,7 @@ _Q83_TAIL = (
         string_split(text, chr(10)) AS lines,
         list_filter(string_split(text, chr(10)),
           l -> regexp_matches(l, '[.!?"'']\s*$')
-               AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+               AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
                AND NOT contains(lower(l), 'javascript')) AS kept,
         (contains(lower(text), 'lorem ipsum') OR contains(text, '{{')) AS bad
       FROM raw WHERE text IS NOT NULL
@@ -2365,7 +2372,7 @@ _Q83_TAIL = (
            coalesce(r.n_lines, 0) AS n_lines,
            coalesce(r.n_lines_kept, 0) AS n_lines_kept,
            coalesce(r.n_sentences, 0) AS n_sentences,
-           coalesce(NOT r.bad AND r.n_sentences >= 3, FALSE) AS keep
+           coalesce(NOT r.bad AND r.n_sentences >= 5, FALSE) AS keep
     FROM documents d LEFT JOIN r USING (doc_id)
     """,
 )
@@ -2374,17 +2381,18 @@ def q83_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     with deterministic structure injected — the single-line fixture corpus
     has no terminal punctuation at all, so each rule is given real work:
     every 2nd doc's main line gains a terminal period (the others' main
-    line is dropped by the punctuation rule), every doc a 3-word line
-    (min-words rule) and a 3-sentence tail paragraph (so clean pages pass
-    the ≥3-sentence gate), every 5th a javascript line, every 17th a
-    'lorem ipsum' page-kill, every 19th a code brace page-kill."""
+    line is dropped by the punctuation rule), every doc a 2-word line
+    (min-words rule) and a 4-sentence tail paragraph (so ONLY pages whose
+    main line survives reach the paper's ≥5-sentence gate), every 5th a
+    javascript line, every 17th a 'lorem ipsum' page-kill, every 19th a
+    code brace page-kill."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     injected = docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
             F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
-            F.lit("\na short line.\n" + _Q83_TAIL),
+            F.lit("\ntoo short.\n" + _Q83_TAIL),
             F.when(
                 F.col("doc_id") % 5 == 0,
                 F.lit("\nthis page uses javascript for menus."),

@@ -903,7 +903,7 @@ def test_gopher_rules_thresholds_and_structure(spark):
     )
 
     good = "the cat sat on the mat and looked to the dog with a smile " * 5
-    bullets = "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\nthe end"
+    bullets = "\n".join(f"- item {w}" for w in "one two three four five six seven eight nine ten".split()) + "\nthe end"
     ellipses = "the first thing...\nthe second thing...\nthe third\nthe fourth"
     numeric = " ".join(["12345"] * 60) + " the of"
     df = spark.createDataFrame(
@@ -919,8 +919,9 @@ def test_gopher_rules_thresholds_and_structure(spark):
     )
     out = {r["doc_id"]: r for r in gopher_rules(df, min_words=10).collect()}
     assert out[1]["keep"]
-    # 9 of 10 lines start with a bullet -> fails the <0.9 rule
-    assert out[2]["bullet_line_frac"] == 0.9 and not out[2]["keep"]
+    # 10 of 11 lines start with a bullet (>90%) -> fails the paper's
+    # "more than 90%" rule; exactly 0.9 would survive (<= boundary)
+    assert out[2]["bullet_line_frac"] == 0.9091 and not out[2]["keep"]
     # 2 of 4 lines end with an ellipsis -> fails the <=0.3 rule
     assert out[3]["ellipsis_line_frac"] == 0.5 and not out[3]["keep"]
     # alphabetic-word fraction collapses on numeric spam
@@ -964,36 +965,37 @@ def test_c4_rules_line_and_page_semantics(spark):
         c4_rules,
     )
 
-    three = (
+    five = (
         "the first check passed here. the second check passed again. "
-        "the third check passed at last."
+        "the third check passed at last. the fourth check passed as well. "
+        "the fifth check passed too."
     )
     df = spark.createDataFrame(
         [
-            (1, f"no terminal punctuation on this line\n{three}"),
-            (2, f"this line ends with a period right here.\n{three}"),
-            (3, f"tiny line.\n{three}"),
-            (4, f"this menu needs JavaScript to render fully.\n{three}"),
-            (5, f"lorem ipsum dolor sit amet over here.\n{three}"),
-            (6, f"var f = function() {{ return 1; }}.\n{three}"),
+            (1, f"no terminal punctuation on this line\n{five}"),
+            (2, f"this line ends with a period right here.\n{five}"),
+            (3, f"too short.\n{five}"),
+            (4, f"this menu needs JavaScript to render fully.\n{five}"),
+            (5, f"lorem ipsum dolor sit amet over here.\n{five}"),
+            (6, f"var f = function() {{ return 1; }}.\n{five}"),
             (7, "only one sentence lives on this page."),
             (8, None),
         ],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in c4_rules(df).collect()}
-    # line without terminal punct dropped, tail kept -> 3 sentences, page ok
+    # line without terminal punct dropped, tail kept -> 5 sentences, page ok
     assert out[1]["n_lines_kept"] == 1 and out[1]["keep"]
-    # both lines kept -> 4 sentences
-    assert out[2]["n_lines_kept"] == 2 and out[2]["n_sentences"] == 4
+    # both lines kept -> 6 sentences
+    assert out[2]["n_lines_kept"] == 2 and out[2]["n_sentences"] == 6
     assert out[2]["keep"]
-    # <5-word line dropped
+    # <3-word line dropped (paper keeps lines of >=3 words)
     assert out[3]["n_lines_kept"] == 1
     # javascript line dropped case-insensitively
     assert out[4]["n_lines_kept"] == 1 and out[4]["keep"]
     # page kills: lorem ipsum and brace
     assert not out[5]["keep"] and not out[6]["keep"]
-    # under the sentence floor
+    # under the paper's 5-sentence floor
     assert out[7]["n_sentences"] == 1 and not out[7]["keep"]
     # null text -> zero row, clean_text '', keep false
     assert out[8]["clean_text"] == "" and out[8]["n_lines"] == 0

@@ -366,7 +366,7 @@ def test_dedup_lines_matches_python_reference(spark, texts, cap):
 
 @given(
     raw_texts=st.lists(
-        st.text(alphabet="ab x", min_size=0, max_size=20), min_size=1, max_size=12
+        st.text(alphabet="ab x\t\n", min_size=0, max_size=20), min_size=1, max_size=12
     ),
     n_target=st.integers(1, 6),
 )
