@@ -550,6 +550,7 @@ def c4_rules(
     id_col: str = "doc_id",
     min_words_per_line: int = 3,
     min_sentences: int = 5,
+    passthrough: bool = False,
 ) -> DataFrame:
     """The C4 cleaning rules (Raffel et al. 2020 §2.2 — the filter that
     built the corpus T5 trained on): line-level REWRITING plus page-level
@@ -568,7 +569,10 @@ def c4_rules(
     keep)``; ``clean_text`` is the kept lines rejoined with newlines (the
     rewritten page a downstream tokenizer would consume), whether or not
     the page survives — like every scorer here, a projection, not a
-    silent filter. Null docs keep a zero row.
+    silent filter. Null docs keep a zero row. ``passthrough=True``
+    retains every input column alongside the rule columns (for pipeline
+    composition — `prepare_training_corpus(c4_clean=True)`); the caller
+    owns avoiding name collisions with the five added columns.
 
     One codegen projection per row (array lambdas over the line split —
     the lambda operates on the BOUND line element, so there is no
@@ -589,8 +593,9 @@ def c4_rules(
         | F.col(text_col).contains("{"),
         F.lit(True),
     )
+    head = [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
     m = df.select(
-        F.col(id_col),
+        *head,
         clean.alias("clean_text"),
         F.coalesce(F.size(lines), F.lit(0)).cast("bigint").alias("n_lines"),
         F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias("n_lines_kept"),
@@ -599,11 +604,13 @@ def c4_rules(
         ).cast("bigint").alias("n_sentences"),
         page_bad.alias("__bad"),
     )
-    return m.select(
-        id_col,
+    out_cols = (df.columns if passthrough else [id_col]) + [
         "clean_text",
         "n_lines",
         "n_lines_kept",
         "n_sentences",
+    ]
+    return m.select(
+        *out_cols,
         (~F.col("__bad") & (F.col("n_sentences") >= min_sentences)).alias("keep"),
     )

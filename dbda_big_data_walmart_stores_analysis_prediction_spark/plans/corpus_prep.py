@@ -32,6 +32,7 @@ def prepare_training_corpus(
     max_doc_freq: int | None = 10_000,
     storage_level: "StorageLevel | None" = None,
     quality_scorer=None,
+    c4_clean: bool = False,
 ) -> DataFrame:
     """Filter + dedup a raw document table into a training-ready corpus.
 
@@ -58,6 +59,15 @@ def prepare_training_corpus(
     survivors carry ``quality_prob`` too. The transform is an assembler
     projection + 6-weight dot product over the feature columns the
     pipeline computes anyway — no extra scan, shuffle, or Python.
+
+    ``c4_clean=True`` prepends the C4 rule battery (`operators.text.
+    c4_rules`) as stage zero: pages failing the page gates are dropped,
+    surviving pages have their text REWRITTEN to the kept lines before
+    scoring/language-ID/dedup see it — the web-crawl shape where
+    boilerplate lines would otherwise poison the quality score and the
+    shingle space. Off by default (the oracle-checked q56/q70 plans are
+    unchanged); zero extra shuffle when on (the rules are a projection
+    fused into the scan).
 
     ``storage_level`` sets how the composition-boundary materialization is
     held (see the inline persist note): the default deserialized
@@ -98,6 +108,17 @@ def prepare_training_corpus(
     # (measured: count() through the inlined predicate was 5x the cost of
     # computing the entire scored frame). The cache also feeds
     # dedup_exact's two derivations (min aggregate + keep join).
+    if c4_clean:
+        from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+            c4_rules,
+        )
+
+        docs = (
+            c4_rules(docs, text_col, id_col, passthrough=True)
+            .where(F.col("keep"))
+            .drop(text_col, "n_lines", "n_lines_kept", "n_sentences", "keep")
+            .withColumnRenamed("clean_text", text_col)
+        )
     scored = language_id(add_text_features(docs, text_col), text_col)
     if quality_scorer is not None:
         from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.quality_model import (

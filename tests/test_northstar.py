@@ -1000,3 +1000,36 @@ def test_c4_rules_line_and_page_semantics(spark):
     # null text -> zero row, clean_text '', keep false
     assert out[8]["clean_text"] == "" and out[8]["n_lines"] == 0
     assert not out[8]["keep"]
+
+
+def test_corpus_prep_c4_clean_stage(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    five = (
+        "the first check passed here. the second check passed again. "
+        "the third check passed at last. the fourth check passed as well. "
+        "the fifth check passed too."
+    )
+    body = "the quick brown fox jumps over the lazy dog again and again. " * 5
+    df = spark.createDataFrame(
+        [
+            (1, f"{body}\n{five}"),
+            (2, f"{body}\nlorem ipsum"),              # page-killed by C4
+            (3, f"{body}\nthis trailing line has no terminal punctuation"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        df, min_quality=0.0, keep_langs=("en",), c4_clean=True
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 2 not in rows                      # killed page never scored
+    assert set(rows) == {1, 3}
+    # the rewritten text dropped the unpunctuated trailing line
+    assert "no terminal punctuation" not in rows[3]["text"]
+    assert rows[1]["text"].endswith("passed too.")
+    # default path unchanged: without the flag, doc 2 survives scoring
+    base = prepare_training_corpus(df, min_quality=0.0, keep_langs=("en",))
+    assert {r["doc_id"] for r in base.collect()} == {1, 2, 3}
