@@ -584,7 +584,12 @@ def c4_rules(
     kept = F.filter(
         lines,
         lambda line: line.rlike(r"""[.!?"']\s*$""")
-        & (F.size(F.split(F.trim(line), r"\s+")) >= min_words_per_line)
+        & (
+            F.size(
+                F.filter(F.split(line, r"\s+"), lambda x: x != "")
+            )
+            >= min_words_per_line
+        )
         & ~F.lower(line).contains("javascript"),
     )
     clean = F.coalesce(F.array_join(kept, "\n"), F.lit(""))

@@ -2352,7 +2352,8 @@ _Q83_TAIL = (
         string_split(text, chr(10)) AS lines,
         list_filter(string_split(text, chr(10)),
           l -> regexp_matches(l, '[.!?"'']\s*$')
-               AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+               AND len(list_filter(regexp_split_to_array(l, '\s+'),
+                                   x -> x <> '')) >= 3
                AND NOT contains(lower(l), 'javascript')) AS kept,
         (contains(lower(text), 'lorem ipsum') OR contains(text, '{{')) AS bad
       FROM raw WHERE text IS NOT NULL

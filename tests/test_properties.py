@@ -419,3 +419,56 @@ def test_dsir_weights_match_python_reference(spark, raw_texts, n_target):
         n_g, log_w = got[i]
         assert n_g == len(bs)
         assert abs(log_w - s) < 1e-3, (i, log_w, s)
+
+
+_C4_LINES = [
+    "the quick brown fox jumps high.",
+    "no punctuation on this line",
+    "tiny one.",
+    "we shipped the javascript bundle today.",
+    "lorem ipsum dolor sit.",
+    "x { y",
+    "did the test pass? yes it did!",
+    "\tindented tab line counts two.",
+    "",
+]
+
+
+@given(
+    line_idx=st.lists(st.integers(0, len(_C4_LINES) - 1), min_size=0, max_size=8)
+)
+@settings(**SETTINGS)
+def test_c4_rules_match_python_reference(spark, line_idx):
+    import re
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        c4_rules,
+    )
+
+    text = "\n".join(_C4_LINES[i] for i in line_idx) if line_idx else None
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = c4_rules(df).collect()[0]
+
+    # literal reimplementation of Raffel et al. 2020 §2.2
+    if text is None:
+        expect = ("", 0, 0, 0, False)
+    else:
+        lines = text.split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if re.search(r"""[.!?"']\s*$""", ln)
+            and len([w for w in re.split(r"\s+", ln) if w != ""]) >= 3
+            and "javascript" not in ln.lower()
+        ]
+        clean = "\n".join(kept)
+        n_sent = len(re.findall(r"[.!?]", clean))
+        bad = "lorem ipsum" in text.lower() or "{" in text
+        expect = (clean, len(lines), len(kept), n_sent, (not bad) and n_sent >= 5)
+    assert (
+        got["clean_text"],
+        got["n_lines"],
+        got["n_lines_kept"],
+        got["n_sentences"],
+        got["keep"],
+    ) == expect
