@@ -1,0 +1,194 @@
+"""BPE tokenizer training + encoding (Sennrich et al. 2016) — the
+missing tokenizer-side member of the LLM-pipeline operator family.
+
+Split of labor, sized for 100 TB:
+
+* **Word counting is the corpus-scale work** and runs fully distributed:
+  one explode + hash aggregate with map-side combine, identical shape to
+  the TF/doc-freq aggregates the text family already uses. By Heaps' law
+  the DISTINCT-word table is orders of magnitude smaller than the corpus
+  (millions of rows for web-scale text), so it is the natural collect
+  boundary.
+* **The merge loop runs driver-side over the bounded vocabulary** — the
+  same size-gated decision class as `dedup.connected_components`' 1M-edge
+  union-find and `similarity`'s IVF centroid sample: `max_vocab_rows`
+  caps the collect (deterministic truncation: highest-count words first,
+  lexicographic tie-break), and the classic pair-count/merge iteration
+  over a word-frequency dict is exactly how reference BPE trainers
+  (subword-nmt, HF tokenizers) operate — they too train on word counts,
+  not the raw corpus.
+* **Encoding goes back to being distributed**: the learned merge table is
+  a tiny broadcast (``n_merges`` rows) and `bpe_encode` applies it with
+  an Arrow-batched pandas UDF (the multimodal slow-path convention —
+  per-word loops are not expressible as built-in array ops).
+
+Everything is deterministic: pair argmax ties break to the
+lexicographically smallest pair, so the merge table is a pure function
+of (corpus, n_merges) and tests can assert it exactly.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
+    norm_text_col,
+)
+
+END = "</w>"
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", max_vocab_rows: int = 1_000_000
+) -> DataFrame:
+    """Corpus-wide word frequencies over the shared normalization:
+    ``(word, n)``, capped at ``max_vocab_rows`` by (count desc, word) —
+    a deterministic head of the Zipf curve, which is also where all of
+    BPE's early merge mass lives. The cap turns the later collect into a
+    bounded driver transfer no matter the corpus size; Spark plans the
+    orderBy+limit as TakeOrderedAndProject (per-partition heaps, no full
+    sort)."""
+    w = F.explode(
+        F.filter(F.split(norm_text_col(text_col), " "), lambda x: x != "")
+    ).alias("word")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(w)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(max_vocab_rows)
+    )
+
+
+def _merge_word(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    max_vocab_rows: int = 1_000_000,
+) -> DataFrame:
+    """Learn a BPE merge table from a document frame.
+
+    Returns ``(merge_rank, left, right, new_symbol, pair_count)`` with
+    ``merge_rank`` starting at 0 — the exact artifact a tokenizer ships.
+    Words are character sequences closed by the ``</w>`` end marker
+    (Sennrich's original scheme, so merges never cross word boundaries
+    and a trailing symbol distinguishes "un-" from "-un"). The loop stops
+    early when no pair reaches ``min_pair_count`` (merging singleton
+    noise would just memorize the corpus tail).
+    """
+    spark = df.sparkSession
+    rows = word_counts(df, text_col, max_vocab_rows).collect()
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]) + (END,): r["n"] for r in rows
+    }
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        if top < min_pair_count:
+            break
+        left, right = min(p for p, c in pairs.items() if c == top)
+        merges.append((rank, left, right, left + right, int(top)))
+        vocab = {
+            _merge_word(syms, left, right): c for syms, c in vocab.items()
+        }
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, new_symbol string, pair_count bigint",
+    )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a learned merge table: ``(id, bpe_tokens
+    array<string>, n_bpe_tokens)``. Lowest-rank-first pair merging per
+    word — the standard BPE inference rule, byte-identical to applying
+    the training merges in order.
+
+    The merge table (``n_merges`` rows) collects once and ships in the
+    UDF closure — a broadcast-sized model artifact, same pattern as the
+    IVF centroids. The per-word merge loop is inherently imperative, so
+    this is an Arrow-batched ``mapInPandas`` (the multimodal slow-path
+    convention): one Python pass per document batch, no shuffle at all —
+    encoding parallelizes embarrassingly with the scan."""
+    ranks = {
+        (r["left"], r["right"]): r["merge_rank"] for r in merges.collect()
+    }
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "bpe_tokens array<string>, n_bpe_tokens bigint"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf["__norm"]:
+                if text is None or text == "":
+                    toks.append([])
+                    continue
+                doc: list[str] = []
+                for word in text.split(" "):
+                    if not word:
+                        continue
+                    enc = cache.get(word)
+                    if enc is None:
+                        enc = _encode_word(word, ranks)
+                        cache[word] = enc
+                    doc.extend(enc)
+                toks.append(doc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "bpe_tokens": toks,
+                    "n_bpe_tokens": [len(t) for t in toks],
+                }
+            )
+
+    src = df.select(F.col(id_col), norm_text_col(text_col).alias("__norm"))
+    return src.mapInPandas(encode, out_schema)

@@ -2407,3 +2407,43 @@ def q83_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tx.c4_rules(injected)
+
+
+@_register("q84_bpe_merges")
+def q84_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py::train_bpe): learn a
+    40-merge table from the corpus — distributed word counting (one
+    explode + map-side-combinable aggregate, TakeOrdered vocabulary cap),
+    then the classic Sennrich pair-merge loop over the bounded vocab
+    driver-side (the union-find/IVF size-gate decision class). Rows-only
+    by nature (SURVEY §5: iterative algorithm, not SQL-expressible), but
+    fully deterministic — lexicographic tie-breaks make the merge table a
+    pure function of the corpus, and the local suite pins it against a
+    hand-computed reference."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return train_bpe(docs, n_merges=40, min_pair_count=2)
+
+
+@_register("q85_bpe_tokens")
+def q85_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding (operators/bpe.py::bpe_encode) with the q84 merge
+    table: per-doc subword tokens via lowest-rank-first merging, applied
+    by an Arrow-batched mapInPandas with the broadcast-sized merge table
+    in the closure — zero shuffle, scan-parallel. Rows-only (array
+    output of an iterative model); the local suite pins round-trip
+    (tokens reassemble the normalized text) and compression invariants."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(docs, n_merges=40, min_pair_count=2)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id", F.slice("bpe_tokens", 1, 20).alias("bpe_head"), "n_bpe_tokens"
+    )

@@ -1033,3 +1033,52 @@ def test_corpus_prep_c4_clean_stage(spark):
     # default path unchanged: without the flag, doc 2 survives scoring
     base = prepare_training_corpus(df, min_quality=0.0, keep_langs=("en",))
     assert {r["doc_id"] for r in base.collect()} == {1, 2, 3}
+
+
+def test_bpe_train_matches_hand_computed_merges(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        train_bpe,
+    )
+
+    # the classic Sennrich corpus shape: low x3, lower x2, newest x1
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, n_merges=3, min_pair_count=1).collect()
+    got = [(r["merge_rank"], r["left"], r["right"], r["pair_count"]) for r in merges]
+    # round 1: (l,o) and (o,w) tie at 5 -> lexicographic min (l,o)
+    # round 2: (lo,w) at 5; round 3: (low,</w>) at 3
+    assert got == [(0, "l", "o", 5), (1, "lo", "w", 5), (2, "low", "</w>", 3)]
+    # deterministic: identical rerun
+    again = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in train_bpe(df, n_merges=3, min_pair_count=1).collect()
+    ]
+    assert again == got
+
+
+def test_bpe_encode_roundtrip_and_compression(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest"), (4, None)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, n_merges=3, min_pair_count=1)
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    # merged 'low</w>' is a single token; 'lower' shares the 'low' prefix
+    assert out[1]["bpe_tokens"] == ["low</w>"] * 3
+    assert out[2]["bpe_tokens"][:1] == ["low"]
+    # round-trip: concatenated tokens reproduce the normalized text
+    for i, text in [(1, "low low low"), (2, "lower lower"), (3, "newest")]:
+        joined = "".join(out[i]["bpe_tokens"]).replace("</w>", "")
+        assert joined == text.replace(" ", "")
+        assert out[i]["n_bpe_tokens"] == len(out[i]["bpe_tokens"])
+    # merges compress: fewer tokens than chars+end-markers
+    assert out[1]["n_bpe_tokens"] < len("lowlowlow") + 3
+    # null text -> empty token row, not a dropped doc
+    assert out[4]["bpe_tokens"] == [] and out[4]["n_bpe_tokens"] == 0
