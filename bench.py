@@ -94,7 +94,10 @@ HEADLINE = [
 # regression per invocation (MLlib iterative job, ~10 s dominated by
 # solver rounds, not engine plan shape); benching it would add noise, not
 # signal. Its transform path is the same add_text_features plan q22
-# measures.
+# measures. q84/q85 (BPE) are absent for the same reason: each invocation
+# TRAINS the merge table (a 40-iteration driver loop over the vocab) —
+# solver rounds, not engine plan shape; the distributed word-count stage
+# they exercise is the same explode+aggregate family q50 measures.
 LONGTAIL = [
     "q33_rollup_pricing",
     "q34_intersect_except",

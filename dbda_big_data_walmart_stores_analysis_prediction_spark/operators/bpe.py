@@ -96,27 +96,44 @@ def train_bpe(
     early when no pair reaches ``min_pair_count`` (merging singleton
     noise would just memorize the corpus tail).
     """
+    from collections import defaultdict
+
     spark = df.sparkSession
     rows = word_counts(df, text_col, max_vocab_rows).collect()
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(r["word"]) + (END,): r["n"] for r in rows
-    }
+    # Incremental pair maintenance (the subword-nmt optimization): a merge
+    # only changes the pair counts of words CONTAINING the merged pair, so
+    # each round touches index[best] words, not the whole vocabulary — at
+    # the 1M-word gate bound the naive full recount costs ~vocab*len work
+    # per merge (measured 8.8 s for 40 merges even on a 2k-word vocab at
+    # sf0.1; the argmax scan, not the rewrite, is then the bound).
+    vocab: list[list] = [[tuple(r["word"]) + (END,), r["n"]] for r in rows]
+    pair_counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for i, (syms, c) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            index[p].add(i)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
-        pairs: Counter = Counter()
-        for syms, c in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += c
-        if not pairs:
+        if not pair_counts:
             break
-        top = max(pairs.values())
+        top = max(pair_counts.values())
         if top < min_pair_count:
             break
-        left, right = min(p for p, c in pairs.items() if c == top)
+        left, right = min(p for p, c in pair_counts.items() if c == top)
         merges.append((rank, left, right, left + right, int(top)))
-        vocab = {
-            _merge_word(syms, left, right): c for syms, c in vocab.items()
-        }
+        for i in list(index[(left, right)]):
+            syms, c = vocab[i]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                index[p].discard(i)
+            new = _merge_word(syms, left, right)
+            vocab[i][0] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += c
+                index[p].add(i)
     return spark.createDataFrame(
         merges,
         "merge_rank int, left string, right string, new_symbol string, pair_count bigint",
