@@ -244,3 +244,20 @@ def test_q81_gopher_rules_zero_shuffle(spark):
     plan = _plan(spark, "q81_gopher_rules")
     assert "Exchange" not in plan, plan
     assert "BroadcastHashJoin" not in plan  # single-scan projection
+
+
+def test_bpe_word_counts_take_ordered_vocab_cap(spark):
+    # the vocabulary cap must plan as TakeOrderedAndProject (per-partition
+    # heaps), never a full sort of the word-count table
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        word_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        word_counts(docs, max_vocab_rows=1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
