@@ -32,6 +32,15 @@ def norm_text_col(text: Column | str) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def norm_words_col(text: Column | str) -> Column:
+    """Words of the normalized text (`norm_text_col` split on its single
+    spaces) with boundary empties filtered — THE word array the
+    tokenizer-side operators (BPE word counts, DSIR gram builder) share.
+    One definition for the same reason as `norm_text_col`: if empty-token
+    or separator semantics ever change, every consumer moves together."""
+    return F.filter(F.split(norm_text_col(text), " "), lambda x: x != "")
+
+
 def shingles_col(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles of ``text`` as an array<string>.
 

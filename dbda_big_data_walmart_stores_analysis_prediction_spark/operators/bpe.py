@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
     norm_text_col,
+    norm_words_col,
 )
 
 END = "</w>"
@@ -53,9 +54,7 @@ def word_counts(
     bounded driver transfer no matter the corpus size; Spark plans the
     orderBy+limit as TakeOrderedAndProject (per-partition heaps, no full
     sort)."""
-    w = F.explode(
-        F.filter(F.split(norm_text_col(text_col), " "), lambda x: x != "")
-    ).alias("word")
+    w = F.explode(norm_words_col(text_col)).alias("word")
     return (
         df.where(F.col(text_col).isNotNull())
         .select(w)
@@ -162,9 +161,13 @@ def bpe_encode(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenize documents with a learned merge table: ``(id, bpe_tokens
-    array<string>, n_bpe_tokens)``. Lowest-rank-first pair merging per
+    array<string>, n_subword_tokens)``. Lowest-rank-first pair merging per
     word — the standard BPE inference rule, byte-identical to applying
-    the training merges in order.
+    the training merges in order. The count column is named
+    ``n_subword_tokens`` deliberately: ``add_text_features`` already
+    emits an ``n_bpe_tokens`` with DIFFERENT semantics (a regex
+    token-shape count), and a shared name would make joins of the two
+    frames ambiguous.
 
     The merge table (``n_merges`` rows) collects once and ships in the
     UDF closure — a broadcast-sized model artifact, same pattern as the
@@ -178,8 +181,14 @@ def bpe_encode(
     id_field = df.schema[id_col]
     out_schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
-        "bpe_tokens array<string>, n_bpe_tokens bigint"
+        "bpe_tokens array<string>, n_subword_tokens bigint"
     )
+
+    # Zipf-head memoization cap: per-task distinct words are bounded by the
+    # split's contents, not the corpus, so an uncapped dict could reach
+    # hundreds of MB in a Python worker on wide-vocabulary partitions; the
+    # head of the frequency curve is where virtually all hits live anyway.
+    cache_max = 262_144
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}
@@ -196,14 +205,15 @@ def bpe_encode(
                     enc = cache.get(word)
                     if enc is None:
                         enc = _encode_word(word, ranks)
-                        cache[word] = enc
+                        if len(cache) < cache_max:
+                            cache[word] = enc
                     doc.extend(enc)
                 toks.append(doc)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "bpe_tokens": toks,
-                    "n_bpe_tokens": [len(t) for t in toks],
+                    "n_subword_tokens": [len(t) for t in toks],
                 }
             )
 

@@ -182,7 +182,7 @@ def dsir_log_weights(
     scanned twice: once for its stats, never joined row-to-row.
     """
     from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
-        norm_text_col,
+        norm_words_col,
     )
 
     def gram_buckets(df: DataFrame) -> DataFrame:
@@ -202,15 +202,12 @@ def dsir_log_weights(
                 F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
             )
         ).select(
-            "doc",
-            # boundary tabs/newlines survive F.trim (spaces only), so the
-            # normalized text can carry leading/trailing spaces -> empty
-            # boundary tokens that would forge phantom " x" bigrams; docs
+            # norm_words_col filters boundary empties (tabs/newlines
+            # survive F.trim) that would forge phantom " x" bigrams; docs
             # left with NO tokens must not reach the sequence builder
             # (sequence(1, -1) DESCENDS in Spark)
-            F.filter(
-                F.split(norm_text_col("__t"), " "), lambda x: x != ""
-            ).alias("__w"),
+            "doc",
+            norm_words_col("__t").alias("__w"),
         ).where(F.size("__w") >= 1)
         n = F.size("__w")
         idx = F.explode(F.sequence(F.lit(1), F.lit(2) * n - 1))

@@ -572,7 +572,8 @@ def c4_rules(
     silent filter. Null docs keep a zero row. ``passthrough=True``
     retains every input column alongside the rule columns (for pipeline
     composition — `prepare_training_corpus(c4_clean=True)`); the caller
-    owns avoiding name collisions with the five added columns.
+    owns avoiding collisions with the five output columns AND the
+    ``__bad`` intermediate (`prepare_training_corpus` raises on all six).
 
     One codegen projection per row (array lambdas over the line split —
     the lambda operates on the BOUND line element, so there is no

@@ -113,6 +113,17 @@ def prepare_training_corpus(
             c4_rules,
         )
 
+        reserved = {
+            "clean_text", "n_lines", "n_lines_kept", "n_sentences",
+            "keep", "__bad",
+        }
+        clash = sorted(reserved & set(docs.columns))
+        if clash:
+            raise ValueError(
+                f"c4_clean=True reserves columns {clash} (c4_rules "
+                "passthrough output); rename or drop them on the input "
+                "frame first"
+            )
         docs = (
             c4_rules(docs, text_col, id_col, passthrough=True)
             .where(F.col("keep"))

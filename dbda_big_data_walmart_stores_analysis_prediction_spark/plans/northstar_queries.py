@@ -2445,5 +2445,7 @@ def q85_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(docs, n_merges=40, min_pair_count=2)
     out = bpe_encode(docs, merges)
     return out.select(
-        "doc_id", F.slice("bpe_tokens", 1, 20).alias("bpe_head"), "n_bpe_tokens"
+        "doc_id",
+        F.slice("bpe_tokens", 1, 20).alias("bpe_head"),
+        "n_subword_tokens",
     )

@@ -1077,8 +1077,23 @@ def test_bpe_encode_roundtrip_and_compression(spark):
     for i, text in [(1, "low low low"), (2, "lower lower"), (3, "newest")]:
         joined = "".join(out[i]["bpe_tokens"]).replace("</w>", "")
         assert joined == text.replace(" ", "")
-        assert out[i]["n_bpe_tokens"] == len(out[i]["bpe_tokens"])
+        assert out[i]["n_subword_tokens"] == len(out[i]["bpe_tokens"])
     # merges compress: fewer tokens than chars+end-markers
-    assert out[1]["n_bpe_tokens"] < len("lowlowlow") + 3
+    assert out[1]["n_subword_tokens"] < len("lowlowlow") + 3
     # null text -> empty token row, not a dropped doc
-    assert out[4]["bpe_tokens"] == [] and out[4]["n_bpe_tokens"] == 0
+    assert out[4]["bpe_tokens"] == [] and out[4]["n_subword_tokens"] == 0
+
+
+def test_corpus_prep_c4_clean_rejects_reserved_columns(spark):
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and slept.", True)],
+        "doc_id long, text string, keep boolean",
+    )
+    with pytest.raises(ValueError, match="c4_clean=True reserves"):
+        prepare_training_corpus(df, c4_clean=True)
