@@ -84,10 +84,12 @@ _SQL_SIMHASH = f"""
       round(punct_ratio, 4) AS punct_ratio,
       round(digit_ratio, 4) AS digit_ratio,
       round(space_ratio, 4) AS space_ratio,
-      floor((least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
+      CASE WHEN n_tokens IS NULL THEN 0.0 ELSE
+        floor((least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
             + CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 0.3 ELSE 0.0 END
             + greatest(0.0, 0.15 - punct_ratio) * 2.0 / 3.0 * 1.0
-            + greatest(0.0, 0.2 - digit_ratio)) * 10000 + 0.5) / 10000 AS quality_score
+            + greatest(0.0, 0.2 - digit_ratio)) * 10000 + 0.5) / 10000
+        END AS quality_score
     FROM g
     """,
 )
@@ -119,7 +121,8 @@ def q22_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       len(list_intersect(words, ['le','la','et','les','des','en','un','du','une','est']))::BIGINT AS hits_fr
       FROM w)
     SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr,
-      CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+      CASE WHEN coalesce(greatest(hits_de, hits_en, hits_es, hits_fr), 0) = 0
+           THEN 'und'
            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
@@ -141,13 +144,17 @@ def q23_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS w
                FROM documents),
     g AS (SELECT doc_id,
-                 [array_to_string(w[i:i+4], ' ')
-                  FOR i IN range(1, greatest(len(w) - 4, 1) + 1)] AS grams
+                 CASE WHEN w IS NULL THEN []::VARCHAR[]
+                      ELSE [array_to_string(w[i:i+4], ' ')
+                            FOR i IN range(1, greatest(len(w) - 4, 1) + 1)]
+                 END AS grams
           FROM w)
     SELECT doc_id,
       len(grams)::BIGINT AS n_grams,
       len(list_distinct(grams))::BIGINT AS uniq_grams,
-      round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS dup_gram_frac
+      CASE WHEN len(grams) > 0
+           THEN round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+      END AS dup_gram_frac
     FROM g
     """,
 )
@@ -1004,10 +1011,12 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens IS NULL THEN 0.0 ELSE
         floor((least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
               + CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 0.3 ELSE 0.0 END
               + greatest(0.0, 0.15 - punct_ratio) * 2.0 / 3.0 * 1.0
-              + greatest(0.0, 0.2 - digit_ratio)) * 10000 + 0.5) / 10000 AS quality_score
+              + greatest(0.0, 0.2 - digit_ratio)) * 10000 + 0.5) / 10000
+        END AS quality_score
       FROM g
     ),
     lw AS (SELECT doc_id,
@@ -1020,7 +1029,8 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       len(list_intersect(words, ['le','la','et','les','des','en','un','du','une','est']))::BIGINT AS hits_fr
       FROM lw),
     lp AS (SELECT doc_id,
-      CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+      CASE WHEN coalesce(greatest(hits_de, hits_en, hits_es, hits_fr), 0) = 0
+           THEN 'und'
            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
@@ -1440,7 +1450,7 @@ def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
              len(regexp_split_to_array(trim(text), '\\s+')) AS n
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     s AS (
       SELECT doc_id, w, n,
@@ -1738,10 +1748,12 @@ def q76_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT doc_id, source, n_tokens, fpx,
+        CASE WHEN n_tokens IS NULL THEN 0.0 ELSE
         floor((least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
               + CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 0.3 ELSE 0.0 END
               + greatest(0.0, 0.15 - punct_ratio) * 2.0 / 3.0 * 1.0
-              + greatest(0.0, 0.2 - digit_ratio)) * 10000 + 0.5) / 10000 AS quality_score
+              + greatest(0.0, 0.2 - digit_ratio)) * 10000 + 0.5) / 10000
+        END AS quality_score
       FROM g
     ),
     c AS (SELECT fpx, count(*) AS cnt FROM q GROUP BY fpx)

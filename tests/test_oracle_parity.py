@@ -83,3 +83,71 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "avg_order_total" in df.columns
+
+
+ADVERSARIAL_DOCS = [
+    # regex metacharacters, quotes, backslashes, unicode, mixed whitespace
+    (0, 'back\\slash and "quotes" and \'single\' ones.', "en", "srcA", 40),
+    (1, "dots... and ellipsis… and #hash marks", "en", "srcA", 38),
+    (2, "parens (x) [y] {z} plus+star* dollar$ caret^", "de", "srcB", 44),
+    (3, "tab\tseparated\twords\tand a period.", "en", "srcB", 33),
+    (4, "  leading and trailing whitespace  ", "fr", "srcA", 35),
+    (5, "newline\nin the middle\nof the doc.", "en", "srcB", 33),
+    (6, None, "es", "srcA", 0),
+    (7, "", "en", "srcB", 0),
+    (8, "unicode: café naïve 北京 emoji 🙂 done.", "fr", "srcA", 37),
+    (9, "the of and to a in is it that for.", "en", "srcB", 34),
+    (10, "a|b a|b a|b pipe pipe pipe.", "en", "srcA", 27),
+    (11, "question mark? exclamation! period. quote.'", "de", "srcB", 43),
+]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q81_gopher_rules",
+        "q83_c4_rules",
+        "q80_dsir_importance",
+        "q22_text_features",
+        "q69_line_dedup",
+        "q78_bigram_lm_scores",
+        "q64_pii_redaction",
+        "q23_language_id",
+        "q24_fingerprints",
+        "q25_exact_dup_groups",
+        "q62_repetition_scores",
+        "q67_markup_stripping",
+        "q74_doc_chunking",
+        "q75_exact_substring_spans",
+        "q79_decontaminated_corpus",
+    ],
+)
+def test_oracle_parity_on_adversarial_corpus(spark, tmp_path, name):
+    """The fixture corpus is benign ASCII prose; this pins Spark/DuckDB
+    regex+split agreement on the nasty inputs a real crawl contains
+    (metacharacters, quotes, unicode, boundary whitespace) for the
+    operators whose semantics are regex-heavy."""
+    docs = spark.createDataFrame(
+        ADVERSARIAL_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = sdf.collect()
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a parquet DIRECTORY; glob its part files
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
+    d = _multiset(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
