@@ -120,6 +120,24 @@ ADVERSARIAL_DOCS = [
         "q74_doc_chunking",
         "q75_exact_substring_spans",
         "q79_decontaminated_corpus",
+        "q26_jaccard_pairs",
+        "q27_minhash_lsh_pairs",
+        "q28_simhash",
+        "q29_simhash_near_pairs",
+        "q50_tfidf_top_terms",
+        "q55_dedup_clusters",
+        "q56_corpus_prep",
+        "q60_incremental_dedup",
+        "q61_stratified_corpus_mix",
+        "q63_sequence_packing",
+        "q65_contamination_report",
+        "q66_dedup_keep_longest",
+        "q68_ngram_decontamination",
+        "q70_web_corpus_pipeline",
+        "q71_temperature_mix",
+        "q73_corpus_report",
+        "q77_cross_exact_substring",
+        "q82_dsir_resample",
     ],
 )
 def test_oracle_parity_on_adversarial_corpus(spark, tmp_path, name):
