@@ -64,7 +64,11 @@ def knn_bruteforce(
         "query_id",
         "neighbor_id",
         F.round(cosine_similarity_col("q_vec", "c_vec", dim), 6).alias("cosine"),
-    )
+    # zero-norm vectors have no direction: their cosine is 0/0 (NaN here,
+    # an arbitrary -1.0 clamp in DuckDB) — exclude the pair rather than
+    # rank an undefined similarity (NaN sorts ABOVE every real cosine in
+    # a DESC window, so it would otherwise win top-k slots)
+    ).where(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
     return top_k_per_group(
         scored,
         partition_by=["query_id"],

@@ -658,7 +658,9 @@ def q29_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
     s AS (SELECT query_id, neighbor_id,
                  round(list_cosine_similarity(qv, cv), 6) AS cosine
-          FROM q, c WHERE query_id <> neighbor_id),
+          FROM q, c WHERE query_id <> neighbor_id
+            AND list_dot_product(qv, qv) > 0
+            AND list_dot_product(cv, cv) > 0),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
           FROM s)

@@ -169,3 +169,72 @@ def test_oracle_parity_on_adversarial_corpus(spark, tmp_path, name):
     d = _multiset(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
+
+
+def _adversarial_embeddings():
+    import math
+
+    rows = []
+    for i in range(24):
+        if i == 0:
+            vec = [0.0] * 64                      # zero vector (cosine /0)
+        elif i in (1, 2):
+            vec = [1.0] + [0.0] * 63              # exact duplicates
+        elif i == 3:
+            vec = [1e-30] * 64                    # denormal magnitude
+        elif i == 4:
+            vec = [1e18] * 64                     # huge magnitude
+        elif i == 5:
+            vec = [-1.0] + [0.0] * 63             # antipode of 1/2
+        else:
+            vec = [
+                math.sin(0.1 * i * (j + 1)) for j in range(64)
+            ]                                      # deterministic spread
+        rows.append((i, [float(v) for v in vec], i % 3))
+    return rows
+
+
+@pytest.mark.parametrize(
+    "name", ["q30_knn_bruteforce", "q31_embedding_near_dups", "q72_semantic_dedup"]
+)
+def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
+    """Zero vectors (cosine division by zero), exact duplicates, antipodes
+    and denormal/huge magnitudes — the embedding-side analog of the text
+    adversarial battery."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    emb = spark.createDataFrame(_adversarial_embeddings(), schema)
+    sf_dir = str(tmp_path)
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = sdf.collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
+    d = _multiset(duck_rows, duck_cols)
+    assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
