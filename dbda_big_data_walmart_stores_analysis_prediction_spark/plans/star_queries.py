@@ -677,11 +677,21 @@ def q20_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q21_events_json_extract",
     """
+    WITH j AS (
+      SELECT event_type,
+             -- Spark's get_json_object returns NULL on malformed JSON and
+             -- on non-numeric values; DuckDB's json_extract THROWS and
+             -- CAST throws, so guard with json_valid + TRY_CAST
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            count(*) AS n,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
+           round(avg(k), 4) AS avg_k,
+           max(k) AS max_k
+    FROM j
     GROUP BY event_type
     """,
 )

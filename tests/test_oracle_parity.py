@@ -238,3 +238,81 @@ def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
     assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
+
+
+def _adversarial_events():
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    return [
+        # malformed / hostile JSON props
+        (0, ts(0), 1, "click", 1.0, "{bad json"),
+        (1, ts(10), 1, "view", 2.5, ""),
+        (2, ts(20), 1, "click", 0.0, None),
+        (3, ts(30), 2, "purchase", 9.99, "[]"),
+        (4, ts(40), 2, "click", 1.0, '{"page": "a/b?x=1&y=2", "n": 3}'),
+        (5, ts(50), 2, "view", -1.0, '{"page": null}'),
+        (6, ts(60), 3, "click", 1e18, '{"nested": {"page": "deep"}}'),
+        (7, ts(70), 3, "view", -1e18, '{"page": "unicodé 北京 🙂"}'),
+        # identical timestamps (window/asof tie-breaks)
+        (8, ts(100), 4, "click", 1.0, '{"page": "t1"}'),
+        (9, ts(100), 4, "purchase", 2.0, '{"page": "t2"}'),
+        (10, ts(100), 4, "click", 3.0, '{"page": "t3"}'),
+        # null user / null type
+        (11, ts(200), None, "click", 1.0, '{"page": "x"}'),
+        (12, ts(210), 5, None, 1.0, '{"page": "y"}'),
+        # long idle gap then burst (sessionization boundaries)
+        (13, ts(4000), 5, "click", 1.0, '{"page": "s"}'),
+        (14, ts(4001), 5, "view", 1.0, '{"page": "s"}'),
+        (15, ts(9999), 5, "purchase", 5.0, '{"page": "s"}'),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q20_events_hourly_window",
+        "q21_events_json_extract",
+        "q37_sessionization",
+        "q38_sliding_windows",
+        "q45_asof_click_purchase",
+        "q51_range_join_sessions",
+        "q54_attribution_join",
+        "q59_event_dedup",
+    ],
+)
+def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):
+    """Malformed JSON, timestamp ties, null users/types, extreme values —
+    the events-side adversarial battery (JSON extraction and event-time
+    semantics are where engines classically diverge)."""
+    import pyspark.sql.functions as F
+
+    ev = spark.createDataFrame(
+        _adversarial_events(),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = sdf.collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
+    d = _multiset(duck_rows, duck_cols)
+    assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
