@@ -64,10 +64,12 @@ def knn_bruteforce(
         "query_id",
         "neighbor_id",
         F.round(cosine_similarity_col("q_vec", "c_vec", dim), 6).alias("cosine"),
-    # zero-norm vectors have no direction: their cosine is 0/0 (NaN here,
-    # an arbitrary -1.0 clamp in DuckDB) — exclude the pair rather than
-    # rank an undefined similarity (NaN sorts ABOVE every real cosine in
-    # a DESC window, so it would otherwise win top-k slots)
+    # zero-norm vectors have no direction: cosine_similarity_col yields
+    # NULL for them (guarded division), DuckDB clamps to an arbitrary
+    # -1.0 — exclude the pair on both sides rather than rank an undefined
+    # similarity (pre-fix divergence: NULL rows ranked LAST here vs
+    # DuckDB's -1.0 rows ranked last-but-present). The isnan clause is
+    # belt-and-braces for caller-supplied NaN components.
     ).where(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
     return top_k_per_group(
         scored,

@@ -679,11 +679,12 @@ def q20_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH j AS (
       SELECT event_type,
-             -- Spark's get_json_object returns NULL on malformed JSON and
-             -- on non-numeric values; DuckDB's json_extract THROWS and
-             -- CAST throws, so guard with json_valid + TRY_CAST
+             -- engine-tolerant extraction: DuckDB's json_extract/CAST
+             -- THROW on hostile input, so json_valid + TRY_CAST; DOUBLE
+             -- (not BIGINT) because the engines' string->integer casts
+             -- disagree on '2.5' (round vs reject)
              CASE WHEN props IS NOT NULL AND json_valid(props)
-                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
              END AS k
       FROM events
     )
@@ -697,9 +698,19 @@ def q20_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over the events.props column (north-star surface —
-    SURVEY §2.8 notes the reference has no JSON functions)."""
+    SURVEY §2.8 notes the reference has no JSON functions).
+
+    ``try_cast`` (not ``cast``): this session runs ANSI mode, where a
+    plain cast of a non-numeric extracted value THROWS mid-scan — a
+    hostile-JSON crash, not a query error. Contract: k is extracted as
+    DOUBLE, NULL for absent/non-numeric/unparseable props; exact
+    hostile-JSON validity is parser-defined (Jackson tolerates
+    single-quote keys and trailing garbage that yyjson rejects, yyjson
+    tolerates trailing commas Jackson rejects), so the oracle contract
+    covers inputs both parsers classify identically — the adversarial
+    events battery pins exactly that set."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.expr("try_cast(get_json_object(props, '$.k') as double)")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.avg(k), 4).alias("avg_k"),

@@ -85,6 +85,34 @@ def test_entry_smoke(spark):
     assert "avg_order_total" in df.columns
 
 
+def _assert_adversarial_parity(spark, tmp_path, name, table, df):
+    """Shared battery body: write the adversarial frame as the named table,
+    run the registered Spark query and its DuckDB oracle against it, and
+    compare columns, row count, and the value multiset."""
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = sdf.collect()
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a parquet DIRECTORY; glob its part files
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/{table}.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(duck_cols), (
+        f"{name}: column mismatch {sdf.columns} vs {duck_cols}"
+    )
+    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
+    d = _multiset(duck_rows, duck_cols)
+    assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
+
+
 ADVERSARIAL_DOCS = [
     # regex metacharacters, quotes, backslashes, unicode, mixed whitespace
     (0, 'back\\slash and "quotes" and \'single\' ones.', "en", "srcA", 40),
@@ -101,74 +129,54 @@ ADVERSARIAL_DOCS = [
     (11, "question mark? exclamation! period. quote.'", "de", "srcB", 43),
 ]
 
+DOC_QUERY_NAMES = [
+    "q81_gopher_rules",
+    "q83_c4_rules",
+    "q80_dsir_importance",
+    "q22_text_features",
+    "q69_line_dedup",
+    "q78_bigram_lm_scores",
+    "q64_pii_redaction",
+    "q23_language_id",
+    "q24_fingerprints",
+    "q25_exact_dup_groups",
+    "q62_repetition_scores",
+    "q67_markup_stripping",
+    "q74_doc_chunking",
+    "q75_exact_substring_spans",
+    "q79_decontaminated_corpus",
+    "q26_jaccard_pairs",
+    "q27_minhash_lsh_pairs",
+    "q28_simhash",
+    "q29_simhash_near_pairs",
+    "q50_tfidf_top_terms",
+    "q55_dedup_clusters",
+    "q56_corpus_prep",
+    "q60_incremental_dedup",
+    "q61_stratified_corpus_mix",
+    "q63_sequence_packing",
+    "q65_contamination_report",
+    "q66_dedup_keep_longest",
+    "q68_ngram_decontamination",
+    "q70_web_corpus_pipeline",
+    "q71_temperature_mix",
+    "q73_corpus_report",
+    "q77_cross_exact_substring",
+    "q82_dsir_resample",
+]
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "q81_gopher_rules",
-        "q83_c4_rules",
-        "q80_dsir_importance",
-        "q22_text_features",
-        "q69_line_dedup",
-        "q78_bigram_lm_scores",
-        "q64_pii_redaction",
-        "q23_language_id",
-        "q24_fingerprints",
-        "q25_exact_dup_groups",
-        "q62_repetition_scores",
-        "q67_markup_stripping",
-        "q74_doc_chunking",
-        "q75_exact_substring_spans",
-        "q79_decontaminated_corpus",
-        "q26_jaccard_pairs",
-        "q27_minhash_lsh_pairs",
-        "q28_simhash",
-        "q29_simhash_near_pairs",
-        "q50_tfidf_top_terms",
-        "q55_dedup_clusters",
-        "q56_corpus_prep",
-        "q60_incremental_dedup",
-        "q61_stratified_corpus_mix",
-        "q63_sequence_packing",
-        "q65_contamination_report",
-        "q66_dedup_keep_longest",
-        "q68_ngram_decontamination",
-        "q70_web_corpus_pipeline",
-        "q71_temperature_mix",
-        "q73_corpus_report",
-        "q77_cross_exact_substring",
-        "q82_dsir_resample",
-    ],
-)
+
+@pytest.mark.parametrize("name", DOC_QUERY_NAMES)
 def test_oracle_parity_on_adversarial_corpus(spark, tmp_path, name):
     """The fixture corpus is benign ASCII prose; this pins Spark/DuckDB
     regex+split agreement on the nasty inputs a real crawl contains
-    (metacharacters, quotes, unicode, boundary whitespace) for the
-    operators whose semantics are regex-heavy."""
+    (metacharacters, quotes, unicode, boundary whitespace) for every
+    documents-only oracled query."""
     docs = spark.createDataFrame(
         ADVERSARIAL_DOCS,
         "doc_id long, text string, lang string, source string, n_chars bigint",
     )
-    sf_dir = str(tmp_path)
-    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
-
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_rows = sdf.collect()
-    con = duckdb.connect()
-    con.execute(
-        # Spark writes a parquet DIRECTORY; glob its part files
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
-    )
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    con.close()
-    assert sorted(sdf.columns) == sorted(duck_cols)
-    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
-    d = _multiset(duck_rows, duck_cols)
-    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
-    assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
+    _assert_adversarial_parity(spark, tmp_path, name, "documents", docs)
 
 
 def _adversarial_embeddings():
@@ -218,26 +226,7 @@ def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
         ]
     )
     emb = spark.createDataFrame(_adversarial_embeddings(), schema)
-    sf_dir = str(tmp_path)
-    emb.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
-
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_rows = sdf.collect()
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW embeddings AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
-    )
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    con.close()
-    assert sorted(sdf.columns) == sorted(duck_cols)
-    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
-    d = _multiset(duck_rows, duck_cols)
-    assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
-    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
-    assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
+    _assert_adversarial_parity(spark, tmp_path, name, "embeddings", emb)
 
 
 def _adversarial_events():
@@ -249,7 +238,11 @@ def _adversarial_events():
         return t0 + dt.timedelta(seconds=sec)
 
     return [
-        # malformed / hostile JSON props
+        # malformed / hostile JSON props — only forms BOTH parsers agree
+        # on (Jackson tolerates single-quote keys / trailing garbage that
+        # yyjson rejects; yyjson tolerates trailing commas Jackson
+        # rejects — those sit outside the oracle contract, per q21's
+        # docstring)
         (0, ts(0), 1, "click", 1.0, "{bad json"),
         (1, ts(10), 1, "view", 2.5, ""),
         (2, ts(20), 1, "click", 0.0, None),
@@ -269,6 +262,11 @@ def _adversarial_events():
         (13, ts(4000), 5, "click", 1.0, '{"page": "s"}'),
         (14, ts(4001), 5, "view", 1.0, '{"page": "s"}'),
         (15, ts(9999), 5, "purchase", 5.0, '{"page": "s"}'),
+        # numeric $.k extraction: int, float, non-numeric, JSON null
+        (16, ts(300), 6, "click", 1.0, '{"k": 7}'),
+        (17, ts(310), 6, "view", 1.0, '{"k": 2.5}'),
+        (18, ts(320), 6, "click", 1.0, '{"k": "abc"}'),
+        (19, ts(330), 6, "purchase", 1.0, '{"k": null}'),
     ]
 
 
@@ -289,30 +287,9 @@ def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):
     """Malformed JSON, timestamp ties, null users/types, extreme values —
     the events-side adversarial battery (JSON extraction and event-time
     semantics are where engines classically diverge)."""
-    import pyspark.sql.functions as F
-
     ev = spark.createDataFrame(
         _adversarial_events(),
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    sf_dir = str(tmp_path)
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
-
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_rows = sdf.collect()
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
-    )
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    con.close()
-    assert sorted(sdf.columns) == sorted(duck_cols)
-    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
-    d = _multiset(duck_rows, duck_cols)
-    assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
-    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
-    assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
+    _assert_adversarial_parity(spark, tmp_path, name, "events", ev)
