@@ -20,9 +20,19 @@ def clean_na_sentinels(
     sentinel: str = "NA",
     cast_to: DataType | str = FloatType(),
 ) -> DataFrame:
-    """Map ``sentinel`` strings to NULL and cast, all columns in one select."""
+    """Map ``sentinel`` strings to NULL and cast, all columns in one select.
+
+    ``try_cast``, not ``cast``: this operator exists for frames that
+    arrive DIRTY, and this session runs Spark's ANSI mode, where a plain
+    cast of any non-sentinel unparseable value ("n/a", "1,5", "-")
+    throws CAST_INVALID_INPUT mid-scan — at 100 TB that is one bad cell
+    killing the job hours in. Unparseable values become NULL, the same
+    fate as the declared sentinel."""
     cleaned = {
-        c: F.when(F.col(c) == sentinel, None).otherwise(F.col(c)).cast(cast_to).alias(c)
+        c: F.when(F.col(c) == sentinel, None)
+        .otherwise(F.col(c))
+        .try_cast(cast_to)
+        .alias(c)
         for c in columns
     }
     return df.select(

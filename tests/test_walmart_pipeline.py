@@ -238,3 +238,17 @@ def test_save_plots_layer(spark, tmp_path):
     else:
         with pytest.raises(ImportError, match="matplotlib"):
             save_plots(report, str(tmp_path / "plots"))
+
+
+def test_clean_na_sentinels_survives_dirty_non_sentinel_values(spark):
+    # ANSI mode: a plain cast of "n/a" would throw CAST_INVALID_INPUT —
+    # the cleaner must null it out instead of killing the scan
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.cleaning import (
+        clean_na_sentinels,
+    )
+
+    df = spark.createDataFrame(
+        [("1.5",), ("NA",), ("n/a",), ("-",), (None,)], "x string"
+    )
+    vals = [r["x"] for r in clean_na_sentinels(df, ["x"]).collect()]
+    assert vals == [1.5, None, None, None, None]
