@@ -309,7 +309,7 @@ def q07_revenue_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS qty_roll4
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey, l_partkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                 ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber)
     """,
 )
 def q08_lag_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:

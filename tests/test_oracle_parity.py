@@ -293,3 +293,130 @@ def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):
         "value double, props string",
     )
     _assert_adversarial_parity(spark, tmp_path, name, "events", ev)
+
+
+def _adversarial_relational(spark, tmp_path):
+    """Copy the sf0.001 star tables, then APPEND hostile rows to lineitem
+    and orders: null group keys, null measures, negative/extreme values,
+    duplicate keys, dangling foreign keys. Joins stay meaningful; the
+    edges get stressed."""
+    import datetime as dt
+    import shutil
+
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for t in TABLES:
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+
+    d = dt.datetime(1995, 6, 1)
+    bad_li = spark.createDataFrame(
+        [
+            # null group keys (returnflag/linestatus)
+            (900001, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, None, None, d),
+            # null measures under real keys
+            (900002, 1, 1, 1, None, None, None, None, "N", "O", d),
+            # negative quantity (a return), zero price
+            (900003, 2, 2, 1, -3.0, 0.0, 0.0, 0.0, "R", "F", d),
+            # extreme magnitudes — 1e6, not 1e15: far beyond the fixture's ~1e4
+            # values, but keeping double sums inside the 4-dp rounding
+            # agreement (at 1e15 the engines' sum ORDER shows in the 4th
+            # decimal — float associativity, not semantics)
+            (900004, 2, 2, 2, 1e6, 1e6, 0.99, 0.08, "A", "F", d),
+            # null shipdate (date-part / filter edges)
+            (900005, 3, 3, 1, 1.0, 50.0, 0.1, 0.0, "N", "O", None),
+            # exact duplicate pair (dedup/count edges)
+            (900006, 3, 3, 2, 2.0, 20.0, 0.0, 0.0, "N", "F", d),
+            (900006, 3, 3, 2, 2.0, 20.0, 0.0, 0.0, "N", "F", d),
+            # dangling orderkey (no matching order)
+            (999999, 4, 4, 1, 1.0, 10.0, 0.0, 0.0, "R", "F", d),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    bad_ord = spark.createDataFrame(
+        [
+            # null custkey (outer-join edge), null priority (mode with null)
+            (900001, None, "O", 100.0, d, None),
+            # null totalprice and date
+            (900002, 1, "F", None, None, "1-URGENT"),
+            # negative and extreme totalprice
+            (900003, 2, "O", -500.0, d, "5-LOW"),
+            (900004, 2, "F", 1e6, d, "1-URGENT"),
+            # duplicate orderkey (join-fanout edge)
+            (900005, 3, "O", 10.0, d, "3-MEDIUM"),
+            (900005, 3, "O", 10.0, d, "3-MEDIUM"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    import os
+
+    os.remove(f"{sf_dir}/lineitem.parquet")
+    os.remove(f"{sf_dir}/orders.parquet")
+    li.unionByName(bad_li).coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+    od.unionByName(bad_ord).coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    return sf_dir
+
+
+REL_QUERY_NAMES = [
+    "q01_pricing_summary",
+    "q02_top_customers_rolling",
+    "q04_mode_orderpriority",
+    "q06_revenue_by_segment",
+    "q07_revenue_by_region_nation",
+    "q08_lag_rolling_features",
+    "q09_top3_orders_per_customer",
+    "q10_customers_without_orders",
+    "q13_orders_by_date_parts",
+    "q14_conditional_bucketing",
+    "q15_describe_lineitem",
+    "q16_histogram_totalprice",
+    "q17_quartiles_by_priority",
+    "q18_correlation_matrix",
+    "q19_outlier_count",
+    "q33_rollup_pricing",
+    "q34_intersect_except",
+    "q41_full_outer_reconcile",
+    "q42_rank_family",
+    "q44_median_imputation",
+    "q46_cube_order_stats",
+    "q48_pivot_status_by_priority",
+    "q57_grouping_sets_sql",
+    "q58_array_agg",
+]
+
+
+@pytest.mark.parametrize("name", REL_QUERY_NAMES)
+def test_oracle_parity_on_adversarial_relational(spark, tmp_path, name):
+    """Null group keys, null measures, negative/extreme values, duplicate
+    and dangling keys in lineitem/orders — the relational-side adversarial
+    battery (aggregate/join/window null semantics are where engines
+    classically diverge)."""
+    sf_dir = _adversarial_relational(spark, tmp_path)
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = sdf.collect()
+    con = duckdb.connect()
+    for t in TABLES:
+        # lineitem/orders are Spark-written DIRECTORIES, the rest plain files
+        pat = (
+            f"{sf_dir}/{t}.parquet/*.parquet"
+            if t in ("lineitem", "orders")
+            else f"{sf_dir}/{t}.parquet"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(duck_cols), (
+        f"{name}: column mismatch {sdf.columns} vs {duck_cols}"
+    )
+    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
+    d = _multiset(duck_rows, duck_cols)
+    assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
