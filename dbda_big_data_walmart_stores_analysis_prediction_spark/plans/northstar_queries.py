@@ -762,13 +762,13 @@ def q50_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
       SELECT user_id, event_id, ts,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev
       FROM events),
     s AS (
       SELECT user_id, event_id, ts,
              sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM o),
     iv AS (SELECT user_id, session_id::BIGINT AS session_id,
@@ -1815,13 +1815,13 @@ def q73_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
       SELECT user_id, event_id, ts, value,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev
       FROM events),
     s AS (
       SELECT user_id, event_id, ts, value,
              sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM o)
     SELECT user_id, session_id::BIGINT AS session_id,

@@ -117,7 +117,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                o.o_totalprice,
                avg(o.o_totalprice) OVER (
                    PARTITION BY o.o_custkey
-                   ORDER BY o.o_orderdate, o.o_orderkey
+                   ORDER BY o.o_orderdate NULLS FIRST, o.o_orderkey
                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS roll4
         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     )
