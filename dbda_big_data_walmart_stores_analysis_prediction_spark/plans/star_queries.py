@@ -127,7 +127,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                                   AS n_orders
     FROM w
     GROUP BY o_custkey, c_name
-    ORDER BY avg_order_total DESC, custkey ASC
+    ORDER BY avg_order_total DESC, custkey ASC NULLS FIRST
     LIMIT 10
     """,
 )

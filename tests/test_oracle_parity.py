@@ -85,32 +85,47 @@ def test_entry_smoke(spark):
     assert "avg_order_total" in df.columns
 
 
-def _assert_adversarial_parity(spark, tmp_path, name, table, df):
-    """Shared battery body: write the adversarial frame as the named table,
-    run the registered Spark query and its DuckDB oracle against it, and
-    compare columns, row count, and the value multiset."""
-    sf_dir = str(tmp_path)
-    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_rows = sdf.collect()
-    con = duckdb.connect()
-    con.execute(
-        # Spark writes a parquet DIRECTORY; glob its part files
-        f"CREATE VIEW {table} AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/{table}.parquet/*.parquet')"
+def _compare_engines(name, spark_cols, spark_rows, duck_cols, duck_rows):
+    """THE comparison tail every parity test shares: column set, row
+    count, then order-insensitive value multiset."""
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    con.close()
-    assert sorted(sdf.columns) == sorted(duck_cols), (
-        f"{name}: column mismatch {sdf.columns} vs {duck_cols}"
-    )
-    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
+    s = _multiset([tuple(r) for r in spark_rows], spark_cols)
     d = _multiset(duck_rows, duck_cols)
     assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
+
+
+def _run_oracle(sf_dir, name, dir_tables=()):
+    """Run the oracle SQL with views over ``sf_dir``; tables named in
+    ``dir_tables`` are Spark-written DIRECTORIES (glob their parts)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        import os
+
+        path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        pat = f"{path}/*.parquet" if t in dir_tables else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    return duck_cols, duck_rows
+
+
+def _assert_adversarial_parity(spark, tmp_path, name, table, df):
+    """Shared battery body: write the adversarial frame as the named table,
+    run the registered Spark query and its DuckDB oracle against it, and
+    compare."""
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+    sdf = QUERIES[name](spark, sf_dir)
+    duck_cols, duck_rows = _run_oracle(sf_dir, name, dir_tables=(table,))
+    _compare_engines(name, sdf.columns, sdf.collect(), duck_cols, duck_rows)
 
 
 ADVERSARIAL_DOCS = [
@@ -295,6 +310,14 @@ def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):
     _assert_adversarial_parity(spark, tmp_path, name, "events", ev)
 
 
+@pytest.fixture(scope="module")
+def adversarial_rel_dir(spark, tmp_path_factory):
+    """Built ONCE per module: the 24 parametrized relational tests read the
+    same immutable fixture (rebuilding it per test re-ran two Spark write
+    jobs 24x for byte-identical data)."""
+    return _adversarial_relational(spark, tmp_path_factory.mktemp("rel"))
+
+
 def _adversarial_relational(spark, tmp_path):
     """Copy the sf0.001 star tables, then APPEND hostile rows to lineitem
     and orders: null group keys, null measures, negative/extreme values,
@@ -306,6 +329,8 @@ def _adversarial_relational(spark, tmp_path):
     sf_dir = str(tmp_path / "sf")
     (tmp_path / "sf").mkdir()
     for t in TABLES:
+        if t in ("lineitem", "orders"):
+            continue  # rebuilt below with hostile rows appended
         shutil.copy(f"{SF_SMOKE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
 
     d = dt.datetime(1995, 6, 1)
@@ -353,10 +378,6 @@ def _adversarial_relational(spark, tmp_path):
     )
     li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
     od = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
-    import os
-
-    os.remove(f"{sf_dir}/lineitem.parquet")
-    os.remove(f"{sf_dir}/orders.parquet")
     li.unionByName(bad_li).coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
     od.unionByName(bad_ord).coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
     return sf_dir
@@ -391,32 +412,13 @@ REL_QUERY_NAMES = [
 
 
 @pytest.mark.parametrize("name", REL_QUERY_NAMES)
-def test_oracle_parity_on_adversarial_relational(spark, tmp_path, name):
+def test_oracle_parity_on_adversarial_relational(spark, adversarial_rel_dir, name):
     """Null group keys, null measures, negative/extreme values, duplicate
     and dangling keys in lineitem/orders — the relational-side adversarial
     battery (aggregate/join/window null semantics are where engines
     classically diverge)."""
-    sf_dir = _adversarial_relational(spark, tmp_path)
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_rows = sdf.collect()
-    con = duckdb.connect()
-    for t in TABLES:
-        # lineitem/orders are Spark-written DIRECTORIES, the rest plain files
-        pat = (
-            f"{sf_dir}/{t}.parquet/*.parquet"
-            if t in ("lineitem", "orders")
-            else f"{sf_dir}/{t}.parquet"
-        )
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    con.close()
-    assert sorted(sdf.columns) == sorted(duck_cols), (
-        f"{name}: column mismatch {sdf.columns} vs {duck_cols}"
+    sdf = QUERIES[name](spark, adversarial_rel_dir)
+    duck_cols, duck_rows = _run_oracle(
+        adversarial_rel_dir, name, dir_tables=("lineitem", "orders")
     )
-    s = _multiset([tuple(r) for r in spark_rows], sdf.columns)
-    d = _multiset(duck_rows, duck_cols)
-    assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
-    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
-    assert s == d, f"{name}: adversarial mismatch, first: {mismatches[:3]}"
+    _compare_engines(name, sdf.columns, sdf.collect(), duck_cols, duck_rows)
