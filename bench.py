@@ -129,6 +129,7 @@ LONGTAIL = [
     "q81_gopher_rules",
     "q82_dsir_resample",
     "q83_c4_rules",
+    "q86_gopher_repetition",
 ]
 
 _TABLES = (

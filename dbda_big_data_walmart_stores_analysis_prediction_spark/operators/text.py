@@ -620,3 +620,145 @@ def c4_rules(
         *out_cols,
         (~F.col("__bad") & (F.col("n_sentences") >= min_sentences)).alias("keep"),
     )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher's repetition-signal battery (Rae et al. 2021 §A.1.1, the
+    table of duplicate-text filters; reused by RefinedWeb/Dolma) — the
+    char-coverage complement of `repetition_scores`' single dup-gram
+    fraction:
+
+    * ``dup_line_frac``        — duplicated lines / lines (≤ 0.30)
+    * ``dup_line_char_frac``   — chars in duplicate line OCCURRENCES
+                                 beyond the first / total chars (≤ 0.20)
+    * ``top_2gram_char_frac``  — chars covered by the most frequent word
+                                 2-gram's occurrences / total (≤ 0.20);
+                                 deterministic top-1: (count desc, gram)
+    * ``dup_5gram_char_frac``  — chars in 5-grams occurring >1 time /
+                                 total (≤ 0.15)
+
+    Char coverage for n-grams is the standard approximation every public
+    implementation uses (occurrences × gram length, capped at 1.0) —
+    overlapping occurrences make exact coverage a span-union problem that
+    buys nothing for a threshold filter. ``keep`` compares ROUNDED (4 dp)
+    values; null/whitespace docs keep a zero row with keep=false.
+
+    Plan: three per-doc aggregates (line counts, 2-gram top-1, 5-gram
+    dup mass), each one explode + map-side-combinable groupBy shuffled on
+    the doc id, joined back to the doc skeleton — no windows over raw
+    rows, no UDFs, no cross-doc state, so the whole battery scales with
+    the token count like the shingle family."""
+    from pyspark.sql.window import Window
+
+    nn = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    base = df.where(nn).select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__chars"),
+    )
+    skel = base.select("doc", F.greatest("__chars", F.lit(1)).alias("__chars"))
+
+    # line duplication
+    ln = base.select("doc", F.explode(F.split("__t", "\n")).alias("line"))
+    line_stats = (
+        ln.groupBy("doc", "line")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").alias("__n_lines"),
+            F.count("*").alias("__n_distinct"),
+            F.sum(
+                F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("line")).otherwise(0)
+            ).alias("__dup_line_chars"),
+        )
+    )
+
+    def gram_rows(k: int):
+        b = base.select("doc", F.split(norm_text_col("__t"), " ").alias("__w")).where(
+            F.size("__w") >= 1
+        )
+        idx = F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - (k - 1), F.lit(1)))
+        )
+        return (
+            b.select("doc", "__w", idx.alias("__i"))
+            .select(
+                "doc",
+                F.concat_ws(" ", F.slice("__w", F.col("__i"), k)).alias("g"),
+            )
+            .where(F.col("g") != "")
+        )
+
+    top2 = (
+        gram_rows(2)
+        .groupBy("doc", "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.desc("c"), F.asc("g"))
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select("doc", (F.col("c") * F.length("g")).alias("__top2_chars"))
+    )
+    dup5 = (
+        gram_rows(5)
+        .groupBy("doc", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(0)
+            ).alias("__dup5_chars")
+        )
+    )
+
+    m = (
+        skel.join(line_stats, "doc", "left")
+        .join(top2, "doc", "left")
+        .join(dup5, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.round(
+                (F.col("__n_lines") - F.col("__n_distinct")) / F.col("__n_lines"), 4
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("__dup_line_chars"), F.lit(0)) / F.col("__chars"), 4
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.least(
+                    F.coalesce(F.col("__top2_chars"), F.lit(0)) / F.col("__chars"),
+                    F.lit(1.0),
+                ),
+                4,
+            ).alias("top_2gram_char_frac"),
+            F.round(
+                F.least(
+                    F.coalesce(F.col("__dup5_chars"), F.lit(0)) / F.col("__chars"),
+                    F.lit(1.0),
+                ),
+                4,
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+    keep = (
+        (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.2)
+        & (F.col("top_2gram_char_frac") <= 0.2)
+        & (F.col("dup_5gram_char_frac") <= 0.15)
+    )
+    scored = m.select("*", keep.alias("keep"))
+    zeros = df.where(~F.coalesce(nn, F.lit(False))).select(
+        F.col(id_col),
+        F.lit(0.0).alias("dup_line_frac"),
+        F.lit(0.0).alias("dup_line_char_frac"),
+        F.lit(0.0).alias("top_2gram_char_frac"),
+        F.lit(0.0).alias("dup_5gram_char_frac"),
+        F.lit(False).alias("keep"),
+    )
+    return scored.unionByName(zeros)

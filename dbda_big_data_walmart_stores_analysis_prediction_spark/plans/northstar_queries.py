@@ -2463,3 +2463,101 @@ def q85_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("bpe_tokens", 1, 20).alias("bpe_head"),
         "n_subword_tokens",
     )
+
+
+@_register(
+    "q86_gopher_repetition",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 4 = 0
+                THEN chr(10) || 'repeat me now' || chr(10) || 'repeat me now'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN repeat(' spam ham', 12) ELSE '' END
+        || CASE WHEN doc_id % 9 = 0
+                THEN repeat(' one two three four five', 3) ELSE '' END AS text
+      FROM documents
+    ),
+    nn AS (SELECT doc_id, text, greatest(length(text), 1) AS chars
+           FROM raw WHERE text IS NOT NULL AND trim(text) <> ''),
+    l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM nn),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+    ls AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+                  sum(CASE WHEN c > 1 THEN (c - 1) * length(line)
+                           ELSE 0 END) AS dup_line_chars
+           FROM lc GROUP BY doc_id),
+    w AS (SELECT doc_id, chars,
+                 list_filter(regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS w
+          FROM nn),
+    g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                   FOR i IN range(1, greatest(len(w) - 1, 1) + 1)]) AS g
+           FROM w WHERE len(w) >= 1),
+    g5 AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+                   FOR i IN range(1, greatest(len(w) - 4, 1) + 1)]) AS g
+           FROM w WHERE len(w) >= 1),
+    t2 AS (SELECT doc_id, c * length(g) AS top2_chars,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, g) AS rn
+           FROM (SELECT doc_id, g, count(*) AS c FROM g2
+                 WHERE g <> '' GROUP BY 1, 2)),
+    d5 AS (SELECT doc_id,
+                  sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                    AS dup5_chars
+           FROM (SELECT doc_id, g, count(*) AS c FROM g5
+                 WHERE g <> '' GROUP BY 1, 2)
+           GROUP BY doc_id),
+    m AS (
+      SELECT nn.doc_id,
+        round((ls.n_lines - ls.n_distinct)::DOUBLE / ls.n_lines, 4)
+          AS dup_line_frac,
+        round(coalesce(ls.dup_line_chars, 0)::DOUBLE / nn.chars, 4)
+          AS dup_line_char_frac,
+        round(least(coalesce(t2.top2_chars, 0)::DOUBLE / nn.chars, 1.0), 4)
+          AS top_2gram_char_frac,
+        round(least(coalesce(d5.dup5_chars, 0)::DOUBLE / nn.chars, 1.0), 4)
+          AS dup_5gram_char_frac
+      FROM nn
+      LEFT JOIN ls ON ls.doc_id = nn.doc_id
+      LEFT JOIN t2 ON t2.doc_id = nn.doc_id AND t2.rn = 1
+      LEFT JOIN d5 ON d5.doc_id = nn.doc_id
+    )
+    SELECT *,
+      (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+       AND top_2gram_char_frac <= 0.2 AND dup_5gram_char_frac <= 0.15)
+        AS keep
+    FROM m
+    UNION ALL
+    SELECT doc_id, 0.0, 0.0, 0.0, 0.0, FALSE
+    FROM raw WHERE text IS NULL OR trim(text) = ''
+    """,
+)
+def q86_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's repetition-signal battery (operators/text.py::
+    gopher_repetition) over documents with deterministic repetition
+    injected — every 4th doc two duplicate lines (line-duplication
+    rules), every 7th a 12x-repeated bigram (top-2-gram coverage), every
+    9th a 3x-repeated 5-word phrase (duplicate-5-gram coverage) — so
+    each canonical char-coverage threshold does real hash-checked work
+    on the repetition-free fixture corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nrepeat me now\nrepeat me now"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" spam ham" * 12)).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(" one two three four five" * 3),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tx.gopher_repetition(injected)

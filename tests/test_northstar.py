@@ -1097,3 +1097,29 @@ def test_corpus_prep_c4_clean_rejects_reserved_columns(spark):
     )
     with pytest.raises(ValueError, match="c4_clean=True reserves"):
         prepare_training_corpus(df, c4_clean=True)
+
+
+def test_gopher_repetition_signals(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    clean = "the quick brown fox jumps over a lazy dog and then rests quietly"
+    df = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "dup line\ndup line\nunique line here"),      # 2/3 lines dup
+            (3, "spam ham " * 20 + "end"),                     # one 2-gram dominates
+            (4, "one two three four five " * 4 + "tail"),      # repeated 5-gram
+            (5, None),
+            (6, "  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    assert out[1]["keep"]
+    assert out[2]["dup_line_frac"] == round(1 / 3, 4) and not out[2]["keep"]
+    assert out[3]["top_2gram_char_frac"] > 0.2 and not out[3]["keep"]
+    assert out[4]["dup_5gram_char_frac"] > 0.15 and not out[4]["keep"]
+    for d in (5, 6):
+        assert out[d]["dup_line_frac"] == 0.0 and not out[d]["keep"]

@@ -178,6 +178,7 @@ DOC_QUERY_NAMES = [
     "q73_corpus_report",
     "q77_cross_exact_substring",
     "q82_dsir_resample",
+    "q86_gopher_repetition",
 ]
 
 
