@@ -19,6 +19,7 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing im
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
     norm_text_col,
+    norm_words_col,
     tokens_col,
 )
 
@@ -647,11 +648,13 @@ def gopher_repetition(
     buys nothing for a threshold filter. ``keep`` compares ROUNDED (4 dp)
     values; null/whitespace docs keep a zero row with keep=false.
 
-    Plan: three per-doc aggregates (line counts, 2-gram top-1, 5-gram
-    dup mass), each one explode + map-side-combinable groupBy shuffled on
-    the doc id, joined back to the doc skeleton — no windows over raw
-    rows, no UDFs, no cross-doc state, so the whole battery scales with
-    the token count like the shingle family."""
+    Plan: the line aggregate plus ONE fused gram stage — a single
+    positional Generate emits the 2-gram and (range-guarded) 5-gram per
+    position, one map-side-combinable groupBy counts both, and the
+    lazy-checkpointed count frame feeds the top-1 window and the dup-mass
+    aggregate without re-running the corpus-sized explode. No windows
+    over raw rows, no UDFs, no cross-doc state, so the whole battery
+    scales with the token count like the shingle family."""
     from pyspark.sql.window import Window
 
     nn = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
@@ -677,26 +680,51 @@ def gopher_repetition(
         )
     )
 
-    def gram_rows(k: int):
-        b = base.select("doc", F.split(norm_text_col("__t"), " ").alias("__w")).where(
-            F.size("__w") >= 1
-        )
-        idx = F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("__w") - (k - 1), F.lit(1)))
-        )
-        return (
-            b.select("doc", "__w", idx.alias("__i"))
-            .select(
-                "doc",
-                F.concat_ws(" ", F.slice("__w", F.col("__i"), k)).alias("g"),
+    # One Generate feeds BOTH gram sizes: explode positions 1..max(n-1,1)
+    # (the 2-gram range, a superset of the 5-gram range) and emit a tagged
+    # (k, gram) pair per position — the 5-gram slot is null past its own
+    # range. `norm_words_col` (not a raw split of the normalized text)
+    # keeps boundary tabs/newlines from minting phantom '' tokens that the
+    # oracle's list_filter drops. The per-doc gram counts are
+    # lazy-checkpointed (the multi-consumer idiom) so the corpus-sized
+    # explode runs once for the two downstream aggregates.
+    w = base.select("doc", norm_words_col("__t").alias("__w")).where(
+        F.size("__w") >= 1
+    )
+    pos = w.select(
+        "doc",
+        "__w",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(1)))
+        ).alias("__i"),
+    )
+    tagged = pos.select(
+        "doc",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).alias("k"),
+                    F.concat_ws(" ", F.slice("__w", F.col("__i"), 2)).alias("g"),
+                ),
+                F.struct(
+                    F.lit(5).alias("k"),
+                    F.when(
+                        F.col("__i")
+                        <= F.greatest(F.size("__w") - 4, F.lit(1)),
+                        F.concat_ws(" ", F.slice("__w", F.col("__i"), 5)),
+                    ).alias("g"),
+                ),
             )
-            .where(F.col("g") != "")
-        )
-
-    top2 = (
-        gram_rows(2)
-        .groupBy("doc", "g")
+        ).alias("__kg"),
+    ).select("doc", F.col("__kg.k").alias("k"), F.col("__kg.g").alias("g"))
+    gram_counts = (
+        tagged.where(F.col("g").isNotNull() & (F.col("g") != ""))
+        .groupBy("doc", "k", "g")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    top2 = (
+        gram_counts.where(F.col("k") == 2)
         .withColumn(
             "__rn",
             F.row_number().over(
@@ -707,9 +735,7 @@ def gopher_repetition(
         .select("doc", (F.col("c") * F.length("g")).alias("__top2_chars"))
     )
     dup5 = (
-        gram_rows(5)
-        .groupBy("doc", "g")
-        .agg(F.count("*").alias("c"))
+        gram_counts.where(F.col("k") == 5)
         .groupBy("doc")
         .agg(
             F.sum(

@@ -141,7 +141,7 @@ def q23_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q62_repetition_scores",
     f"""
-    WITH w AS (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS w
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim({_SQL_NORM}), '\\s+') AS w
                FROM documents),
     g AS (SELECT doc_id,
                  CASE WHEN w IS NULL THEN []::VARCHAR[]
@@ -2460,7 +2460,7 @@ def q85_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bpe_encode(docs, merges)
     return out.select(
         "doc_id",
-        F.slice("bpe_tokens", 1, 20).alias("bpe_head"),
+        F.array_join(F.slice("bpe_tokens", 1, 20), " ").alias("bpe_head"),
         "n_subword_tokens",
     )
 

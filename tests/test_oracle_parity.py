@@ -142,6 +142,10 @@ ADVERSARIAL_DOCS = [
     (9, "the of and to a in is it that for.", "en", "srcB", 34),
     (10, "a|b a|b a|b pipe pipe pipe.", "en", "srcA", 27),
     (11, "question mark? exclamation! period. quote.'", "de", "srcB", 43),
+    # boundary NON-space whitespace (tab/newline) — trim does not strip
+    # these before a plain split, so a raw split mints phantom '' tokens;
+    # pins the norm_words_col boundary-empty contract (r6 ADVICE)
+    (12, "\tleading tab and trailing newline words here\n", "en", "srcA", 44),
 ]
 
 DOC_QUERY_NAMES = [
