@@ -174,12 +174,16 @@ def dsir_log_weights(
     survive with n_grams=0, weight 0.0, keep=false: scoring is a
     projection over the corpus, never a silent filter.
 
-    Plan shape at 100 TB: the two bucket-count tables are ≤ ``n_buckets``
-    rows no matter the corpus size — they aggregate map-side down to B
-    rows and BROADCAST to the scoring join, so the only full-data shuffle
-    is the per-doc sum (map-side combinable on the doc id). The target
-    frame is typically a curated sliver (Wikipedia-sized vs web-sized raw),
-    scanned twice: once for its stats, never joined row-to-row.
+    Plan shape at 100 TB: the raw corpus is scanned and exploded ONCE —
+    the gram stream pre-aggregates map-side to (doc, bucket, multiplicity)
+    and that bounded frame (≤ docs × min(2·tokens−1, B) rows) is
+    lazy-checkpointed to feed both the bucket stats (a tiny second
+    aggregate down to ≤ ``n_buckets`` rows) and the multiplicity-weighted
+    scoring sum. The stats tables BROADCAST to the scoring join, so the
+    only full-data shuffle is the (doc, bucket) combine keyed on the doc
+    id. The target frame is typically a curated sliver (Wikipedia-sized
+    vs web-sized raw), scanned once for its stats, never joined
+    row-to-row.
     """
     from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
         norm_words_col,
@@ -236,7 +240,18 @@ def dsir_log_weights(
         # (plan audits, engines with cheap recompute); the default cuts it
         return frame.localCheckpoint(eager=False) if checkpoint else frame
 
-    raw_stats = _cut(raw_grams.groupBy("b").agg(F.count("*").alias("cr")))
+    # SINGLE PASS over the raw corpus: pre-aggregate the gram stream to
+    # (doc, bucket, multiplicity) once — map-side combinable, bounded by
+    # docs x min(2·tokens-1, n_buckets) rows — and derive BOTH the bucket
+    # stats (tiny second aggregate) and the scoring sum (weighted by the
+    # multiplicity) from it. Without this cut the raw explode+md5 lineage
+    # executed twice: once under the stats aggregate and once under the
+    # scoring join — two full corpus scans where one suffices (the r6
+    # verdict's q80 finding).
+    raw_doc_buckets = _cut(
+        raw_grams.groupBy("doc", "b").agg(F.count("*").alias("n"))
+    )
+    raw_stats = _cut(raw_doc_buckets.groupBy("b").agg(F.sum("n").alias("cr")))
     tgt_stats = _cut(tgt_grams.groupBy("b").agg(F.count("*").alias("ct")))
     # scalar totals, broadcast like temperature_mix's __N
     # coalesce: sum over an EMPTY stats frame is null, and a null total
@@ -247,14 +262,17 @@ def dsir_log_weights(
     )
 
     scored = (
-        raw_grams.join(F.broadcast(raw_stats), "b")
+        raw_doc_buckets.join(F.broadcast(raw_stats), "b")
         .join(F.broadcast(tgt_stats), "b", "left")
         .groupBy("doc")
         .agg(
-            F.count("*").alias("n_grams"),
+            F.sum("n").alias("n_grams"),
             F.sum(
-                F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
-                - F.log(F.col("cr") + F.lit(1))
+                F.col("n")
+                * (
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+                    - F.log(F.col("cr") + F.lit(1))
+                )
             ).alias("__s"),
         )
         .crossJoin(F.broadcast(totals))

@@ -233,6 +233,13 @@ def test_q80_dsir_stats_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
     assert "Union" in plan, plan
+    # single-pass raw side (r6 verdict): the scoring join must consume the
+    # (doc, bucket, multiplicity) pre-aggregate — a HashAggregate keyed on
+    # (doc, b) — never the raw gram stream directly; with the default
+    # checkpoints that pre-aggregate materializes once for both consumers
+    import re
+
+    assert re.search(r"HashAggregate\(keys=\[doc#\d+L?, b#\d+", plan), plan
 
 
 def test_q82_resample_take_ordered_not_full_sort(spark):
