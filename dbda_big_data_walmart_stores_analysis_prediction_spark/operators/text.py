@@ -648,13 +648,13 @@ def gopher_repetition(
     buys nothing for a threshold filter. ``keep`` compares ROUNDED (4 dp)
     values; null/whitespace docs keep a zero row with keep=false.
 
-    Plan: the line aggregate plus ONE fused gram stage — a single
-    positional Generate emits the 2-gram and (range-guarded) 5-gram per
-    position, one map-side-combinable groupBy counts both, and the
-    lazy-checkpointed count frame feeds the top-1 window and the dup-mass
-    aggregate without re-running the corpus-sized explode. No windows
-    over raw rows, no UDFs, no cross-doc state, so the whole battery
-    scales with the token count like the shingle family."""
+    Plan: three per-doc aggregates (line counts, 2-gram top-1, 5-gram
+    dup mass), each one explode + map-side-combinable groupBy shuffled on
+    the doc id, joined back to the doc skeleton — no windows over raw
+    rows, no UDFs, no cross-doc state, so the whole battery scales with
+    the token count like the shingle family. (Two fused single-Generate
+    variants were measured 15-20% SLOWER locally — see the in-body
+    comment and PERF.md.)"""
     from pyspark.sql.window import Window
 
     nn = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
@@ -680,51 +680,38 @@ def gopher_repetition(
         )
     )
 
-    # One Generate feeds BOTH gram sizes: explode positions 1..max(n-1,1)
-    # (the 2-gram range, a superset of the 5-gram range) and emit a tagged
-    # (k, gram) pair per position — the 5-gram slot is null past its own
-    # range. `norm_words_col` (not a raw split of the normalized text)
-    # keeps boundary tabs/newlines from minting phantom '' tokens that the
-    # oracle's list_filter drops. The per-doc gram counts are
-    # lazy-checkpointed (the multi-consumer idiom) so the corpus-sized
-    # explode runs once for the two downstream aggregates.
-    w = base.select("doc", norm_words_col("__t").alias("__w")).where(
-        F.size("__w") >= 1
-    )
-    pos = w.select(
-        "doc",
-        "__w",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(1)))
-        ).alias("__i"),
-    )
-    tagged = pos.select(
-        "doc",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(2).alias("k"),
-                    F.concat_ws(" ", F.slice("__w", F.col("__i"), 2)).alias("g"),
-                ),
-                F.struct(
-                    F.lit(5).alias("k"),
-                    F.when(
-                        F.col("__i")
-                        <= F.greatest(F.size("__w") - 4, F.lit(1)),
-                        F.concat_ws(" ", F.slice("__w", F.col("__i"), 5)),
-                    ).alias("g"),
-                ),
+    # Two independent gram streams, one per size. A fused single-Generate
+    # variant was built and measured twice (r7, PERF.md "q86 gram-stage
+    # fusion"): both the tagged-struct-explode form and the
+    # (doc, g2, g5)-keyed form (a 5-gram determines its leading 2-gram)
+    # lost 15-20% locally — the lazy-checkpoint materialization of the
+    # corpus-sized count frame costs more than the scan+split it saves,
+    # and without the checkpoint the fused Generate re-executes per
+    # consumer anyway. Kept the two-stream shape: each stream is one
+    # explode + one map-side-combinable groupBy, nothing grows faster
+    # than the token count. `norm_words_col` (not a raw split of the
+    # normalized text) keeps boundary tabs/newlines from minting phantom
+    # '' tokens that the oracle's list_filter drops.
+    def gram_rows(k: int):
+        b = base.select("doc", norm_words_col("__t").alias("__w")).where(
+            F.size("__w") >= 1
+        )
+        idx = F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - (k - 1), F.lit(1)))
+        )
+        return (
+            b.select("doc", "__w", idx.alias("__i"))
+            .select(
+                "doc",
+                F.concat_ws(" ", F.slice("__w", F.col("__i"), k)).alias("g"),
             )
-        ).alias("__kg"),
-    ).select("doc", F.col("__kg.k").alias("k"), F.col("__kg.g").alias("g"))
-    gram_counts = (
-        tagged.where(F.col("g").isNotNull() & (F.col("g") != ""))
-        .groupBy("doc", "k", "g")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
-    )
+            .where(F.col("g") != "")
+        )
+
     top2 = (
-        gram_counts.where(F.col("k") == 2)
+        gram_rows(2)
+        .groupBy("doc", "g")
+        .agg(F.count("*").alias("c"))
         .withColumn(
             "__rn",
             F.row_number().over(
@@ -735,7 +722,9 @@ def gopher_repetition(
         .select("doc", (F.col("c") * F.length("g")).alias("__top2_chars"))
     )
     dup5 = (
-        gram_counts.where(F.col("k") == 5)
+        gram_rows(5)
+        .groupBy("doc", "g")
+        .agg(F.count("*").alias("c"))
         .groupBy("doc")
         .agg(
             F.sum(
