@@ -130,6 +130,10 @@ LONGTAIL = [
     "q82_dsir_resample",
     "q83_c4_rules",
     "q86_gopher_repetition",
+    # round-7 capstone: the composed pretrain pipeline (C4 -> Gopher ->
+    # bigram-LM -> exact+near dedup -> ExactSubstr span-cut -> DSIR
+    # resample -> packing), hash-checked end to end against one oracle
+    "q87_pretrain_capstone",
 ]
 
 _TABLES = (
@@ -211,15 +215,21 @@ def main() -> None:
         print(json.dumps(_run_chunk(sys.argv[2].split(","), sf_dir)))
         return
 
-    anchor = _duckdb_anchor(sf_dir)
-
     n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "4")))
     all_names = HEADLINE + LONGTAIL
     size = -(-len(all_names) // n_chunks)  # ceil division
     chunks = [all_names[i : i + size] for i in range(0, len(all_names), size)]
 
+    # One anchor measurement PER CHUNK (immediately before it), so drift
+    # WITHIN a round's sessions is visible in the artifact — the r6
+    # verdict's variance-protocol item: a single global anchor cannot
+    # distinguish "this chunk's queries regressed" from "the container
+    # slowed mid-round". `duckdb_anchor_sec` stays the first measurement
+    # for cross-round continuity with r6.
+    anchors: list[float] = []
     timings: dict[str, float] = {}
     for chunk in chunks:
+        anchors.append(_duckdb_anchor(sf_dir))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--chunk", ",".join(chunk)],
             capture_output=True,
@@ -229,6 +239,7 @@ def main() -> None:
         )
         # stderr carries Spark logs; the child's LAST stdout line is the dict
         timings.update(json.loads(out.stdout.strip().splitlines()[-1]))
+    anchor = anchors[0]
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     longtail_total = round(sum(timings[n] for n in LONGTAIL if n in timings), 3)
@@ -242,6 +253,7 @@ def main() -> None:
                 "queries": timings,
                 "longtail_total": longtail_total,
                 "duckdb_anchor_sec": anchor,
+                "duckdb_anchors_per_chunk": anchors,
                 "anchor_query": ANCHOR_QUERY,
                 "n_sessions": len(chunks),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -2561,3 +2561,383 @@ def q86_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tx.gopher_repetition(injected)
+
+
+# q87's oracle replays the whole composed pretrain pipeline in SQL. Each
+# stage block is the REGISTERED per-operator oracle's CTE body (q83 C4,
+# q81 Gopher, q86 repetition, q78 bigram-LM, q56 exact+near dedup, q77
+# spans, q79 cut, q80 DSIR, q82 Gumbel, q63 packing) retargeted at the
+# previous stage's CTE and prefixed to avoid name clashes — the q70/q79
+# splice discipline, written out explicitly because ten fragments cannot
+# be composed by string surgery on `FROM documents`.
+_Q87_SQL = rf"""
+    WITH RECURSIVE
+    inj AS (
+      SELECT doc_id,
+        text || '.' || chr(10) || 'too short.' || chr(10) || '{_Q83_TAIL}'
+        || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'this page uses javascript for menus.'
+                ELSE '' END
+        || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END
+        || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'function() {{' ELSE '' END
+        AS text
+      FROM documents
+    ),
+    -- stage 1: C4 line rules + page gates (q83 semantics)
+    c4 AS (
+      SELECT doc_id,
+        array_to_string(list_filter(string_split(text, chr(10)),
+          l -> regexp_matches(l, '[.!?"'']\s*$')
+               AND len(list_filter(regexp_split_to_array(l, '\s+'),
+                                   x -> x <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')), chr(10)) AS text,
+        (contains(lower(text), 'lorem ipsum') OR contains(text, '{{')) AS bad
+      FROM inj WHERE text IS NOT NULL
+    ),
+    s0 AS MATERIALIZED (SELECT doc_id, text FROM c4
+           WHERE NOT bad AND len(regexp_extract_all(text, '[.!?]')) >= 5),
+    -- stage 2: Gopher quality rules, min_stopwords=1 (q81 semantics)
+    gm AS (
+      SELECT doc_id,
+        (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) END)::BIGINT AS n_words,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE length(regexp_replace(text, '\s', '', 'g')) END AS nsc,
+        coalesce(len(regexp_extract_all(text, '#|\.\.\.|…')), 0) AS n_sym,
+        greatest(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(string_split(text, chr(10))) END, 1) AS n_lines,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(list_filter(string_split(text, chr(10)),
+                                  x -> regexp_matches(x, '^\s*[-*•]'))) END AS n_bullet,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(list_filter(string_split(text, chr(10)),
+                                  x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) END AS n_ell,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> regexp_matches(x, '[A-Za-z]'))) END AS n_alpha,
+        coalesce(len(list_intersect(
+          list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+          ['the','be','to','of','and','that','have','with'])), 0)::BIGINT
+          AS n_req_stopwords
+      FROM s0
+    ),
+    gk AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, n_words,
+          round(nsc::DOUBLE / greatest(n_words, 1), 4) AS mwl,
+          round(n_sym::DOUBLE / greatest(n_words, 1), 4) AS swr,
+          round(n_bullet::DOUBLE / n_lines, 4) AS blf,
+          round(n_ell::DOUBLE / n_lines, 4) AS elf,
+          round(n_alpha::DOUBLE / greatest(n_words, 1), 4) AS awf,
+          n_req_stopwords
+        FROM gm)
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND mwl >= 3 AND mwl <= 10 AND swr <= 0.1 AND blf <= 0.9
+        AND elf <= 0.3 AND awf >= 0.8 AND n_req_stopwords >= 1
+    ),
+    s1 AS MATERIALIZED (SELECT s0.* FROM s0 JOIN gk USING (doc_id)),
+    -- stage 3: Gopher repetition signals (q86 semantics)
+    rnn AS MATERIALIZED (SELECT doc_id, text, greatest(length(text), 1) AS chars
+            FROM s1 WHERE text IS NOT NULL AND trim(text) <> ''),
+    rl AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM rnn),
+    rlc AS (SELECT doc_id, line, count(*) AS c FROM rl GROUP BY 1, 2),
+    rls AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+                   sum(CASE WHEN c > 1 THEN (c - 1) * length(line)
+                            ELSE 0 END) AS dup_line_chars
+            FROM rlc GROUP BY doc_id),
+    rw AS (SELECT doc_id, chars,
+                  list_filter(regexp_split_to_array(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                    x -> x <> '') AS w
+           FROM rnn),
+    rg2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                    FOR i IN range(1, greatest(len(w) - 1, 1) + 1)]) AS g
+            FROM rw WHERE len(w) >= 1),
+    rg5 AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+                    FOR i IN range(1, greatest(len(w) - 4, 1) + 1)]) AS g
+            FROM rw WHERE len(w) >= 1),
+    rt2 AS (SELECT doc_id, c * length(g) AS top2_chars,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, g) AS rn
+            FROM (SELECT doc_id, g, count(*) AS c FROM rg2
+                  WHERE g <> '' GROUP BY 1, 2)),
+    rd5 AS (SELECT doc_id,
+                   sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                     AS dup5_chars
+            FROM (SELECT doc_id, g, count(*) AS c FROM rg5
+                  WHERE g <> '' GROUP BY 1, 2)
+            GROUP BY doc_id),
+    rk AS (
+      SELECT rnn.doc_id FROM rnn
+      LEFT JOIN rls ON rls.doc_id = rnn.doc_id
+      LEFT JOIN rt2 ON rt2.doc_id = rnn.doc_id AND rt2.rn = 1
+      LEFT JOIN rd5 ON rd5.doc_id = rnn.doc_id
+      WHERE round((rls.n_lines - rls.n_distinct)::DOUBLE / rls.n_lines, 4) <= 0.3
+        AND round(coalesce(rls.dup_line_chars, 0)::DOUBLE / rnn.chars, 4) <= 0.2
+        AND round(least(coalesce(rt2.top2_chars, 0)::DOUBLE / rnn.chars, 1.0), 4) <= 0.2
+        AND round(least(coalesce(rd5.dup5_chars, 0)::DOUBLE / rnn.chars, 1.0), 4) <= 0.15
+    ),
+    s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN rk USING (doc_id)),
+    -- stage 4: self-trained bigram-LM gate at the corpus mean (q78)
+    lnt AS (SELECT doc_id,
+                   regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                     '\s+') AS w
+            FROM s2 WHERE text IS NOT NULL),
+    lbg AS MATERIALIZED (
+      SELECT doc_id AS doc, u['w1'] AS w1, u['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest([{{'w1': w[i], 'w2': w[i+1]}}
+                       FOR i IN range(1, len(w))]) AS u
+        FROM lnt WHERE len(w) >= 2)
+    ),
+    luni AS (SELECT w1, count(*) AS c1 FROM lbg GROUP BY w1),
+    lbi  AS (SELECT w1, w2, count(*) AS c2 FROM lbg GROUP BY w1, w2),
+    lv AS (SELECT count(DISTINCT w) AS V FROM
+             (SELECT w1 AS w FROM lbg UNION ALL SELECT w2 AS w FROM lbg)),
+    lsc AS (SELECT d.doc,
+                   -ln((coalesce(b.c2, 0) + 1)::DOUBLE
+                       / (coalesce(u.c1, 0) + lv.V)) AS nlp
+            FROM lbg d
+            LEFT JOIN lbi b USING (w1, w2)
+            LEFT JOIN luni u USING (w1), lv),
+    lscore AS (SELECT doc AS doc_id, round(avg(nlp), 4) AS anl
+               FROM lsc GROUP BY doc),
+    lmean AS (SELECT round(avg(anl), 6) AS m FROM lscore),
+    s3 AS MATERIALIZED (SELECT s2.* FROM s2
+           JOIN lscore USING (doc_id), lmean WHERE lscore.anl <= lmean.m),
+    -- stage 5: exact dedup, min-id survivor (q56/q25)
+    efp AS (SELECT doc_id,
+                   ('0x' || substring(md5(regexp_replace(lower(trim(text)),
+                     '\s+', ' ', 'g')), 1, 15))::BIGINT AS fpx
+            FROM s3),
+    ekeep AS (SELECT fpx, min(doc_id) AS keep FROM efp GROUP BY fpx),
+    s4 AS MATERIALIZED (SELECT s3.* FROM s3
+           JOIN efp USING (doc_id)
+           JOIN ekeep ON ekeep.fpx = efp.fpx AND ekeep.keep = s3.doc_id),
+    -- stage 6: MinHash-LSH near dedup, min-id survivor (q56/q27/q55)
+    nnorm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM s4),
+    nwords AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS w FROM nnorm),
+    nsh AS MATERIALIZED (SELECT DISTINCT doc_id AS doc,
+                   unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS sh
+            FROM nwords),
+    nseeds AS (SELECT i, ('0x' || substring(md5('perm:' || i), 1, 15))::BIGINT AS c
+               FROM (SELECT unnest(range(16)) AS i)),
+    nsigs AS (
+      SELECT doc, i, min(xor(('0x' || substring(md5(sh), 1, 15))::BIGINT, c)) AS m
+      FROM nsh, nseeds GROUP BY doc, i
+    ),
+    nbands AS (
+      SELECT doc, i // 4 AS band,
+             ('0x' || substring(md5(string_agg(m::VARCHAR, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
+      FROM nsigs GROUP BY doc, i // 4
+    ),
+    ncand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM nbands a JOIN nbands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    nsz AS (SELECT doc, count(*) AS sz FROM nsh GROUP BY doc),
+    nshared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM ncand c
+      JOIN nsh a ON a.doc = c.doc_a
+      JOIN nsh b ON b.doc = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    npairs AS (
+      SELECT doc_a, doc_b FROM nshared
+      JOIN nsz sa ON sa.doc = doc_a
+      JOIN nsz sb ON sb.doc = doc_b
+      WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.5
+    ),
+    nedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM npairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM npairs
+    ),
+    nreach(u, v) AS (
+      SELECT u, v FROM nedges
+      UNION
+      SELECT r.u, e.v FROM nreach r JOIN nedges e ON r.v = e.u
+    ),
+    ncomp AS (SELECT u AS id, least(u, min(v)) AS component FROM nreach GROUP BY u),
+    nlosers AS (SELECT id FROM ncomp WHERE id != component),
+    s5 AS MATERIALIZED (SELECT s4.* FROM s4 WHERE doc_id NOT IN (SELECT id FROM nlosers)),
+    -- stage 7: ExactSubstr spans vs the eval set + token-exact cut (q77+q79)
+    ev AS (
+      SELECT doc_id + 300000 AS doc_id,
+             array_to_string(regexp_split_to_array(trim(text), '\s+')[4:33], ' ') AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    xnt AS (SELECT doc_id,
+                   regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                     '\s+') AS w
+            FROM s5 WHERE text IS NOT NULL),
+    xne AS (SELECT doc_id,
+                   regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                     '\s+') AS w
+            FROM ev WHERE text IS NOT NULL),
+    xgt AS (
+      SELECT doc_id AS doc, u['pos'] AS pos, u['g'] AS g FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i - 1,
+                        'g': array_to_string(w[i:i+12], ' ')}}
+                       FOR i IN range(1, len(w) - 13 + 2)]) AS u
+        FROM xnt WHERE len(w) >= 13)
+    ),
+    xge AS (
+      SELECT doc_id AS doc, u['pos'] AS pos, u['g'] AS g FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i - 1,
+                        'g': array_to_string(w[i:i+12], ' ')}}
+                       FOR i IN range(1, len(w) - 13 + 2)]) AS u
+        FROM xne WHERE len(w) >= 13)
+    ),
+    xm AS (SELECT t.doc AS doc_train, e.doc AS doc_eval,
+                  t.pos AS pa, e.pos AS pb, t.pos - e.pos AS diag
+           FROM xgt t JOIN xge e ON t.g = e.g),
+    xisl AS (SELECT *,
+                    pa - row_number() OVER (PARTITION BY doc_train, doc_eval,
+                                            diag ORDER BY pa) AS island
+             FROM xm),
+    xruns AS (SELECT doc_train, min(pa) AS start_train, count(*) + 12 AS n_tokens
+              FROM xisl GROUP BY doc_train, doc_eval, diag, island
+              HAVING count(*) + 12 >= 20),
+    xhit AS (SELECT DISTINCT doc_train AS doc FROM xruns),
+    xct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM s5 JOIN xhit ON xhit.doc = s5.doc_id),
+    xtok AS (
+      SELECT doc_id AS doc, u['pos'] AS pos, u['w'] AS tk FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i - 1, 'w': w[i]}}
+                       FOR i IN range(1, len(w) + 1)]) AS u
+        FROM xct)
+    ),
+    xcov AS (SELECT t.doc, t.pos, min(t.tk) AS tk,
+                    max(CASE WHEN t.pos >= s.start_train
+                              AND t.pos <= s.start_train + s.n_tokens - 1
+                             THEN TRUE ELSE FALSE END) AS cut
+             FROM xtok t LEFT JOIN xruns s ON s.doc_train = t.doc
+             GROUP BY t.doc, t.pos),
+    xreb AS (SELECT doc, count(*) AS n_tokens,
+                    sum(CASE WHEN cut THEN 1 ELSE 0 END) AS n_removed,
+                    coalesce(string_agg(CASE WHEN NOT cut THEN tk END,
+                                        ' ' ORDER BY pos), '') AS clean_text
+             FROM xcov GROUP BY doc),
+    cut AS MATERIALIZED (SELECT s5.doc_id,
+                   coalesce(r.clean_text, s5.text) AS text,
+                   (coalesce(r.n_tokens,
+                             len(regexp_split_to_array(trim(s5.text), '\s+')))
+                    - coalesce(r.n_removed, 0))::BIGINT AS n_clean_tokens
+            FROM s5 LEFT JOIN xreb r ON r.doc = s5.doc_id),
+    -- stage 8: DSIR weights on the decontaminated text (q80) + Gumbel (q82)
+    dnt AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                     ' '), x -> x <> '') AS w
+            FROM cut WHERE text IS NOT NULL),
+    dg AS (
+      SELECT doc_id AS doc, unnest(w) AS g FROM dnt WHERE len(w) >= 1
+      UNION ALL
+      SELECT doc_id AS doc,
+             unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+      FROM dnt WHERE len(w) >= 2
+    ),
+    db AS MATERIALIZED (SELECT doc, ('0x' || substring(md5(g), 1, 15))::BIGINT % 4096 AS b
+           FROM dg),
+    dtgt AS (SELECT db.doc, db.b FROM db
+             JOIN documents d ON d.doc_id = db.doc WHERE d.lang = 'en'),
+    drs AS (SELECT b, count(*) AS cr FROM db GROUP BY b),
+    dts AS (SELECT b, count(*) AS ct FROM dtgt GROUP BY b),
+    dtot AS (SELECT (SELECT count(*) FROM db) AS nr,
+                    (SELECT count(*) FROM dtgt) AS nt),
+    dsc AS (SELECT d.doc, count(*) AS n_grams,
+                   sum(ln(coalesce(dts.ct, 0) + 1) - ln(drs.cr + 1)) AS s
+            FROM db d JOIN drs USING (b) LEFT JOIN dts USING (b)
+            GROUP BY d.doc),
+    dw8 AS MATERIALIZED (SELECT doc AS doc_id, n_grams,
+                   round(s + n_grams * (ln(nr + 4096) - ln(nt + 4096)), 4)
+                     AS log_importance
+            FROM dsc, dtot),
+    gsel AS MATERIALIZED (
+      SELECT doc_id, log_importance,
+             round(log_importance
+                   - ln(-ln((('0x' || substring(md5('pretrain:' || doc_id::VARCHAR),
+                                                1, 15))::BIGINT + 0.5)
+                            / 1152921504606846976.0)), 4) AS gumbel_score
+      FROM dw8 WHERE n_grams > 0
+      ORDER BY gumbel_score DESC, doc_id
+      LIMIT 100
+    ),
+    -- stage 9: deterministic sequence packing of the selection (q63)
+    pb AS (SELECT g.doc_id, c.n_clean_tokens AS n_tokens,
+                  g.log_importance, g.gumbel_score,
+                  ('0x' || substring(md5('pretrain-pack:' || g.doc_id::VARCHAR),
+                                     1, 15))::BIGINT AS hv
+           FROM gsel g JOIN cut c USING (doc_id)),
+    pp AS (SELECT doc_id, (hv % 32)::BIGINT AS shard, n_tokens,
+                  log_importance, gumbel_score,
+                  coalesce(sum(n_tokens) OVER (PARTITION BY hv % 32
+                      ORDER BY hv, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+           FROM pb)
+    SELECT doc_id, shard, (prior // 512)::BIGINT AS bin_id, n_tokens,
+           log_importance, gumbel_score
+    FROM pp
+"""
+
+
+@_register("q87_pretrain_capstone", _Q87_SQL)
+def q87_pretrain_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed "modern pretrain" capstone (plans/pretrain.py::
+    pretrain_corpus): C4 line rules → Gopher rule + repetition gates →
+    self-trained bigram-LM gate → exact dedup → MinHash-LSH near dedup →
+    bipartite ExactSubstr span-cut decontamination → DSIR Gumbel-top-k
+    resampling → deterministic sequence packing, end to end over one
+    injected web-crawl fixture — the q70 pattern extended to the round-6
+    operator families, hash-checking the stage INTERFACES (gates on
+    rewritten text, span offsets on deduped survivors, token accounting
+    across three rewrites) that no per-operator oracle can reach.
+
+    Injections give every stage real work: terminal '.' + a 4-sentence
+    tail (C4 sentence gate + the 'the' stopword Gopher needs), a 2-word
+    line (C4 min-words), every 5th doc a javascript line (C4 line kill),
+    every 17th/19th a lorem-ipsum / code-brace page kill; the repetition
+    and LM gates act on the fixture's natural word statistics, dedup on
+    its natural duplicates, and decontamination against q77's eval
+    windows drawn from the raw fixture."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.pretrain import (
+        pretrain_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(".\ntoo short.\n" + _Q83_TAIL),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nthis page uses javascript for menus."),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("\nlorem ipsum")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 19 == 0, F.lit("\nfunction() {")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    ev = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
+        ).alias("text"),
+    )
+    target_ids = docs.where(F.col("lang") == "en").select("doc_id")
+    return pretrain_corpus(injected, ev, target_ids)

@@ -183,6 +183,7 @@ DOC_QUERY_NAMES = [
     "q77_cross_exact_substring",
     "q82_dsir_resample",
     "q86_gopher_repetition",
+    "q87_pretrain_capstone",
 ]
 
 
