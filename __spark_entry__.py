@@ -37,25 +37,49 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 DRIVER_QUERY_CAP = 50
 
 
-def _last_verified_round() -> dict[str, int]:
-    """Latest round in which each query received a driver CORRECTNESS row
-    (any outcome — a crash row is still driver contact worth rotating on).
-    Queries absent from every file have no entry (treated as round 0)."""
-    rounds: dict[str, int] = {}
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """Per query: ``(latest round with a driver CORRECTNESS row, crashed
+    at that latest row)``. A row crashed if its ``err`` is a real
+    traceback (``no_oracle`` is the deliberate rows-only marker, not a
+    failure). Queries absent from every file have no entry (round 0).
+
+    The crash flag exists because round 7 proved a hole in the rotation:
+    q85 crashed in r6, its fix landed in r7, but the r6 crash row counted
+    as "driver contact" and the oracled-before-rows-only tie-break pushed
+    it past the 50-slot cap — so the fix went a full round unverified. A
+    crash row is the WEAKEST signal in the registry and must re-run the
+    very next round, ahead of same-round green entries."""
+    hist: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                keys = list(json.load(f).keys())
+                rows = json.load(f)
         except Exception:
             continue
-        for k in keys:
-            rounds[k] = max(rounds.get(k, 0), rnd)
-    return rounds
+        for k, row in rows.items():
+            err = row.get("err") if isinstance(row, dict) else None
+            crashed = err is not None and err != "no_oracle"
+            prev = hist.get(k)
+            if prev is None or rnd > prev[0]:
+                hist[k] = (rnd, crashed)
+    return hist
 
 
-def _check_rotation(ordered: list[str], last: dict[str, int], oracled: set[str]) -> None:
+def _last_verified_round() -> dict[str, int]:
+    """Latest round in which each query received a driver CORRECTNESS row
+    (any outcome — a crash row is still driver contact worth rotating on).
+    Queries absent from every file have no entry (treated as round 0)."""
+    return {k: rnd for k, (rnd, _) in _driver_history().items()}
+
+
+def _check_rotation(
+    ordered: list[str],
+    last: dict[str, int],
+    oracled: set[str],
+    crashed: set[str] | None = None,
+) -> None:
     """Pin the rotation invariant with a REAL exception (asserts vanish
     under ``python -O`` and the old one was nearly vacuous — it only
     inspected the fronted list, never the final ordering).
@@ -84,6 +108,31 @@ def _check_rotation(ordered: list[str], last: dict[str, int], oracled: set[str])
             f"{freshest_in_cap}) hold in-cap slots; the "
             "least-recently-verified rotation is broken"
         )
+    # Crash priority (the r7 hole): a query whose LATEST driver row is a
+    # crash is the registry's weakest link — it must not sit past the cap
+    # while any non-crashed query of the same or a later round holds an
+    # in-cap slot. Compared on (round, crashed-first) so never-verified
+    # entries (round 0) still front ahead of crashed ones.
+    if crashed:
+        def strength(k: str) -> tuple[int, int]:
+            return (last.get(k, 0), 0 if k in crashed else 1)
+
+        weakest_in_cap = max(
+            (strength(k) for k in ordered[:DRIVER_QUERY_CAP]),
+            default=(0, 0),
+        )
+        starved_crashes = [
+            k
+            for k in ordered[DRIVER_QUERY_CAP:]
+            if strength(k) < weakest_in_cap
+        ]
+        if starved_crashes:
+            raise RuntimeError(
+                f"crashed-latest queries {starved_crashes!r} ordered past "
+                f"the driver cap {DRIVER_QUERY_CAP} while weaker-priority "
+                "entries hold in-cap slots; the crash-first rotation is "
+                "broken"
+            )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -109,22 +158,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        never-verified sorts first — a check that has never run is the
        weakest link, and a crash like round 1's q53 must surface the next
        round, not three rounds later);
-    2. oracled (hash-checked) before rows-only on ties — the stronger
+    2. crashed-at-latest-row before clean on ties — round 7 proved the
+       hole: q85's r6 crash row counted as driver contact, the
+       oracled-first tie-break pushed it past the cap, and its fix went a
+       full round unverified. A crash is the weakest signal in the
+       registry and must re-run the very next round;
+    3. oracled (hash-checked) before rows-only on ties — the stronger
        check wins marginal slots;
-    3. registration order as the final tiebreak, keeping timings and
+    4. registration order as the final tiebreak, keeping timings and
        CORRECTNESS rows comparable across rounds.
 
     ``_check_rotation`` raises (a real exception, not an ``-O``-stripped
-    assert) if a future edit leaves a stale oracled query past the bound.
+    assert) if a future edit leaves a stale oracled query — or a
+    crashed-latest query of any kind — past the bound.
     """
-    last = _last_verified_round()
+    hist = _driver_history()
+    last = {k: rnd for k, (rnd, _) in hist.items()}
+    crashed = {k for k, (_, c) in hist.items() if c}
     oracled = set(ORACLE_SQL)
     reg_index = {k: i for i, k in enumerate(QUERIES)}
     ordered_keys = sorted(
         QUERIES,
-        key=lambda k: (last.get(k, 0), 0 if k in oracled else 1, reg_index[k]),
+        key=lambda k: (
+            last.get(k, 0),
+            0 if k in crashed else 1,
+            0 if k in oracled else 1,
+            reg_index[k],
+        ),
     )
-    _check_rotation(ordered_keys, last, oracled)
+    _check_rotation(ordered_keys, last, oracled, crashed)
     return {k: QUERIES[k] for k in ordered_keys}
 
 

@@ -65,7 +65,7 @@ def chunk_documents(
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: str | None = "text",
     tokens_col: str | None = None,
     budget: int = 512,
     n_shards: int = 32,
@@ -88,13 +88,23 @@ def pack_sequences(
     per-task sort to ``rows / n_shards``. Packing quality loses nothing
     from sharding (bins never span shards by design — a training shard maps
     to a data-loader worker). ``tokens_col`` supplies precomputed token
-    counts; otherwise whitespace tokens of ``text_col`` are counted inline.
+    counts and makes ``text_col`` irrelevant (pass ``text_col=None`` for
+    frames that carry counts but no text — e.g. the pretrain capstone's
+    ``chosen ⋈ __n_clean_tokens`` join); otherwise whitespace tokens of
+    ``text_col`` are counted inline. Exactly one of the two must name a
+    real column — validated eagerly so a dropped/renamed column fails
+    here with the contract spelled out, not as a downstream
+    AnalysisException on a column this function never needed.
     """
-    ntok = (
-        F.col(tokens_col)
-        if tokens_col is not None
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
-    )
+    if tokens_col is not None:
+        ntok = F.col(tokens_col)
+    elif text_col is not None:
+        ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    else:
+        raise ValueError(
+            "pack_sequences needs tokens_col (precomputed counts) or "
+            "text_col (inline whitespace count); both were None"
+        )
     h = md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
     base = df.select(
         F.col(id_col),

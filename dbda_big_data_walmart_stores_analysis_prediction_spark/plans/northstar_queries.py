@@ -2466,6 +2466,38 @@ def q85_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q88_bpe_word_counts",
+    f"""
+    WITH w AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array({_SQL_NORM}, ' '), x -> x <> '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT word, count(*)::BIGINT AS n
+    FROM w GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 500
+    """,
+)
+def q88_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED stage of BPE training (operators/bpe.py::
+    word_counts), registered as its own oracled query so the tokenizer
+    family has a hash-checked component (q84's merge loop and q85's
+    array output stay rows-only by nature — this is the corpus-scale
+    half they both consume). One explode over the shared
+    ``norm_words_col`` + a map-side-combinable hash aggregate, then the
+    deterministic (count desc, word) TakeOrderedAndProject vocabulary
+    cap — per-partition heaps, no full sort, bounded driver transfer at
+    any corpus size."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        word_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return word_counts(docs, max_vocab_rows=500)
+
+
+@_register(
     "q86_gopher_repetition",
     r"""
     WITH raw AS (
@@ -2570,6 +2602,13 @@ def q86_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # previous stage's CTE and prefixed to avoid name clashes — the q70/q79
 # splice discipline, written out explicitly because ten fragments cannot
 # be composed by string surgery on `FROM documents`.
+#
+# DRIFT GUARD: these blocks are COPIES and must track fragment fixes by
+# hand (the r7 q62 trim fix proved they silently drift). Every fragment's
+# load-bearing constants/idioms are pinned in BOTH places by
+# tests/test_oracle_parity.py::test_q87_oracle_fragment_pins — if you
+# correct a per-operator oracle, port the fix to the matching stage block
+# here and keep the pin table in sync.
 _Q87_SQL = rf"""
     WITH RECURSIVE
     inj AS (
@@ -2583,16 +2622,21 @@ _Q87_SQL = rf"""
         AS text
       FROM documents
     ),
-    -- stage 1: C4 line rules + page gates (q83 semantics)
+    -- stage 1: C4 line rules + page gates (q83 semantics). Page kills
+    -- (bad) must test the RAW injected page, so reference inj.text
+    -- explicitly — an unqualified `text` here would silently depend on
+    -- DuckDB resolving the base column over the same-SELECT lateral
+    -- alias `AS text` that carries the CLEANED lines.
     c4 AS (
       SELECT doc_id,
-        array_to_string(list_filter(string_split(text, chr(10)),
+        array_to_string(list_filter(string_split(inj.text, chr(10)),
           l -> regexp_matches(l, '[.!?"'']\s*$')
                AND len(list_filter(regexp_split_to_array(l, '\s+'),
                                    x -> x <> '')) >= 3
                AND NOT contains(lower(l), 'javascript')), chr(10)) AS text,
-        (contains(lower(text), 'lorem ipsum') OR contains(text, '{{')) AS bad
-      FROM inj WHERE text IS NOT NULL
+        (contains(lower(inj.text), 'lorem ipsum')
+         OR contains(inj.text, '{{')) AS bad
+      FROM inj WHERE inj.text IS NOT NULL
     ),
     s0 AS MATERIALIZED (SELECT doc_id, text FROM c4
            WHERE NOT bad AND len(regexp_extract_all(text, '[.!?]')) >= 5),
@@ -2893,7 +2937,9 @@ _Q87_SQL = rf"""
 
 
 @_register("q87_pretrain_capstone", _Q87_SQL)
-def q87_pretrain_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q87_pretrain_capstone(
+    spark: SparkSession, sf_dir: str, *, cuts=None
+) -> DataFrame:
     """The composed "modern pretrain" capstone (plans/pretrain.py::
     pretrain_corpus): C4 line rules → Gopher rule + repetition gates →
     self-trained bigram-LM gate → exact dedup → MinHash-LSH near dedup →
@@ -2940,4 +2986,6 @@ def q87_pretrain_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     target_ids = docs.where(F.col("lang") == "en").select("doc_id")
-    return pretrain_corpus(injected, ev, target_ids)
+    if cuts is None:
+        return pretrain_corpus(injected, ev, target_ids)
+    return pretrain_corpus(injected, ev, target_ids, cuts=cuts)

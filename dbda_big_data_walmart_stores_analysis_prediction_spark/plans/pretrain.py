@@ -74,6 +74,16 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text impor
 )
 
 
+# Checkpoint boundaries that stay active by default, chosen by the round-8
+# cut-by-cut A/B at sf0.1 (PERF.md "q87 checkpoint chain"): each named
+# frame feeds 2+ downstream derivations whose re-execution was MEASURED to
+# cost more than the materialization. Cuts that lost the A/B (their
+# consumers' lineage overlap collapses to a ReusedExchange, or the frame
+# has one consumer) are omitted; pass ``cuts`` explicitly to re-run the
+# experiment.
+DEFAULT_CUTS = frozenset({"s0", "s2", "lm", "s3", "s4", "s5", "cutdocs", "chosen"})
+
+
 def pretrain_corpus(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -89,6 +99,7 @@ def pretrain_corpus(
     pack_budget: int = 512,
     pack_shards: int = 32,
     salt: str = "pretrain",
+    cuts: frozenset[str] = DEFAULT_CUTS,
 ) -> DataFrame:
     """Run the full pretrain pipeline; see the module docstring for the
     stage list. Returns one row per RESAMPLED doc:
@@ -106,12 +117,15 @@ def pretrain_corpus(
     set it for web-scale corpora (see ``prepare_training_corpus``).
     """
 
-    def _cut(frame: DataFrame) -> DataFrame:
-        return frame.localCheckpoint(eager=False)
+    def _cut(name: str, frame: DataFrame) -> DataFrame:
+        if name in cuts:
+            return frame.localCheckpoint(eager=False)
+        return frame
 
     # 1. C4: page gates + line rewrite; downstream sees clean_text
     c4 = c4_rules(docs.select(id_col, text_col))
     s0 = _cut(
+        "s0",
         c4.where(F.col("keep")).select(
             F.col(id_col), F.col("clean_text").alias(text_col)
         )
@@ -129,20 +143,20 @@ def pretrain_corpus(
         .where(F.col("keep"))
         .select(id_col)
     )
-    s2 = _cut(s1.join(rep_keep, [id_col], "left_semi"))
+    s2 = _cut("s2", s1.join(rep_keep, [id_col], "left_semi"))
     # 4. bigram-LM gate: keep ≤ corpus-mean cross-entropy. Docs with no
     # bigrams (<2 words) have no LM row and are dropped by the semi-join
     # — they cannot carry the fluency evidence this gate asks for.
-    lm = _cut(bigram_lm_scores(s2, id_col, text_col))
+    lm = _cut("lm", bigram_lm_scores(s2, id_col, text_col))
     lm_mean = lm.agg(F.round(F.avg("avg_neg_logprob"), 6).alias("__lm_mean"))
     lm_keep = (
         lm.crossJoin(F.broadcast(lm_mean))
         .where(F.col("avg_neg_logprob") <= F.col("__lm_mean"))
         .select(id_col)
     )
-    s3 = _cut(s2.join(lm_keep, [id_col], "left_semi"))
+    s3 = _cut("s3", s2.join(lm_keep, [id_col], "left_semi"))
     # 5-6. exact then near dedup (min-id survivors, q56 configuration)
-    s4 = _cut(dd.dedup_exact(s3, id_col, text_col))
+    s4 = _cut("s4", dd.dedup_exact(s3, id_col, text_col))
     pairs = dd.minhash_lsh_pairs(
         s4,
         id_col,
@@ -153,13 +167,14 @@ def pretrain_corpus(
         threshold=lsh_threshold,
         max_doc_freq=max_doc_freq,
     )
-    s5 = _cut(dd.dedup_near(s4, pairs, id_col))
+    s5 = _cut("s5", dd.dedup_near(s4, pairs, id_col))
     # 7. ExactSubstr decontamination: locate leaked eval spans in the
     # surviving corpus, cut them token-exactly
     spans = dd.cross_exact_substring_spans(
         s5, eval_docs, id_col, text_col, min_tokens=min_span_tokens, k=13
     )
     cutdocs = _cut(
+        "cutdocs",
         dd.remove_token_spans(s5, spans, id_col, text_col).select(
             F.col(id_col),
             F.col("clean_text").alias(text_col),
@@ -181,6 +196,7 @@ def pretrain_corpus(
         n_buckets=n_buckets,
     )
     chosen = _cut(
+        "chosen",
         gumbel_top_k(
             weights.where(F.col("n_grams") > 0).select(
                 id_col, "log_importance"
@@ -192,10 +208,12 @@ def pretrain_corpus(
         )
     )
     # 9. pack the selection by post-cut token counts
+    # the joined frame has counts but NO text column; text_col=None makes
+    # that contract explicit (pack_sequences validates it)
     packed = pack_sequences(
         chosen.join(cutdocs.select(id_col, "__n_clean_tokens"), [id_col]),
         id_col,
-        text_col,
+        text_col=None,
         tokens_col="__n_clean_tokens",
         budget=pack_budget,
         n_shards=pack_shards,

@@ -1123,3 +1123,41 @@ def test_gopher_repetition_signals(spark):
     assert out[4]["dup_5gram_char_frac"] > 0.15 and not out[4]["keep"]
     for d in (5, 6):
         assert out[d]["dup_line_frac"] == 0.0 and not out[d]["keep"]
+
+
+def test_nfkc_normalization_opt_in(spark):
+    """The C4/Gopher spec-fidelity option (round-7 verdict item 7):
+    norm_text_col(nfkc=True) folds compatibility forms (full-width → 
+    ASCII, ligature ﬁ → fi, superscript ² → 2) BEFORE lower/collapse, so
+    visually-identical multilingual variants collide; default stays the
+    pure-builtin path (NFKC is identity on ASCII, and the oracle engine
+    has no NFKC twin)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.text import (
+        norm_text_col,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "ＦＵＬＬｗｉｄｔｈ　ｔｅｘｔ"),  # full-width letters + ideographic space
+            (1, "ﬁle ﬂow"),  # ligatures
+            (2, "x² plus x³"),  # superscripts
+            (3, "plain ascii stays."),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dflt"], r["folded"])
+        for r in df.select(
+            "doc_id",
+            norm_text_col("text").alias("dflt"),
+            norm_text_col("text", nfkc=True).alias("folded"),
+        ).collect()
+    }
+    assert out[0][1] == "fullwidth text"  # folded + ideographic space collapsed
+    assert out[0][0] != out[0][1]
+    assert out[1][1] == "file flow"
+    assert out[2][1] == "x2 plus x3"
+    # ASCII: NFKC is the identity — the opt-in changes nothing
+    assert out[3][0] == out[3][1] == "plain ascii stays."
+    assert out[4] == (None, None)

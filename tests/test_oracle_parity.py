@@ -184,6 +184,7 @@ DOC_QUERY_NAMES = [
     "q82_dsir_resample",
     "q86_gopher_repetition",
     "q87_pretrain_capstone",
+    "q88_bpe_word_counts",
 ]
 
 
@@ -428,3 +429,104 @@ def test_oracle_parity_on_adversarial_relational(spark, adversarial_rel_dir, nam
         adversarial_rel_dir, name, dir_tables=("lineitem", "orders")
     )
     _compare_engines(name, sdf.columns, sdf.collect(), duck_cols, duck_rows)
+
+
+# ---------------------------------------------------------------------------
+# q87 capstone-oracle drift guard (round-7 ADVICE): _Q87_SQL hand-duplicates
+# the bodies of ten per-operator oracles, and those copies silently drift
+# when a fragment is corrected (the r7 q62 trim fix had to be re-applied by
+# hand). Each entry pins a load-bearing constant/idiom of one fragment in
+# BOTH the registered per-operator oracle and its q87 copy — a fix that
+# changes a pinned idiom in one place but not the other fails here by name.
+# ---------------------------------------------------------------------------
+
+# fragment query -> list of (pin in the fragment's ORACLE_SQL,
+#                            pin in _Q87_SQL — same constant, possibly
+#                            different local spelling)
+_Q87_FRAGMENT_PINS = {
+    "q83_c4_rules": [
+        ("""[.!?"'']\\s*$""", """[.!?"'']\\s*$"""),  # line-terminal punct
+        ("'javascript'", "'javascript'"),
+        ("lorem ipsum", "lorem ipsum"),
+        ("x -> x <> '')) >= 3", "x -> x <> '')) >= 3"),  # min words/line
+        (">= 5", ">= 5"),  # sentence gate
+    ],
+    "q81_gopher_rules": [
+        ("'the','be','to','of','and','that','have','with'",
+         "'the','be','to','of','and','that','have','with'"),
+        ("n_words >= 50 AND n_words <= 100000",
+         "n_words >= 50 AND n_words <= 100000"),
+        ("mean_word_len >= 3 AND mean_word_len <= 10",
+         "mwl >= 3 AND mwl <= 10"),
+        ("symbol_word_ratio <= 0.1", "swr <= 0.1"),
+        ("bullet_line_frac <= 0.9", "blf <= 0.9"),
+        ("ellipsis_line_frac <= 0.3", "elf <= 0.3"),
+        ("alpha_word_frac >= 0.8", "awf >= 0.8"),
+    ],
+    "q86_gopher_repetition": [
+        ("(c - 1) * length(line)", "(c - 1) * length(line)"),  # dup-line chars
+        ("w[i:i+1]", "w[i:i+1]"),  # 2-gram window
+        ("w[i:i+4]", "w[i:i+4]"),  # 5-gram window
+        ("c * length(g)", "c * length(g)"),  # gram char coverage
+        ("<= 0.15", "<= 0.15"),  # dup-5gram threshold
+    ],
+    "q78_bigram_lm_scores": [
+        ("count(DISTINCT w) AS V", "count(DISTINCT w) AS V"),  # Laplace V
+        ("-ln((coalesce(", "-ln((coalesce("),  # add-one cross-entropy
+    ],
+    "q25_exact_dup_groups": [
+        ("min(doc_id)", "min(doc_id)"),  # min-id survivor rule
+    ],
+    "q27_minhash_lsh_pairs": [
+        ("md5('perm:' || i)", "md5('perm:' || i)"),  # permutation seeds
+        ("i // 4 AS band", "i // 4 AS band"),  # 16 hashes / 4 bands
+        (">= 0.5", ">= 0.5"),  # exact-Jaccard verify threshold
+    ],
+    "q77_cross_exact_substring": [
+        ("w[i:i+12]", "w[i:i+12]"),  # 13-gram slice
+        ("len(w) - 13 + 2", "len(w) - 13 + 2"),  # gram positions
+        ("n_tokens >= 20", "+ 12 >= 20"),  # min span tokens
+    ],
+    "q79_decontaminated_corpus": [
+        ("start_train", "start_train"),  # span coverage join key
+        ("ORDER BY pos", "ORDER BY pos"),  # token-order rebuild
+    ],
+    "q80_dsir_importance": [
+        ("% 4096", "% 4096"),  # hashed-ngram buckets
+        ("+ 4096)", "+ 4096)"),  # add-one bucket smoothing
+    ],
+    "q82_dsir_resample": [
+        ("1152921504606846976.0", "1152921504606846976.0"),  # 2^60 uniform
+        ("ln(-ln((", "ln(-ln(("),  # Gumbel transform
+        ("+ 0.5)", "+ 0.5)"),  # half-open uniform shift
+    ],
+    "q63_sequence_packing": [
+        ("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING",
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"),
+        ("// 512", "// 512"),  # token budget
+        ("% 32", "% 32"),  # shard count
+    ],
+}
+
+
+@pytest.mark.parametrize("fragment", sorted(_Q87_FRAGMENT_PINS))
+def test_q87_oracle_fragment_pins(fragment):
+    """Every pinned idiom must appear in BOTH the per-operator oracle and
+    the q87 capstone copy. If you corrected a fragment oracle and this
+    fails: apply the same correction to the matching stage block of
+    _Q87_SQL (plans/northstar_queries.py) and update the pin here."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.northstar_queries import (
+        _Q87_SQL,
+    )
+
+    frag_sql = entry_mod.oracle_sql()[fragment]
+    for frag_pin, q87_pin in _Q87_FRAGMENT_PINS[fragment]:
+        assert frag_pin in frag_sql, (
+            f"{fragment}: pinned idiom {frag_pin!r} no longer in the "
+            "fragment oracle — it changed; port the change to _Q87_SQL "
+            "and update _Q87_FRAGMENT_PINS"
+        )
+        assert q87_pin in _Q87_SQL, (
+            f"{fragment}: q87 copy lost pinned idiom {q87_pin!r} — "
+            "the capstone oracle drifted from the fragment"
+        )

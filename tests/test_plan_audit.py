@@ -191,7 +191,7 @@ def test_driver_rotation_fresh_clone_safe(monkeypatch):
     """With no CORRECTNESS history (fresh clone) every query ties at round
     0: ordering must fall back to oracled-first registration order and NOT
     raise, even though >cap oracled entries overflow unavoidably."""
-    monkeypatch.setattr(entry_mod, "_last_verified_round", lambda: {})
+    monkeypatch.setattr(entry_mod, "_driver_history", lambda: {})
     ordered = list(entry_mod.queries())
     oracled = set(entry_mod.oracle_sql())
     n_rows_only = sum(1 for k in ordered if k not in oracled)
@@ -205,6 +205,35 @@ def test_driver_rotation_fresh_clone_safe(monkeypatch):
     # weaker checks are what overflow the cap in a fresh clone
     first_rows_only = next(i for i, k in enumerate(ordered) if k not in oracled)
     assert all(k not in oracled for k in ordered[first_rows_only:])
+
+
+def test_driver_rotation_crashed_latest_outranks_green_ties(monkeypatch):
+    """The round-7 hole: q85's latest driver row was the r6 CRASH, but the
+    oracled-before-rows-only tie-break sorted it past the 50-slot cap in
+    r7, so its landed fix went a full round unverified. A crash is the
+    weakest signal in the registry: within the same last-verified round a
+    crashed-latest query (oracled or rows-only) must sort ahead of every
+    green-latest one, and _check_rotation must raise if an ordering
+    regression ever parks a crashed entry past the cap again."""
+    registry = list(entry_mod.queries())  # full registry, real history
+    names = list(entry_mod.oracle_sql())
+    rows_only = [k for k in registry if k not in set(names)]
+    assert rows_only, "registry should have rows-only entries"
+    victim = rows_only[0]
+    # simulate: everyone green at round 6, the rows-only victim crashed
+    fake = {k: (6, k == victim) for k in registry}
+    monkeypatch.setattr(entry_mod, "_driver_history", lambda: fake)
+    ordered = list(entry_mod.queries())
+    # the crashed rows-only entry fronts ahead of every green oracled tie
+    assert ordered[0] == victim, ordered[:3]
+    # and _check_rotation rejects an ordering that parks it past the cap
+    last = {k: r for k, (r, _) in fake.items()}
+    demoted = [k for k in ordered if k != victim] + [victim]
+    if len(demoted) > entry_mod.DRIVER_QUERY_CAP:
+        with pytest.raises(RuntimeError, match="crash-first rotation"):
+            entry_mod._check_rotation(
+                demoted, last, set(names), {victim}
+            )
 
 
 def test_q80_dsir_stats_broadcast_no_cartesian(spark):
