@@ -96,8 +96,9 @@ HEADLINE = [
 # signal. Its transform path is the same add_text_features plan q22
 # measures. q84/q85 (BPE) are absent for the same reason: each invocation
 # TRAINS the merge table (a 40-iteration driver loop over the vocab) —
-# solver rounds, not engine plan shape; the distributed word-count stage
-# they exercise is the same explode+aggregate family q50 measures.
+# solver rounds, not engine plan shape; their distributed word-count
+# stage IS benched — q88 below runs it standalone (registered as its own
+# oracled query in round 8).
 LONGTAIL = [
     "q33_rollup_pricing",
     "q34_intersect_except",
@@ -134,6 +135,9 @@ LONGTAIL = [
     # bigram-LM -> exact+near dedup -> ExactSubstr span-cut -> DSIR
     # resample -> packing), hash-checked end to end against one oracle
     "q87_pretrain_capstone",
+    # round-8: the distributed word-count stage of BPE training (the
+    # non-iterative half of q84/q85), now its own oracled query
+    "q88_bpe_word_counts",
 ]
 
 _TABLES = (

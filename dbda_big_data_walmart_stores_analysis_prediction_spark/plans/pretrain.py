@@ -100,6 +100,7 @@ def pretrain_corpus(
     pack_shards: int = 32,
     salt: str = "pretrain",
     cuts: frozenset[str] = DEFAULT_CUTS,
+    stages: dict | None = None,
 ) -> DataFrame:
     """Run the full pretrain pipeline; see the module docstring for the
     stage list. Returns one row per RESAMPLED doc:
@@ -119,7 +120,11 @@ def pretrain_corpus(
 
     def _cut(name: str, frame: DataFrame) -> DataFrame:
         if name in cuts:
-            return frame.localCheckpoint(eager=False)
+            frame = frame.localCheckpoint(eager=False)
+        if stages is not None:
+            # expose the stage boundary for instrumentation (the PERF.md
+            # stage-time decomposition scripts); no plan effect
+            stages[name] = frame
         return frame
 
     # 1. C4: page gates + line rewrite; downstream sees clean_text

@@ -1,0 +1,116 @@
+"""Median-protocol A/B harness (PERF.md round-7 protocol): for each named
+query, run the Spark plan 5x in-session in each of ``--sessions`` fresh
+subprocess sessions, plus the DuckDB oracle 5x in-process, and report
+med/min/max across sessions.
+
+Usage:
+    python scripts/ab_medians.py q60_incremental_dedup q65_contamination_report
+    python scripts/ab_medians.py --sessions 3 --reps 5 q87_pretrain_capstone
+    python scripts/ab_medians.py one <name> <reps>        (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def one(name: str, reps: int) -> None:
+    import __spark_entry__ as entry
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.session import get_spark
+
+    spark = get_spark()
+    fn = entry.queries()[name]
+    times = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        times.append(time.monotonic() - t0)
+    print(json.dumps(times))
+    spark.stop()
+
+
+def oracle_times(name: str, reps: int) -> list[float]:
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql().get(name)
+    if sql is None:
+        return []
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    times = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        con.execute(sql).fetchall()
+        times.append(time.monotonic() - t0)
+    con.close()
+    return times
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "one":
+        one(args[1], int(args[2]))
+        return
+    sessions = 3
+    reps = 5
+    if "--sessions" in args:
+        i = args.index("--sessions")
+        sessions = int(args[i + 1])
+        del args[i : i + 2]
+    if "--reps" in args:
+        i = args.index("--reps")
+        reps = int(args[i + 1])
+        del args[i : i + 2]
+    for name in args:
+        per_session_medians = []
+        all_times = []
+        for _ in range(sessions):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "one", name, str(reps)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            times = json.loads(out.stdout.strip().splitlines()[-1])
+            per_session_medians.append(statistics.median(times))
+            all_times.extend(times)
+        od = oracle_times(name, reps)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "spark_med": round(statistics.median(per_session_medians), 3),
+                    "spark_session_medians": [
+                        round(t, 3) for t in per_session_medians
+                    ],
+                    "spark_min": round(min(all_times), 3),
+                    "spark_max": round(max(all_times), 3),
+                    "oracle_med": round(statistics.median(od), 3) if od else None,
+                    "sf_dir": SF_DIR,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,10 +35,15 @@ ALL_CUTS = ("s0", "s2", "lm", "s3", "s4", "s5", "cutdocs", "chosen")
 
 
 def _parse(spec: str) -> frozenset[str]:
+    """'all', 'none', a comma list of cuts to KEEP, or '-a,b' = all
+    cuts EXCEPT the listed ones (leave-out form)."""
     if spec == "all":
         return frozenset(ALL_CUTS)
     if spec == "none":
         return frozenset()
+    if spec.startswith("-"):
+        drop = set(spec[1:].split(","))
+        return frozenset(x for x in ALL_CUTS if x not in drop)
     return frozenset(x for x in spec.split(",") if x)
 
 
@@ -54,28 +59,38 @@ def _run_once(spark, cuts: frozenset[str]) -> float:
     return dt
 
 
-def explore(reps: int) -> None:
+def explore(reps: int, specs: list[str] | None = None) -> None:
+    """Round-robin (time-major) measurement: every config is timed once
+    per sweep, so session-level drift (JIT warm-up, GC state — the first
+    sequential run of this script showed a monotone ~30% downward trend
+    that confounded config with order) hits all configs equally."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.session import get_spark
 
     spark = get_spark()
-    configs: list[tuple[str, frozenset[str]]] = [
-        ("all", frozenset(ALL_CUTS)),
-        *[
-            (f"-{c}", frozenset(x for x in ALL_CUTS if x != c))
-            for c in ALL_CUTS
-        ],
-        ("none", frozenset()),
-    ]
+    if specs:
+        configs = [(s, _parse(s)) for s in specs]
+    else:
+        configs = [
+            ("all", frozenset(ALL_CUTS)),
+            *[
+                (f"-{c}", frozenset(x for x in ALL_CUTS if x != c))
+                for c in ALL_CUTS
+            ],
+            ("none", frozenset()),
+        ]
     _run_once(spark, frozenset(ALL_CUTS))  # warm the session once
-    for label, cuts in configs:
-        times = [_run_once(spark, cuts) for _ in range(reps)]
+    times: dict[str, list[float]] = {label: [] for label, _ in configs}
+    for _ in range(reps):
+        for label, cuts in configs:
+            times[label].append(_run_once(spark, cuts))
+    for label, ts in times.items():
         print(
             json.dumps(
                 {
                     "config": label,
-                    "min": round(min(times), 3),
-                    "median": round(statistics.median(times), 3),
-                    "times": [round(t, 3) for t in times],
+                    "min": round(min(ts), 3),
+                    "median": round(statistics.median(ts), 3),
+                    "times": [round(t, 3) for t in ts],
                 }
             ),
             flush=True,
@@ -119,7 +134,12 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "explore"
     if mode == "explore":
         reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 3
-        explore(reps)
+        specs = [
+            a
+            for i, a in enumerate(sys.argv[2:], start=2)
+            if not a.startswith("--") and sys.argv[i - 1] != "--reps"
+        ]
+        explore(reps, specs or None)
     elif mode == "confirm":
         args = [a for a in sys.argv[2:] if not a.startswith("--")]
         reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 5
