@@ -138,6 +138,13 @@ LONGTAIL = [
     # round-8: the distributed word-count stage of BPE training (the
     # non-iterative half of q84/q85), now its own oracled query
     "q88_bpe_word_counts",
+    # round-8: NFKC folding path (the one deliberate pandas-UDF projection)
+    "q89_nfkc_fold",
+    # round-8: Bloom-sketch dedup prefilter (bitset build + broadcast probe)
+    "q90_bloom_dedup_probe",
+    # round-8: Bloom-accelerated incremental dedup + Count-Min heavy hitters
+    "q91_bloom_incremental_dedup",
+    "q92_cms_heavy_hitters",
 ]
 
 _TABLES = (

@@ -846,6 +846,9 @@ def dedup_incremental(
     max_doc_freq: int | None = None,
     corpus_shingles: DataFrame | None = None,
     broadcast_batch: bool = False,
+    bloom_prefilter: bool = False,
+    bloom_m_bits: int = 1 << 20,
+    bloom_k: int = 7,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus WITHOUT re-deduping the
     corpus — the daily-ingest shape of a training-data pipeline: the corpus
@@ -897,21 +900,61 @@ def dedup_incremental(
     fp = md5_int64(_norm_text(text_col))
     nfp = new.select(F.col(id_col), F.col(text_col), fp.alias("__fp"))
     keep = F.min(id_col).over(Window.partitionBy("__fp"))
-    surv = (
-        nfp.withColumn("__keep", keep)
-        .where(F.col(id_col) == F.col("__keep"))
-        # shuffle-hash the exact-stage anti-join: __fp is md5-uniform, the
-        # corpus side is 8 bytes/row, and SMJ would sort both streams; the
-        # per-partition build is bounded by corpus-fps/partitions
-        .join(
-            corpus.select(fp.alias("__fp")).hint("shuffle_hash"),
-            "__fp",
-            "left_anti",
-        )
-        .select(id_col, text_col, "__fp")
-        # consumed by the batch shingle table AND the final anti-join
-        .localCheckpoint(eager=False)
+    batch_surv = nfp.withColumn("__keep", keep).where(
+        F.col(id_col) == F.col("__keep")
     )
+    if bloom_prefilter:
+        # Sketch-accelerated exact stage (sketches.py): probe the
+        # corpus-fingerprint Bloom bitset first — a MISS is a definitive
+        # non-member and bypasses the corpus entirely; only the hit slice
+        # (true dups + the deterministic ~0.8% false positives) pays the
+        # exact anti-join. Output is IDENTICAL to the plain anti-join
+        # (q91 hash-checks it against q60's oracle); the win is that the
+        # standing corpus state at probe time is a ≤ceil(m/62)-row
+        # broadcast instead of an O(corpus) shuffle-side.
+        from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+            bloom_bitset,
+            bloom_probe,
+        )
+
+        corpus_fps = corpus.select(fp.alias("__fp"))
+        bits = bloom_bitset(corpus_fps, "__fp", m_bits=bloom_m_bits, k=bloom_k)
+        probed = batch_surv.join(
+            bloom_probe(
+                batch_surv.select(id_col, "__fp"),
+                bits,
+                "__fp",
+                id_col,
+                m_bits=bloom_m_bits,
+                k=bloom_k,
+            ),
+            id_col,
+        ).localCheckpoint(eager=False)  # feeds both the miss and hit slices
+        misses = probed.where(~F.col("bloom_hit"))
+        confirmed = probed.where(F.col("bloom_hit")).join(
+            corpus_fps.hint("shuffle_hash"), "__fp", "left_anti"
+        )
+        surv = (
+            misses.unionByName(confirmed)
+            .select(id_col, text_col, "__fp")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        surv = (
+            batch_surv
+            # shuffle-hash the exact-stage anti-join: __fp is md5-uniform,
+            # the corpus side is 8 bytes/row, and SMJ would sort both
+            # streams; the per-partition build is bounded by
+            # corpus-fps/partitions
+            .join(
+                corpus.select(fp.alias("__fp")).hint("shuffle_hash"),
+                "__fp",
+                "left_anti",
+            )
+            .select(id_col, text_col, "__fp")
+            # consumed by the batch shingle table AND the final anti-join
+            .localCheckpoint(eager=False)
+        )
     # raw (non-distinct) shingle rows: the fused size-attach aggregate
     # below dedups per (doc, is_new) anyway, so the two per-side distinct
     # exchanges the old shingle_table union paid are pure waste here

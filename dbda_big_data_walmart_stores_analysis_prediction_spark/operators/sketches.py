@@ -1,0 +1,233 @@
+"""Bloom-filter membership sketch — the 100 TB daily-ingest prefilter.
+
+The incremental-dedup operator (``dedup.dedup_incremental``) answers
+"is this batch doc a duplicate of the corpus" with an anti-join against
+the corpus fingerprint table: exact, but the corpus side is O(corpus)
+rows shipped through a shuffle every run. At web scale the standing
+corpus state you actually want to keep hot is a SKETCH: a Bloom bitset
+over the corpus fingerprints is ~1.2 MB for 1M docs at 1% false-positive
+rate (m ≈ 9.6 bits/key, k = 7), broadcastable to every executor, and the
+batch probe becomes one explode + broadcast join + aggregate — the
+corpus is touched ZERO times at probe time (RETRO-style decontamination
+and CCNet-style incremental ingest both run exactly this shape).
+
+Both halves are deterministic md5 constructions (`md5_int64` over salted
+keys), so Bloom membership — INCLUDING its false positives — is a pure
+function of (corpus, m, k) that a SQL oracle replicates bit-for-bit:
+a key "hits" iff all k of its bit positions are set by some corpus key.
+A Bloom hit therefore means "maybe duplicate, confirm exactly"; a miss
+is definitive. The intended composition is
+``bloom_probe → hit-slice-only exact confirm`` — only the (tiny)
+hit slice ever pays the real anti-join.
+
+Plan shapes, sized for 100 TB:
+
+* ``bloom_bitset``: one explode (k rows/key) + one map-side-combinable
+  ``bit_or`` aggregate keyed by the word index → at most ``ceil(m/62)``
+  rows regardless of corpus size. Words pack 62 bits, not 64: the
+  oracle engine raises on ``1::BIGINT << 63`` (signed overflow) and
+  bit 62 would put the sign bit in play, so the portable packing stops
+  at shift 61 — 3% more words, bit-identical semantics in both engines. Build once, store as
+  the corpus's standing sketch; rebuilds are append-only unions
+  (``bit_or`` of two bitsets is the bitset of the union).
+* ``bloom_probe``: explode the batch's k positions, broadcast-join the
+  bitset on word index, one all-bits-present aggregate per key. No
+  Python, no UDF — the whole probe is codegen + one broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
+    md5_int64,
+)
+
+
+def _positions(key: Column, m_bits: int, k: int) -> Column:
+    """Array of the key's k Bloom bit positions: independent hash functions
+    via salt prefixes (``bloom{i}:key``), each reduced mod m. Deterministic
+    and SQL-replicable — the salted-md5 convention every oracle-facing
+    hash in this engine uses."""
+    return F.array(
+        *[
+            F.pmod(
+                md5_int64(F.concat(F.lit(f"bloom{i}:"), key.cast("string"))),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bitset(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """Build the Bloom bitset of ``df[key_col]`` as ``(word_idx, word)``
+    rows — the set bits packed into 62-bit words (see the module note on the
+    oracle-portable packing), at most ``ceil(m/62)`` rows total. Null keys are skipped (a null has no fingerprint; probing
+    null returns no row, consistent with the anti-join it accelerates).
+
+    Sizing rule of thumb: false-positive rate ≈ 0.6185^(m/n); m/n = 10
+    bits per key with k = 7 gives ~0.8%. The default 2^20 bits (16 KB of
+    words) covers ~100k keys at 1%; scale m with the corpus — even
+    10^10 keys at 1% is ~12 GB of bitset, which stays a broadcast-range
+    artifact after the word-level aggregate prunes unset words."""
+    pos = F.explode(
+        _positions(F.col(key_col), m_bits, k)
+    ).alias("__pos")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(pos)
+        .select(
+            (F.col("__pos") / 62).cast("bigint").alias("word_idx"),
+            # F.shiftleft only takes a LITERAL shift amount; the SQL form
+            # accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 62 AS INT))").alias(
+                "__bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bitset: DataFrame,
+    key_col: str,
+    id_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """Probe every row's ``key_col`` against a ``bloom_bitset`` built with
+    the SAME (m_bits, k): returns ``(id, bloom_hit)`` where ``bloom_hit``
+    is TRUE iff all k bit positions are set — "maybe in the corpus". A
+    FALSE is a definitive miss; route only the TRUE slice to an exact
+    confirm. Null keys yield ``bloom_hit`` FALSE (nothing to match).
+
+    The bitset is broadcast (bounded by ``ceil(m/62)`` rows); the probe
+    side is one explode + broadcast LEFT join + one count aggregate —
+    map-side only, the probed frame never shuffles on anything but its
+    own aggregate key, and the corpus is not touched at all."""
+    pos = df.select(
+        F.col(id_col),
+        F.explode(_positions(F.col(key_col), m_bits, k)).alias("__pos"),
+    ).select(
+        id_col,
+        (F.col("__pos") / 62).cast("bigint").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 62 AS INT))").alias(
+            "__bit"
+        ),
+    )
+    hits = (
+        pos.join(F.broadcast(bitset), "word_idx", "left")
+        .select(
+            id_col,
+            (
+                F.coalesce(
+                    F.col("word").bitwiseAND(F.col("__bit")) != 0, F.lit(False)
+                )
+            ).cast("int").alias("__set"),
+        )
+        .groupBy(id_col)
+        .agg((F.sum("__set") == F.lit(k)).alias("bloom_hit"))
+    )
+    # rows with null keys never produced positions — restore them as
+    # definitive misses so the output covers every input row
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"))
+    )
+
+
+def count_min_table(
+    df: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Count-Min sketch of ``df[key_col]`` occurrences (one input row = one
+    count) as ``(row, col, cnt)`` — the bounded-memory frequency table:
+    ``d*w`` cells regardless of key cardinality, which is the point at
+    100 TB where the distinct-word table itself stops fitting anywhere
+    (boilerplate n-gram tracking, streaming heavy-hitter state). Each
+    occurrence lands in row i at ``md5("cms{i}:" + key) % w``; the build
+    is one explode (d rows/occurrence) + one map-side-combinable sum.
+    Deterministic md5 hashing, so estimates — including their one-sided
+    overcounts — replicate bit-for-bit in the SQL oracle.
+
+    Two CMS tables over disjoint batches merge by cellwise sum (the
+    append-only rebuild property, like `bloom_bitset`'s bit_or)."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("__row")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("__k"), rows)
+        .select(
+            F.col("__row").alias("row"),
+            F.pmod(
+                md5_int64(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("__row").cast("string"),
+                        F.lit(":"),
+                        F.col("__k").cast("string"),
+                    )
+                ),
+                F.lit(w),
+            ).alias("col"),
+        )
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_lookup(
+    df: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 4,
+    est_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-estimate each row's ``key_col`` frequency against a
+    ``count_min_table`` built with the SAME (w, d): appends ``est_col`` =
+    min over the key's d cells (the classic CMS upper bound — never under
+    the true count, over only on hash collisions). The cms table is
+    broadcast (≤ d*w rows by construction); the probe is one explode +
+    broadcast join + a min aggregate — the same zero-corpus-touch posture
+    as `bloom_probe`. Null keys estimate 0."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("__row")
+    probes = df.select(F.col(key_col).alias("__k")).distinct().select(
+        "__k", rows
+    ).select(
+        "__k",
+        F.col("__row").alias("row"),
+        F.pmod(
+            md5_int64(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("__row").cast("string"),
+                    F.lit(":"),
+                    F.col("__k").cast("string"),
+                )
+            ),
+            F.lit(w),
+        ).alias("col"),
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["row", "col"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(est_col))
+    )
+    return df.join(
+        est, df[key_col] == est["__k"], "left"
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(est[est_col], F.lit(0)).alias(est_col),
+    )

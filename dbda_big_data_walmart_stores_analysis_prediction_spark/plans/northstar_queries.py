@@ -2497,6 +2497,238 @@ def q88_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_counts(docs, max_vocab_rows=500)
 
 
+# The q89 oracle cannot run real NFKC (neither Spark SQL nor DuckDB has
+# an NFKC builtin — that is WHY the engine-side implementation is a
+# pandas UDF), so it folds the EXACT compatibility forms the query
+# injects (plus U+2026 '…', the one compat form the adversarial corpus
+# already contains) with an explicit replace chain. That is still a real
+# hash-check: Spark's unicodedata NFKC must produce exactly these folds
+# on the injected forms and be the identity everywhere else, or the
+# values diverge. A new compat form entering a fixture breaks the test
+# loudly — extend the chain deliberately, with the fold Python produces.
+_Q89_INJECT = " ＢＰＥ ﬁle² ２ｎｄ　ﬂow…"
+
+
+@_register(
+    "q89_nfkc_fold",
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+        text || CASE WHEN doc_id % 2 = 0 THEN '{_Q89_INJECT}' ELSE '' END
+          AS text
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text,
+        replace(replace(replace(replace(replace(replace(replace(text,
+          'ＢＰＥ', 'BPE'), 'ﬁ', 'fi'), 'ﬂ', 'fl'), '²', '2'),
+          '２ｎｄ', '2nd'), '　', ' '), '…', '...') AS folded
+      FROM inj
+    )
+    SELECT doc_id,
+      regexp_replace(lower(trim(folded)), '\\s+', ' ', 'g') AS norm_folded,
+      coalesce(regexp_replace(lower(trim(folded)), '\\s+', ' ', 'g')
+               <> regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               FALSE) AS changed
+    FROM f
+    """,
+)
+def q89_nfkc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NFKC spec-fidelity option (functions/text.py::nfkc_col,
+    ``norm_text_col(nfkc=True)``) exercised end to end: every 2nd doc
+    gains a tail of compatibility forms (full-width letters/digits,
+    ligatures, superscript, ideographic space, ellipsis) and the query
+    emits the NFKC-folded normalization plus a changed flag vs the
+    default path. The Arrow-batched UDF folds; everything around it
+    stays codegen. The oracle replicates the folds of exactly these
+    forms (see the replace-chain note above) — identity on the ASCII
+    fixture, so ``changed`` is TRUE precisely for the injected docs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_Q89_INJECT)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    folded = tx.norm_text_col("text", nfkc=True)
+    plain = tx.norm_text_col("text")
+    return injected.select(
+        "doc_id",
+        folded.alias("norm_folded"),
+        F.coalesce(folded != plain, F.lit(False)).alias("changed"),
+    )
+
+
+@_register(
+    "q90_bloom_dedup_probe",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3
+    ),
+    ck AS (SELECT {_SQL_HEX.format(x=_SQL_NORM)} AS key FROM corpus),
+    cpos AS (
+      SELECT ('0x' || substring(md5('bloom' || i || ':' || key::VARCHAR),
+                                1, 15))::BIGINT % 1048576 AS pos
+      FROM ck, (SELECT unnest(range(7)) AS i) WHERE key IS NOT NULL
+    ),
+    words AS (SELECT pos // 62 AS word_idx,
+                     bit_or(1::BIGINT << (pos % 62)::INT) AS word
+              FROM cpos GROUP BY 1),
+    nk AS (SELECT doc_id, {_SQL_HEX.format(x=_SQL_NORM)} AS key FROM newb),
+    npos AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('bloom' || i || ':' || key::VARCHAR),
+                               1, 15))::BIGINT % 1048576 AS pos
+      FROM nk, (SELECT unnest(range(7)) AS i) WHERE key IS NOT NULL
+    ),
+    hits AS (
+      SELECT doc_id,
+             sum(CASE WHEN w.word IS NOT NULL
+                       AND (w.word & (1::BIGINT << (pos % 62)::INT)) != 0
+                  THEN 1 ELSE 0 END) AS s
+      FROM npos LEFT JOIN words w ON w.word_idx = pos // 62
+      GROUP BY doc_id
+    )
+    SELECT n.doc_id, coalesce(h.s = 7, FALSE) AS bloom_hit
+    FROM nk n LEFT JOIN hits h ON h.doc_id = n.doc_id
+    """,
+)
+def q90_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch dedup prefilter (operators/sketches.py): the corpus's
+    normalized-text fingerprints are packed into a ~2 KB 62-bit-word
+    bitset (one explode + one bit_or aggregate), and the q60 daily-ingest
+    batch fixture probes it with one explode + broadcast join + per-doc
+    all-bits aggregate — the corpus is touched only to BUILD the sketch,
+    never at probe time. Bloom membership (false positives included) is
+    a pure md5 construction, so the oracle replicates it bit-for-bit;
+    the hit slice is exactly what `dedup_incremental`'s exact stage
+    would confirm. m=2^20, k=7 — ~0.8% fpr at 100k corpus keys."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
+        md5_int64,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        bloom_bitset,
+        bloom_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = md5_int64(tx.norm_text_col("text"))
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    newb = docs.where(F.col("doc_id") % 5 == 0).unionAll(
+        docs.where(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    bits = bloom_bitset(
+        corpus.select(fp.alias("key")), "key", m_bits=1 << 20, k=7
+    )
+    batch = newb.select("doc_id", fp.alias("key"))
+    return bloom_probe(batch, bits, "key", "doc_id", m_bits=1 << 20, k=7)
+
+
+# q91 deliberately reuses q60's oracle VERBATIM: the Bloom-prefiltered
+# exact stage must be output-identical to the plain anti-join (misses are
+# definitive, hits are exactly confirmed), so the same SQL is the
+# strongest possible check — any false negative or unconfirmed false
+# positive hash-mismatches.
+@_register("q91_bloom_incremental_dedup", ORACLE_SQL["q60_incremental_dedup"])
+def q91_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_incremental(bloom_prefilter=True)` on the q60 fixture: the
+    exact stage probes the corpus-fingerprint Bloom bitset first (a
+    ≤ceil(m/62)-row broadcast instead of an O(corpus) anti-join side);
+    only the hit slice pays the exact confirm. Same survivors as q60 —
+    the sketch is a plan optimization, not a semantics change, and the
+    shared oracle proves it per driver round."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    newb = docs.where(F.col("doc_id") % 5 == 0).unionAll(
+        docs.where(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return dd.dedup_incremental(
+        corpus,
+        newb,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        broadcast_batch=True,
+        bloom_prefilter=True,
+    )
+
+
+@_register(
+    "q92_cms_heavy_hitters",
+    f"""
+    WITH occ AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array({_SQL_NORM}, ' '), x -> x <> '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    exact AS (
+      SELECT word, count(*)::BIGINT AS n_exact
+      FROM occ GROUP BY word
+      ORDER BY n_exact DESC, word
+      LIMIT 20
+    ),
+    cells AS (
+      SELECT i AS row,
+             ('0x' || substring(md5('cms' || i || ':' || word), 1, 15))::BIGINT
+               % 1024 AS col,
+             count(*)::BIGINT AS cnt
+      FROM occ, (SELECT unnest(range(4)) AS i)
+      GROUP BY 1, 2
+    ),
+    pos AS (
+      SELECT e.word, r.i AS row,
+             ('0x' || substring(md5('cms' || r.i || ':' || e.word),
+                               1, 15))::BIGINT % 1024 AS col
+      FROM exact e, (SELECT unnest(range(4)) AS i) r
+    ),
+    est AS (
+      SELECT p.word, min(coalesce(c.cnt, 0)) AS cms_estimate
+      FROM pos p LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+      GROUP BY p.word
+    )
+    SELECT e.word, e.n_exact, s.cms_estimate
+    FROM exact e JOIN est s ON s.word = e.word
+    """,
+)
+def q92_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (operators/sketches.py::
+    count_min_table/count_min_lookup): the corpus's word occurrences land
+    in a d=4 x w=1024 counter table (one explode + one map-side sum —
+    bounded memory at ANY vocabulary size, the streaming/boilerplate
+    heavy-hitter primitive), and the exact top-20 words are point-
+    estimated against it. CMS estimates are one-sided (never below the
+    true count, over only on deterministic md5 collisions), and the
+    oracle replicates every cell bit-for-bit — the hash check covers the
+    collision behavior, not just the happy path."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        word_counts,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tx.norm_words_col("text")).alias("word")
+    )
+    exact = word_counts(docs, max_vocab_rows=20).withColumnRenamed(
+        "n", "n_exact"
+    )
+    cms = count_min_table(occ, "word", w=1024, d=4)
+    return count_min_lookup(exact, cms, "word", w=1024, d=4)
+
+
 @_register(
     "q86_gopher_repetition",
     r"""

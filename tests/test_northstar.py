@@ -1161,3 +1161,103 @@ def test_nfkc_normalization_opt_in(spark):
     # ASCII: NFKC is the identity — the opt-in changes nothing
     assert out[3][0] == out[3][1] == "plain ascii stays."
     assert out[4] == (None, None)
+
+
+def test_bloom_bitset_and_probe_semantics(spark):
+    """Bloom sketch (operators/sketches.py): members always hit (no false
+    negatives), a definitive miss is possible, a FALSE POSITIVE is forced
+    at tiny m (pigeonhole: more set positions than bits), null keys are
+    definitive misses, and the bitset of a union is the bit_or of the
+    parts' bitsets (the append-only rebuild property)."""
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        bloom_bitset,
+        bloom_probe,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(50)], "doc_id long, key string"
+    )
+    m, k = 1 << 16, 7
+    bits = bloom_bitset(corpus, "key", m_bits=m, k=k)
+    probe = spark.createDataFrame(
+        [(0, "doc number 7"), (1, "definitely absent text"), (2, None)],
+        "doc_id long, key string",
+    )
+    out = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in bloom_probe(probe, bits, "key", "doc_id", m_bits=m, k=k).collect()
+    }
+    assert out[0] is True  # member: no false negatives, ever
+    assert out[1] is False  # ample m: miss is definitive
+    assert out[2] is False  # null key: definitive miss, row still present
+
+    # forced false positive: m=8 bits, 50 keys * 7 hashes saturate the
+    # bitset, so EVERY probe hits — including one that is not a member
+    tiny = bloom_bitset(corpus, "key", m_bits=8, k=k)
+    fp = bloom_probe(probe, tiny, "key", "doc_id", m_bits=8, k=k)
+    assert {r["doc_id"]: r["bloom_hit"] for r in fp.collect()}[1] is True
+
+    # union property: bitset(A ∪ B) == per-word bit_or(bitset(A), bitset(B))
+    a = corpus.where(F.col("doc_id") < 25)
+    b = corpus.where(F.col("doc_id") >= 25)
+    merged = (
+        bloom_bitset(a, "key", m_bits=m, k=k)
+        .unionByName(bloom_bitset(b, "key", m_bits=m, k=k))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    whole = bloom_bitset(corpus, "key", m_bits=m, k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_count_min_sketch_bounds_and_merge(spark):
+    """Count-Min (operators/sketches.py): estimates are one-sided (never
+    below the true count), exact when w is ample (no collisions among few
+    keys), collide UPWARD when w is tiny, and two batches' tables merge
+    by cellwise sum into the whole corpus's table."""
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    occ = spark.createDataFrame(
+        [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]],
+        "word string",
+    )
+    exact = occ.groupBy("word").agg(F.count("*").alias("n"))
+
+    cms = count_min_table(occ, "word", w=1024, d=4)
+    out = {
+        r["word"]: (r["n"], r["cms_estimate"])
+        for r in count_min_lookup(exact, cms, "word", w=1024, d=4).collect()
+    }
+    for w, (n, est) in out.items():
+        assert est == n, (w, n, est)  # ample width: exact
+
+    tiny = count_min_table(occ, "word", w=2, d=1)
+    t = {
+        r["word"]: (r["n"], r["cms_estimate"])
+        for r in count_min_lookup(exact, tiny, "word", w=2, d=1).collect()
+    }
+    assert all(est >= n for n, est in t.values())  # one-sided, always
+    assert any(est > n for n, est in t.values())  # 4 keys in 2 cells: collision
+
+    # merge property: cms(A ∪ B) == cellwise sum of cms(A), cms(B)
+    a = occ.limit(6)
+    b = occ.exceptAll(a)
+    merged = (
+        count_min_table(a, "word", w=1024, d=4)
+        .unionByName(count_min_table(b, "word", w=1024, d=4))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_table(occ, "word", w=1024, d=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

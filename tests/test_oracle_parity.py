@@ -185,6 +185,10 @@ DOC_QUERY_NAMES = [
     "q86_gopher_repetition",
     "q87_pretrain_capstone",
     "q88_bpe_word_counts",
+    "q89_nfkc_fold",
+    "q90_bloom_dedup_probe",
+    "q91_bloom_incremental_dedup",
+    "q92_cms_heavy_hitters",
 ]
 
 

@@ -300,3 +300,23 @@ def test_bpe_word_counts_take_ordered_vocab_cap(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q90_bloom_probe_broadcasts_bitset_no_corpus_shuffle_at_probe(spark):
+    """The Bloom probe's scale contract: the bitset side reaches the probe
+    join as a BROADCAST (it is ≤ ceil(m/62) rows at ANY corpus size) and
+    the join is never sort-merge — the probed batch pays one explode +
+    map-side join + its own aggregate, the corpus only the bitset build."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.northstar_queries import (
+        q90_bloom_dedup_probe,
+    )
+
+    plan = (
+        q90_bloom_dedup_probe(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
