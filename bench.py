@@ -145,6 +145,8 @@ LONGTAIL = [
     # round-8: Bloom-accelerated incremental dedup + Count-Min heavy hitters
     "q91_bloom_incremental_dedup",
     "q92_cms_heavy_hitters",
+    # round-8: oracle-portable HLL (the estimate itself hash-checks)
+    "q93_hll_distinct",
 ]
 
 _TABLES = (

@@ -231,3 +231,83 @@ def count_min_lookup(
         *[df[c] for c in df.columns],
         F.coalesce(est[est_col], F.lit(0)).alias(est_col),
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate (Flajolet et al. 2007) as ONE
+    deterministic, oracle-portable plan — unlike
+    ``approx_count_distinct`` (whose HLL++ registers are engine-internal
+    and only testable to a tolerance), every piece here is the engine's
+    salted-md5 convention, so a SQL oracle reproduces the ESTIMATE
+    bit-for-bit, sketch noise and all:
+
+    * bucket = ``md5_int64(key) % 2^p``; the remaining 60-p bits are the
+      rank domain, with rank derived from ``length(bin(w))`` — a STRING
+      length, because ``floor(log2(w))`` is a libm call that can differ
+      by 1 ulp at exact powers of two across engines.
+    * the register sum Σ 2^(-rank) is kept EXACT by scaling to integers
+      (Σ 2^(maxrank-rank), < 2^60 at p=12): float addition of dyadic
+      terms spanning 2^0..2^-49 needs a 61-bit mantissa, so summing in
+      doubles would make the result depend on partition order. One
+      int64 sum is order-free; floats appear only in the final
+      division/log, which are single correctly-rounded IEEE ops.
+    * small-range branch (V empty registers > 0 and raw ≤ 2.5m) uses
+      linear counting m·ln(m/V); the 2^32 large-range correction is
+      deliberately omitted (the hash space is 2^60). ``ln`` is the one
+      op where libm could differ in the last ulp — the estimate is
+      rounded to 4dp, so a mismatch needs a value within 1 ulp of a
+      .00005 boundary (fixture-fixed, never observed).
+
+    Returns one row ``(hll_estimate double)``. Build shape: one scan →
+    hash projection → (bucket, max rank) aggregate (≤ 2^p rows, map-side
+    combinable) → one scalar aggregate. The register table is the
+    mergeable state: max per bucket across batches = the union's sketch.
+    Standard error ≈ 1.04/√m (~1.6% at p=12)."""
+    m = 1 << p
+    maxrank = 61 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = md5_int64(F.col(key_col).cast("string"))
+    regs = (
+        df.where(F.col(key_col).isNotNull())
+        .select(h.alias("__h"))
+        .select(
+            F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("__w") == 0, F.lit(maxrank))
+            .otherwise(F.lit(maxrank) - F.length(F.bin("__w")))
+            .alias("r"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    agg = regs.agg(
+        F.count("*").alias("used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({maxrank} - r AS INT))")
+        ).alias("S"),
+    )
+    two_pow = float(1 << maxrank)
+    return agg.select(
+        F.round(
+            F.when(
+                (F.lit(m) - F.col("used") > 0)
+                & (
+                    F.lit(alpha * m * m)
+                    / (F.col("S") / F.lit(two_pow) + (F.lit(m) - F.col("used")))
+                    <= F.lit(2.5 * m)
+                ),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("used"))),
+            ).otherwise(
+                F.lit(alpha * m * m)
+                / (F.col("S") / F.lit(two_pow) + (F.lit(m) - F.col("used")))
+            ),
+            4,
+        ).alias("hll_estimate")
+    )

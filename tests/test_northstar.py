@@ -1261,3 +1261,19 @@ def test_count_min_sketch_bounds_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_hll_distinct_accuracy(spark):
+    """HLL (operators/sketches.py::hll_distinct): estimate within the
+    ~3·stderr band (1.04/√4096 ≈ 1.6%) of the true cardinality in both
+    branches — small range (linear counting) and raw (n >> m)."""
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    for n in (300, 50_000):
+        df = spark.range(n).select(F.concat(F.lit("key-"), "id").alias("k"))
+        est = hll_distinct(df, "k").collect()[0]["hll_estimate"]
+        assert abs(est - n) / n < 0.05, (n, est)

@@ -307,6 +307,7 @@ def _adversarial_events():
         "q51_range_join_sessions",
         "q54_attribution_join",
         "q59_event_dedup",
+        "q93_hll_distinct",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):
