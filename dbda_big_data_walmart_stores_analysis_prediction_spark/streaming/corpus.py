@@ -27,6 +27,7 @@ def streaming_corpus_ingest(
     threshold: float = 0.5,
     max_doc_freq: int | None = 10_000,
     checkpoint_dir: str | None = None,
+    bloom_prefilter: bool = False,
 ):
     """Start a stream that appends only novel docs to ``corpus_dir``.
 
@@ -80,6 +81,14 @@ def streaming_corpus_ingest(
             # a micro-batch is broadcast-sized by definition; the corpus
             # side then never shuffles on the shingle
             broadcast_batch=True,
+            # optional sketch-accelerated exact stage (operators/sketches):
+            # per-batch the bitset rebuilds from the corpus scan, so the
+            # local win is nil — the flag exists for deployments that
+            # maintain a STANDING bitset alongside corpus_dir (the
+            # bit_or-mergeable append path); semantics are identical
+            # either way (q91 hash-checks that), so replay idempotency
+            # is unchanged.
+            bloom_prefilter=bloom_prefilter,
         )
         kept = survivors.join(
             batch.select(id_col, text_col), id_col, "inner"

