@@ -147,6 +147,9 @@ LONGTAIL = [
     "q92_cms_heavy_hitters",
     # round-8: oracle-portable HLL (the estimate itself hash-checks)
     "q93_hll_distinct",
+    # round-8: unigram tokenizer's distributed seed stage (q95 trains EM,
+    # excluded for the same solver-round reason as q84/q85)
+    "q94_unigram_seed_counts",
 ]
 
 _TABLES = (

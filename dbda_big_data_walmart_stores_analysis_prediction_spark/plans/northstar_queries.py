@@ -2795,6 +2795,76 @@ def q93_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q94_unigram_seed_counts",
+    f"""
+    WITH w AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array({_SQL_NORM}, ' '), x -> x <> '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wc AS (
+      SELECT word, count(*)::BIGINT AS n
+      FROM w GROUP BY word
+      ORDER BY n DESC, word
+      LIMIT 500
+    ),
+    s1 AS (SELECT word, n, unnest(range(1, length(word) + 1)) AS i FROM wc),
+    s2 AS (SELECT word, n, i,
+                  unnest(range(1, least(8, length(word) - i + 1) + 1)) AS l
+           FROM s1)
+    SELECT substring(word, i, l) AS piece, sum(n)::BIGINT AS n
+    FROM s2
+    GROUP BY piece
+    ORDER BY n DESC, piece
+    LIMIT 300
+    """,
+)
+def q94_unigram_seed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED seed stage of unigram-LM tokenizer training
+    (operators/unigram.py::seed_piece_counts): every substring up to
+    length 8 of every distinct corpus word, weighted by word frequency —
+    a double explode over the CAPPED word table (bounded by vocab × len
+    × 8 rows at any corpus size) + one map-side-combinable sum, then the
+    deterministic (count desc, piece) TakeOrdered cap. The q88 pattern:
+    the tokenizer family's corpus-scale work is hash-checked; the EM
+    loop it feeds stays rows-only by nature."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.unigram import (
+        seed_piece_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return seed_piece_counts(
+        docs, max_piece_len=8, max_vocab_rows=500, max_seed_rows=300
+    )
+
+
+@_register("q95_unigram_tokens")
+def q95_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization end to end (operators/unigram.py): train a
+    60-piece vocabulary (distributed word+seed counts → driver Viterbi
+    EM over the bounded dict, the BPE size-gate decision class) and
+    encode every document by per-word Viterbi under the broadcast vocab
+    (Arrow-batched mapInPandas, zero shuffle). Rows-only by nature
+    (iterative EM internals); the local suite pins hand-computed
+    segmentations, the round-trip invariant, and determinism. Output
+    follows the q85 driver contract (array_join head, no array
+    columns)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = train_unigram(docs, vocab_size=60, em_iters=2)
+    out = unigram_encode(docs, vocab)
+    return out.select(
+        "doc_id",
+        F.array_join(F.slice("pieces", 1, 20), " ").alias("piece_head"),
+        "n_pieces",
+    )
+
+
+@_register(
     "q86_gopher_repetition",
     r"""
     WITH raw AS (

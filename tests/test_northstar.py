@@ -1277,3 +1277,43 @@ def test_hll_distinct_accuracy(spark):
         df = spark.range(n).select(F.concat(F.lit("key-"), "id").alias("k"))
         est = hll_distinct(df, "k").collect()[0]["hll_estimate"]
         assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_unigram_train_and_encode(spark):
+    """Unigram-LM tokenizer (operators/unigram.py): hand-checkable
+    segmentation on a tiny corpus, round-trip (pieces reassemble the
+    normalized word), OOV coverage (unseen chars pass through whole),
+    and determinism (two trainings are identical)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "abab abab cd") for i in range(10)] + [(10, "abab cd cd")],
+        "doc_id long, text string",
+    )
+    vocab = train_unigram(docs, vocab_size=8, em_iters=2)
+    vp = {r["piece"]: r["logprob"] for r in vocab.collect()}
+    # the dominant whole words must be learned as single pieces
+    assert "abab" in vp and "cd" in vp
+    # coverage floor: every corpus char survives pruning
+    assert {"a", "b", "c", "d"} <= set(vp)
+
+    out = {r["doc_id"]: r for r in unigram_encode(docs, vocab).collect()}
+    assert out[0]["pieces"] == ["abab", "abab", "cd"]
+    assert out[10]["pieces"] == ["abab", "cd", "cd"]
+
+    # round-trip + OOV: unseen chars emit the whole word as one piece
+    probe = spark.createDataFrame(
+        [(0, "abab zzz cd")], "doc_id long, text string"
+    )
+    enc = unigram_encode(probe, vocab).collect()[0]
+    assert enc["pieces"] == ["abab", "zzz", "cd"]
+    assert "".join(enc["pieces"]) == "ababzzzcd"
+
+    # determinism: a second training is byte-identical
+    vocab2 = train_unigram(docs, vocab_size=8, em_iters=2)
+    assert sorted(map(tuple, vocab.collect())) == sorted(
+        map(tuple, vocab2.collect())
+    )

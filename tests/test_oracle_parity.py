@@ -189,6 +189,7 @@ DOC_QUERY_NAMES = [
     "q90_bloom_dedup_probe",
     "q91_bloom_incremental_dedup",
     "q92_cms_heavy_hitters",
+    "q94_unigram_seed_counts",
 ]
 
 
