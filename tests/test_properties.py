@@ -472,3 +472,52 @@ def test_c4_rules_match_python_reference(spark, line_idx):
         got["n_sentences"],
         got["keep"],
     ) == expect
+
+
+@given(
+    members=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=20, unique=True),
+    probes=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=10, unique=True),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, members, probes):
+    """Bloom's defining property, over arbitrary unicode keys: a member
+    ALWAYS hits; non-members may false-positive but the hit set must be a
+    superset of the true membership — never a miss on a member."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        bloom_bitset,
+        bloom_probe,
+    )
+
+    mdf = spark.createDataFrame([(i, k) for i, k in enumerate(members)], "id long, k string")
+    bits = bloom_bitset(mdf, "k", m_bits=1 << 14, k=5)
+    pdf = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probes)], "id long, k string"
+    )
+    hits = {
+        r["id"]: r["bloom_hit"]
+        for r in bloom_probe(pdf, bits, "k", "id", m_bits=1 << 14, k=5).collect()
+    }
+    mset = set(members)
+    for i, k in enumerate(probes):
+        if k in mset:
+            assert hits[i] is True, (k, "member missed")
+
+
+@given(
+    occs=st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=30),
+)
+@settings(**SETTINGS)
+def test_cms_one_sided_for_any_multiset(spark, occs):
+    """Count-Min's defining property over arbitrary multisets: every
+    estimate ≥ the true count, even at a tiny, collision-heavy width."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([(w,) for w in occs], "word string")
+    exact = df.groupBy("word").agg(F.count("*").alias("n"))
+    cms = count_min_table(df, "word", w=4, d=2)
+    out = count_min_lookup(exact, cms, "word", w=4, d=2).collect()
+    for r in out:
+        assert r["cms_estimate"] >= r["n"], (r["word"], r["n"], r["cms_estimate"])
