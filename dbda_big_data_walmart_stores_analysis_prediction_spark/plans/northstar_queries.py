@@ -2725,7 +2725,13 @@ def q92_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = word_counts(docs, max_vocab_rows=20).withColumnRenamed(
         "n", "n_exact"
     )
-    cms = count_min_table(occ, "word", w=1024, d=4)
+    # weighted build: the cell table from (word, n) is bit-identical to
+    # the occurrence-level build (the sum distributes over the groupBy),
+    # but the d=4 explode fans out distinct WORDS, not every occurrence —
+    # the corpus is exploded once (inside the count), not 1+d times.
+    # Same oracle either way.
+    wc_full = occ.groupBy("word").agg(F.count("*").alias("n"))
+    cms = count_min_table(wc_full, "word", w=1024, d=4, weight_col="n")
     return count_min_lookup(exact, cms, "word", w=1024, d=4)
 
 

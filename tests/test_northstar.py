@@ -1248,6 +1248,15 @@ def test_count_min_sketch_bounds_and_merge(spark):
     assert all(est >= n for n, est in t.values())  # one-sided, always
     assert any(est > n for n, est in t.values())  # 4 keys in 2 cells: collision
 
+    # weighted build ≡ occurrence-level build: cells from the (word, n)
+    # frequency table are bit-identical (the cell sum distributes over
+    # the groupBy) — the q92 scale path (d fewer corpus-sized explodes)
+    wc = occ.groupBy("word").agg(F.count("*").alias("n"))
+    weighted = count_min_table(wc, "word", w=1024, d=4, weight_col="n")
+    assert sorted(map(tuple, weighted.collect())) == sorted(
+        map(tuple, cms.collect())
+    )
+
     # merge property: cms(A ∪ B) == cellwise sum of cms(A), cms(B)
     a = occ.limit(6)
     b = occ.exceptAll(a)
