@@ -124,7 +124,13 @@ def bloom_probe(
             "__bit"
         ),
     )
-    hits = (
+    # A null key still yields k exploded rows (the POSITIONS array is
+    # non-null with null elements), each a broadcast-join miss → __set 0
+    # → bloom_hit FALSE — so every input id reaches the aggregate and no
+    # restore join is needed (the first version re-joined df on id "for
+    # null keys": a corpus-sized shuffle paying for rows the explode
+    # already carries).
+    return (
         pos.join(F.broadcast(bitset), "word_idx", "left")
         .select(
             id_col,
@@ -136,13 +142,6 @@ def bloom_probe(
         )
         .groupBy(id_col)
         .agg((F.sum("__set") == F.lit(k)).alias("bloom_hit"))
-    )
-    # rows with null keys never produced positions — restore them as
-    # definitive misses so the output covers every input row
-    return (
-        df.select(id_col)
-        .join(hits, id_col, "left")
-        .select(id_col, F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"))
     )
 
 
