@@ -150,6 +150,8 @@ LONGTAIL = [
     # round-8: unigram tokenizer's distributed seed stage (q95 trains EM,
     # excluded for the same solver-round reason as q84/q85)
     "q94_unigram_seed_counts",
+    # round-8: theta-sketch cross-source overlap audit
+    "q96_theta_overlap",
 ]
 
 _TABLES = (

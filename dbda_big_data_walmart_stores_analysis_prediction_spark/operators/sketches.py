@@ -329,3 +329,98 @@ def hll_distinct(
             4,
         ).alias("hll_estimate")
     )
+
+
+_TWO_60 = 1 << 60  # the md5_int64 hash-space size (q82's Gumbel constant)
+
+
+def theta_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """KMV/theta-sketch set-operation estimates between two key sets
+    (Dasgupta et al., "Theta-Sketch Framework", 2016): one row
+    ``(est_distinct_a, est_distinct_b, est_union, est_intersection)``,
+    each rounded to 4dp. THE cross-source overlap audit at sketch cost:
+    comparing two crawls' distinct-content overlap exactly needs a
+    corpus×corpus distinct join; here each side is reduced to its k
+    smallest distinct md5 hashes (one TakeOrderedAndProject over a hash
+    aggregate — bounded driver-free state, mergeable by re-taking the k
+    smallest of a union), and every estimate is arithmetic over ≤k-row
+    frames.
+
+    Estimator: θ = min of the two sides' k-th smallest hash (a side with
+    fewer than k distinct keys contributes θ = 2^60, i.e. "exact");
+    entries < θ are uniform samples of density θ/2^60, so
+    ``|sample| · 2^60 / θ`` estimates each cardinality — and
+    degenerates to the EXACT count when both sides fit their sketches
+    (θ = 2^60). Like every sketch in this module the construction is
+    salted-md5-deterministic, so a SQL oracle replicates the estimates
+    bit-for-bit, sampling error included. Relative error ~1/√k (≈3% at
+    k=1024) for union/cardinalities; intersection error grows as the
+    overlap shrinks (standard theta behavior).
+
+    Keys are hashed from their string cast; null keys are ignored (no
+    fingerprint). Ties are impossible (distinct hashes), so the k-th
+    smallest is unique and both engines pick identical sketch contents."""
+
+    def mins(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col(key_col).isNotNull())
+            .select(md5_int64(F.col(key_col).cast("string")).alias("h"))
+            .groupBy("h")
+            .agg(F.lit(1).alias("__one"))
+            .select("h")
+            .orderBy("h")
+            .limit(k)
+            .localCheckpoint(eager=False)  # consumed by theta, filter, join
+        )
+
+    sa, sb = mins(a), mins(b)
+
+    def theta_of(s: DataFrame) -> DataFrame:
+        return s.agg(
+            F.when(F.count("*") < k, F.lit(_TWO_60))
+            .otherwise(F.max("h"))
+            .alias("th")
+        )
+
+    theta = (
+        theta_of(sa)
+        .crossJoin(theta_of(sb).withColumnRenamed("th", "th_b"))
+        .select(F.least("th", "th_b").alias("theta"))
+    )
+    fa = sa.crossJoin(F.broadcast(theta)).where(F.col("h") < F.col("theta"))
+    fb = sb.crossJoin(F.broadcast(theta)).where(F.col("h") < F.col("theta"))
+    na = fa.agg(F.count("*").alias("na"))
+    nb = fb.agg(F.count("*").alias("nb"))
+    ni = (
+        fa.select("h")
+        .join(fb.select("h"), "h")
+        .agg(F.count("*").alias("ni"))
+    )
+
+    def est(n_col: str) -> F.Column:
+        return F.round(
+            F.col(n_col).cast("double") * F.lit(float(_TWO_60)) / F.col("theta"),
+            4,
+        )
+
+    return (
+        theta.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ni))
+        .select(
+            est("na").alias("est_distinct_a"),
+            est("nb").alias("est_distinct_b"),
+            F.round(
+                (F.col("na") + F.col("nb") - F.col("ni")).cast("double")
+                * F.lit(float(_TWO_60))
+                / F.col("theta"),
+                4,
+            ).alias("est_union"),
+            est("ni").alias("est_intersection"),
+        )
+    )

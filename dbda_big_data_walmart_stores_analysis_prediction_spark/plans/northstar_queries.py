@@ -2871,6 +2871,83 @@ def q95_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q96_theta_overlap",
+    f"""
+    WITH a_docs AS (
+      SELECT text FROM documents
+      WHERE ('0x' || substring(md5(source), 1, 15))::BIGINT % 2 = 0
+    ),
+    b_docs AS (
+      SELECT text FROM documents
+      WHERE ('0x' || substring(md5(source), 1, 15))::BIGINT % 2 = 1
+      UNION ALL
+      SELECT text FROM documents
+      WHERE ('0x' || substring(md5(source), 1, 15))::BIGINT % 2 = 0
+        AND doc_id % 3 = 0
+    ),
+    ha AS (SELECT DISTINCT {_SQL_HEX.format(x=_SQL_NORM)} AS h
+           FROM a_docs WHERE text IS NOT NULL),
+    hb AS (SELECT DISTINCT {_SQL_HEX.format(x=_SQL_NORM)} AS h
+           FROM b_docs WHERE text IS NOT NULL),
+    sa AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+    sb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+    ta AS (SELECT CASE WHEN count(*) < 128 THEN 1152921504606846976
+                       ELSE max(h) END AS th FROM sa),
+    tb AS (SELECT CASE WHEN count(*) < 128 THEN 1152921504606846976
+                       ELSE max(h) END AS th FROM sb),
+    th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+    fa AS (SELECT h FROM sa, th WHERE h < theta),
+    fb AS (SELECT h FROM sb, th WHERE h < theta),
+    cn AS (SELECT (SELECT count(*) FROM fa) AS na,
+                  (SELECT count(*) FROM fb) AS nb,
+                  (SELECT count(*) FROM fa JOIN fb USING (h)) AS ni)
+    SELECT
+      round(na::DOUBLE * 1152921504606846976.0 / theta, 4)
+        AS est_distinct_a,
+      round(nb::DOUBLE * 1152921504606846976.0 / theta, 4)
+        AS est_distinct_b,
+      round((na + nb - ni)::DOUBLE * 1152921504606846976.0 / theta, 4)
+        AS est_union,
+      round(ni::DOUBLE * 1152921504606846976.0 / theta, 4)
+        AS est_intersection
+    FROM th, cn
+    """,
+)
+def q96_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch cross-source overlap audit (operators/
+    sketches.py::theta_overlap): crawl A = sources with even md5 parity
+    (hash-split rather than name-parsed, so any source naming — incl.
+    the adversarial battery's srcA/srcB — partitions cleanly), crawl
+    B = the odd-parity sources plus injected copies of every 3rd A doc (so
+    the intersection is non-trivial at every SF), keys = normalized
+    document text, k=128. Distinct-content cardinalities, union, and
+    overlap estimated from two 128-row sketches instead of a
+    corpus×corpus distinct join — and, like every sketch here, the
+    ESTIMATES (sampling error included) hash-check against the oracle's
+    identical md5 construction."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        theta_overlap,
+    )
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
+        md5_int64,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    parity = F.pmod(md5_int64(F.col("source")), 2)
+    key = tx.norm_text_col("text").alias("t")
+    a = docs.where(parity == 0).select(key)
+    b = (
+        docs.where(parity == 1)
+        .select(key)
+        .unionAll(
+            docs.where((parity == 0) & (F.col("doc_id") % 3 == 0)).select(key)
+        )
+    )
+    return theta_overlap(a, b, "t", k=128)
+
+
+@_register(
     "q86_gopher_repetition",
     r"""
     WITH raw AS (

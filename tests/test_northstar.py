@@ -1326,3 +1326,38 @@ def test_unigram_train_and_encode(spark):
     assert sorted(map(tuple, vocab.collect())) == sorted(
         map(tuple, vocab2.collect())
     )
+
+
+def test_theta_overlap_exact_and_estimation_regimes(spark):
+    """Theta sketch (operators/sketches.py::theta_overlap): when both
+    sides fit their sketches (θ = 2^60) every estimate is EXACT; in the
+    estimation regime (n >> k) estimates stay within a few standard
+    errors (~1/√k); null keys are ignored."""
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        theta_overlap,
+    )
+
+    # exact regime: 30 vs 25 keys with 10 shared, k=128 holds everything
+    a = spark.createDataFrame([(f"k{i}",) for i in range(30)], "t string")
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(20, 45)] + [(None,)], "t string"
+    )
+    r = theta_overlap(a, b, "t", k=128).collect()[0]
+    assert (
+        r["est_distinct_a"],
+        r["est_distinct_b"],
+        r["est_union"],
+        r["est_intersection"],
+    ) == (30.0, 25.0, 45.0, 10.0)
+
+    # estimation regime: 5000 vs 5000 with 1000 shared, k=256
+    big_a = spark.range(5000).select(F.concat(F.lit("a"), "id").alias("t"))
+    big_b = spark.range(4000, 9000).select(
+        F.concat(F.lit("a"), "id").alias("t")
+    )
+    e = theta_overlap(big_a, big_b, "t", k=256).collect()[0]
+    assert abs(e["est_distinct_a"] - 5000) / 5000 < 0.25
+    assert abs(e["est_union"] - 9000) / 9000 < 0.25
+    assert 300 < e["est_intersection"] < 2500  # overlap visible, right scale

@@ -190,6 +190,7 @@ DOC_QUERY_NAMES = [
     "q91_bloom_incremental_dedup",
     "q92_cms_heavy_hitters",
     "q94_unigram_seed_counts",
+    "q96_theta_overlap",
 ]
 
 
