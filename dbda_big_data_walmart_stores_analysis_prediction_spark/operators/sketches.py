@@ -394,12 +394,21 @@ def theta_overlap(
     )
     fa = sa.crossJoin(F.broadcast(theta)).where(F.col("h") < F.col("theta"))
     fb = sb.crossJoin(F.broadcast(theta)).where(F.col("h") < F.col("theta"))
-    na = fa.agg(F.count("*").alias("na"))
-    nb = fb.agg(F.count("*").alias("nb"))
-    ni = (
-        fa.select("h")
-        .join(fb.select("h"), "h")
-        .agg(F.count("*").alias("ni"))
+    # all three counts from ONE full-outer join + ONE aggregate (three
+    # separate count aggregates + their 1-row crossJoins were ~4 extra
+    # stages of pure floor on ≤k-row frames)
+    counts = (
+        fa.select("h", F.lit(1).alias("__ina"))
+        .join(fb.select("h", F.lit(1).alias("__inb")), "h", "full_outer")
+        .agg(
+            F.count("__ina").alias("na"),
+            F.count("__inb").alias("nb"),
+            F.count(
+                F.when(
+                    F.col("__ina").isNotNull() & F.col("__inb").isNotNull(), 1
+                )
+            ).alias("ni"),
+        )
     )
 
     def est(n_col: str) -> F.Column:
@@ -409,9 +418,7 @@ def theta_overlap(
         )
 
     return (
-        theta.crossJoin(F.broadcast(na))
-        .crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(ni))
+        theta.crossJoin(F.broadcast(counts))
         .select(
             est("na").alias("est_distinct_a"),
             est("nb").alias("est_distinct_b"),
