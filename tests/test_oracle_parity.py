@@ -146,6 +146,12 @@ ADVERSARIAL_DOCS = [
     # these before a plain split, so a raw split mints phantom '' tokens;
     # pins the norm_words_col boundary-empty contract (r6 ADVICE)
     (12, "\tleading tab and trailing newline words here\n", "en", "srcA", 44),
+    # Unicode compatibility forms (full-width, ligature, superscript,
+    # ideographic space) — every engine op must treat these as ordinary
+    # code points (length/substring/split agree cross-engine), and q89's
+    # fold chain must cover exactly these forms (they are its documented
+    # replace set; a new form here breaks q89 loudly, by design)
+    (13, "ﬁnal ２ｎｄ　draft of x² ＢＰＥ ﬂow.", "fr", "srcB", 29),
 ]
 
 DOC_QUERY_NAMES = [
