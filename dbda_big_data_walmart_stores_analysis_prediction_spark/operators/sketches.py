@@ -334,6 +334,27 @@ def hll_distinct(
 _TWO_60 = 1 << 60  # the md5_int64 hash-space size (q82's Gumbel constant)
 
 
+def kmv_mins(
+    df: DataFrame, key_col: str, k: int, checkpoint: bool = True
+) -> DataFrame:
+    """A side's KMV sketch: the k smallest DISTINCT ``md5_int64`` hashes
+    of ``key_col`` as one ``h`` column — a distinct hash aggregate under
+    a TakeOrderedAndProject (per-partition heaps; the corpus hash space
+    is never fully sorted). ``checkpoint=False`` keeps the lazy tree for
+    plan audits (the default materializes once for `theta_overlap`'s
+    multiple consumers)."""
+    s = (
+        df.where(F.col(key_col).isNotNull())
+        .select(md5_int64(F.col(key_col).cast("string")).alias("h"))
+        .groupBy("h")
+        .agg(F.lit(1).alias("__one"))
+        .select("h")
+        .orderBy("h")
+        .limit(k)
+    )
+    return s.localCheckpoint(eager=False) if checkpoint else s
+
+
 def theta_overlap(
     a: DataFrame,
     b: DataFrame,
@@ -366,19 +387,7 @@ def theta_overlap(
     fingerprint). Ties are impossible (distinct hashes), so the k-th
     smallest is unique and both engines pick identical sketch contents."""
 
-    def mins(df: DataFrame) -> DataFrame:
-        return (
-            df.where(F.col(key_col).isNotNull())
-            .select(md5_int64(F.col(key_col).cast("string")).alias("h"))
-            .groupBy("h")
-            .agg(F.lit(1).alias("__one"))
-            .select("h")
-            .orderBy("h")
-            .limit(k)
-            .localCheckpoint(eager=False)  # consumed by theta, filter, join
-        )
-
-    sa, sb = mins(a), mins(b)
+    sa, sb = kmv_mins(a, key_col, k), kmv_mins(b, key_col, k)
 
     def theta_of(s: DataFrame) -> DataFrame:
         return s.agg(

@@ -320,3 +320,42 @@ def test_q90_bloom_probe_broadcasts_bitset_no_corpus_shuffle_at_probe(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q92_cms_lookup_broadcasts_and_never_smj(spark):
+    """The CMS point-lookup's scale contract: the ≤d·w-row cell table
+    reaches the probe join as a broadcast, never sort-merge, and nothing
+    cartesian — the probed keys pay one explode + map-side join."""
+    plan = _plan(spark, "q92_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q96_theta_sketch_take_ordered_bounded_joins(spark):
+    """The theta sketch's scale contract, in two parts. (1) The sketch
+    stage (audited UN-checkpointed — the composed q96 plan materializes
+    its lazy checkpoints on plan access, hiding the subtree): a side
+    reduces through a TakeOrderedAndProject — per-partition heaps over
+    the distinct-hash aggregate, never a full sort of the corpus hash
+    space. (2) The composed estimate plan: every join is over
+    SKETCH-BOUNDED frames — the one SortMergeJoin is the ≤k-row
+    full-outer merge of the two sketches (full outer cannot broadcast),
+    the nested-loop joins are the documented 1-row stat crossJoins, and
+    nothing is cartesian."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        kmv_mins,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sketch_plan = (
+        kmv_mins(docs, "text", 128, checkpoint=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in sketch_plan, sketch_plan
+
+    plan = _plan(spark, "q96_theta_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") == 1, plan  # the ≤k-row sketch merge
