@@ -152,6 +152,8 @@ LONGTAIL = [
     "q94_unigram_seed_counts",
     # round-8: theta-sketch cross-source overlap audit
     "q96_theta_overlap",
+    # round-8: deterministic fixed-size per-group eval sampling
+    "q97_eval_sample_per_group",
 ]
 
 _TABLES = (

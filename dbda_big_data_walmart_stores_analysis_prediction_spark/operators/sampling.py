@@ -136,6 +136,38 @@ def stratified_sample(
     )
 
 
+def hash_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "sample",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Keep a deterministic FIXED-SIZE sample of ``n`` rows per group:
+    rows rank inside their group by ``md5(salt:id)`` (pseudo-random,
+    reproducible) and the first n survive, with the rank exposed as
+    ``rank_col``. The eval-set carving primitive ("3 held-out docs per
+    language/source"): unlike seeded Bernoulli sampling the result is a
+    pure function of (data, salt) — exact sizes, identical across
+    reruns/cluster shapes, and row-for-row SQL-oracle-replicable.
+    Complements `stratified_sample` (deterministic FRACTION per
+    stratum).
+
+    Plan: one shuffle on the group key, and the row_number-≤-n filter
+    compiles to WindowGroupLimit (per-partition top-n pruning BEFORE the
+    sort — the q09 top-k-per-group machinery), so a billion-row group
+    costs a bounded heap per task, not a full in-group sort."""
+    h = _mix_hash(id_col, salt)
+    w = Window.partitionBy(group_col).orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= n)
+        .drop("__h")
+    )
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,

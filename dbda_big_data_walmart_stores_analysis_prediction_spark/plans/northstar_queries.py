@@ -2948,6 +2948,41 @@ def q96_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q97_eval_sample_per_group",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5('eval:' || doc_id::VARCHAR),
+                               1, 15))::BIGINT AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS sample_rank
+      FROM h
+    )
+    SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 3
+    """,
+)
+def q97_eval_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sampling (operators/
+    sampling.py::hash_sample_per_group): 3 held-out docs per language,
+    ranked by salted md5 — the eval-set carving primitive. Exact sizes,
+    identical across reruns and cluster shapes, row-for-row
+    oracle-replicable (unlike q35/q49's seeded engine samplers, which
+    are rows-only by nature); plan-audited to use WindowGroupLimit so a
+    billion-row group pays a bounded per-task heap, not a full in-group
+    sort."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        hash_sample_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample_per_group(docs, "lang", "doc_id", n=3, salt="eval")
+
+
+@_register(
     "q86_gopher_repetition",
     r"""
     WITH raw AS (

@@ -197,6 +197,7 @@ DOC_QUERY_NAMES = [
     "q92_cms_heavy_hitters",
     "q94_unigram_seed_counts",
     "q96_theta_overlap",
+    "q97_eval_sample_per_group",
 ]
 
 

@@ -359,3 +359,12 @@ def test_q96_theta_sketch_take_ordered_bounded_joins(spark):
     plan = _plan(spark, "q96_theta_overlap")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("SortMergeJoin") == 1, plan  # the ≤k-row sketch merge
+
+
+def test_q97_group_sample_uses_window_group_limit(spark):
+    """The fixed-size per-group sampler's scale contract: the
+    row_number ≤ n filter compiles to WindowGroupLimit — per-partition
+    top-n pruning before the in-group sort, so a billion-row group pays
+    a bounded heap per task."""
+    plan = _plan(spark, "q97_eval_sample_per_group")
+    assert "WindowGroupLimit" in plan, plan
