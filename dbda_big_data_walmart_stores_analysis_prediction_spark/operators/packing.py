@@ -91,19 +91,37 @@ def pack_sequences(
     counts and makes ``text_col`` irrelevant (pass ``text_col=None`` for
     frames that carry counts but no text — e.g. the pretrain capstone's
     ``chosen ⋈ __n_clean_tokens`` join); otherwise whitespace tokens of
-    ``text_col`` are counted inline. Exactly one of the two must name a
-    real column — validated eagerly so a dropped/renamed column fails
-    here with the contract spelled out, not as a downstream
-    AnalysisException on a column this function never needed.
+    ``text_col`` are counted inline. The column actually used
+    (``tokens_col`` when given, else ``text_col``) is validated against
+    ``df.columns`` eagerly — a dropped/renamed column fails here with the
+    contract spelled out, not as a downstream AnalysisException on a
+    column this function never needed.
     """
     if tokens_col is not None:
+        if tokens_col not in df.columns:
+            raise ValueError(
+                f"pack_sequences: tokens_col {tokens_col!r} is not a column "
+                f"of the input frame (has {df.columns}); pass the frame "
+                "that carries the precomputed token counts"
+            )
         ntok = F.col(tokens_col)
     elif text_col is not None:
+        if text_col not in df.columns:
+            raise ValueError(
+                f"pack_sequences: text_col {text_col!r} is not a column of "
+                f"the input frame (has {df.columns}); pass tokens_col for "
+                "frames that carry counts but no text"
+            )
         ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
     else:
         raise ValueError(
             "pack_sequences needs tokens_col (precomputed counts) or "
             "text_col (inline whitespace count); both were None"
+        )
+    if id_col not in df.columns:
+        raise ValueError(
+            f"pack_sequences: id_col {id_col!r} is not a column of the "
+            f"input frame (has {df.columns})"
         )
     h = md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
     base = df.select(

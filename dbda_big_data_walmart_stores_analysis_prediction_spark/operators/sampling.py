@@ -159,7 +159,14 @@ def hash_sample_per_group(
     sort — the q09 top-k-per-group machinery), so a billion-row group
     costs a bounded heap per task, not a full in-group sort."""
     h = _mix_hash(id_col, salt)
-    w = Window.partitionBy(group_col).orderBy("__h", id_col)
+    # asc_nulls_last, not bare asc: a null id hashes to a null __h, and
+    # Spark's default ASC is NULLS FIRST while the SQL oracle's ORDER BY
+    # defaults NULLS LAST — the exact cross-engine rank-divergence class
+    # the round-6 adversarial battery caught on windows. Null-id rows
+    # rank after every real row in both engines.
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__h").asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     return (
         df.withColumn("__h", h)
         .withColumn(rank_col, F.row_number().over(w))

@@ -109,6 +109,10 @@ def bloom_probe(
     is TRUE iff all k bit positions are set — "maybe in the corpus". A
     FALSE is a definitive miss; route only the TRUE slice to an exact
     confirm. Null keys yield ``bloom_hit`` FALSE (nothing to match).
+    Duplicate ids are safe: the all-bits test compares set positions
+    against the id's OWN exploded row count (k per occurrence), not the
+    literal k, so a true member keeps its no-false-negative guarantee
+    even when the probe frame repeats an id.
 
     The bitset is broadcast (bounded by ``ceil(m/62)`` rows); the probe
     side is one explode + broadcast LEFT join + one count aggregate —
@@ -141,7 +145,11 @@ def bloom_probe(
             ).cast("int").alias("__set"),
         )
         .groupBy(id_col)
-        .agg((F.sum("__set") == F.lit(k)).alias("bloom_hit"))
+        # == count(*), not == k: a duplicated id contributes k rows PER
+        # occurrence, and sum(__set) == k would call a true member a
+        # "definitive miss" — breaking the one guarantee a Bloom filter
+        # makes. For unique ids count(*) IS k, so the plans are identical.
+        .agg((F.sum("__set") == F.count("*")).alias("bloom_hit"))
     )
 
 
@@ -305,10 +313,20 @@ def hll_distinct(
         .groupBy("bucket")
         .agg(F.max("r").alias("r"))
     )
+    # S coalesces to 0 on an empty register table (sum over zero rows is
+    # NULL): used == 0 then routes to the linear-counting branch, whose
+    # m·ln(m/m) = 0.0 is the right answer for an empty/all-null input —
+    # without the coalesce a composed crossJoin consumer silently carries
+    # a NULL estimate.
     agg = regs.agg(
         F.count("*").alias("used"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({maxrank} - r AS INT))")
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({maxrank} - r AS INT))"
+                )
+            ),
+            F.lit(0).cast("bigint"),
         ).alias("S"),
     )
     two_pow = float(1 << maxrank)

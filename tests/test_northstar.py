@@ -596,6 +596,32 @@ def test_temperature_mix_flattens_and_is_deterministic(spark):
         assert pk.get(lang, 0) == expect
 
 
+def test_hash_sample_per_group_null_ids_rank_last(spark):
+    """hash_sample_per_group (operators/sampling.py): a null id hashes to
+    a null __h, and the window must order NULLS LAST (round-8 ADVICE) —
+    Spark's bare ASC default is NULLS FIRST while the DuckDB oracle's
+    ORDER BY defaults NULLS LAST, the exact cross-engine rank-divergence
+    class the round-6 adversarial battery caught on windows. A null-id
+    row must never displace a real row from the sample."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        hash_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("en", 3), ("en", None), ("de", None)],
+        "lang string, doc_id int",
+    )
+    out = hash_sample_per_group(df, "lang", "doc_id", n=3, salt="eval").collect()
+    en = sorted(
+        (r["doc_id"] for r in out if r["lang"] == "en"),
+        key=lambda x: (x is None, x),
+    )
+    assert en == [1, 2, 3]  # null id ranked 4th, real rows fill the sample
+    # a group with ONLY null ids still yields its (null) row when n allows
+    de = [r for r in out if r["lang"] == "de"]
+    assert len(de) == 1 and de[0]["doc_id"] is None and de[0]["sample_rank"] == 1
+
+
 def test_pack_sequences_invariants(spark):
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
         pack_sequences,
@@ -629,6 +655,21 @@ def test_pack_sequences_invariants(spark):
         for r in rs:
             assert r["bin_id"] == prior // 512, (shard, r)
             prior += r["n_tokens"]
+
+    # eager column-contract validation (round-8 ADVICE: the docstring
+    # promised it, only the both-None case actually raised): the column
+    # ACTUALLY USED must exist on the frame, with the contract in the
+    # error, not a downstream AnalysisException
+    import pytest
+
+    with pytest.raises(ValueError, match="tokens_col 'nope'"):
+        pack_sequences(docs, "doc_id", tokens_col="nope")
+    with pytest.raises(ValueError, match="text_col 'gone'"):
+        pack_sequences(docs, "doc_id", text_col="gone")
+    with pytest.raises(ValueError, match="both were None"):
+        pack_sequences(docs, "doc_id", text_col=None, tokens_col=None)
+    with pytest.raises(ValueError, match="id_col 'missing_id'"):
+        pack_sequences(docs, "missing_id", "text")
 
 
 def test_chunk_documents_invariants(spark):
@@ -1193,6 +1234,21 @@ def test_bloom_bitset_and_probe_semantics(spark):
     assert out[1] is False  # ample m: miss is definitive
     assert out[2] is False  # null key: definitive miss, row still present
 
+    # duplicate probe ids (round-8 ADVICE): a repeated id contributes k
+    # exploded rows PER occurrence — the all-bits test must stay
+    # sum == count(*), not sum == k, or a true member reads as a
+    # "definitive miss" and the no-false-negative guarantee breaks
+    dup = spark.createDataFrame(
+        [(0, "doc number 7"), (0, "doc number 7"), (1, "absent"), (1, "absent")],
+        "doc_id long, key string",
+    )
+    dout = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in bloom_probe(dup, bits, "key", "doc_id", m_bits=m, k=k).collect()
+    }
+    assert dout[0] is True  # duplicated member still hits
+    assert dout[1] is False  # duplicated non-member still misses
+
     # forced false positive: m=8 bits, 50 keys * 7 hashes saturate the
     # bitset, so EVERY probe hits — including one that is not a member
     tiny = bloom_bitset(corpus, "key", m_bits=8, k=k)
@@ -1286,6 +1342,14 @@ def test_hll_distinct_accuracy(spark):
         df = spark.range(n).select(F.concat(F.lit("key-"), "id").alias("k"))
         est = hll_distinct(df, "k").collect()[0]["hll_estimate"]
         assert abs(est - n) / n < 0.05, (n, est)
+
+    # empty / all-null inputs estimate 0.0, not NULL (round-8 ADVICE: the
+    # register sum over zero rows is NULL and used to propagate into a
+    # composed crossJoin consumer)
+    empty = spark.createDataFrame([], "k string")
+    assert hll_distinct(empty, "k").collect()[0]["hll_estimate"] == 0.0
+    nulls = spark.createDataFrame([(None,), (None,)], "k string")
+    assert hll_distinct(nulls, "k").collect()[0]["hll_estimate"] == 0.0
 
 
 def test_unigram_train_and_encode(spark):
