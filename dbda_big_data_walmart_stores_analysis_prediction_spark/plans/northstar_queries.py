@@ -3474,3 +3474,93 @@ def q87_pretrain_capstone(
     if cuts is None:
         return pretrain_corpus(injected, ev, target_ids)
     return pretrain_corpus(injected, ev, target_ids, cuts=cuts)
+
+
+# q98's oracle: the q56 clean prefix (quality + language gates + exact
+# dedup — everything up to but excluding the near-dup stage) DERIVED from
+# the registered q56 string (the q70 one-source-of-truth discipline: a
+# fragment fix to the q56 oracle propagates here mechanically, unlike
+# _Q87_SQL's hand-copies), then the zero-merge BPE count identity and the
+# q63 packing arithmetic on the REAL encoded counts. At n_merges=0 every
+# word encodes to its characters plus the </w> marker, so the encoder's
+# n_subword_tokens is exactly chars(word)+1 summed over the normalized
+# words — length(strip spaces) + word count of the normalized text — and
+# the END-TO-END pipeline (train → encode → pack) is SQL-replicable
+# bit-for-bit, real token accounting included.
+_Q98_CLEAN_PREFIX = (
+    ORACLE_SQL["q56_corpus_prep"].split("norm2 AS", 1)[0].rstrip().rstrip(",")
+)
+assert _Q98_CLEAN_PREFIX.rstrip().endswith(")"), (
+    "q56 oracle no longer splits at its norm2 CTE — re-derive the q98 "
+    "clean prefix"
+)
+_Q98_SQL = (
+    _Q98_CLEAN_PREFIX
+    + f""",
+    tnorm AS (SELECT doc_id, {_SQL_NORM} AS t FROM exact),
+    tcnt AS (
+      SELECT doc_id,
+        (CASE WHEN t IS NULL OR t = '' THEN 0
+              ELSE length(replace(t, ' ', ''))
+                   + len(list_filter(string_split(t, ' '), x -> x <> ''))
+         END)::BIGINT AS n_tokens
+      FROM tnorm
+    ),
+    tpb AS (SELECT doc_id, n_tokens,
+                   {_SQL_HEX.format(x="'tokpack:' || CAST(doc_id AS VARCHAR)")} AS hv
+            FROM tcnt),
+    tpp AS (SELECT doc_id, (hv % 8)::BIGINT AS shard, n_tokens,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY hv % 8
+                       ORDER BY hv, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS prior
+            FROM tpb)
+    SELECT doc_id, shard, (prior // 2048)::BIGINT AS bin_id, n_tokens
+    FROM tpp
+    """
+)
+
+
+@_register("q98_tokenizer_capstone", _Q98_SQL)
+def q98_tokenizer_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed tokenizer capstone (plans/tokenizer.py::
+    tokenizer_corpus): q56-clean corpus (quality + language + exact
+    dedup) → BPE train on its word counts → encode the SAME corpus →
+    pack by the REAL per-doc subword counts — the stage-interface risks
+    (trainer and encoder sharing one normalization over one cleaned
+    corpus; packing budgets on the encoder's token accounting) that no
+    per-operator oracle reaches, mirroring exactly why q87 was built.
+
+    Runs at ``n_merges=0``, the one point where the FULL end-to-end path
+    — the encoder's real output counts and the packing arithmetic over
+    them included — replicates in SQL (zero merges ⇒ chars + </w> per
+    word); q99 is the same composition at a real merge budget, pinned by
+    a from-scratch reference implementation in the test suite."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tokenizer_corpus(
+        docs, n_merges=0, budget=2048, n_shards=8, salt="tokpack"
+    )
+
+
+@_register("q99_tokenizer_capstone_merged")  # rows-only: the merge loop
+def q99_tokenizer_capstone_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q98's composition at a real merge budget (``n_merges=60``): the
+    shipped-tokenizer configuration, where the packing consumes counts
+    the learned merge table actually produced. The iterative merge loop
+    has no SQL twin (same solver-round class as q84/q95), so the driver
+    records rows-only; the per-doc counts and bin assignments are pinned
+    EXACTLY at small scale by tests/test_northstar.py's from-scratch
+    naive-recount BPE reference, and the distributed stages are oracled
+    as q88 (word counts) and q98 (end-to-end at the zero-merge point)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tokenizer_corpus(
+        docs, n_merges=60, budget=2048, n_shards=8, salt="tokpack"
+    )

@@ -1,0 +1,139 @@
+"""The composed tokenizer-training pipeline — the q87 argument applied
+to the tokenizer family: clean corpus → BPE train → encode THE SAME
+corpus → pack by the REAL subword counts, chained the way a pretraining
+tokenizer is actually produced (train the vocabulary on exactly the text
+it will encode, then budget training sequences on the counts the encoder
+emits, not whitespace approximations).
+
+Stages:
+
+1. Quality + language gates (``operators.text.add_text_features`` +
+   ``language_id``): the q56 clean configuration (quality ≥ 0.3,
+   predicted language in ``keep_langs``).
+2. Exact dedup (``operators.dedup.dedup_exact``): one survivor (min id)
+   per normalized content hash — duplicate pages must not double-vote
+   merge statistics (the tokenizer-specific reason dedup precedes
+   training everywhere from GPT-2's WebText onward).
+3. BPE train (``operators.bpe.train_bpe``): distributed word counts →
+   size-gated driver merge loop over the bounded vocabulary.
+4. BPE encode (``operators.bpe.bpe_encode``): the learned merge table
+   broadcast back over the SAME cleaned corpus (Arrow-batched
+   ``mapInPandas``), emitting real ``n_subword_tokens`` per doc.
+5. Sequence packing (``operators.packing.pack_sequences``): token-budget
+   bins on the ENCODED counts (``tokens_col``), not whitespace counts.
+
+Stage-interface invariants only this composition exercises (the exact
+argument that motivated the q87 pretrain capstone — per-operator oracles
+verify each stage's internals, never the hand-offs):
+
+* the trainer and the encoder must see the SAME cleaned, deduped text
+  through the SAME normalization — a drift between ``word_counts``'s
+  and ``bpe_encode``'s norm would silently skew every merge statistic;
+* packing budgets consume the ENCODER's token accounting, so the
+  ``n_subword_tokens`` → ``tokens_col`` hand-off (the contract
+  ``pack_sequences`` validates eagerly) is exercised with real counts.
+
+Oracle posture (q98/q99): at ``n_merges=0`` the END-TO-END path —
+including the encoder's real output counts and the packing arithmetic
+over them — is SQL-replicable bit-for-bit (zero merges ⇒ every word
+encodes to its characters plus the ``</w>`` marker, so
+``n_subword_tokens = chars(word) + 1`` summed over words), which is the
+one point where the full composed pipeline can be hash-checked in a SQL
+oracle. The registered q98 runs exactly that; q99 runs the same
+composition at a real merge budget (rows-only for the driver, pinned
+exactly by a from-scratch reference implementation in the test suite —
+the merge LOOP's internals stay covered by q84/q88's oracled stages).
+
+Scale shape at 100 TB: stages 1-2 are the audited q56 clean path (staged
+regex projections + one hash-keyed shuffle); stage 3's corpus-scale half
+is one explode + map-side-combinable aggregate under a
+TakeOrderedAndProject cap, and only the bounded vocabulary head reaches
+the driver; stage 4 is a broadcast-model Arrow projection (no shuffle);
+stage 5 shuffles once on the shard key. The cleaned corpus is
+lazy-checkpointed — it feeds both the trainer's aggregate and the
+encoder's scan, and without the cut the quality/language regex lineage
+would run twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+    dedup as dd,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+    bpe_encode,
+    train_bpe,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+    pack_sequences,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+    add_text_features,
+    language_id,
+)
+
+
+def tokenizer_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_merges: int = 60,
+    min_pair_count: int = 2,
+    max_vocab_rows: int = 1_000_000,
+    min_quality: float = 0.3,
+    keep_langs: tuple[str, ...] = ("en",),
+    budget: int = 2048,
+    n_shards: int = 8,
+    salt: str = "tokpack",
+    out: dict | None = None,
+) -> DataFrame:
+    """Run the composed tokenizer pipeline; see the module docstring for
+    the stage list. Returns one row per surviving doc:
+    ``(id, shard, bin_id, n_tokens)`` where ``n_tokens`` is the REAL
+    subword count ``bpe_encode`` emitted for the doc — the frame a
+    training data-loader would shard and batch on.
+
+    ``out``, when given, receives the internal artifacts under
+    ``{"clean": <cleaned corpus>, "merges": <merge table>, "encoded":
+    <per-doc tokens>}`` — the instrumentation hook tests and callers who
+    need the shipped tokenizer artifact use (mirrors ``pretrain_corpus``'s
+    ``stages`` dict; no plan effect)."""
+    scored = language_id(
+        add_text_features(docs.select(id_col, text_col), text_col), text_col
+    )
+    filtered = scored.where(
+        (F.col("quality_score") >= min_quality)
+        & F.col("lang_pred").isin(*keep_langs)
+    ).select(id_col, text_col)
+    # Lazy checkpoint at the composition boundary: the cleaned corpus is
+    # consumed twice (the trainer's word-count aggregate materializes it
+    # first; the encoder's scan then reads the checkpoint instead of
+    # re-running the scoring regex lineage).
+    clean = dd.dedup_exact(filtered, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    merges = train_bpe(
+        clean,
+        text_col,
+        n_merges=n_merges,
+        min_pair_count=min_pair_count,
+        max_vocab_rows=max_vocab_rows,
+    )
+    encoded = bpe_encode(clean, merges, text_col, id_col)
+    if out is not None:
+        out["clean"] = clean
+        out["merges"] = merges
+        out["encoded"] = encoded
+    return pack_sequences(
+        encoded,
+        id_col,
+        text_col=None,
+        tokens_col="n_subword_tokens",
+        budget=budget,
+        n_shards=n_shards,
+        salt=salt,
+    )
