@@ -157,6 +157,14 @@ LONGTAIL = [
     "q96_theta_overlap",
     # round-8: deterministic fixed-size per-group eval sampling
     "q97_eval_sample_per_group",
+    # round-9 capstone: composed tokenizer pipeline (clean -> BPE train ->
+    # encode -> pack). q98 is the zero-merge oracled point; q99 is the
+    # shipped-tokenizer configuration (n_merges=60) — unlike q84/q85 its
+    # wall-clock row is wanted DESPITE the bounded driver merge loop,
+    # because the measured artifact is the full composition a user ships
+    # (judge-ordered in the round-9 verdict, same rationale as q87).
+    "q98_tokenizer_capstone",
+    "q99_tokenizer_capstone_merged",
 ]
 
 _TABLES = (
@@ -240,6 +248,15 @@ def main() -> None:
 
     n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "4")))
     all_names = HEADLINE + LONGTAIL
+    # The stdout line prints qNN-prefix keys; a colliding registration must
+    # fail HERE, before any query burns a benchmark session — and as a real
+    # exception, not an assert `python -O` would strip.
+    prefixes = {n.split("_")[0] for n in all_names}
+    if len(prefixes) != len(all_names):
+        raise ValueError(
+            "bench: qNN prefixes of HEADLINE+LONGTAIL are not unique — "
+            "rename the colliding registration before benching"
+        )
     size = -(-len(all_names) // n_chunks)  # ceil division
     chunks = [all_names[i : i + size] for i in range(0, len(all_names), size)]
 
@@ -289,7 +306,8 @@ def main() -> None:
     with open(os.path.join(REPO_ROOT, "bench_full.json"), "w") as f:
         json.dump({**meta, "queries": timings}, f, indent=1)
     short = {n.split("_")[0]: round(t, 2) for n, t in timings.items()}
-    assert len(short) == len(timings), "qNN prefixes must stay unique"
+    if len(short) != len(timings):  # pre-run check makes this unreachable
+        raise ValueError("bench: qNN prefixes must stay unique")
     print(json.dumps({**meta, "queries": short}, separators=(",", ":")))
 
 

@@ -130,7 +130,14 @@ def pack_sequences(
         h.alias("__h"),
         F.pmod(h, F.lit(n_shards)).alias("shard"),
     )
-    in_shard = Window.partitionBy("shard").orderBy("__h", id_col)
+    # asc_nulls_last, not bare ASC: a null id hashes to a null __h (and a
+    # null shard), and Spark's default NULLS FIRST would park it at the
+    # head of the cumulative sum while the DuckDB oracles' ORDER BY
+    # defaults NULLS LAST — the same cross-engine divergence class fixed
+    # in sampling.hash_sample_per_group.
+    in_shard = Window.partitionBy("shard").orderBy(
+        F.asc_nulls_last("__h"), F.asc_nulls_last(id_col)
+    )
     prior = F.coalesce(
         F.sum("n_tokens").over(in_shard.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),

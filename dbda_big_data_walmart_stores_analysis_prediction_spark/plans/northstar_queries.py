@@ -2585,18 +2585,19 @@ def q89_nfkc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              ('0x' || substring(md5('bloom' || i || ':' || key::VARCHAR),
                                1, 15))::BIGINT % 1048576 AS pos
-      FROM nk, (SELECT unnest(range(7)) AS i) WHERE key IS NOT NULL
-    ),
-    hits AS (
-      SELECT doc_id,
-             sum(CASE WHEN w.word IS NOT NULL
-                       AND (w.word & (1::BIGINT << (pos % 62)::INT)) != 0
-                  THEN 1 ELSE 0 END) AS s
-      FROM npos LEFT JOIN words w ON w.word_idx = pos // 62
-      GROUP BY doc_id
+      FROM nk, (SELECT unnest(range(7)) AS i)
     )
-    SELECT n.doc_id, coalesce(h.s = 7, FALSE) AS bloom_hit
-    FROM nk n LEFT JOIN hits h ON h.doc_id = n.doc_id
+    -- set-bits vs count(*) per doc_id, NOT vs the literal k: the engine's
+    -- bloom_probe compares against the id's OWN exploded row count, so a
+    -- duplicated probe id (k rows per occurrence) stays TRUE for a true
+    -- member; null keys keep their k rows (pos NULL -> join miss -> 0)
+    -- and come out FALSE. Same semantics, both engines, every corner.
+    SELECT doc_id,
+           (sum(CASE WHEN w.word IS NOT NULL
+                      AND (w.word & (1::BIGINT << (pos % 62)::INT)) != 0
+                 THEN 1 ELSE 0 END) = count(*)) AS bloom_hit
+    FROM npos LEFT JOIN words w ON w.word_idx = pos // 62
+    GROUP BY doc_id
     """,
 )
 def q90_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3553,9 +3554,11 @@ def q99_tokenizer_capstone_merged(spark: SparkSession, sf_dir: str) -> DataFrame
     the learned merge table actually produced. The iterative merge loop
     has no SQL twin (same solver-round class as q84/q95), so the driver
     records rows-only; the per-doc counts and bin assignments are pinned
-    EXACTLY at small scale by tests/test_northstar.py's from-scratch
-    naive-recount BPE reference, and the distributed stages are oracled
-    as q88 (word counts) and q98 (end-to-end at the zero-merge point)."""
+    EXACTLY at small scale by tests/test_northstar.py::
+    test_tokenizer_corpus_pinned_by_naive_bpe_reference (a from-scratch
+    naive-recount trainer + rank-order encoder + hashlib packing twin),
+    and the distributed stages are oracled as q88 (word counts) and q98
+    (end-to-end at the zero-merge point)."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
         tokenizer_corpus,
     )

@@ -1425,3 +1425,164 @@ def test_theta_overlap_exact_and_estimation_regimes(spark):
     assert abs(e["est_distinct_a"] - 5000) / 5000 < 0.25
     assert abs(e["est_union"] - 9000) / 9000 < 0.25
     assert 300 < e["est_intersection"] < 2500  # overlap visible, right scale
+
+
+def test_tokenizer_corpus_pinned_by_naive_bpe_reference(spark):
+    """The q99 pin test: ``tokenizer_corpus`` at a real merge budget,
+    recomputed end to end by a from-scratch pure-Python reference —
+    naive-RECOUNT Sennrich training (pair counts rebuilt from the whole
+    vocabulary every round, no incremental index), rank-ORDER greedy
+    encoding (each learned merge applied to all occurrences in training
+    order, not the engine's lowest-rank-first priority walk), and a
+    hashlib-md5 re-implementation of the packing arithmetic. Every
+    deliberate implementation difference from operators/bpe.py makes the
+    equality a genuine cross-check, not a transcription.
+
+    Pins exactly: the merge table (ranks, pairs, counts), each doc's
+    n_subword_tokens, and each doc's (shard, bin_id) — plus the stage
+    hand-offs only the composition exercises: the trainer and encoder
+    share one normalization (token round-trip reproduces the normalized
+    text) and packing consumed the ENCODER's counts (asserted distinct
+    from whitespace counts for every surviving doc)."""
+    import hashlib
+    from collections import Counter
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_corpus,
+    )
+
+    END = "</w>"
+    docs = [
+        (1, "the low low low lower newest"),
+        (2, "that widest newest low and lower lowest"),
+        (3, "of newest newest low lower to the widest"),
+        # exact duplicate of doc 1 after normalization -> dedup drops it
+        (4, "  The LOW   low LOW lower   NEWEST "),
+        # digits only: passes quality, predicts 'und' -> language gate drops
+        (5, "9999 1234 5678 42"),
+        # punctuation spray: avg token len < 3 and punct-heavy -> quality gate
+        (6, "the ! ? ; # . , -"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # ---- naive reference, sharing NO code with the engine ----
+    def norm(t):
+        return " ".join(t.strip().lower().split())
+
+    # clean stage expectation is hand-derived from the fixture (quality and
+    # language gates per operators/text.py, exact dedup keeps min id)
+    survivors = {i: norm(t) for i, t in docs if i in (1, 2, 3)}
+
+    wc = Counter(w for t in survivors.values() for w in t.split(" "))
+
+    def naive_train(word_counts, n_merges, min_pair_count):
+        vocab = [[tuple(w) + (END,), c] for w, c in sorted(word_counts.items())]
+        merges = []
+        for rank in range(n_merges):
+            pairs = Counter()  # full recount every round
+            for syms, c in vocab:
+                for p in zip(syms, syms[1:]):
+                    pairs[p] += c
+            if not pairs:
+                break
+            top = max(pairs.values())
+            if top < min_pair_count:
+                break
+            left, right = min(p for p, c in pairs.items() if c == top)
+            merges.append((rank, left, right, left + right, top))
+            for entry in vocab:
+                syms = entry[0]
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                entry[0] = tuple(out)
+            cur = {tuple(e[0]) for e in vocab}
+            assert len(cur) == len(vocab), "merge collapsed distinct words"
+        return merges
+
+    naive_merges = naive_train(wc, n_merges=3, min_pair_count=2)
+    assert len(naive_merges) == 3
+    assert naive_merges[0][1:3] == ("l", "o")  # (l,o)/(o,w) tie at 9, lex min
+
+    def naive_encode(word, merges):
+        syms = list(word) + [END]
+        for _, left, right, _, _ in merges:  # training order, all occurrences
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    naive_counts = {
+        i: sum(len(naive_encode(w, naive_merges)) for w in t.split(" "))
+        for i, t in survivors.items()
+    }
+
+    budget, n_shards, salt = 8, 2, "tokpack"
+
+    def h60(doc_id):
+        return int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15], 16)
+
+    naive_pack = {}
+    for shard in range(n_shards):
+        ids = sorted(
+            (i for i in survivors if h60(i) % n_shards == shard),
+            key=lambda i: (h60(i), i),
+        )
+        prior = 0
+        for i in ids:
+            naive_pack[i] = (shard, prior // budget, naive_counts[i])
+            prior += naive_counts[i]
+    assert max(b for _, b, _ in naive_pack.values()) >= 1  # bins non-trivial
+
+    # ---- the engine, instrumented ----
+    out = {}
+    result = tokenizer_corpus(
+        df,
+        n_merges=3,
+        min_pair_count=2,
+        budget=budget,
+        n_shards=n_shards,
+        salt=salt,
+        out=out,
+    )
+
+    clean = {r["doc_id"] for r in out["clean"].collect()}
+    assert clean == set(survivors), "quality/language/dedup gates drifted"
+
+    got_merges = [
+        (r["merge_rank"], r["left"], r["right"], r["new_symbol"], r["pair_count"])
+        for r in out["merges"].orderBy("merge_rank").collect()
+    ]
+    assert got_merges == [(r, l, rt, n, c) for r, l, rt, n, c in naive_merges]
+
+    encoded = {r["doc_id"]: r for r in out["encoded"].collect()}
+    for i, t in survivors.items():
+        # hand-off pin #1: encoder saw the trainer's normalization —
+        # the token stream round-trips to the normalized text exactly
+        joined = "".join(encoded[i]["bpe_tokens"]).replace(END, " ").strip()
+        assert joined == t
+        assert encoded[i]["n_subword_tokens"] == naive_counts[i]
+        # hand-off pin #2: subword counts are NOT whitespace counts, so
+        # bin equality below can only come from the encoder hand-off
+        assert naive_counts[i] != len(t.split(" "))
+
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["n_tokens"])
+        for r in result.collect()
+    }
+    assert got == naive_pack
