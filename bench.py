@@ -165,6 +165,12 @@ LONGTAIL = [
     # (judge-ordered in the round-9 verdict, same rationale as q87).
     "q98_tokenizer_capstone",
     "q99_tokenizer_capstone_merged",
+    # round-10: the unigram-LM twin of the tokenizer capstone — q100 at
+    # the oracled single-char point (em_iters=0: no solver rounds at
+    # all), q101 at the trained configuration (same judge-ordered
+    # full-composition rationale as q99).
+    "q100_unigram_capstone",
+    "q101_unigram_capstone_trained",
 ]
 
 _TABLES = (

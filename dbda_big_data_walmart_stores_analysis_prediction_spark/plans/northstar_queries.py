@@ -3495,20 +3495,24 @@ assert _Q98_CLEAN_PREFIX.rstrip().endswith(")"), (
     "q56 oracle no longer splits at its norm2 CTE — re-derive the q98 "
     "clean prefix"
 )
-_Q98_SQL = (
-    _Q98_CLEAN_PREFIX
-    + f""",
+def _tok_capstone_sql(n_tokens_case: str, salt: str) -> str:
+    """q56-derived clean prefix + the SHARED packing tail of the two
+    tokenizer-family capstones; ``n_tokens_case`` is the per-doc count
+    expression over the normalized text ``t`` — the ONLY piece q98 (BPE
+    zero-merge: chars + </w> per word) and q100 (unigram single-char
+    point: chars) differ in, so the packing arithmetic has one source of
+    truth just as the clean prefix does."""
+    return (
+        _Q98_CLEAN_PREFIX
+        + f""",
     tnorm AS (SELECT doc_id, {_SQL_NORM} AS t FROM exact),
     tcnt AS (
       SELECT doc_id,
-        (CASE WHEN t IS NULL OR t = '' THEN 0
-              ELSE length(replace(t, ' ', ''))
-                   + len(list_filter(string_split(t, ' '), x -> x <> ''))
-         END)::BIGINT AS n_tokens
+        ({n_tokens_case})::BIGINT AS n_tokens
       FROM tnorm
     ),
     tpb AS (SELECT doc_id, n_tokens,
-                   {_SQL_HEX.format(x="'tokpack:' || CAST(doc_id AS VARCHAR)")} AS hv
+                   {_SQL_HEX.format(x=f"'{salt}:' || CAST(doc_id AS VARCHAR)")} AS hv
             FROM tcnt),
     tpp AS (SELECT doc_id, (hv % 8)::BIGINT AS shard, n_tokens,
                    coalesce(sum(n_tokens) OVER (PARTITION BY hv % 8
@@ -3519,6 +3523,15 @@ _Q98_SQL = (
     SELECT doc_id, shard, (prior // 2048)::BIGINT AS bin_id, n_tokens
     FROM tpp
     """
+    )
+
+
+_Q98_SQL = _tok_capstone_sql(
+    """CASE WHEN t IS NULL OR t = '' THEN 0
+              ELSE length(replace(t, ' ', ''))
+                   + len(list_filter(string_split(t, ' '), x -> x <> ''))
+         END""",
+    "tokpack",
 )
 
 
@@ -3566,4 +3579,66 @@ def q99_tokenizer_capstone_merged(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return tokenizer_corpus(
         docs, n_merges=60, budget=2048, n_shards=8, salt="tokpack"
+    )
+
+
+_Q100_SQL = _tok_capstone_sql(
+    "CASE WHEN t IS NULL OR t = '' THEN 0 ELSE length(replace(t, ' ', '')) END",
+    "unipack",
+)
+
+
+@_register("q100_unigram_capstone", _Q100_SQL)
+def q100_unigram_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM twin of q98 (plans/tokenizer.py::
+    tokenizer_corpus_unigram): same clean stage, then unigram train →
+    Viterbi encode the SAME corpus → pack on the encoder's real
+    ``n_pieces``. Runs at ``max_piece_len=1``, the family's
+    SQL-replicable point: the seed inventory is exactly the corpus's
+    single characters, Viterbi has one segmentation per word regardless
+    of the learned probabilities (so ``em_iters=0`` — EM cannot change
+    a forced segmentation), and every doc's count is the non-space char
+    total of its normalized text. Oracle = the shared q98 clean prefix
+    + packing tail with only the count expression (and the pack salt)
+    swapped — the packing arithmetic stays one source of truth."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_corpus_unigram,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tokenizer_corpus_unigram(
+        docs,
+        max_piece_len=1,
+        em_iters=0,
+        budget=2048,
+        n_shards=8,
+        salt="unipack",
+    )
+
+
+@_register("q101_unigram_capstone_trained")  # rows-only: the EM loop
+def q101_unigram_capstone_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q100's composition at the real trained configuration
+    (``vocab_size=200, max_piece_len=8, em_iters=3``): packing consumes
+    counts the learned piece vocabulary actually produced. Viterbi EM
+    has no SQL twin (the q95/q99 solver-round class), so the driver
+    records rows-only; the per-doc counts and bin assignments are
+    pinned EXACTLY at small scale by tests/test_northstar.py::
+    test_unigram_capstone_pinned_by_naive_viterbi_reference (a
+    from-scratch seed-count + EM + Viterbi + hashlib packing twin), and
+    the distributed stages are oracled as q88/q94 (word and seed-piece
+    counts) and q100 (end-to-end at the single-char point)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_corpus_unigram,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tokenizer_corpus_unigram(
+        docs,
+        vocab_size=200,
+        max_piece_len=8,
+        em_iters=3,
+        budget=2048,
+        n_shards=8,
+        salt="unipack",
     )

@@ -74,6 +74,34 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text impor
     add_text_features,
     language_id,
 )
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.unigram import (
+    train_unigram,
+    unigram_encode,
+)
+
+
+def _clean_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float,
+    keep_langs: tuple[str, ...],
+) -> DataFrame:
+    """Stages 1-2, shared by both tokenizer families: q56-configuration
+    quality + language gates, exact dedup, and the lazy checkpoint at the
+    two-consumer boundary (the trainer's aggregate materializes it; the
+    encoder's scan reads the checkpoint instead of re-running the scoring
+    regex lineage)."""
+    scored = language_id(
+        add_text_features(docs.select(id_col, text_col), text_col), text_col
+    )
+    filtered = scored.where(
+        (F.col("quality_score") >= min_quality)
+        & F.col("lang_pred").isin(*keep_langs)
+    ).select(id_col, text_col)
+    return dd.dedup_exact(filtered, id_col, text_col).localCheckpoint(
+        eager=False
+    )
 
 
 def tokenizer_corpus(
@@ -102,20 +130,7 @@ def tokenizer_corpus(
     <per-doc tokens>}`` — the instrumentation hook tests and callers who
     need the shipped tokenizer artifact use (mirrors ``pretrain_corpus``'s
     ``stages`` dict; no plan effect)."""
-    scored = language_id(
-        add_text_features(docs.select(id_col, text_col), text_col), text_col
-    )
-    filtered = scored.where(
-        (F.col("quality_score") >= min_quality)
-        & F.col("lang_pred").isin(*keep_langs)
-    ).select(id_col, text_col)
-    # Lazy checkpoint at the composition boundary: the cleaned corpus is
-    # consumed twice (the trainer's word-count aggregate materializes it
-    # first; the encoder's scan then reads the checkpoint instead of
-    # re-running the scoring regex lineage).
-    clean = dd.dedup_exact(filtered, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    clean = _clean_corpus(docs, id_col, text_col, min_quality, keep_langs)
     merges = train_bpe(
         clean,
         text_col,
@@ -133,6 +148,77 @@ def tokenizer_corpus(
         id_col,
         text_col=None,
         tokens_col="n_subword_tokens",
+        budget=budget,
+        n_shards=n_shards,
+        salt=salt,
+    )
+
+
+def tokenizer_corpus_unigram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    vocab_size: int = 200,
+    max_piece_len: int = 8,
+    seed_size: int = 2000,
+    em_iters: int = 3,
+    max_vocab_rows: int = 1_000_000,
+    min_quality: float = 0.3,
+    keep_langs: tuple[str, ...] = ("en",),
+    budget: int = 2048,
+    n_shards: int = 8,
+    salt: str = "unipack",
+    out: dict | None = None,
+) -> DataFrame:
+    """The unigram-LM twin of `tokenizer_corpus`: identical clean stage
+    (shared `_clean_corpus`), then `train_unigram` (distributed word +
+    seed-piece counts, driver Viterbi EM over the bounded dict) →
+    `unigram_encode` THE SAME corpus (broadcast vocab, Arrow-batched
+    Viterbi) → `pack_sequences` on the encoder's real ``n_pieces``. Only
+    the train/encode pair is swapped — the stage hand-offs under test
+    (one normalization feeding trainer and encoder; packing on the
+    encoder's accounting) are the same composition contract.
+
+    Oracle posture (q100/q101): at ``max_piece_len=1`` the seed
+    inventory is exactly the corpus's single characters, so Viterbi has
+    one segmentation per word regardless of the learned probabilities —
+    every doc's ``n_pieces`` is the non-space character count of its
+    normalized text — and the END-TO-END path is SQL-replicable (the
+    q98 zero-merge argument, unigram edition; holds whenever the
+    `word_counts` cap isn't reached, since the char inventory derives
+    from the capped word table). The registered q100 runs exactly that
+    (with ``em_iters=0`` — EM cannot change a forced segmentation);
+    q101 runs the real trained configuration, rows-only for the driver,
+    pinned by tests/test_northstar.py's from-scratch Viterbi-EM
+    reference.
+
+    Scale shape: clean is the audited q56 path; both training
+    aggregates are capped TakeOrderedAndProject collects; encode is a
+    broadcast-vocab Arrow projection with no shuffle; packing shuffles
+    once on the shard key — no stage's memory or shuffle grows faster
+    than the bounded vocabulary except the one shard-key exchange.
+    """
+    clean = _clean_corpus(docs, id_col, text_col, min_quality, keep_langs)
+    vocab = train_unigram(
+        clean,
+        text_col,
+        vocab_size=vocab_size,
+        max_piece_len=max_piece_len,
+        seed_size=seed_size,
+        em_iters=em_iters,
+        max_vocab_rows=max_vocab_rows,
+    )
+    encoded = unigram_encode(clean, vocab, text_col, id_col)
+    if out is not None:
+        out["clean"] = clean
+        out["vocab"] = vocab
+        out["encoded"] = encoded
+    return pack_sequences(
+        encoded,
+        id_col,
+        text_col=None,
+        tokens_col="n_pieces",
         budget=budget,
         n_shards=n_shards,
         salt=salt,

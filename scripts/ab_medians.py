@@ -80,10 +80,15 @@ def main() -> None:
         i = args.index("--reps")
         reps = int(args[i + 1])
         del args[i : i + 2]
-    for name in args:
-        per_session_medians = []
-        all_times = []
-        for _ in range(sessions):
+    # Time-major round-robin across the named queries (the round-8
+    # interleaving protocol): session k of EVERY query runs before session
+    # k+1 of any, so machine drift within the run lands on all queries
+    # equally instead of reading as a fake win for whichever ran last.
+    per_query: dict[str, tuple[list[float], list[float]]] = {
+        name: ([], []) for name in args
+    }
+    for _ in range(sessions):
+        for name in args:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "one", name, str(reps)],
                 capture_output=True,
@@ -91,8 +96,10 @@ def main() -> None:
                 check=True,
             )
             times = json.loads(out.stdout.strip().splitlines()[-1])
-            per_session_medians.append(statistics.median(times))
-            all_times.extend(times)
+            per_query[name][0].append(statistics.median(times))
+            per_query[name][1].extend(times)
+    for name in args:
+        per_session_medians, all_times = per_query[name]
         od = oracle_times(name, reps)
         print(
             json.dumps(

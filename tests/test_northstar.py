@@ -1586,3 +1586,143 @@ def test_tokenizer_corpus_pinned_by_naive_bpe_reference(spark):
         for r in result.collect()
     }
     assert got == naive_pack
+
+
+def test_unigram_capstone_pinned_by_naive_viterbi_reference(spark):
+    """The q101 pin test: ``tokenizer_corpus_unigram`` at a real trained
+    configuration, recomputed end to end by a from-scratch pure-Python
+    reference — naive seed counting (nested loops over (start, len)
+    slots), hard EM with EXHAUSTIVE-ENUMERATION best segmentation (every
+    way to split each word, max summed logprob, lexicographically
+    smallest piece sequence on ties — the engine uses a DP; enumeration
+    is the independent twin), top-k pruning with the single-char
+    coverage floor, and a hashlib-md5 packing twin. The small config
+    (vocab_size=8, max_piece_len=3, seed_size=12, em_iters=2) makes the
+    seed cap, the pruning cut, and the coverage floor all bite."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_corpus_unigram,
+    )
+
+    docs = [
+        (1, "the low low low lower newest"),
+        (2, "that widest newest low and lower lowest"),
+        (3, "of newest newest low lower to the widest"),
+        (4, "  The LOW   low LOW lower   NEWEST "),
+        (5, "9999 1234 5678 42"),
+        (6, "the ! ? ; # . , -"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    survivors = {
+        i: " ".join(t.strip().lower().split()) for i, t in docs if i in (1, 2, 3)
+    }
+    VOCAB, PLEN, SEEDS, ITERS = 8, 3, 12, 2
+    budget, n_shards, salt = 8, 2, "unipack"
+
+    # ---- naive reference ----
+    wc = Counter(w for t in survivors.values() for w in t.split(" "))
+
+    seed = Counter()
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(PLEN, len(w) - i) + 1):
+                seed[w[i : i + l]] += n
+    capped = dict(sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))[:SEEDS])
+    chars = {c for w in wc for c in w}
+    for c in chars:
+        capped.setdefault(c, 1)
+    total = sum(capped.values())
+    logp = {p: math.log(n / total) for p, n in capped.items()}
+
+    def segmentations(word, pieces):
+        if not word:
+            yield ()
+            return
+        for l in range(1, len(word) + 1):
+            head = word[:l]
+            if head in pieces:
+                for rest in segmentations(word[l:], pieces):
+                    yield (head,) + rest
+
+    def best_seg(word, lp):
+        best = None
+        for seg in segmentations(word, lp):
+            score = 0.0
+            for p in seg:  # left-to-right, the same accumulation order
+                score += lp[p]
+            if (
+                best is None
+                or score > best[0]
+                or (score == best[0] and seg < best[1])
+            ):
+                best = (score, seg)
+        return list(best[1]) if best else [word]  # OOV: whole word
+
+    for _ in range(ITERS):
+        counts = Counter()
+        for w, n in wc.items():
+            for p in best_seg(w, logp):
+                counts[p] += n
+        for c in chars:
+            counts.setdefault(c, 1)
+        total = sum(counts.values())
+        logp = {p: math.log(n / total) for p, n in counts.items()}
+
+    kept = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB]
+    kept_pieces = {p for p, _ in kept}
+    kept += [(c, logp[c]) for c in sorted(chars) if c not in kept_pieces]
+    naive_vocab = {p: round(lp, 6) for p, lp in kept}
+    assert len(naive_vocab) > VOCAB  # the coverage floor restored chars
+
+    final_lp = dict(naive_vocab)  # encode under the ROUNDED table, like
+    naive_counts = {              # unigram_encode reading the DataFrame
+        i: sum(len(best_seg(w, final_lp)) for w in t.split(" "))
+        for i, t in survivors.items()
+    }
+
+    def h60(doc_id):
+        return int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15], 16)
+
+    naive_pack = {}
+    for shard in range(n_shards):
+        ids = sorted(
+            (i for i in survivors if h60(i) % n_shards == shard),
+            key=lambda i: (h60(i), i),
+        )
+        prior = 0
+        for i in ids:
+            naive_pack[i] = (shard, prior // budget, naive_counts[i])
+            prior += naive_counts[i]
+
+    # ---- the engine, instrumented ----
+    out = {}
+    result = tokenizer_corpus_unigram(
+        df,
+        vocab_size=VOCAB,
+        max_piece_len=PLEN,
+        seed_size=SEEDS,
+        em_iters=ITERS,
+        budget=budget,
+        n_shards=n_shards,
+        salt=salt,
+        out=out,
+    )
+
+    assert {r["doc_id"] for r in out["clean"].collect()} == set(survivors)
+    got_vocab = {r["piece"]: r["logprob"] for r in out["vocab"].collect()}
+    assert got_vocab == naive_vocab
+
+    encoded = {r["doc_id"]: r for r in out["encoded"].collect()}
+    for i, t in survivors.items():
+        assert "".join(encoded[i]["pieces"]) == t.replace(" ", "")
+        assert encoded[i]["n_pieces"] == naive_counts[i]
+        assert naive_counts[i] != len(t.split(" "))  # encoder counts, not ws
+
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["n_tokens"])
+        for r in result.collect()
+    }
+    assert got == naive_pack

@@ -198,6 +198,8 @@ DOC_QUERY_NAMES = [
     "q94_unigram_seed_counts",
     "q96_theta_overlap",
     "q97_eval_sample_per_group",
+    "q98_tokenizer_capstone",
+    "q100_unigram_capstone",
 ]
 
 
