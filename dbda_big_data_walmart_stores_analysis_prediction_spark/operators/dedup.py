@@ -1181,28 +1181,37 @@ def ngram_overlap_pairs(
     13-word span of an eval item, however large the surrounding doc.
 
     Plan is built for a small eval side against a 100 TB train side: the
-    train shingle stream is first semi-joined against the BROADCAST eval
-    shingle set — the train table never shuffles on the shingle; only the
-    (tiny) matching fraction continues. The doc-freq cap is applied to the
-    survivors, which is exactly equivalent to capping the full train table
-    (the semi-join keeps every train row of a matching shingle, so per-
-    shingle frequencies are unchanged) at a sliver of the aggregate cost.
-    Docs shorter than ``n`` words follow `shingle_table`'s partial-shingle
-    rule (one whole-text gram), so two identical short docs still match.
+    RAW (pre-distinct) train shingle stream is semi-joined against the
+    BROADCAST eval shingle set — a map-side filter, so the train table
+    never shuffles on the shingle; only the (tiny) matching fraction
+    reaches the set-semantics distinct and everything after it. (The
+    round-10 medians run caught the earlier order — ``shingle_table``'s
+    built-in distinct BEFORE the semi-join — shuffling the entire corpus
+    shingle stream that the broadcast filter was built to avoid; a
+    per-row key filter commutes with distinct, so the reorder is
+    semantics-free and the q68 oracle pins it.) The doc-freq cap is
+    applied to the survivors, which is exactly equivalent to capping the
+    full train table (the semi-join keeps every train row of a matching
+    shingle, so per-shingle frequencies are unchanged) at a sliver of
+    the aggregate cost. Docs shorter than ``n`` words follow
+    `shingle_table`'s partial-shingle rule (one whole-text gram), so two
+    identical short docs still match.
     """
-    # hashed shingles: the broadcast set ships 8-byte ints (a 13-gram is
-    # ~80 bytes of text — 10x smaller build side), and the semi/pair joins
-    # compare longs
-    sh_t = shingle_table(train, id_col, text_col, n, hashed=True)
     # eval shingles feed the semi-join set AND the pair join — materialize
     # once; a benchmark set is broadcast-sized by definition
     sh_e = shingle_table(eval_df, id_col, text_col, n, hashed=True).localCheckpoint(
         eager=False
     )
+    # hashed shingles: the broadcast set ships 8-byte ints (a 13-gram is
+    # ~80 bytes of text — 10x smaller build side), and the semi/pair joins
+    # compare longs
+    sh_t = (
+        _shingle_rows(train, id_col, text_col, n, hashed=True)
+        .join(F.broadcast(sh_e.select("sh").distinct()), "sh", "left_semi")
+        .select("doc", "sh")
+        .distinct()
+    )
     if max_doc_freq is not None:
-        sh_t = sh_t.join(
-            F.broadcast(sh_e.select("sh").distinct()), "sh", "left_semi"
-        ).select("doc", "sh")
         sh_t = cap_shingle_doc_freq(sh_t, max_doc_freq)
     return (
         sh_t.toDF("doc_train", "sh")
