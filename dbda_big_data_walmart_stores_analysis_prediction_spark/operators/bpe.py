@@ -98,6 +98,16 @@ def train_bpe(
     from collections import defaultdict
 
     spark = df.sparkSession
+    schema = (
+        "merge_rank int, left string, right string, new_symbol string, "
+        "pair_count bigint"
+    )
+    # Zero merges need zero statistics: skip the corpus word-count
+    # aggregate and the driver transfer entirely (a corpus-scale job at
+    # real scale; the q98/q100-style zero-merge capstone runs pay it for
+    # a merge table that is empty by definition).
+    if n_merges <= 0:
+        return spark.createDataFrame([], schema)
     rows = word_counts(df, text_col, max_vocab_rows).collect()
     # Incremental pair maintenance (the subword-nmt optimization): a merge
     # only changes the pair counts of words CONTAINING the merged pair, so
@@ -133,10 +143,7 @@ def train_bpe(
             for p in zip(new, new[1:]):
                 pair_counts[p] += c
                 index[p].add(i)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left string, right string, new_symbol string, pair_count bigint",
-    )
+    return spark.createDataFrame(merges, schema)
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -159,6 +166,7 @@ def bpe_encode(
     merges: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts_only: bool = False,
 ) -> DataFrame:
     """Tokenize documents with a learned merge table: ``(id, bpe_tokens
     array<string>, n_subword_tokens)``. Lowest-rank-first pair merging per
@@ -174,15 +182,28 @@ def bpe_encode(
     IVF centroids. The per-word merge loop is inherently imperative, so
     this is an Arrow-batched ``mapInPandas`` (the multimodal slow-path
     convention): one Python pass per document batch, no shuffle at all —
-    encoding parallelizes embarrassingly with the scan."""
+    encoding parallelizes embarrassingly with the scan.
+
+    ``counts_only=True`` emits ``(id, n_subword_tokens)`` without
+    materializing or Arrow-shipping the token arrays — consumers that
+    budget on the counts (sequence packing, the tokenizer capstones)
+    should use it: Spark cannot column-prune THROUGH a ``mapInPandas``,
+    so the full form would build and serialize every token string (one
+    per character at the zero-merge point) just to have the count read
+    off and the array dropped. The memo cache then holds ints, not
+    lists."""
     ranks = {
         (r["left"], r["right"]): r["merge_rank"] for r in merges.collect()
     }
     id_field = df.schema[id_col]
-    out_schema = (
-        f"{id_col} {id_field.dataType.simpleString()}, "
-        "bpe_tokens array<string>, n_subword_tokens bigint"
-    )
+    id_type = id_field.dataType.simpleString()
+    if counts_only:
+        out_schema = f"{id_col} {id_type}, n_subword_tokens bigint"
+    else:
+        out_schema = (
+            f"{id_col} {id_type}, "
+            "bpe_tokens array<string>, n_subword_tokens bigint"
+        )
 
     # Zipf-head memoization cap: per-task distinct words are bounded by the
     # split's contents, not the corpus, so an uncapped dict could reach
@@ -191,6 +212,29 @@ def bpe_encode(
     cache_max = 262_144
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if counts_only:
+            ncache: dict[str, int] = {}
+            for pdf in batches:
+                counts = []
+                for text in pdf["__norm"]:
+                    if text is None or text == "":
+                        counts.append(0)
+                        continue
+                    c = 0
+                    for word in text.split(" "):
+                        if not word:
+                            continue
+                        n = ncache.get(word)
+                        if n is None:
+                            n = len(_encode_word(word, ranks))
+                            if len(ncache) < cache_max:
+                                ncache[word] = n
+                        c += n
+                    counts.append(c)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "n_subword_tokens": counts}
+                )
+            return
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             toks = []

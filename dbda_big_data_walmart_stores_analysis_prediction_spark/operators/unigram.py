@@ -184,23 +184,49 @@ def unigram_encode(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts_only: bool = False,
 ) -> DataFrame:
     """Tokenize documents with a trained unigram vocab: ``(id, pieces
     array<string>, n_pieces)`` via per-word Viterbi under the broadcast
     ``(piece, logprob)`` table — Arrow-batched ``mapInPandas``, zero
     shuffle, scan-parallel (the bpe_encode shape). Unseen characters
     pass through as whole-word OOV pieces, so output always reassembles
-    the normalized text."""
+    the normalized text. ``counts_only=True`` emits ``(id, n_pieces)``
+    without materializing or Arrow-shipping the piece arrays — the
+    packing-path option, for the same cannot-prune-through-mapInPandas
+    reason as `bpe_encode`."""
     logp = {r["piece"]: r["logprob"] for r in vocab.collect()}
     max_len = max((len(p) for p in logp), default=1)
     id_field = df.schema[id_col]
-    out_schema = (
-        f"{id_col} {id_field.dataType.simpleString()}, "
-        "pieces array<string>, n_pieces bigint"
-    )
+    id_type = id_field.dataType.simpleString()
+    if counts_only:
+        out_schema = f"{id_col} {id_type}, n_pieces bigint"
+    else:
+        out_schema = f"{id_col} {id_type}, pieces array<string>, n_pieces bigint"
     cache_max = 262_144  # the bpe_encode Zipf-head memoization cap
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if counts_only:
+            ncache: dict[str, int] = {}
+            for pdf in batches:
+                counts = []
+                for text in pdf["__norm"]:
+                    if text is None or text == "":
+                        counts.append(0)
+                        continue
+                    c = 0
+                    for word in text.split(" "):
+                        if not word:
+                            continue
+                        n = ncache.get(word)
+                        if n is None:
+                            n = len(_viterbi(word, logp, max_len))
+                            if len(ncache) < cache_max:
+                                ncache[word] = n
+                        c += n
+                    counts.append(c)
+                yield pd.DataFrame({id_col: pdf[id_col], "n_pieces": counts})
+            return
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             out = []

@@ -138,13 +138,16 @@ def tokenizer_corpus(
         min_pair_count=min_pair_count,
         max_vocab_rows=max_vocab_rows,
     )
-    encoded = bpe_encode(clean, merges, text_col, id_col)
+    # counts_only: packing budgets on n_subword_tokens alone, and Spark
+    # cannot prune the token arrays through the mapInPandas boundary —
+    # the full token frame stays available (lazily) via the `out` hook.
+    counted = bpe_encode(clean, merges, text_col, id_col, counts_only=True)
     if out is not None:
         out["clean"] = clean
         out["merges"] = merges
-        out["encoded"] = encoded
+        out["encoded"] = bpe_encode(clean, merges, text_col, id_col)
     return pack_sequences(
-        encoded,
+        counted,
         id_col,
         text_col=None,
         tokens_col="n_subword_tokens",
@@ -209,13 +212,13 @@ def tokenizer_corpus_unigram(
         em_iters=em_iters,
         max_vocab_rows=max_vocab_rows,
     )
-    encoded = unigram_encode(clean, vocab, text_col, id_col)
+    counted = unigram_encode(clean, vocab, text_col, id_col, counts_only=True)
     if out is not None:
         out["clean"] = clean
         out["vocab"] = vocab
-        out["encoded"] = encoded
+        out["encoded"] = unigram_encode(clean, vocab, text_col, id_col)
     return pack_sequences(
-        encoded,
+        counted,
         id_col,
         text_col=None,
         tokens_col="n_pieces",
