@@ -1,9 +1,11 @@
-"""The composed tokenizer-training pipeline — the q87 argument applied
-to the tokenizer family: clean corpus → BPE train → encode THE SAME
-corpus → pack by the REAL subword counts, chained the way a pretraining
+"""The composed tokenizer-training pipelines — the q87 argument applied
+to the tokenizer family: clean corpus → train → encode THE SAME corpus
+→ pack by the REAL subword counts, chained the way a pretraining
 tokenizer is actually produced (train the vocabulary on exactly the text
 it will encode, then budget training sequences on the counts the encoder
-emits, not whitespace approximations).
+emits, not whitespace approximations). Two family members share the
+clean stage and the composition contract: `tokenizer_corpus` (BPE,
+q98/q99) and `tokenizer_corpus_unigram` (unigram-LM, q100/q101).
 
 Stages:
 
