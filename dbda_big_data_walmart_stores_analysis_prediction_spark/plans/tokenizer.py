@@ -80,6 +80,7 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.unigram im
     train_unigram,
     unigram_encode,
 )
+from dbda_big_data_walmart_stores_analysis_prediction_spark.sources import io
 
 
 def _clean_corpus(
@@ -227,4 +228,54 @@ def tokenizer_corpus_unigram(
         budget=budget,
         n_shards=n_shards,
         salt=salt,
+    )
+
+
+_BPE_ARTIFACT_COLS = ("merge_rank", "left", "right", "new_symbol", "pair_count")
+_UNIGRAM_ARTIFACT_COLS = ("piece", "logprob")
+
+
+def save_tokenizer_artifact(model: DataFrame, path: str) -> None:
+    """Persist a trained tokenizer artifact — a BPE merge table
+    (``train_bpe`` output) or a unigram piece vocabulary
+    (``train_unigram`` output) — as parquet, the tokenizer family's
+    member of the model sink/source contract (SURVEY S5: the ML pipeline
+    ships a PipelineModel; a tokenizer pipeline ships this table). The
+    schema is validated eagerly so a wrong frame fails HERE with the
+    contract spelled out, not at load time on a different cluster.
+
+    The artifact is a bounded table (``n_merges`` or ``vocab_size``
+    rows) written at natural parallelism — the encode cluster reloads it
+    with `load_tokenizer_artifact` and broadcasts it into
+    ``bpe_encode``/``unigram_encode`` exactly as the in-session frame."""
+    cols = tuple(model.columns)
+    if not (
+        set(_BPE_ARTIFACT_COLS) <= set(cols)
+        or set(_UNIGRAM_ARTIFACT_COLS) <= set(cols)
+    ):
+        raise ValueError(
+            f"save_tokenizer_artifact: frame columns {cols} match neither "
+            f"the BPE merge-table contract {_BPE_ARTIFACT_COLS} nor the "
+            f"unigram vocab contract {_UNIGRAM_ARTIFACT_COLS}"
+        )
+    io.write_parquet(model, path)
+
+
+def load_tokenizer_artifact(spark, path: str) -> DataFrame:
+    """Reload a tokenizer artifact written by `save_tokenizer_artifact`,
+    re-validating the schema contract (a path mix-up loads loudly, not as
+    a silent empty-ranks encode). Returns the frame ready to feed
+    ``bpe_encode`` (merge table, ordered by ``merge_rank``) or
+    ``unigram_encode`` (piece vocab) — both encoders collect + broadcast
+    it, so load cost is one bounded scan."""
+    model = io.read_parquet(spark, path)
+    cols = set(model.columns)
+    if set(_BPE_ARTIFACT_COLS) <= cols:
+        return model.orderBy("merge_rank")
+    if set(_UNIGRAM_ARTIFACT_COLS) <= cols:
+        return model
+    raise ValueError(
+        f"load_tokenizer_artifact: {path} has columns {sorted(cols)} — "
+        "not a saved tokenizer artifact (expected a BPE merge table or a "
+        "unigram piece vocab)"
     )

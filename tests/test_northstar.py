@@ -1726,3 +1726,51 @@ def test_unigram_capstone_pinned_by_naive_viterbi_reference(spark):
         for r in result.collect()
     }
     assert got == naive_pack
+
+
+def test_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """S5 for the tokenizer family: train -> save -> load -> encode must
+    be byte-identical to encoding with the in-session model, for BOTH
+    families; wrong frames fail the schema contract loudly."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        load_tokenizer_artifact,
+        save_tokenizer_artifact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest widest lower low")],
+        "doc_id long, text string",
+    )
+
+    merges = train_bpe(df, n_merges=3, min_pair_count=1)
+    save_tokenizer_artifact(merges, str(tmp_path / "bpe"))
+    loaded = load_tokenizer_artifact(spark, str(tmp_path / "bpe"))
+    assert sorted(map(tuple, merges.collect())) == sorted(
+        map(tuple, loaded.collect())
+    )
+    direct = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()}
+    via = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, loaded).collect()}
+    assert direct == via
+
+    vocab = train_unigram(df, vocab_size=6, max_piece_len=3, em_iters=1)
+    save_tokenizer_artifact(vocab, str(tmp_path / "uni"))
+    uloaded = load_tokenizer_artifact(spark, str(tmp_path / "uni"))
+    ud = {r["doc_id"]: r["pieces"] for r in unigram_encode(df, vocab).collect()}
+    uv = {r["doc_id"]: r["pieces"] for r in unigram_encode(df, uloaded).collect()}
+    assert ud == uv
+
+    with pytest.raises(ValueError, match="match neither"):
+        save_tokenizer_artifact(df, str(tmp_path / "bad"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "not_artifact"))
+    with pytest.raises(ValueError, match="not a saved tokenizer artifact"):
+        load_tokenizer_artifact(spark, str(tmp_path / "not_artifact"))
