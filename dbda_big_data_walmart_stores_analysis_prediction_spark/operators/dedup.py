@@ -1212,7 +1212,13 @@ def ngram_overlap_pairs(
         .distinct()
     )
     if max_doc_freq is not None:
-        sh_t = cap_shingle_doc_freq(sh_t, max_doc_freq)
+        # the cap consumes its input twice (doc-freq keep set + tag-back
+        # join) — checkpoint the matching SLIVER so the corpus-scale gram
+        # build + semi-join lineage executes once, not once per consumer
+        # (the jaccard_pairs multi-consumer convention)
+        sh_t = cap_shingle_doc_freq(
+            sh_t.localCheckpoint(eager=False), max_doc_freq
+        )
     return (
         sh_t.toDF("doc_train", "sh")
         .join(F.broadcast(sh_e.toDF("doc_eval", "sh")), "sh")

@@ -147,6 +147,40 @@ def test_q68_train_side_never_shuffles_on_shingle(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_q68_semi_join_precedes_distinct_exchange(spark):
+    """The round-10 fix pinned structurally: the broadcast LeftSemi filter
+    must sit BELOW the set-semantics distinct's exchange (i.e. filter the
+    RAW gram stream; only the eval-matching sliver is shuffled). The
+    earlier plan ran shingle_table's distinct first — a full shuffle of
+    the corpus shingle stream — and the old audit (no-SMJ + BHJ count)
+    could not see the difference. Audited on the UNCAPPED form: the
+    registered query's doc-freq cap checkpoints the sliver, which hides
+    the pre-checkpoint lineage from the executed plan."""
+    from tests.conftest import SF_SMOKE
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        dedup as dd,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.where(F.col("doc_id") % 13 == 0)
+    plan = (
+        dd.ngram_overlap_pairs(docs, ev, "doc_id", "text", n=13)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    semi = plan.index("LeftSemi")
+    distinct_ex = re.search(r"Exchange hashpartitioning\(doc#\d+L?, sh#\d+L?", plan)
+    assert distinct_ex is not None, plan
+    # tree prints parent before child: the distinct exchange must be the
+    # semi-join's ANCESTOR (appear first), not its consumer
+    assert distinct_ex.start() < semi, plan[:2000]
+
+
 def test_shingle_table_single_shuffle(spark):
     """Shuffle-free shingling: the only Exchange in a shingle derivation is
     the set-semantics distinct (the old window form added a per-doc
