@@ -279,3 +279,37 @@ def load_tokenizer_artifact(spark, path: str) -> DataFrame:
         "not a saved tokenizer artifact (expected a BPE merge table or a "
         "unigram piece vocab)"
     )
+
+
+def encode_with_artifact(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    counts_only: bool = False,
+) -> DataFrame:
+    """Tokenize documents with a trained artifact, dispatching on its
+    schema (`load_tokenizer_artifact`'s contract): a BPE merge table
+    runs ``bpe_encode``, a unigram piece vocab runs ``unigram_encode``.
+    Output follows the dispatched family (``bpe_tokens``/
+    ``n_subword_tokens`` vs ``pieces``/``n_pieces``).
+
+    Works unchanged on a STREAMING ``df``: both encoders are stateless
+    broadcast-model Arrow projections — no shuffle, no aggregation, no
+    watermark — so each micro-batch is encoded exactly as a batch frame
+    would be (the model is a bounded BATCH frame, collected once at plan
+    construction and shipped in the UDF closure). This is the encode
+    half of the tokenizer family run continuously over crawl
+    deliveries; `tests/test_streaming.py` pins replay == batch."""
+    cols = set(model.columns)
+    if set(_BPE_ARTIFACT_COLS) <= cols:
+        return bpe_encode(df, model, text_col, id_col, counts_only=counts_only)
+    if set(_UNIGRAM_ARTIFACT_COLS) <= cols:
+        return unigram_encode(
+            df, model, text_col, id_col, counts_only=counts_only
+        )
+    raise ValueError(
+        f"encode_with_artifact: model columns {sorted(cols)} match neither "
+        f"the BPE merge-table contract {_BPE_ARTIFACT_COLS} nor the "
+        f"unigram vocab contract {_UNIGRAM_ARTIFACT_COLS}"
+    )

@@ -384,3 +384,60 @@ def test_streaming_corpus_ingest_bloom_prefilter_equivalent(spark, tmp_path):
         assert 11 not in ids and {2, 12} <= ids and len(ids & {1, 10}) == 1
     texts = lambda rows: sorted(r[1] for r in rows)  # noqa: E731
     assert texts(results["plain"]) == texts(results["bloom"])
+
+
+def test_streaming_tokenize_matches_batch(spark, tmp_path):
+    """The encode half of the tokenizer family over a document STREAM:
+    a saved artifact (both families) applied via encode_with_artifact to
+    a replayed parquet stream must produce exactly the batch encoding —
+    the encoders are stateless broadcast-model projections, so lifting
+    them to Structured Streaming must be a no-op semantically."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        train_bpe,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.unigram import (
+        train_unigram,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        encode_with_artifact,
+        load_tokenizer_artifact,
+        save_tokenizer_artifact,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower"),
+            (2, "newest widest lower low"),
+            (3, "the lowest of the low"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "in"))
+
+    for family, train in (
+        ("bpe", lambda d: train_bpe(d, n_merges=3, min_pair_count=1)),
+        ("uni", lambda d: train_unigram(d, vocab_size=6, max_piece_len=3)),
+    ):
+        save_tokenizer_artifact(train(docs), str(tmp_path / family))
+        model = load_tokenizer_artifact(spark, str(tmp_path / family))
+        batch = sorted(
+            tuple(r) for r in encode_with_artifact(docs, model).collect()
+        )
+        stream = spark.readStream.schema(docs.schema).parquet(
+            str(tmp_path / "in")
+        )
+        q = (
+            encode_with_artifact(stream, model)
+            .writeStream.format("memory")
+            .queryName(f"tok_{family}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{family}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = sorted(
+            tuple(r) for r in spark.table(f"tok_{family}").collect()
+        )
+        assert streamed == batch, family
