@@ -521,3 +521,42 @@ def test_cms_one_sided_for_any_multiset(spark, occs):
     out = count_min_lookup(exact, cms, "word", w=4, d=2).collect()
     for r in out:
         assert r["cms_estimate"] >= r["n"], (r["word"], r["n"], r["cms_estimate"])
+
+
+@given(texts=_doc_texts)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_encode_counts_only_matches_full_path(spark, texts):
+    """counts_only must be a pure projection of the full encode — for any
+    corpus, (id, count) from the counts path equals len(tokens/pieces)
+    from the full path, both families, trained on the same corpus. Pins
+    the round-10 counts_only fork against drift (two code paths, one
+    contract)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    merges = train_bpe(df, n_merges=3, min_pair_count=1)
+    full = {
+        r["doc_id"]: r["n_subword_tokens"] for r in bpe_encode(df, merges).collect()
+    }
+    fast = {
+        r["doc_id"]: r["n_subword_tokens"]
+        for r in bpe_encode(df, merges, counts_only=True).collect()
+    }
+    assert fast == full
+
+    vocab = train_unigram(df, vocab_size=8, max_piece_len=3, em_iters=1)
+    ufull = {r["doc_id"]: r["n_pieces"] for r in unigram_encode(df, vocab).collect()}
+    ufast = {
+        r["doc_id"]: r["n_pieces"]
+        for r in unigram_encode(df, vocab, counts_only=True).collect()
+    }
+    assert ufast == ufull
