@@ -171,6 +171,11 @@ LONGTAIL = [
     # full-composition rationale as q99).
     "q100_unigram_capstone",
     "q101_unigram_capstone_trained",
+    # round-10: training-objective rewrites — T5 span corruption (one
+    # exchange: the window hash reused by the groupBy) and the FIM
+    # prefix-suffix-middle projection (zero shuffle)
+    "q102_span_corruption",
+    "q103_fim_transform",
 ]
 
 _TABLES = (

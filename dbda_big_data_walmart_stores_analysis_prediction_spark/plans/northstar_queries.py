@@ -3642,3 +3642,121 @@ def q101_unigram_capstone_trained(spark: SparkSession, sf_dir: str) -> DataFrame
         n_shards=8,
         salt="unipack",
     )
+
+
+@_register(
+    "q102_span_corruption",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT doc_id, u['i'] AS i, u['tok'] AS tok,
+             CASE WHEN ('0x' || substring(md5(
+                      'span:' || doc_id::VARCHAR || ':' || u['i']::VARCHAR),
+                      1, 15))::BIGINT % 20 = 0
+                  THEN 1 ELSE 0 END AS s
+      FROM (SELECT doc_id,
+                   unnest([{'i': i - 1, 'tok': w[i]}
+                           FOR i IN range(1, len(w) + 1)]) AS u
+            FROM w)
+    ),
+    cov AS (
+      SELECT *, max(s) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c
+      FROM toks
+    ),
+    gs AS (
+      SELECT *, CASE WHEN c = 1 AND coalesce(
+                       lag(c) OVER (PARTITION BY doc_id ORDER BY i), 0) = 0
+                     THEN 1 ELSE 0 END AS g
+      FROM cov
+    ),
+    sent AS (
+      SELECT *, sum(g) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gs
+    ),
+    pieces AS (
+      SELECT doc_id, i, c, g,
+        CASE WHEN g = 1 THEN '<extra_id_' || (sid - 1)::VARCHAR || '>'
+             WHEN c = 0 THEN tok END AS in_p,
+        CASE WHEN g = 1 THEN '<extra_id_' || (sid - 1)::VARCHAR || '> ' || tok
+             WHEN c = 1 THEN tok END AS tgt_p,
+        sid
+      FROM sent
+    )
+    SELECT doc_id,
+      coalesce(string_agg(in_p, ' ' ORDER BY i), '')  AS input_text,
+      coalesce(string_agg(tgt_p, ' ' ORDER BY i), '') AS target_text,
+      count(*)::BIGINT AS n_tokens,
+      sum(c)::BIGINT   AS n_masked,
+      max(sid)::BIGINT AS n_spans
+    FROM pieces GROUP BY doc_id
+    """,
+)
+def q102_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (operators/objectives.py::span_corruption):
+    deterministic md5-seeded mask spans (len 3, ~15% of tokens) replaced by
+    per-doc ``<extra_id_k>`` sentinels, with the dropped tokens emitted as
+    the seq2seq target — the denoising-objective rewrite a pretraining
+    pipeline applies corpus-wide before tokenization. One exchange total
+    (the window's hash partitioning, hoisted before the tokenize-explode
+    and reused by the final groupBy)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.objectives import (
+        span_corruption,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corruption(
+        docs, "doc_id", "text", span_len=3, start_denom=20, salt="span"
+    )
+
+
+@_register(
+    "q103_fim_transform",
+    r"""
+    WITH f AS (
+      SELECT doc_id, text, length(text) AS n,
+        ('0x' || substring(md5('fim:sel:' || doc_id::VARCHAR), 1, 15))::BIGINT
+          AS hs,
+        ('0x' || substring(md5('fim:c1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+          AS h1,
+        ('0x' || substring(md5('fim:c2:' || doc_id::VARCHAR), 1, 15))::BIGINT
+          AS h2
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, n,
+        coalesce(text IS NOT NULL AND n >= 40 AND hs % 2 = 0, FALSE) AS sel,
+        least(h1 % (n + 1), h2 % (n + 1))    AS lo,
+        greatest(h1 % (n + 1), h2 % (n + 1)) AS hi
+      FROM f
+    )
+    SELECT doc_id,
+      CASE WHEN sel
+           THEN '<PRE>' || substr(text, 1, lo)
+                || '<SUF>' || substr(text, hi + 1, n - hi)
+                || '<MID>' || substr(text, lo + 1, hi - lo)
+           ELSE text END AS fim_text,
+      sel AS is_fim,
+      (CASE WHEN sel THEN hi - lo ELSE 0 END)::BIGINT AS n_middle_chars
+    FROM c
+    """,
+)
+def q103_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle rewrite (operators/objectives.py::fim_transform):
+    half the corpus (md5-selected, >=40 chars) reordered to
+    ``<PRE>prefix<SUF>suffix<MID>middle`` with md5-derived character cuts —
+    the document-level infilling transform for code-model pretraining.
+    Pure zero-shuffle codegen projection; unselected docs pass through
+    verbatim."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.objectives import (
+        fim_transform,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(
+        docs, "doc_id", "text", rate_denom=2, min_chars=40, salt="fim"
+    )

@@ -200,6 +200,8 @@ DOC_QUERY_NAMES = [
     "q97_eval_sample_per_group",
     "q98_tokenizer_capstone",
     "q100_unigram_capstone",
+    "q102_span_corruption",
+    "q103_fim_transform",
 ]
 
 

@@ -402,3 +402,27 @@ def test_q97_group_sample_uses_window_group_limit(spark):
     a bounded heap per task."""
     plan = _plan(spark, "q97_eval_sample_per_group")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_q102_span_corruption_single_exchange(spark):
+    """The scale contract of span_corruption: ONE hash exchange total —
+    hoisted before the tokenize-explode (so the shuffle carries raw text)
+    and shared by the window stack AND the final groupBy (Catalyst elides
+    the aggregate's exchange because the partitioning already matches).
+    A second Exchange appearing here means either the repartition stopped
+    covering the window or the groupBy lost partitioning reuse."""
+    plan = _plan(spark, "q102_span_corruption")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    # one Generate (the index explode) AFTER the exchange, one sort for the
+    # shared window stack, and no UDF in the reassembly
+    assert plan.count("Generate explode") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q103_fim_transform_zero_shuffle(spark):
+    """fim_transform is a pure stateless projection: no exchange, no
+    explode, no join — per-doc substring surgery that scales as one scan."""
+    plan = _plan(spark, "q103_fim_transform")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
