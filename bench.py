@@ -176,6 +176,10 @@ LONGTAIL = [
     # prefix-suffix-middle projection (zero shuffle)
     "q102_span_corruption",
     "q103_fim_transform",
+    # round-10: epoch-weighted upsampling (zero-shuffle explode) and the
+    # per-bin loading manifest (single shard exchange, q63-spliced oracle)
+    "q104_epoch_repeat_mix",
+    "q105_bin_manifest",
 ]
 
 _TABLES = (

@@ -62,16 +62,20 @@ def chunk_documents(
     )
 
 
-def pack_sequences(
+def _packed_prior(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str | None = "text",
-    tokens_col: str | None = None,
-    budget: int = 512,
-    n_shards: int = 32,
-    salt: str = "pack",
+    id_col: str,
+    text_col: str | None,
+    tokens_col: str | None,
+    budget: int,
+    n_shards: int,
+    salt: str,
 ) -> DataFrame:
-    """Deterministic contiguous packing: ``(id, shard, bin_id, n_tokens)``.
+    """Shared packing core: `pack_sequences`' public columns plus the
+    internals its companions need — ``__h`` (the in-shard order key) and
+    ``__prior`` (the cumulative token offset) — so `bin_manifest` derives
+    in-bin ordering and offsets from the SAME computation instead of a
+    re-implementation that could drift.
 
     Docs are hashed into ``n_shards`` shards, ordered within their shard by
     ``md5(salt:id)`` (reproducible shuffle), and packed by cumulative
@@ -147,4 +151,86 @@ def pack_sequences(
         "shard",
         F.floor(prior / budget).alias("bin_id"),
         "n_tokens",
+        "__h",
+        prior.alias("__prior"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+    budget: int = 512,
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic contiguous packing: ``(id, shard, bin_id, n_tokens)``
+    — see `_packed_prior` for the shared core; this public form drops the
+    internal order/offset columns."""
+    return _packed_prior(
+        df, id_col, text_col, tokens_col, budget, n_shards, salt
+    ).select(id_col, "shard", "bin_id", "n_tokens")
+
+
+def bin_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+    budget: int = 512,
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Per-bin loading manifest for `pack_sequences`' assignment:
+    ``(shard, bin_id, n_docs, bin_tokens, doc_ids, doc_offsets)`` with
+    ``doc_ids`` the bin's documents IN CONCATENATION ORDER and
+    ``doc_offsets`` each doc's token start offset within the bin — exactly
+    what a data loader needs to build the packed sequence and its
+    block-diagonal attention mask (document boundaries) without
+    re-deriving the packing rule. Offsets are relative to the bin's first
+    doc, so a bin whose opening doc straddled the previous budget boundary
+    still starts at 0.
+
+    Same parameters as `pack_sequences` and the same computation
+    (`_packed_prior`), so ``zip(doc_ids, doc_offsets)`` agrees
+    row-for-row with the flat assignment. Order inside the collected
+    arrays is pinned by a row_number over (hash, id) with
+    ``asc_nulls_last`` — the engine-portable ordering the packing family
+    standardized on — collected as ``(rn, value)`` structs and
+    array_sort'ed, the q58 sorted-array idiom (bare collect_list order is
+    partition-dependent).
+
+    Scale shape: ONE exchange — the packing family's shard shuffle.
+    ``hashpartitioning(shard)`` already satisfies the ``(shard, bin_id)``
+    clustering the manifest window and the final aggregate require (shard
+    is a subset of their keys), so they add an in-partition re-sort, not
+    a second shuffle (pinned by tests/test_plan_audit.py). Bins are
+    budget-bounded (~one training sequence), so per-group collected state
+    stays tiny at any corpus size.
+    """
+    p = _packed_prior(df, id_col, text_col, tokens_col, budget, n_shards, salt)
+    in_bin = Window.partitionBy("shard", "bin_id")
+    ordered = in_bin.orderBy(F.asc_nulls_last("__h"), F.asc_nulls_last(id_col))
+    rows = p.select(
+        "*",
+        F.row_number().over(ordered).alias("__rn"),
+        (F.col("__prior") - F.min("__prior").over(in_bin)).alias("__off"),
+    )
+
+    def _ordered_vals(col: str) -> F.Column:
+        return F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__rn").alias("rn"), F.col(col).alias("v"))
+                )
+            ),
+            lambda x: x["v"],
+        )
+
+    return rows.groupBy("shard", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        _ordered_vals(id_col).alias("doc_ids"),
+        _ordered_vals("__off").alias("doc_offsets"),
     )

@@ -410,3 +410,67 @@ def gumbel_top_k(
         .orderBy(F.col("gumbel_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def repeat_by_weight(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    default_weight: float = 0.0,
+    salt: str = "epoch",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic fractional UPSAMPLING: emit each row of stratum ``s``
+    ``weights[s]`` times in expectation — ``floor(w)`` guaranteed copies
+    plus one more when ``md5(salt:id) % 1e6`` falls under the fractional
+    part. The multi-epoch mixture step of a pretraining data recipe
+    ("Wikipedia 3.4 epochs, web 0.8 epochs"): `stratified_sample` can only
+    keep a ≤1.0 share, this realizes epoch counts above 1.0, and the
+    sampled extra copy makes the REALIZED token share converge to the
+    recipe's real-valued weight instead of a floor/ceil bias. Each copy is
+    tagged ``copy_col`` (0-based) so downstream packing salts can separate
+    copies into different sequences.
+
+    Every choice is a pure function of (data, weights, salt): the
+    extra-copy draw is the same salted-md5 Bernoulli as the mixing family,
+    so reruns and SQL oracles reproduce the corpus row-for-row. Weights
+    are resolved driver-side to integer literals (base copies and a
+    millionths threshold, i.e. weights are honored to 6 dp) — no float
+    arithmetic reaches the plan, which keeps the oracle bit-exact by
+    construction. Strata missing from ``weights`` (and null strata) get
+    ``default_weight``; weight 0 drops the stratum. Null-id rows never
+    draw the extra copy (null hash compares false in both engines).
+
+    Scale shape: zero shuffle — a when-chain projection plus one
+    ``explode(sequence)`` generator, scan-parallel at any corpus size
+    (pinned by tests/test_plan_audit.py).
+    """
+
+    def _split(w: float) -> tuple[int, int]:
+        if w < 0:
+            raise ValueError(f"weights must be >= 0, got {w}")
+        millionths = round(float(w) * 1_000_000)
+        return millionths // 1_000_000, millionths % 1_000_000
+
+    base_default, thr_default = _split(default_weight)
+    base = F.lit(base_default)
+    thr = F.lit(thr_default)
+    for value, w in sorted(weights.items()):
+        b, t = _split(w)
+        is_v = F.col(strata_col) == F.lit(value)
+        base = F.when(is_v, F.lit(b)).otherwise(base)
+        thr = F.when(is_v, F.lit(t)).otherwise(thr)
+    extra = F.coalesce(
+        (_mix_hash(id_col, salt) % 1_000_000 < thr).cast("int"), F.lit(0)
+    )
+    n_copies = (base + extra).alias("__nc")
+    # sequence(0, -1) DESCENDS in Spark — gate the empty case so weight-0
+    # rows drop via explode-of-null instead of emitting a phantom copy.
+    # (explode must sit top-level in the select; the bigint cast follows.)
+    copies = F.explode(
+        F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1))
+    )
+    return df.select("*", copies.alias(copy_col)).withColumn(
+        copy_col, F.col(copy_col).cast("bigint")
+    )

@@ -174,7 +174,7 @@ def q62_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_SQL_HEX.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} AS hv
       FROM documents),
     s AS (SELECT doc_id, n_tokens, hv, (hv % 32)::BIGINT AS shard FROM b),
-    p AS (SELECT doc_id, shard, n_tokens,
+    p AS (SELECT doc_id, shard, n_tokens, hv,
         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hv, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
       FROM s)
@@ -3759,4 +3759,114 @@ def q103_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return fim_transform(
         docs, "doc_id", "text", rate_denom=2, min_chars=40, salt="fim"
+    )
+
+
+@_register(
+    "q104_epoch_repeat_mix",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text, lang, source, n_chars,
+        CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                    WHEN 'src2' THEN 0 WHEN 'src3' THEN 1
+                    ELSE 1 END AS base,
+        CASE source WHEN 'src0' THEN 400000 WHEN 'src1' THEN 0
+                    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 750000
+                    ELSE 0 END AS thr
+      FROM documents
+    ),
+    n AS (
+      SELECT *, base + CASE WHEN coalesce(
+               ('0x' || substring(md5('epoch:' || doc_id::VARCHAR), 1, 15))
+                 ::BIGINT % 1000000 < thr, FALSE)
+             THEN 1 ELSE 0 END AS nc
+      FROM w
+    )
+    SELECT doc_id, text, lang, source, n_chars,
+           unnest(range(0, nc))::BIGINT AS copy_id
+    FROM n
+    """,
+)
+def q104_epoch_repeat_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture expansion (operators/sampling.py::
+    repeat_by_weight): the 'src0 at 3.4 epochs, src1 at 2.0, src2 at
+    0.25, src3 at 1.75, everything else once' recipe — floor(w)
+    guaranteed copies per doc plus an md5-Bernoulli extra for the
+    fractional part, each tagged copy_id. Deterministic upsampling above
+    1.0 epochs, the half of corpus mixing `stratified_sample` (≤1.0
+    shares) cannot express. Zero-shuffle when-chain + explode
+    projection."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        repeat_by_weight,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeat_by_weight(
+        docs,
+        "source",
+        {"src0": 3.4, "src1": 2.0, "src2": 0.25, "src3": 1.75},
+        "doc_id",
+        default_weight=1.0,
+        salt="epoch",
+    )
+
+
+# q105's oracle is spliced mechanically from the registered q63 SQL (the
+# q91/q98 one-source-of-truth pattern): the packing CTEs are REUSED
+# verbatim and only the final projection changes to the per-bin rollup,
+# so the manifest's order/offset semantics cannot drift from the packing
+# oracle they describe.
+_Q63_TAIL = (
+    "SELECT doc_id, shard, (prior // 512)::BIGINT AS bin_id, n_tokens FROM p"
+)
+_q63_sql = ORACLE_SQL["q63_sequence_packing"].rstrip()
+assert _q63_sql.endswith(_Q63_TAIL), (
+    "q63 oracle no longer ends at its packing projection — re-derive the "
+    "q105 manifest splice"
+)
+_Q105_SQL = _q63_sql[: -len(_Q63_TAIL)] + """,
+    r AS (SELECT doc_id, shard, (prior // 512)::BIGINT AS bin_id,
+                 n_tokens, hv, prior
+          FROM p),
+    m AS (SELECT *,
+                 prior - min(prior) OVER (PARTITION BY shard, bin_id) AS off
+          FROM r)
+    SELECT shard, bin_id,
+      count(*)::BIGINT AS n_docs,
+      sum(n_tokens)::BIGINT AS bin_tokens,
+      string_agg(coalesce(doc_id::VARCHAR, '?'), ','
+                 ORDER BY hv, doc_id) AS doc_ids,
+      string_agg(coalesce(off::VARCHAR, '?'), ','
+                 ORDER BY hv, doc_id) AS doc_offsets
+    FROM m GROUP BY shard, bin_id
+    """
+
+
+@_register("q105_bin_manifest", _Q105_SQL)
+def q105_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin loading manifest (operators/packing.py::bin_manifest) for
+    the q63 packing assignment: each training bin's documents in
+    concatenation order with their in-bin token start offsets — the
+    data-loader contract for building packed sequences and their
+    block-diagonal attention masks. Arrays are emitted comma-joined (the
+    q58 sorted-array oracle idiom)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        bin_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mani = bin_manifest(docs, "doc_id", "text", budget=512, n_shards=32)
+
+    def _joined(col: str):
+        return F.array_join(
+            F.transform(F.col(col), lambda x: x.cast("string")), ",", "?"
+        )
+
+    return mani.select(
+        "shard",
+        "bin_id",
+        "n_docs",
+        "bin_tokens",
+        _joined("doc_ids").alias("doc_ids"),
+        _joined("doc_offsets").alias("doc_offsets"),
     )

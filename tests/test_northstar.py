@@ -1774,3 +1774,82 @@ def test_tokenizer_artifact_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "not_artifact"))
     with pytest.raises(ValueError, match="not a saved tokenizer artifact"):
         load_tokenizer_artifact(spark, str(tmp_path / "not_artifact"))
+
+
+def test_repeat_by_weight_pinned_by_naive_reference(spark):
+    """Epoch-weighted upsampling reproduced by an independent hashlib
+    twin: per-row copy counts (floor + fractional Bernoulli), copy_id
+    tagging, weight-0 drop, default-weight fallback, and determinism."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        repeat_by_weight,
+    )
+    import collections
+    import hashlib
+
+    docs = _docs(spark).select("doc_id", "source")
+    weights = {"src0": 2.5, "src1": 0.0, "src2": 0.9999995, "src3": 1.0}
+    out = repeat_by_weight(
+        docs, "source", weights, "doc_id", default_weight=0.25, salt="ep"
+    ).collect()
+
+    def expected_copies(doc_id, source):
+        w = weights.get(source, 0.25)
+        millionths = round(w * 1_000_000)  # 6-dp contract: .9999995 → 1.0
+        base, thr = divmod(millionths, 1_000_000)
+        h = int(hashlib.md5(f"ep:{doc_id}".encode()).hexdigest()[:15], 16)
+        return base + (1 if h % 1_000_000 < thr else 0)
+
+    got = collections.Counter()
+    for r in out:
+        got[r["doc_id"]] += 1
+    for r in docs.collect():
+        want = expected_copies(r["doc_id"], r["source"])
+        assert got.get(r["doc_id"], 0) == want, (r["doc_id"], r["source"])
+    by_doc = collections.defaultdict(set)
+    for r in out:
+        by_doc[r["doc_id"]].add(r["copy_id"])
+    for doc_id, copies in by_doc.items():
+        assert copies == set(range(len(copies)))  # 0-based dense tags
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 0"):
+        repeat_by_weight(docs, "source", {"src0": -1.0}, "doc_id")
+
+
+def test_bin_manifest_consistent_with_pack_sequences(spark):
+    """The manifest must be a pure rollup of pack_sequences' assignment:
+    same (doc → shard, bin) mapping, concatenation order = the (hash, id)
+    packing order, offsets = exclusive cumsum of in-bin token counts
+    starting at 0, and bin_tokens = sum of member counts."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        bin_manifest,
+        pack_sequences,
+    )
+    import hashlib
+
+    docs = _docs(spark).select("doc_id", "text")
+    flat = pack_sequences(docs, "doc_id", "text", budget=256, n_shards=4)
+    mani = bin_manifest(docs, "doc_id", "text", budget=256, n_shards=4)
+    flat_rows = {r["doc_id"]: r for r in flat.collect()}
+    n_tok = {r["doc_id"]: r["n_tokens"] for r in flat_rows.values()}
+
+    def h(doc_id):
+        return int(hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()[:15], 16)
+
+    seen = set()
+    for r in mani.collect():
+        ids, offs = r["doc_ids"], r["doc_offsets"]
+        assert len(ids) == len(offs) == r["n_docs"]
+        assert ids == sorted(ids, key=lambda d: (h(d), d))  # concat order
+        assert offs[0] == 0
+        run = 0
+        for d, off in zip(ids, offs):
+            assert (flat_rows[d]["shard"], flat_rows[d]["bin_id"]) == (
+                r["shard"],
+                r["bin_id"],
+            )
+            assert off == run, (r["shard"], r["bin_id"], d)
+            run += n_tok[d]
+            seen.add(d)
+        assert r["bin_tokens"] == sum(n_tok[d] for d in ids)
+    assert seen == set(flat_rows)  # every doc appears in exactly one bin

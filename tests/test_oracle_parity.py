@@ -202,6 +202,8 @@ DOC_QUERY_NAMES = [
     "q100_unigram_capstone",
     "q102_span_corruption",
     "q103_fim_transform",
+    "q104_epoch_repeat_mix",
+    "q105_bin_manifest",
 ]
 
 

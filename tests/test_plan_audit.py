@@ -426,3 +426,22 @@ def test_q103_fim_transform_zero_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_q104_epoch_repeat_zero_shuffle(spark):
+    """repeat_by_weight is a when-chain + explode generator: no exchange,
+    no join — upsampling that scales as one scan."""
+    plan = _plan(spark, "q104_epoch_repeat_mix")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_q105_bin_manifest_single_exchange(spark):
+    """bin_manifest pays ONLY the packing family's shard exchange:
+    hashpartitioning(shard) already satisfies the (shard, bin_id)
+    clustering required by the manifest window and the final aggregate
+    (shard is a subset of the keys), so they add a re-sort, never a
+    second shuffle. A second Exchange here means that reuse broke."""
+    plan = _plan(spark, "q105_bin_manifest")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
