@@ -180,6 +180,9 @@ LONGTAIL = [
     # per-bin loading manifest (single shard exchange, q63-spliced oracle)
     "q104_epoch_repeat_mix",
     "q105_bin_manifest",
+    # round-10: strict-capacity FFD packing (the one applyInPandas
+    # operator — rows-only, pinned by the pure-Python FFD twin)
+    "q106_ffd_packing",
 ]
 
 _TABLES = (

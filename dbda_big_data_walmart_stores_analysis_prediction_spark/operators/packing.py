@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.hashing import (
@@ -62,6 +63,54 @@ def chunk_documents(
     )
 
 
+def _sharded_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None,
+    tokens_col: str | None,
+    n_shards: int,
+    salt: str,
+) -> DataFrame:
+    """Shared pre-window base of the packing family:
+    ``(id, n_tokens, __h, shard)`` with the eager column-contract
+    validation — token counts resolved (precomputed column or inline
+    whitespace count), the ``md5(salt:id)`` order key, and the hash
+    shard."""
+    if tokens_col is not None:
+        if tokens_col not in df.columns:
+            raise ValueError(
+                f"pack_sequences: tokens_col {tokens_col!r} is not a column "
+                f"of the input frame (has {df.columns}); pass the frame "
+                "that carries the precomputed token counts"
+            )
+        ntok = F.col(tokens_col)
+    elif text_col is not None:
+        if text_col not in df.columns:
+            raise ValueError(
+                f"pack_sequences: text_col {text_col!r} is not a column of "
+                f"the input frame (has {df.columns}); pass tokens_col for "
+                "frames that carry counts but no text"
+            )
+        ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    else:
+        raise ValueError(
+            "pack_sequences needs tokens_col (precomputed counts) or "
+            "text_col (inline whitespace count); both were None"
+        )
+    if id_col not in df.columns:
+        raise ValueError(
+            f"pack_sequences: id_col {id_col!r} is not a column of the "
+            f"input frame (has {df.columns})"
+        )
+    h = md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return df.select(
+        F.col(id_col),
+        ntok.alias("n_tokens"),
+        h.alias("__h"),
+        F.pmod(h, F.lit(n_shards)).alias("shard"),
+    )
+
+
 def _packed_prior(
     df: DataFrame,
     id_col: str,
@@ -101,39 +150,7 @@ def _packed_prior(
     contract spelled out, not as a downstream AnalysisException on a
     column this function never needed.
     """
-    if tokens_col is not None:
-        if tokens_col not in df.columns:
-            raise ValueError(
-                f"pack_sequences: tokens_col {tokens_col!r} is not a column "
-                f"of the input frame (has {df.columns}); pass the frame "
-                "that carries the precomputed token counts"
-            )
-        ntok = F.col(tokens_col)
-    elif text_col is not None:
-        if text_col not in df.columns:
-            raise ValueError(
-                f"pack_sequences: text_col {text_col!r} is not a column of "
-                f"the input frame (has {df.columns}); pass tokens_col for "
-                "frames that carry counts but no text"
-            )
-        ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
-    else:
-        raise ValueError(
-            "pack_sequences needs tokens_col (precomputed counts) or "
-            "text_col (inline whitespace count); both were None"
-        )
-    if id_col not in df.columns:
-        raise ValueError(
-            f"pack_sequences: id_col {id_col!r} is not a column of the "
-            f"input frame (has {df.columns})"
-        )
-    h = md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
-    base = df.select(
-        F.col(id_col),
-        ntok.alias("n_tokens"),
-        h.alias("__h"),
-        F.pmod(h, F.lit(n_shards)).alias("shard"),
-    )
+    base = _sharded_counts(df, id_col, text_col, tokens_col, n_shards, salt)
     # asc_nulls_last, not bare ASC: a null id hashes to a null __h (and a
     # null shard), and Spark's default NULLS FIRST would park it at the
     # head of the cumulative sum while the DuckDB oracles' ORDER BY
@@ -234,3 +251,81 @@ def bin_manifest(
         _ordered_vals(id_col).alias("doc_ids"),
         _ordered_vals("__off").alias("doc_offsets"),
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+    budget: int = 512,
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Strict-capacity first-fit-decreasing packing:
+    ``(id, shard, bin_id, n_tokens)`` where no bin exceeds ``budget``
+    (a doc longer than the budget gets a bin of its own — the
+    truncate-downstream case).
+
+    `pack_sequences` is the token-stream-chunking rule: contiguous,
+    window-only, but a bin can overshoot by one straddling doc and the
+    stream order leaves padding when sequences must NOT cross doc
+    boundaries. This is the padding-minimizing alternative training
+    setups use when each bin is one fixed-length sequence: docs sort
+    longest-first inside their shard and each takes the FIRST bin with
+    room, the classic FFD heuristic (≤ 11/9·OPT + 6/9 bins).
+
+    FFD is inherently stateful (open-bin residuals), so this is the
+    engine's one ``applyInPandas`` operator: shards are hashed exactly
+    like `pack_sequences` (same ``md5(salt:id)``), each shard's pack
+    runs as one Arrow-batched group, and the result is a pure function
+    of (data, salt) — the in-shard order is fully tied
+    (n_tokens DESC, hash ASC, id ASC) so reruns and cluster shapes
+    produce identical bins. No SQL twin exists (the sequential
+    first-fit loop), so the registered query is rows-only, pinned by
+    the from-scratch twin test instead.
+
+    Scale shape: one shard exchange, then per-shard Python O(docs x
+    open-bins) worst case — ``n_shards`` is the lever that bounds both
+    the per-task memory (one shard's (id, count) pairs, ~16 bytes/doc)
+    and the quadratic term; size it so shards hold ~1e5-1e6 docs.
+    Null-text / null-count docs pack as 0 tokens; null ids sort last.
+    """
+    base = _sharded_counts(df, id_col, text_col, tokens_col, n_shards, salt)
+    id_field = next(f for f in base.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("shard", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def _ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "__h", id_col],
+            ascending=[False, True, True],
+            na_position="last",
+        )
+        residual: list[int] = []
+        bin_ids: list[int] = []
+        for nt in pdf["n_tokens"]:
+            n = 0 if pd.isna(nt) else int(nt)
+            placed = -1
+            for i, r in enumerate(residual):
+                if r >= n:
+                    placed = i
+                    residual[i] = r - n
+                    break
+            if placed < 0:
+                residual.append(max(budget - n, 0))
+                placed = len(residual) - 1
+            bin_ids.append(placed)
+        out = pdf[[id_col, "shard", "n_tokens"]].copy()
+        out["bin_id"] = bin_ids
+        return out[[id_col, "shard", "bin_id", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(_ffd, out_schema)

@@ -3870,3 +3870,24 @@ def q105_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _joined("doc_ids").alias("doc_ids"),
         _joined("doc_offsets").alias("doc_offsets"),
     )
+
+
+@_register("q106_ffd_packing")  # rows-only: sequential first-fit loop
+def q106_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-capacity first-fit-decreasing packing (operators/
+    packing.py::pack_sequences_ffd): longest-first per shard, each doc
+    into the first bin with room, no bin over 512 tokens — the
+    padding-minimizing packer for fixed-length sequences that must not
+    cross doc boundaries. The per-shard first-fit loop is inherently
+    sequential (the engine's one applyInPandas operator), so there is
+    no SQL twin: the driver records rows-only and the semantics are
+    pinned exactly by tests/test_northstar.py::
+    test_ffd_packing_pinned_by_naive_reference (a from-scratch
+    pure-Python FFD over the same hash shards) plus the capacity/
+    determinism invariants asserted there."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        pack_sequences_ffd,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences_ffd(docs, "doc_id", "text", budget=512, n_shards=32)

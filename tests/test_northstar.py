@@ -1853,3 +1853,77 @@ def test_bin_manifest_consistent_with_pack_sequences(spark):
             seen.add(d)
         assert r["bin_tokens"] == sum(n_tok[d] for d in ids)
     assert seen == set(flat_rows)  # every doc appears in exactly one bin
+
+
+def test_ffd_packing_pinned_by_naive_reference(spark):
+    """pack_sequences_ffd reproduced by a from-scratch pure-Python FFD
+    over the same hash shards, plus the strict-capacity, coverage, and
+    determinism invariants. The twin recomputes shards/order with
+    hashlib (not the engine's SQL md5) and packs with an independent
+    loop — exact agreement pins the semantics, not shared code."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        pack_sequences_ffd,
+    )
+    import collections
+    import hashlib
+
+    budget, n_shards = 256, 4
+    docs = _docs(spark).select("doc_id", "text")
+    # the engine counts regex-split tokens (split keeps the '' token of an
+    # empty/boundary string, unlike str.split()); recompute exactly so
+    import re as _re
+
+    src = [
+        (
+            r["doc_id"],
+            len(_re.split(r"\s+", r["text"].strip()))
+            if r["text"] is not None
+            else None,
+        )
+        for r in docs.collect()
+    ]
+
+    def h(doc_id):
+        return int(hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    by_shard = collections.defaultdict(list)
+    for d, n in src:
+        by_shard[h(d) % n_shards].append((d, n))
+    for shard, members in by_shard.items():
+        members.sort(key=lambda x: (-(x[1] or 0), h(x[0]), x[0]))
+        residual = []
+        for d, n in members:
+            n = n or 0
+            placed = -1
+            for i, r in enumerate(residual):
+                if r >= n:
+                    placed, residual[i] = i, r - n
+                    break
+            if placed < 0:
+                residual.append(max(budget - n, 0))
+                placed = len(residual) - 1
+            expected[d] = (shard, placed)
+
+    out = pack_sequences_ffd(
+        docs, "doc_id", "text", budget=budget, n_shards=n_shards
+    ).collect()
+    assert len(out) == len(src)  # every doc assigned exactly once
+    bin_load = collections.Counter()
+    for r in out:
+        assert (r["shard"], r["bin_id"]) == expected[r["doc_id"]], r
+        bin_load[(r["shard"], r["bin_id"])] += r["n_tokens"]
+    # strict capacity: only single-doc bins may exceed the budget
+    n_docs_per_bin = collections.Counter(
+        (r["shard"], r["bin_id"]) for r in out
+    )
+    for key, load in bin_load.items():
+        assert load <= budget or n_docs_per_bin[key] == 1, (key, load)
+    # determinism across reruns
+    again = {
+        r["doc_id"]: (r["shard"], r["bin_id"])
+        for r in pack_sequences_ffd(
+            docs, "doc_id", "text", budget=budget, n_shards=n_shards
+        ).collect()
+    }
+    assert again == expected

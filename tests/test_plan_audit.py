@@ -445,3 +445,15 @@ def test_q105_bin_manifest_single_exchange(spark):
     second shuffle. A second Exchange here means that reuse broke."""
     plan = _plan(spark, "q105_bin_manifest")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_q106_ffd_single_exchange_arrow_group(spark):
+    """pack_sequences_ffd = one shard exchange feeding one Arrow-batched
+    applyInPandas group stage (FlatMapGroupsInPandas) — the deliberate
+    slow-path exception for the sequential first-fit loop. No window, no
+    second shuffle: the packing family's prior window must NOT ride
+    along (FFD only needs the pre-window base)."""
+    plan = _plan(spark, "q106_ffd_packing")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Window" not in plan, plan
