@@ -447,6 +447,20 @@ def repeat_by_weight(
     (pinned by tests/test_plan_audit.py).
     """
 
+    # eager column contract (the pack_sequences convention): fail here
+    # with the contract spelled out, not downstream
+    for need, what in ((strata_col, "strata_col"), (id_col, "id_col")):
+        if need not in df.columns:
+            raise ValueError(
+                f"repeat_by_weight: {what} {need!r} is not a column of the "
+                f"input frame (has {df.columns})"
+            )
+    if copy_col in df.columns:
+        raise ValueError(
+            f"repeat_by_weight: copy_col {copy_col!r} already exists on the "
+            "input frame; pass a different copy_col"
+        )
+
     def _split(w: float) -> tuple[int, int]:
         if w < 0:
             raise ValueError(f"weights must be >= 0, got {w}")

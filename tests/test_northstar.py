@@ -1927,3 +1927,18 @@ def test_ffd_packing_pinned_by_naive_reference(spark):
         ).collect()
     }
     assert again == expected
+
+
+def test_repeat_by_weight_eager_column_contract(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        repeat_by_weight,
+    )
+    import pytest
+
+    docs = _docs(spark).select("doc_id", "source")
+    with pytest.raises(ValueError, match="strata_col 'nope'"):
+        repeat_by_weight(docs, "nope", {}, "doc_id")
+    with pytest.raises(ValueError, match="id_col 'gone'"):
+        repeat_by_weight(docs, "source", {}, "gone")
+    with pytest.raises(ValueError, match="copy_col 'source' already"):
+        repeat_by_weight(docs, "source", {}, "doc_id", copy_col="source")
