@@ -441,3 +441,71 @@ def test_streaming_tokenize_matches_batch(spark, tmp_path):
             tuple(r) for r in spark.table(f"tok_{family}").collect()
         )
         assert streamed == batch, family
+
+
+def test_streaming_objectives_match_batch(spark, tmp_path):
+    """Training-objective rewrites over a document STREAM must equal the
+    batch result. fim_transform is a stateless projection, so it lifts to
+    Structured Streaming directly; span_corruption carries a per-doc
+    window (unsupported on streaming frames), but it is a pure function
+    of each doc alone, so the foreachBatch lift is batch-INVARIANT: the
+    union of per-microbatch outputs equals the one-shot batch output.
+    Replayed with maxFilesPerTrigger=1 to force multiple microbatches."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.objectives import (
+        fim_transform,
+        span_corruption,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i} " * (5 + i % 7) + "tail words here")
+            for i in range(40)
+        ]
+        + [(99, None)],
+        "doc_id long, text string",
+    )
+    # several input files -> several microbatches
+    docs.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    stored = spark.read.parquet(str(tmp_path / "in"))
+
+    batch_fim = sorted(tuple(r) for r in fim_transform(stored).collect())
+    batch_span = sorted(tuple(r) for r in span_corruption(stored).collect())
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+
+    q1 = (
+        fim_transform(stream)
+        .writeStream.format("memory")
+        .queryName("fim_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fim"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    out_dir = str(tmp_path / "span_out")
+
+    def _apply_span(bdf, _bid):
+        span_corruption(bdf).write.mode("append").parquet(out_dir)
+
+    q2 = (
+        stream.writeStream.foreachBatch(_apply_span)
+        .option("checkpointLocation", str(tmp_path / "ckpt_span"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    got_fim = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM fim_stream").collect()
+    )
+    got_span = sorted(
+        tuple(r) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got_fim == batch_fim
+    assert got_span == batch_span
