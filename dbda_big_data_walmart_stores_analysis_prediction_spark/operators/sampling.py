@@ -488,3 +488,140 @@ def repeat_by_weight(
     return df.select("*", copies.alias(copy_col)).withColumn(
         copy_col, F.col(copy_col).cast("bigint")
     )
+
+
+def select_within_budget(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+    rank_col: str = "sel_rank",
+    cum_col: str = "cum_tokens",
+    flag_col: str = "selected",
+) -> DataFrame:
+    """Greedy data selection under a per-group token budget: within each
+    ``group_col`` stratum, rank rows best-score-first and mark a row
+    selected while the RUNNING token total (including the row itself)
+    stays within ``budget``. The "spend this many tokens per domain, on
+    the best data first" step of a data-constrained training recipe —
+    quality filtering gives a verdict per doc, this turns verdicts into a
+    corpus of a chosen size. Emits every input row (audit-friendly) with
+    ``rank_col`` (1-based greedy order), ``cum_col`` (running tokens) and
+    ``flag_col``; callers keep ``WHERE selected`` for the corpus.
+
+    Deterministic and oracle-portable: ordering is (score DESC NULLS
+    LAST, id ASC NULLS LAST, tokens DESC NULLS LAST) with an explicit
+    ROWS frame, so reruns and the SQL twin agree row-for-row; rows whose
+    running sum already passed the budget stay unselected even if a later
+    smaller doc would still fit (greedy-prefix, not knapsack — the
+    contract is "best docs first until the budget closes", which keeps
+    the selection a pure window function).
+
+    Scale shape: ONE exchange (hash partition on ``group_col``) + the
+    in-partition window sort — no global sort, no join, no UDF; a skewed
+    domain is one fat partition handled by AQE, and the selection scales
+    with the number of domains exactly like any grouped aggregate.
+    """
+    for need, what in (
+        (group_col, "group_col"),
+        (score_col, "score_col"),
+        (tokens_col, "tokens_col"),
+        (id_col, "id_col"),
+    ):
+        if need not in df.columns:
+            raise ValueError(
+                f"select_within_budget: {what} {need!r} is not a column of "
+                f"the input frame (has {df.columns})"
+            )
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    order = [
+        F.desc_nulls_last(score_col),
+        F.asc_nulls_last(id_col),
+        F.desc_nulls_last(tokens_col),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    cum = F.sum(tokens_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias(rank_col),
+        cum.cast("bigint").alias(cum_col),
+    ).withColumn(
+        flag_col, F.coalesce(F.col(cum_col) <= F.lit(int(budget)), F.lit(False))
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    train_pct: int = 96,
+    val_pct: int = 2,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: hash the doc's DEDUP CLUSTER representative, not the
+    doc id, so every member of a near-dup cluster lands in the same
+    split. Splitting by raw doc hash silently places a train doc's
+    near-copy in the eval set — the contamination the dedup family
+    exists to detect, reintroduced by the splitter; anchoring the draw
+    at the cluster level closes that hole by construction.
+
+    ``pairs`` is any near-dup pair frame (MinHash-LSH, SimHash, exact);
+    the cluster representative is the component min-id from
+    `operators.dedup.connected_components`, and unclustered docs are
+    their own representative. The split draw is the engine's salted-md5
+    Bernoulli on the representative (``md5(salt:rep) % 100`` against
+    ``train_pct`` / ``train_pct + val_pct``), so the assignment is a pure
+    function of (corpus, pairs, salt) — rerun-identical, SQL-replicable,
+    and stable under repartitioning. Null-id docs have a null
+    representative and fall to 'test' in both engines (CASE semantics on
+    a null bucket).
+
+    Returns ``(id, cluster_rep, split_bucket, split)`` for every input
+    doc. Scale shape: the corpus never shuffles — components are computed
+    on the pair graph only (clustered docs, a small fraction of the
+    corpus), then attached with one left equi-join that AQE turns into a
+    broadcast for real dedup graphs; the split itself is a codegen
+    projection.
+    """
+    if id_col not in docs.columns:
+        raise ValueError(
+            f"leakage_safe_split: id_col {id_col!r} is not a column of the "
+            f"docs frame (has {docs.columns})"
+        )
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(
+            f"invalid split percentages train={train_pct} val={val_pct}"
+        )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, src=src, dst=dst).select(
+        F.col("id").alias("__cc_id"), F.col("component").alias("__component")
+    )
+    joined = docs.join(comp, docs[id_col] == F.col("__cc_id"), "left")
+    rep = F.coalesce(F.col("__component"), F.col(id_col))
+    bucket = (
+        md5_int64(F.concat(F.lit(f"{salt}:"), rep.cast("string"))) % 100
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            rep.alias("cluster_rep"),
+            bucket.cast("bigint").alias("split_bucket"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("split_bucket") < train_pct, "train")
+            .when(F.col("split_bucket") < train_pct + val_pct, "val")
+            .otherwise("test"),
+        )
+    )
