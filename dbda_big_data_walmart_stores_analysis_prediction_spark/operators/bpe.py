@@ -98,6 +98,15 @@ def train_bpe(
     from collections import defaultdict
 
     spark = df.sparkSession
+    # Eager column contract (the pack_sequences convention), checked BEFORE
+    # the zero-merge short-circuit: a wrong text_col must fail here with
+    # the contract spelled out even on the fast path, not surface later as
+    # a silently-empty encode.
+    if text_col not in df.columns:
+        raise ValueError(
+            f"train_bpe: text_col {text_col!r} is not a column of the "
+            f"input frame (has {df.columns})"
+        )
     schema = (
         "merge_rank int, left string, right string, new_symbol string, "
         "pair_count bigint"

@@ -289,7 +289,11 @@ def pack_sequences_ffd(
     open-bins) worst case — ``n_shards`` is the lever that bounds both
     the per-task memory (one shard's (id, count) pairs, ~16 bytes/doc)
     and the quadratic term; size it so shards hold ~1e5-1e6 docs.
-    Null-text / null-count docs pack as 0 tokens; null ids sort last.
+    Null-text / null-count docs pack as 0 tokens LITERALLY: the count
+    is coalesced to 0 before the in-shard ordering (they rank with the
+    genuine 0-token docs, no NaN-last special case) and the output
+    ``n_tokens`` is 0, not null. Null ids sort last within their ties
+    and land in their own null shard.
     """
     base = _sharded_counts(df, id_col, text_col, tokens_col, n_shards, salt)
     id_field = next(f for f in base.schema.fields if f.name == id_col)
@@ -303,9 +307,14 @@ def pack_sequences_ffd(
     )
 
     def _ffd(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values(
+        # Null counts ARE 0 tokens, end to end: coalesce BEFORE the sort
+        # (so null-count docs interleave with genuine 0-token docs under
+        # one rule — count desc, hash, id — instead of a NaN-last special
+        # case) and in the OUTPUT (the doc packed as 0; emitting null
+        # while charging 0 would make the manifest arithmetic lie).
+        pdf = pdf.assign(
+            n_tokens=pdf["n_tokens"].fillna(0).astype("int64")
+        ).sort_values(
             ["n_tokens", "__h", id_col],
             ascending=[False, True, True],
             na_position="last",
@@ -313,7 +322,7 @@ def pack_sequences_ffd(
         residual: list[int] = []
         bin_ids: list[int] = []
         for nt in pdf["n_tokens"]:
-            n = 0 if pd.isna(nt) else int(nt)
+            n = int(nt)
             placed = -1
             for i, r in enumerate(residual):
                 if r >= n:

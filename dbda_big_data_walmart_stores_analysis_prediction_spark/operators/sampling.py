@@ -517,7 +517,13 @@ def select_within_budget(
     running sum already passed the budget stay unselected even if a later
     smaller doc would still fit (greedy-prefix, not knapsack — the
     contract is "best docs first until the budget closes", which keeps
-    the selection a pure window function).
+    the selection a pure window function). Null token counts consume 0
+    budget — they are coalesced to 0 INSIDE the running sum, so a
+    null-token row is selected iff the running total at its position
+    fits, regardless of whether it heads its group or sits mid-stream
+    (without the coalesce a group-leading null would poison the whole
+    prefix into NULL cum / unselected while a mid-group null sailed
+    through — two outcomes for the same null).
 
     Scale shape: ONE exchange (hash partition on ``group_col``) + the
     in-partition window sort — no global sort, no join, no UDF; a skewed
@@ -543,16 +549,14 @@ def select_within_budget(
         F.desc_nulls_last(tokens_col),
     ]
     w = Window.partitionBy(group_col).orderBy(*order)
-    cum = F.sum(tokens_col).over(
+    cum = F.sum(F.coalesce(F.col(tokens_col), F.lit(0))).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.select(
         "*",
         F.row_number().over(w).cast("bigint").alias(rank_col),
         cum.cast("bigint").alias(cum_col),
-    ).withColumn(
-        flag_col, F.coalesce(F.col(cum_col) <= F.lit(int(budget)), F.lit(False))
-    )
+    ).withColumn(flag_col, F.col(cum_col) <= F.lit(int(budget)))
 
 
 def leakage_safe_split(

@@ -3891,3 +3891,105 @@ def q106_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_sequences_ffd(docs, "doc_id", "text", budget=512, n_shards=32)
+
+
+@_register(
+    "q109_budget_selection",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS LAST,
+                   n_tokens DESC NULLS LAST)::BIGINT AS sel_rank,
+        sum(coalesce(n_tokens, 0)) OVER (
+          PARTITION BY source
+          ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS LAST,
+                   n_tokens DESC NULLS LAST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+          AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_chars, n_tokens, sel_rank, cum_tokens,
+           cum_tokens <= 800 AS selected
+    FROM r
+    """,
+)
+def q109_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-domain token-budget selection (operators/sampling.py::
+    select_within_budget): within each source, rank docs largest-first
+    (n_chars as the quality proxy) and select while the running token
+    total fits an 800-token budget — the "spend N tokens per domain on
+    the best data first" step of a data-constrained recipe. Every row is
+    emitted with its rank, running total, and selection flag (audit
+    form); one exchange on the group key, window-only."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        select_within_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return select_within_budget(
+        docs, "source", "n_chars", "n_tokens", "doc_id", budget=800
+    )
+
+
+# q110's oracle reuses the REGISTERED q55 SQL verbatim up to its `comp`
+# CTE (MinHash-LSH pairs closed with the recursive-CTE fixpoint) and only
+# swaps the final projection for the split assignment — the q70/q98/q105
+# one-source-of-truth splice, so the cluster semantics cannot drift from
+# the dedup oracle they anchor.
+_Q55_TAIL = "SELECT component AS keep_id"
+_q55_sql = ORACLE_SQL["q55_dedup_clusters"]
+assert _Q55_TAIL in _q55_sql, (
+    "q55 oracle no longer ends at its keep_id projection — re-derive the "
+    "q110 split splice"
+)
+_Q110_SQL = _q55_sql[: _q55_sql.index(_Q55_TAIL)] + f""",
+    rep AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    buck AS (
+      SELECT doc_id, cluster_rep,
+        ({_SQL_HEX.format(x="'split:' || CAST(cluster_rep AS VARCHAR)")}
+         % 100)::BIGINT AS split_bucket
+      FROM rep
+    )
+    SELECT doc_id, cluster_rep, split_bucket,
+      CASE WHEN split_bucket < 96 THEN 'train'
+           WHEN split_bucket < 98 THEN 'val'
+           ELSE 'test' END AS split
+    FROM buck
+    """
+
+
+@_register("q110_leakage_safe_split", _Q110_SQL)
+def q110_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-safe train/val/test assignment (operators/sampling.py::
+    leakage_safe_split): the split draw hashes each doc's DEDUP CLUSTER
+    representative (q55's MinHash-LSH components; unclustered docs
+    represent themselves), so every member of a near-dup cluster lands
+    in the same split and a train doc's near-copy can never leak into
+    eval — the contamination the dedup family detects, prevented at the
+    splitter by construction. 96/2/2 via md5(salt:rep) % 100."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
+    return leakage_safe_split(
+        docs, pairs, id_col="doc_id", train_pct=96, val_pct=2, salt="split"
+    )

@@ -1868,7 +1868,19 @@ def test_ffd_packing_pinned_by_naive_reference(spark):
     import hashlib
 
     budget, n_shards = 256, 4
-    docs = _docs(spark).select("doc_id", "text")
+    # null-text and null-id docs ride along so the documented null
+    # contract (null counts pack as LITERAL 0 tokens; null ids land in
+    # their own null shard) is exercised, not coincidental
+    docs = (
+        _docs(spark)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(90001, None), (None, "tail doc with a null id")],
+                "doc_id long, text string",
+            )
+        )
+    )
     # the engine counts regex-split tokens (split keeps the '' token of an
     # empty/boundary string, unlike str.split()); recompute exactly so
     import re as _re
@@ -1878,23 +1890,34 @@ def test_ffd_packing_pinned_by_naive_reference(spark):
             r["doc_id"],
             len(_re.split(r"\s+", r["text"].strip()))
             if r["text"] is not None
-            else None,
+            else 0,  # the twin's null rule: null counts ARE 0 tokens
         )
         for r in docs.collect()
     ]
 
     def h(doc_id):
+        # a null id hashes to null in the engine (concat-null absorbs),
+        # landing in its own null shard; the twin mirrors with None
+        if doc_id is None:
+            return None
         return int(hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()[:15], 16)
 
     expected = {}
     by_shard = collections.defaultdict(list)
     for d, n in src:
-        by_shard[h(d) % n_shards].append((d, n))
+        hv = h(d)
+        by_shard[hv % n_shards if hv is not None else None].append((d, n))
     for shard, members in by_shard.items():
-        members.sort(key=lambda x: (-(x[1] or 0), h(x[0]), x[0]))
+        members.sort(
+            key=lambda x: (
+                -x[1],
+                x[0] is None,  # null id sorts last within its ties
+                h(x[0]) if x[0] is not None else 0,
+                x[0] if x[0] is not None else 0,
+            )
+        )
         residual = []
         for d, n in members:
-            n = n or 0
             placed = -1
             for i, r in enumerate(residual):
                 if r >= n:
@@ -1911,8 +1934,13 @@ def test_ffd_packing_pinned_by_naive_reference(spark):
     assert len(out) == len(src)  # every doc assigned exactly once
     bin_load = collections.Counter()
     for r in out:
+        assert r["n_tokens"] is not None  # null counts emit LITERAL 0
         assert (r["shard"], r["bin_id"]) == expected[r["doc_id"]], r
         bin_load[(r["shard"], r["bin_id"])] += r["n_tokens"]
+    # the null-TEXT doc packs as LITERAL 0; the null-ID doc keeps its
+    # real count, parked in the null shard
+    assert {r["n_tokens"] for r in out if r["doc_id"] == 90001} == {0}
+    assert {r["n_tokens"] for r in out if r["doc_id"] is None} == {6}
     # strict capacity: only single-doc bins may exceed the budget
     n_docs_per_bin = collections.Counter(
         (r["shard"], r["bin_id"]) for r in out
@@ -1926,7 +1954,7 @@ def test_ffd_packing_pinned_by_naive_reference(spark):
             docs, "doc_id", "text", budget=budget, n_shards=n_shards
         ).collect()
     }
-    assert again == expected
+    assert again == {d: sb for d, sb in expected.items()}
 
 
 def test_repeat_by_weight_eager_column_contract(spark):
@@ -1942,3 +1970,155 @@ def test_repeat_by_weight_eager_column_contract(spark):
         repeat_by_weight(docs, "source", {}, "gone")
     with pytest.raises(ValueError, match="copy_col 'source' already"):
         repeat_by_weight(docs, "source", {}, "doc_id", copy_col="source")
+
+
+def test_select_within_budget_pinned_by_naive_reference(spark):
+    """select_within_budget recomputed by a pure-Python twin over a
+    fixture that hits every null seam the contract documents: null score
+    (ranks last), null tokens heading a group AND mid-group (both consume
+    0 budget — the same rule, pinned), null id, and a group whose first
+    doc alone overflows the budget (greedy-prefix: later smaller docs
+    stay unselected)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        select_within_budget,
+    )
+    import pytest
+
+    rows = [
+        # group a: plain descending-score pack, budget closes mid-group
+        ("a", 1, 9.0, 60),
+        ("a", 2, 8.0, 30),
+        ("a", 3, 7.0, 20),
+        ("a", 4, 6.0, 5),
+        # group b: best doc has NULL tokens (group-leading null: free),
+        # then a mid-group null, then real docs
+        ("b", 5, 9.0, None),
+        ("b", 6, 8.0, 70),
+        ("b", 7, 7.5, None),
+        ("b", 8, 7.0, 40),
+        # group c: first doc alone overflows -> nothing after it fits
+        # (greedy-prefix, not knapsack), null score ranks last, null id
+        # ranks after real ids at the same score
+        ("c", 9, 9.0, 150),
+        ("c", 10, 8.0, 10),
+        ("c", None, 8.0, 10),
+        ("c", 11, None, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, id long, score double, toks long"
+    )
+    budget = 100
+
+    def key(r):
+        g, i, s, t = r
+        return (
+            s is None, -(s or 0.0),          # score DESC NULLS LAST
+            i is None, i if i is not None else 0,  # id ASC NULLS LAST
+            t is None, -(t or 0),            # tokens DESC NULLS LAST
+        )
+
+    expected = {}
+    for g in ("a", "b", "c"):
+        cum = 0
+        for rank, r in enumerate(
+            sorted((r for r in rows if r[0] == g), key=key), start=1
+        ):
+            cum += r[3] or 0  # null tokens consume 0 budget
+            expected[(g, r[1])] = (rank, cum, cum <= budget)
+
+    out = select_within_budget(
+        df, "grp", "score", "toks", "id", budget=budget
+    ).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert (
+            r["sel_rank"],
+            r["cum_tokens"],
+            r["selected"],
+        ) == expected[(r["grp"], r["id"])], r
+    # the two documented null-token outcomes agree: both selected iff the
+    # running total fits, group-leading and mid-group alike
+    got = {r["id"]: r["selected"] for r in out}
+    assert got[5] is True and got[7] is True
+    # greedy-prefix: group c's overflow head blocks everything after
+    assert [got[9], got[10], got[None], got[11]] == [False, False, False, False]
+
+    with pytest.raises(ValueError, match="score_col 'nope'"):
+        select_within_budget(df, "grp", "nope", "toks", "id", budget=1)
+    with pytest.raises(ValueError, match="budget must be > 0"):
+        select_within_budget(df, "grp", "score", "toks", "id", budget=0)
+
+
+def test_leakage_safe_split_pinned_by_naive_reference(spark):
+    """leakage_safe_split recomputed by a hashlib + union-find twin: every
+    member of a near-dup cluster gets the CLUSTER MIN's split bucket
+    (the anti-leakage invariant), unclustered docs draw on their own id,
+    and a null-id doc falls to 'test' (null bucket, CASE semantics)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    import hashlib
+
+    doc_ids = [1, 2, 3, 4, 5, 6, 7, 8, 9, None]
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in doc_ids], "doc_id long, text string"
+    )
+    # two clusters {1,2,3} (chained: 1-2, 2-3) and {7,8}; 4,5,6,9 alone
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+
+    parent = {i: i for i in doc_ids if i is not None}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in [(1, 2), (2, 3), (7, 8)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    def bucket(rep):
+        h = int(hashlib.md5(f"split:{rep}".encode()).hexdigest()[:15], 16)
+        return h % 100
+
+    expected = {}
+    for i in doc_ids:
+        if i is None:
+            expected[i] = (None, None, "test")
+            continue
+        rep = find(i)
+        b = bucket(rep)
+        split = "train" if b < 96 else ("val" if b < 98 else "test")
+        expected[i] = (rep, b, split)
+
+    out = leakage_safe_split(docs, pairs, train_pct=96, val_pct=2).collect()
+    assert len(out) == len(doc_ids)
+    for r in out:
+        assert (
+            r["cluster_rep"],
+            r["split_bucket"],
+            r["split"],
+        ) == expected[r["doc_id"]], r
+    # the invariant itself: clusters never straddle splits
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[7] == by_id[8]
+
+
+def test_train_bpe_eager_text_col_contract(spark):
+    """The n_merges<=0 fast path must validate text_col BEFORE returning
+    the empty merge table — a wrong column fails here, not as a silently
+    empty downstream encode."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        train_bpe,
+    )
+    import pytest
+
+    docs = _docs(spark).select("doc_id", "text")
+    with pytest.raises(ValueError, match="text_col 'nope'"):
+        train_bpe(docs, "nope", n_merges=0)
+    with pytest.raises(ValueError, match="text_col 'gone'"):
+        train_bpe(docs, "gone", n_merges=5)
