@@ -84,26 +84,34 @@ def _check_rotation(
     under ``python -O`` and the old one was nearly vacuous — it only
     inspected the fronted list, never the final ordering).
 
-    Invariant: no oracled query past the driver cap may be STALER (smaller
-    last-verified round; never-verified = 0) than any oracled query inside
-    the cap. That is exactly "least-recently-verified runs first" observed
-    at the only boundary that matters, it fires the moment an ordering
-    regression lands (not two rounds later once starvation shows), and it
-    degrades correctly in a fresh clone where every entry ties at round 0
-    and overflow past the cap is unavoidable. Guarantees no oracled query
-    goes ≥2 rounds without a driver row while the 50-slot cap covers only
-    part of the registry (see ``len(QUERIES)`` — counts in prose go stale).
+    Invariant: no query — oracled OR rows-only — past the driver cap may
+    be STALER (smaller last-verified round; never-verified = 0) than any
+    query inside the cap. That is exactly "least-recently-verified runs
+    first" observed at the only boundary that matters, it fires the
+    moment an ordering regression lands (not two rounds later once
+    starvation shows), and it degrades correctly in a fresh clone where
+    every entry ties at round 0 and overflow past the cap is
+    unavoidable. Guarantees NO query goes ≥2 rounds without a driver row
+    while the 50-slot cap covers only part of the registry (see
+    ``len(QUERIES)`` — counts in prose go stale). Round 10's verdict
+    showed why rows-only entries need the guard too: the old
+    oracled-only form let six clean rows-only entries sit at the
+    registry's 2-round staleness maximum with nothing pinning their
+    return — same-round oracled-first tie-breaks remain legal (strict
+    round comparison only), but a strictly staler entry past the cap is
+    now an error regardless of its check class.
     """
-    in_cap = [k for k in ordered[:DRIVER_QUERY_CAP] if k in oracled]
-    freshest_in_cap = max((last.get(k, 0) for k in in_cap), default=0)
+    freshest_in_cap = max(
+        (last.get(k, 0) for k in ordered[:DRIVER_QUERY_CAP]), default=0
+    )
     starved = [
         k
         for k in ordered[DRIVER_QUERY_CAP:]
-        if k in oracled and last.get(k, 0) < freshest_in_cap
+        if last.get(k, 0) < freshest_in_cap
     ]
     if starved:
         raise RuntimeError(
-            f"oracled queries {starved!r} ordered past the driver cap "
+            f"queries {starved!r} ordered past the driver cap "
             f"{DRIVER_QUERY_CAP} while fresher entries (verified round "
             f"{freshest_in_cap}) hold in-cap slots; the "
             "least-recently-verified rotation is broken"

@@ -3526,13 +3526,14 @@ def _tok_capstone_sql(n_tokens_case: str, salt: str) -> str:
     )
 
 
-_Q98_SQL = _tok_capstone_sql(
-    """CASE WHEN t IS NULL OR t = '' THEN 0
+# The zero-merge BPE count over a normalized text alias ``t`` (chars +
+# </w> per word) — shared by q98 and the q107 recipe-v2 splice.
+_SQL_BPE0_COUNT = """CASE WHEN t IS NULL OR t = '' THEN 0
               ELSE length(replace(t, ' ', ''))
                    + len(list_filter(string_split(t, ' '), x -> x <> ''))
-         END""",
-    "tokpack",
-)
+         END"""
+
+_Q98_SQL = _tok_capstone_sql(_SQL_BPE0_COUNT, "tokpack")
 
 
 @_register("q98_tokenizer_capstone", _Q98_SQL)
@@ -3714,35 +3715,47 @@ def q102_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "q103_fim_transform",
-    r"""
-    WITH f AS (
-      SELECT doc_id, text, length(text) AS n,
-        ('0x' || substring(md5('fim:sel:' || doc_id::VARCHAR), 1, 15))::BIGINT
+# Shared FIM oracle fragments — ONE source of truth for q103 and the
+# q107/q108 recipe-v2 splice: the selection/cut CTE pair (parameterized
+# on the id column and source relation; a VARCHAR id's ::VARCHAR cast is
+# a no-op) and the PSM reassembly CASE over (text, n, sel, lo, hi).
+def _sql_fim_ctes(idc: str, src: str, p: str = "f") -> str:
+    return f"""{p}0 AS (
+      SELECT {idc}, text, length(text) AS n,
+        ('0x' || substring(md5('fim:sel:' || {idc}::VARCHAR), 1, 15))::BIGINT
           AS hs,
-        ('0x' || substring(md5('fim:c1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        ('0x' || substring(md5('fim:c1:' || {idc}::VARCHAR), 1, 15))::BIGINT
           AS h1,
-        ('0x' || substring(md5('fim:c2:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        ('0x' || substring(md5('fim:c2:' || {idc}::VARCHAR), 1, 15))::BIGINT
           AS h2
-      FROM documents
+      FROM {src}
     ),
-    c AS (
-      SELECT doc_id, text, n,
+    {p}1 AS (
+      SELECT {idc}, text, n,
         coalesce(text IS NOT NULL AND n >= 40 AND hs % 2 = 0, FALSE) AS sel,
         least(h1 % (n + 1), h2 % (n + 1))    AS lo,
         greatest(h1 % (n + 1), h2 % (n + 1)) AS hi
-      FROM f
-    )
-    SELECT doc_id,
-      CASE WHEN sel
+      FROM {p}0
+    )"""
+
+
+_SQL_FIM_CASE = """CASE WHEN sel
            THEN '<PRE>' || substr(text, 1, lo)
                 || '<SUF>' || substr(text, hi + 1, n - hi)
                 || '<MID>' || substr(text, lo + 1, hi - lo)
-           ELSE text END AS fim_text,
+           ELSE text END"""
+
+
+@_register(
+    "q103_fim_transform",
+    "\n    WITH "
+    + _sql_fim_ctes("doc_id", "documents")
+    + f"""
+    SELECT doc_id,
+      {_SQL_FIM_CASE} AS fim_text,
       sel AS is_fim,
       (CASE WHEN sel THEN hi - lo ELSE 0 END)::BIGINT AS n_middle_chars
-    FROM c
+    FROM f1
     """,
 )
 def q103_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3762,29 +3775,49 @@ def q103_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "q104_epoch_repeat_mix",
-    r"""
-    WITH w AS (
-      SELECT doc_id, text, lang, source, n_chars,
-        CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
-                    WHEN 'src2' THEN 0 WHEN 'src3' THEN 1
-                    ELSE 1 END AS base,
-        CASE source WHEN 'src0' THEN 400000 WHEN 'src1' THEN 0
-                    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 750000
-                    ELSE 0 END AS thr
-      FROM documents
+# The shared epoch recipe (q104 and the q107/q108 recipe-v2 splice draw
+# CASE arms AND the Spark-side weights dict from this one table, so the
+# oracle cannot drift from the registered operator call).
+_RECIPE_EPOCH_WEIGHTS = {"src0": 3.4, "src1": 2.0, "src2": 0.25, "src3": 1.75}
+
+
+def _sql_epoch_ctes(src: str, p: str = "e") -> str:
+    """repeat_by_weight's driver-side weight resolution re-expressed in
+    SQL (base copies + millionths threshold per stratum, default weight
+    1.0), parameterized on the source relation; arm values are generated
+    from ``_RECIPE_EPOCH_WEIGHTS`` exactly as ``repeat_by_weight._split``
+    resolves them (6-dp millionths)."""
+    base_arms = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * 1_000_000)) // 1_000_000}"
+        for k, v in sorted(_RECIPE_EPOCH_WEIGHTS.items())
+    )
+    thr_arms = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * 1_000_000)) % 1_000_000}"
+        for k, v in sorted(_RECIPE_EPOCH_WEIGHTS.items())
+    )
+    return f"""{p}0 AS (
+      SELECT *,
+        CASE source {base_arms} ELSE 1 END AS base,
+        CASE source {thr_arms} ELSE 0 END AS thr
+      FROM {src}
     ),
-    n AS (
+    {p}1 AS (
       SELECT *, base + CASE WHEN coalesce(
                ('0x' || substring(md5('epoch:' || doc_id::VARCHAR), 1, 15))
                  ::BIGINT % 1000000 < thr, FALSE)
              THEN 1 ELSE 0 END AS nc
-      FROM w
-    )
+      FROM {p}0
+    )"""
+
+
+@_register(
+    "q104_epoch_repeat_mix",
+    "\n    WITH "
+    + _sql_epoch_ctes("documents")
+    + """
     SELECT doc_id, text, lang, source, n_chars,
            unnest(range(0, nc))::BIGINT AS copy_id
-    FROM n
+    FROM e1
     """,
 )
 def q104_epoch_repeat_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3804,7 +3837,7 @@ def q104_epoch_repeat_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeat_by_weight(
         docs,
         "source",
-        {"src0": 3.4, "src1": 2.0, "src2": 0.25, "src3": 1.75},
+        _RECIPE_EPOCH_WEIGHTS,
         "doc_id",
         default_weight=1.0,
         salt="epoch",
@@ -3992,4 +4025,171 @@ def q110_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
     return leakage_safe_split(
         docs, pairs, id_col="doc_id", train_pct=96, val_pct=2, salt="split"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recipe v2 capstone (plans/recipe.py): the round-9/10 families composed
+# ---------------------------------------------------------------------------
+
+# q107's oracle is assembled ENTIRELY from already-registered fragments
+# (the q70/q98/q105 one-source-of-truth discipline): the q98 clean
+# prefix (spliced from the registered q56 SQL), the q68 eval-set +
+# 13-gram shingle shapes (_SQL_SHINGLES13/_SQL_NORM), the q104 epoch
+# CTEs (_sql_epoch_ctes — CASE arms generated from the SAME weights dict
+# the Spark call uses), the q103 FIM CTEs + reassembly CASE
+# (_sql_fim_ctes/_SQL_FIM_CASE), the q98 zero-merge count
+# (_SQL_BPE0_COUNT), and the q63/q105 packing + manifest arithmetic.
+_Q107_SQL = (
+    _Q98_CLEAN_PREFIX
+    + f""",
+    ev AS (
+      SELECT doc_id + 300000 AS doc_id,
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:33], ' ') AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    dnt AS (SELECT doc_id, {_SQL_NORM} AS t FROM exact),
+    dwt AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM dnt),
+    dsht AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh FROM dwt),
+    den AS (SELECT doc_id, {_SQL_NORM} AS t FROM ev),
+    dwe AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM den),
+    dshe AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh FROM dwe),
+    dflag AS (SELECT DISTINCT t.doc FROM dsht t JOIN dshe e ON t.sh = e.sh),
+    safe AS (
+      SELECT e.doc_id, e.text, d.source
+      FROM exact e JOIN documents d ON d.doc_id = e.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM dflag f WHERE f.doc = e.doc_id)
+    ),
+    """
+    + _sql_epoch_ctes("safe")
+    + """,
+    rcopies AS (SELECT doc_id, text, unnest(range(0, nc)) AS copy_id FROM e1),
+    units AS (
+      SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(copy_id AS VARCHAR)
+               AS unit_id,
+             text
+      FROM rcopies
+    ),
+    """
+    + _sql_fim_ctes("unit_id", "units")
+    + f""",
+    rfim AS (SELECT unit_id, {_SQL_FIM_CASE} AS fim_text FROM f1),
+    rtn AS (SELECT unit_id,
+                   regexp_replace(lower(trim(fim_text)), '\\s+', ' ', 'g') AS t
+            FROM rfim),
+    rtc AS (SELECT unit_id, ({_SQL_BPE0_COUNT})::BIGINT AS n_tokens FROM rtn),
+    rpb AS (SELECT unit_id, n_tokens,
+                   {_SQL_HEX.format(x="'rv2pack:' || unit_id")} AS hv
+            FROM rtc),
+    rpp AS (SELECT unit_id, (hv % 8)::BIGINT AS shard, n_tokens, hv,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY hv % 8
+                       ORDER BY hv, unit_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS prior
+            FROM rpb),
+    rr AS (SELECT unit_id, shard, (prior // 2048)::BIGINT AS bin_id,
+                  n_tokens, hv, prior
+           FROM rpp),
+    rm AS (SELECT *,
+                  prior - min(prior) OVER (PARTITION BY shard, bin_id) AS off
+           FROM rr)
+    SELECT shard, bin_id,
+      count(*)::BIGINT AS n_docs,
+      sum(n_tokens)::BIGINT AS bin_tokens,
+      string_agg(coalesce(unit_id, '?'), ',' ORDER BY hv, unit_id) AS doc_ids,
+      string_agg(coalesce(off::VARCHAR, '?'), ',' ORDER BY hv, unit_id)
+        AS doc_offsets
+    FROM rm GROUP BY shard, bin_id
+    """
+)
+
+
+def _recipe_eval(docs: DataFrame) -> DataFrame:
+    """The q68 simulated benchmark set: a 30-word window from every 13th
+    doc, re-idded clear of the corpus range — shared by q107/q108."""
+    return docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
+        ).alias("text"),
+    )
+
+
+@_register("q107_recipe_v2_capstone", _Q107_SQL)
+def q107_recipe_v2_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recipe-v2 capstone (plans/recipe.py::recipe_v2): q56-clean
+    corpus → 13-gram decontamination against the q68 eval set →
+    q104-weighted epoch upsampling (composite ``id#copy`` units) → FIM
+    objective rewrite per unit → zero-merge tokenize of the
+    POST-objective text → contiguous packing on the encoder's counts →
+    per-bin loading manifest. Every stage hand-off the round-9/10
+    operator families introduced, hash-checked end to end at the
+    zero-merge point (the q98 argument: chars + </w> per word makes the
+    encoder's real accounting SQL-replicable); q108 is the same
+    composition at a trained merge budget with the artifact round-trip
+    and FFD packing, twin-pinned."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.recipe import (
+        recipe_v2,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mani = recipe_v2(
+        docs,
+        _recipe_eval(docs),
+        weights=_RECIPE_EPOCH_WEIGHTS,
+        n_merges=0,
+        budget=2048,
+        n_shards=8,
+        pack_salt="rv2pack",
+        packer="contiguous",
+        emit="manifest",
+    )
+
+    def _joined(col: str):
+        return F.array_join(
+            F.transform(F.col(col), lambda x: x.cast("string")), ",", "?"
+        )
+
+    return mani.select(
+        "shard",
+        "bin_id",
+        "n_docs",
+        "bin_tokens",
+        _joined("doc_ids").alias("doc_ids"),
+        _joined("doc_offsets").alias("doc_offsets"),
+    )
+
+
+@_register("q108_recipe_v2_trained")  # rows-only: merge loop + FFD
+def q108_recipe_v2_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's composition at the shipped-tokenizer configuration:
+    trained merges (``n_merges=60``) round-tripped through the S5
+    artifact sink/source (`save_tokenizer_artifact` →
+    `load_tokenizer_artifact` → `encode_with_artifact`), strict-capacity
+    FFD packing on the trained encoder's accounting of the FIM-rewritten
+    units. The merge loop and the first-fit loop have no SQL twin (the
+    q99/q106 solver-round class), so the driver records rows-only; the
+    semantics are pinned exactly at small scale by
+    tests/test_northstar.py::test_recipe_v2_pinned_by_naive_reference
+    and the distributed stages are oracled as q107 (end to end at the
+    zero-merge point), q68, q103, q104, q88, and q106's twin."""
+    import tempfile
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.recipe import (
+        recipe_v2,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    artifact = tempfile.mkdtemp(prefix="rv2_tok_") + "/bpe_artifact"
+    return recipe_v2(
+        docs,
+        _recipe_eval(docs),
+        weights=_RECIPE_EPOCH_WEIGHTS,
+        n_merges=60,
+        budget=2048,
+        n_shards=8,
+        pack_salt="rv2pack",
+        packer="ffd",
+        emit="assignment",
+        artifact_path=artifact,
     )

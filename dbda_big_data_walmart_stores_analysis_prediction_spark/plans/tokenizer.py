@@ -89,19 +89,24 @@ def _clean_corpus(
     text_col: str,
     min_quality: float,
     keep_langs: tuple[str, ...],
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Stages 1-2, shared by both tokenizer families: q56-configuration
-    quality + language gates, exact dedup, and the lazy checkpoint at the
-    two-consumer boundary (the trainer's aggregate materializes it; the
-    encoder's scan reads the checkpoint instead of re-running the scoring
-    regex lineage)."""
+    """Stages 1-2, shared by both tokenizer families (and the recipe-v2
+    capstone): q56-configuration quality + language gates, exact dedup,
+    and the lazy checkpoint at the two-consumer boundary (the trainer's
+    aggregate materializes it; the encoder's scan reads the checkpoint
+    instead of re-running the scoring regex lineage). ``keep_cols`` ride
+    through untouched (every stage is "*"-additive and `dedup_exact`
+    preserves its input columns) — the recipe-v2 composition needs the
+    source stratum for its epoch mix."""
     scored = language_id(
-        add_text_features(docs.select(id_col, text_col), text_col), text_col
+        add_text_features(docs.select(id_col, text_col, *keep_cols), text_col),
+        text_col,
     )
     filtered = scored.where(
         (F.col("quality_score") >= min_quality)
         & F.col("lang_pred").isin(*keep_langs)
-    ).select(id_col, text_col)
+    ).select(id_col, text_col, *keep_cols)
     return dd.dedup_exact(filtered, id_col, text_col).localCheckpoint(
         eager=False
     )

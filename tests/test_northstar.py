@@ -2122,3 +2122,226 @@ def test_train_bpe_eager_text_col_contract(spark):
         train_bpe(docs, "nope", n_merges=0)
     with pytest.raises(ValueError, match="text_col 'gone'"):
         train_bpe(docs, "gone", n_merges=5)
+
+
+def test_recipe_v2_pinned_by_naive_reference(spark, tmp_path):
+    """The q108 pin test: ``recipe_v2`` at a trained merge budget with
+    the artifact round-trip and FFD packing, recomputed end to end by a
+    from-scratch pure-Python twin (hand-derived clean gates, whole-text
+    partial-shingle decontamination, hashlib epoch draws, string-slicing
+    FIM, naive-recount BPE training, training-order encoding, hashlib
+    FFD shards). Pins exactly the seams only the composition exercises:
+    the composite ``id#copy`` unit identity flowing through the FIM
+    selection AND the pack hashes (copies of one doc diverge), the
+    tokenizer trained on the DECONTAMINATED pre-mix corpus but applied
+    to the POST-objective text, and packing on the trained encoder's
+    accounting of that rewritten text — through a parquet artifact
+    round-trip."""
+    import hashlib
+    from collections import Counter
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.recipe import (
+        recipe_v2,
+    )
+
+    docs_rows = [
+        (1, "the low low low lower newest", "wiki"),
+        (2, "that widest newest low and lower lowest", "wiki"),
+        # contaminated: the eval item below carries its exact text
+        (3, "of newest newest low lower to the widest", "web"),
+        # exact dup of doc 1 after normalization -> dedup drops it
+        (4, "  The LOW   low LOW lower   NEWEST ", "web"),
+        (5, "9999 1234 5678 42", "wiki"),  # lang 'und' -> gated
+        (6, "the ! ? ; # . , -", "web"),  # quality gate
+        (7, "the lowest newest widest and low lower of to that", "books"),
+        (
+            8,
+            "and the low lower lowest of newest to widest that is it for in",
+            "web",
+        ),
+    ]
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string, source string")
+    ev = spark.createDataFrame(
+        [(1001, "of newest newest low lower to the widest")],
+        "doc_id long, text string",
+    )
+    weights = {"wiki": 2.5, "web": 0.5, "books": 1.25}
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def norm(t):
+        return " ".join(t.strip().lower().split())
+
+    # clean gates hand-derived (q99-twin fixture rules): 4 dups away,
+    # 5/6 gated, the rest survive
+    survivors = {i: norm(t) for i, t, _ in docs_rows if i in (1, 2, 3, 7, 8)}
+    src_of = {i: s for i, _, s in docs_rows}
+
+    # 13-gram decontamination with the partial-shingle rule
+    def grams13(t):
+        w = t.split(" ")
+        if len(w) < 13:
+            return {t}
+        return {" ".join(w[i : i + 13]) for i in range(len(w) - 12)}
+
+    ev_grams = grams13(norm("of newest newest low lower to the widest"))
+    flagged = {i for i, t in survivors.items() if grams13(t) & ev_grams}
+    assert flagged == {3}
+    safe = {i: t for i, t in survivors.items() if i not in flagged}
+    assert set(safe) == {1, 2, 7, 8}
+
+    # epoch draws: base + md5-Bernoulli fractional copy, 6-dp millionths
+    units = {}
+    for i, t in safe.items():
+        m = round(weights.get(src_of[i], 1.0) * 1_000_000)
+        nc = m // 1_000_000 + (1 if md5i(f"epoch:{i}") % 1_000_000 < m % 1_000_000 else 0)
+        for c in range(nc):
+            units[f"{i}#{c}"] = (i, t)
+    assert len(units) > len(safe)  # at least one doc really upsampled
+
+    # FIM per unit over the ORIGINAL text (clean preserves raw text)
+    raw_of = {i: t for i, t, _ in docs_rows}
+    min_chars, rate_denom = 20, 2
+    fim_texts = {}
+    n_sel = 0
+    for uid, (i, _) in units.items():
+        t = raw_of[i]
+        n = len(t)
+        sel = n >= min_chars and md5i(f"fim:sel:{uid}") % rate_denom == 0
+        if sel:
+            c1, c2 = md5i(f"fim:c1:{uid}") % (n + 1), md5i(f"fim:c2:{uid}") % (n + 1)
+            lo, hi = min(c1, c2), max(c1, c2)
+            fim_texts[uid] = (
+                "<PRE>" + t[:lo] + "<SUF>" + t[hi:] + "<MID>" + t[lo:hi]
+            )
+            n_sel += 1
+        else:
+            fim_texts[uid] = t
+    assert 0 < n_sel < len(units)  # both branches live
+
+    # naive-recount BPE training on the SAFE corpus's normalized words
+    END = "</w>"
+    wc = Counter(w for t in safe.values() for w in t.split(" "))
+
+    def naive_train(word_counts, n_merges, min_pair_count):
+        vocab = [[tuple(w) + (END,), c] for w, c in sorted(word_counts.items())]
+        merges = []
+        for rank in range(n_merges):
+            pairs = Counter()
+            for syms, c in vocab:
+                for p in zip(syms, syms[1:]):
+                    pairs[p] += c
+            if not pairs:
+                break
+            top = max(pairs.values())
+            if top < min_pair_count:
+                break
+            left, right = min(p for p, c in pairs.items() if c == top)
+            merges.append((rank, left, right, left + right, top))
+            for entry in vocab:
+                syms, out, i = entry[0], [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                entry[0] = tuple(out)
+        return merges
+
+    naive_merges = naive_train(wc, n_merges=3, min_pair_count=2)
+    assert len(naive_merges) == 3
+
+    def naive_encode(word, merges):
+        syms = list(word) + [END]
+        for _, left, right, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    naive_counts = {
+        uid: sum(
+            len(naive_encode(w, naive_merges))
+            for w in norm(ft).split(" ")
+            if w
+        )
+        for uid, ft in fim_texts.items()
+    }
+    # the trained-on-pre-objective / applied-to-post-objective seam is
+    # real: at least one FIM-selected unit's count differs from its
+    # unselected sibling semantics (sentinels tokenize as novel chars)
+    assert any(
+        naive_counts[uid] != naive_counts.get(f"{i}#0", naive_counts[uid])
+        or uid == f"{i}#0"
+        for uid, (i, _) in units.items()
+    )
+
+    # hashlib FFD twin over the composite unit ids
+    budget, n_shards, salt = 64, 2, "rv2pack"
+    expected = {}
+    by_shard = {}
+    for uid in units:
+        by_shard.setdefault(md5i(f"{salt}:{uid}") % n_shards, []).append(uid)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda u: (-naive_counts[u], md5i(f"{salt}:{u}"), u))
+        residual = []
+        for u in members:
+            nt = naive_counts[u]
+            placed = -1
+            for j, r in enumerate(residual):
+                if r >= nt:
+                    placed, residual[j] = j, r - nt
+                    break
+            if placed < 0:
+                residual.append(max(budget - nt, 0))
+                placed = len(residual) - 1
+            expected[u] = (shard, placed, nt)
+
+    # ---- the engine, instrumented, artifact round-tripped ----
+    out = {}
+    result = recipe_v2(
+        df,
+        ev,
+        weights=weights,
+        fim_min_chars=min_chars,
+        fim_rate_denom=rate_denom,
+        n_merges=3,
+        min_pair_count=2,
+        budget=budget,
+        n_shards=n_shards,
+        packer="ffd",
+        emit="assignment",
+        artifact_path=str(tmp_path / "bpe_artifact"),
+        out=out,
+    )
+
+    assert {r["doc_id"] for r in out["clean"].collect()} == set(survivors)
+    assert {r["doc_id"] for r in out["safe"].collect()} == set(safe)
+    got_merges = [
+        (r["merge_rank"], r["left"], r["right"], r["new_symbol"], r["pair_count"])
+        for r in out["model"].orderBy("merge_rank").collect()
+    ]
+    assert got_merges == naive_merges  # through the parquet round-trip
+    got_counts = {
+        r["unit_id"]: r["n_subword_tokens"] for r in out["counted"].collect()
+    }
+    assert got_counts == naive_counts
+
+    got = {
+        r["unit_id"]: (r["shard"], r["bin_id"], r["n_tokens"])
+        for r in result.collect()
+    }
+    assert got == expected
