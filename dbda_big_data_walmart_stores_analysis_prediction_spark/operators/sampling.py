@@ -24,6 +24,12 @@ def _mix_hash(id_col: str, salt: str):
     return md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
 
 
+# Above this many strata, `repeat_by_weight` resolves weights through a
+# broadcast-joined literal frame instead of an N-deep when-chain (which
+# whole-stage codegen would compile into every task).
+_WIDE_STRATA_THRESHOLD = 100
+
+
 def temperature_mix(
     df: DataFrame,
     strata_col: str,
@@ -444,7 +450,13 @@ def repeat_by_weight(
 
     Scale shape: zero shuffle — a when-chain projection plus one
     ``explode(sequence)`` generator, scan-parallel at any corpus size
-    (pinned by tests/test_plan_audit.py).
+    (pinned by tests/test_plan_audit.py). Above
+    ``_WIDE_STRATA_THRESHOLD`` strata the when-chain would bloat the
+    plan (codegen compiles the full N-deep conditional into every task),
+    so the weights resolve through a BROADCAST-joined literal frame
+    instead — still shuffle-free for the corpus side, identical
+    semantics (left join + coalesce-to-default ≡ the chain's fallthrough,
+    null strata included), pinned by the 500-stratum unit test.
     """
 
     # eager column contract (the pack_sequences convention): fail here
@@ -468,13 +480,32 @@ def repeat_by_weight(
         return millionths // 1_000_000, millionths % 1_000_000
 
     base_default, thr_default = _split(default_weight)
-    base = F.lit(base_default)
-    thr = F.lit(thr_default)
-    for value, w in sorted(weights.items()):
-        b, t = _split(w)
-        is_v = F.col(strata_col) == F.lit(value)
-        base = F.when(is_v, F.lit(b)).otherwise(base)
-        thr = F.when(is_v, F.lit(t)).otherwise(thr)
+    out_cols = list(df.columns)
+    if len(weights) > _WIDE_STRATA_THRESHOLD:
+        # Broadcast-joined literal weights frame: a thousand-stratum
+        # recipe must not compile a thousand-deep conditional into every
+        # task. Left join + coalesce-to-default is exactly the chain's
+        # fallthrough (a null stratum matches nothing and coalesces to
+        # the default, as the chain's null comparison does).
+        wdf = df.sparkSession.createDataFrame(
+            [(k,) + _split(w) for k, w in sorted(weights.items())],
+            "__rbw_stratum string, __rbw_base int, __rbw_thr int",
+        )
+        df = df.join(
+            F.broadcast(wdf),
+            F.col(strata_col) == F.col("__rbw_stratum"),
+            "left",
+        )
+        base = F.coalesce(F.col("__rbw_base"), F.lit(base_default))
+        thr = F.coalesce(F.col("__rbw_thr"), F.lit(thr_default))
+    else:
+        base = F.lit(base_default)
+        thr = F.lit(thr_default)
+        for value, w in sorted(weights.items()):
+            b, t = _split(w)
+            is_v = F.col(strata_col) == F.lit(value)
+            base = F.when(is_v, F.lit(b)).otherwise(base)
+            thr = F.when(is_v, F.lit(t)).otherwise(thr)
     extra = F.coalesce(
         (_mix_hash(id_col, salt) % 1_000_000 < thr).cast("int"), F.lit(0)
     )
@@ -485,7 +516,7 @@ def repeat_by_weight(
     copies = F.explode(
         F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1))
     )
-    return df.select("*", copies.alias(copy_col)).withColumn(
+    return df.select(*out_cols, copies.alias(copy_col)).withColumn(
         copy_col, F.col(copy_col).cast("bigint")
     )
 

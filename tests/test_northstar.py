@@ -2345,3 +2345,52 @@ def test_recipe_v2_pinned_by_naive_reference(spark, tmp_path):
         for r in result.collect()
     }
     assert got == expected
+
+
+def test_repeat_by_weight_wide_strata_broadcast_join(spark):
+    """Above _WIDE_STRATA_THRESHOLD strata the weights resolve through a
+    broadcast-joined literal frame (a 500-deep when-chain would bloat
+    codegen), with semantics identical to the chain: hashlib-recomputed
+    copy counts, default fallthrough for unlisted and null strata, and a
+    join-shaped plan with no exchange on the corpus side."""
+    import hashlib
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        _WIDE_STRATA_THRESHOLD,
+        repeat_by_weight,
+    )
+
+    n_strata = 500
+    assert n_strata > _WIDE_STRATA_THRESHOLD
+    # weights cycle through integer, fractional, zero, and >1 fractional
+    weights = {
+        f"s{i}": [2.0, 0.5, 0.0, 1.25][i % 4] for i in range(n_strata)
+    }
+    rows = [(i, f"s{i % n_strata}") for i in range(1, 601)]
+    rows += [(991, "unlisted"), (992, None)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    out = repeat_by_weight(
+        df, "src", weights, "doc_id", default_weight=1.0, salt="epoch"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the wide path engaged
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffles
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def copies(doc_id, src):
+        w = weights.get(src, 1.0) if src is not None else 1.0
+        m = round(w * 1_000_000)
+        extra = 1 if md5i(f"epoch:{doc_id}") % 1_000_000 < m % 1_000_000 else 0
+        return m // 1_000_000 + extra
+
+    expected = {
+        (d, c)
+        for d, s in rows
+        for c in range(copies(d, s))
+    }
+    got = {(r["doc_id"], r["copy_id"]) for r in out.collect()}
+    assert got == expected
+    assert len(got) == out.count()  # copy ids unique per doc
