@@ -93,15 +93,11 @@ HEADLINE = [
 # round-5/6 additions. Measured identically but kept OUT of the headline
 # total so `value` stays comparable across rounds; their timings appear in
 # the same per-query dict and sum under `longtail_total`.
-# Deliberately absent: q76_quality_model_scores — it FITS a logistic
-# regression per invocation (MLlib iterative job, ~10 s dominated by
-# solver rounds, not engine plan shape); benching it would add noise, not
-# signal. Its transform path is the same add_text_features plan q22
-# measures. q84/q85 (BPE) are absent for the same reason: each invocation
-# TRAINS the merge table (a 40-iteration driver loop over the vocab) —
-# solver rounds, not engine plan shape; their distributed word-count
-# stage IS benched — q88 below runs it standalone (registered as its own
-# oracled query in round 8).
+# Since round 11 every registered query has a row (r10 verdict item 5).
+# Solver-bearing entries (q76 logistic fit, q84/q85 BPE merge loop, q95
+# unigram EM) time the full user-facing call — iteration rounds included —
+# while their distributed engine-plan halves stay separately visible as
+# q22 / q88 / q94.
 LONGTAIL = [
     "q33_rollup_pricing",
     "q34_intersect_except",
@@ -183,6 +179,42 @@ LONGTAIL = [
     # round-10: strict-capacity FFD packing (the one applyInPandas
     # operator — rows-only, pinned by the pure-Python FFD twin)
     "q106_ffd_packing",
+    # round-11 capstone: recipe v2 — clean -> decontam -> epoch mix ->
+    # trained-tokenizer encode -> pack, composed end to end. q107 is the
+    # oracled zero-merge point, q108 the trained configuration.
+    "q107_recipe_v2_capstone",
+    "q108_recipe_v2_trained",
+    # round-11: greedy per-domain token-budget selection and the
+    # cluster-anchored leakage-safe train/val/test split
+    "q109_budget_selection",
+    "q110_leakage_safe_split",
+    # round-11 sweep: the previously-unbenched registry tail, so every
+    # registered query carries wall-clock history. Relational tail —
+    # all sub-second single-agg/join plans:
+    "q03_null_counts",
+    "q04_mode_orderpriority",
+    "q05_median_acctbal_by_nation",
+    "q06_revenue_by_segment",
+    "q10_customers_without_orders",
+    "q11_customers_with_urgent_orders",
+    "q12_union_priority_classes",
+    "q14_conditional_bucketing",
+    "q17_quartiles_by_priority",
+    "q18_correlation_matrix",
+    "q19_outlier_count",
+    "q28_simhash",
+    "q54_attribution_join",
+    # seeded sampling / sketch / multimodal rows-only entries:
+    "q35_bernoulli_sample",
+    "q36_random_split",
+    "q40_frame_sampling",
+    "q49_stratified_sample",
+    "q53_approx_distinct",
+    # solver-bearing calls (see module comment above):
+    "q76_quality_model_scores",
+    "q84_bpe_merges",
+    "q85_bpe_tokens",
+    "q95_unigram_tokens",
 ]
 
 _TABLES = (

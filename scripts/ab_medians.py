@@ -6,7 +6,16 @@ med/min/max across sessions.
 Usage:
     python scripts/ab_medians.py q60_incremental_dedup q65_contamination_report
     python scripts/ab_medians.py --sessions 3 --reps 5 q87_pretrain_capstone
+    python scripts/ab_medians.py --multifile 8 q15_describe_lineitem
     python scripts/ab_medians.py one <name> <reps>        (internal)
+
+``--multifile N`` re-writes every sf table as N parquet files under
+``.bench_scale/<sf>_Nf/`` (built once, reused) and runs BOTH sides
+against that copy. The driver's sf0.1 fixtures are each ONE parquet row
+group, so every Spark scan is a single task — three rounds of
+adjudication (r8–r10) traced apparent regressions to that floor. This
+flag is the controlled experiment: same rows, same plans, N-way scan
+parallelism, driver bench untouched.
 """
 
 from __future__ import annotations
@@ -25,6 +34,34 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+
+def ensure_multifile(n_files: int) -> str:
+    """Materialize (once) an N-file copy of every SF_DIR table and return
+    its directory. Each ``<table>.parquet`` becomes a DIRECTORY of N
+    part-files — Spark reads it unchanged; the DuckDB oracle needs the
+    ``/*.parquet`` glob (handled in :func:`oracle_times`)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dest = os.path.join(
+        repo, ".bench_scale", f"{os.path.basename(SF_DIR)}_{n_files}f"
+    )
+    marker = os.path.join(dest, ".complete")
+    if os.path.exists(marker):
+        return dest
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.session import get_spark
+
+    spark = get_spark(app_name="ab_medians_multifile", shuffle_partitions=32)
+    for t in TABLES:
+        src = f"{SF_DIR}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        spark.read.parquet(src).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/{t}.parquet")
+    spark.stop()
+    with open(marker, "w") as f:
+        f.write(f"source={SF_DIR} n_files={n_files}\n")
+    return dest
 
 
 def one(name: str, reps: int) -> None:
@@ -54,8 +91,11 @@ def oracle_times(name: str, reps: int) -> list[float]:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"  # Spark-written multi-file table
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     times = []
     for _ in range(reps):
         t0 = time.monotonic()
@@ -80,6 +120,14 @@ def main() -> None:
         i = args.index("--reps")
         reps = int(args[i + 1])
         del args[i : i + 2]
+    if "--multifile" in args:
+        i = args.index("--multifile")
+        n_files = int(args[i + 1])
+        del args[i : i + 2]
+        global SF_DIR
+        SF_DIR = ensure_multifile(n_files)
+        # Subprocess sessions (and their oracle views) follow via env.
+        os.environ["SPARK_GRAFT_SF_DIR"] = SF_DIR
     # Time-major round-robin across the named queries (the round-8
     # interleaving protocol): session k of EVERY query runs before session
     # k+1 of any, so machine drift within the run lands on all queries
