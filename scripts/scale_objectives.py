@@ -8,7 +8,11 @@ floor, not a plan cost).
 Time-major (round-robin) order so session drift hits every (query,
 scale) point equally.
 
-Usage: python scripts/scale_objectives.py [--reps 3]
+Usage: python scripts/scale_objectives.py [--reps 3] [qname ...]
+
+Positional query names override the default round-10 list (used in
+round 11 for the q107/q108 recipe-v2 scaling line — both read only the
+``documents`` table the .bench_scale fixtures replicate).
 """
 
 from __future__ import annotations
@@ -36,11 +40,13 @@ QUERY_NAMES = [
 
 
 def main() -> None:
-    reps = (
-        int(sys.argv[sys.argv.index("--reps") + 1])
-        if "--reps" in sys.argv
-        else 3
-    )
+    argv = sys.argv[1:]
+    reps = 3
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        del argv[i : i + 2]
+    names = argv or QUERY_NAMES
     import __spark_entry__ as entry_mod
     from dbda_big_data_walmart_stores_analysis_prediction_spark.session import (
         get_spark,
@@ -48,19 +54,19 @@ def main() -> None:
 
     queries = entry_mod.queries()
     spark = get_spark()
-    for name in QUERY_NAMES:  # warm JIT on the 1x point
+    for name in names:  # warm JIT on the 1x point
         queries[name](spark, SCALES[0][1]).count()
     times: dict[tuple[str, str], list[float]] = {
-        (n, label): [] for n in QUERY_NAMES for label, _ in SCALES
+        (n, label): [] for n in names for label, _ in SCALES
     }
     rows: dict[tuple[str, str], int] = {}
     for _ in range(reps):
         for label, sf_dir in SCALES:
-            for name in QUERY_NAMES:
+            for name in names:
                 t0 = time.monotonic()
                 rows[(name, label)] = queries[name](spark, sf_dir).count()
                 times[(name, label)].append(time.monotonic() - t0)
-    for name in QUERY_NAMES:
+    for name in names:
         print(
             json.dumps(
                 {
