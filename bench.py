@@ -215,6 +215,11 @@ LONGTAIL = [
     "q84_bpe_merges",
     "q85_bpe_tokens",
     "q95_unigram_tokens",
+    # round-11: deterministic spherical k-means (fixed-iteration Lloyd,
+    # literal-centroid assignment) and the paper-exact cluster-bounded
+    # SemDeDup it enables
+    "q111_kmeans_clusters",
+    "q112_semdedup_kmeans",
 ]
 
 _TABLES = (

@@ -18,8 +18,20 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics 
     histogram,
     outlier_bounds,
 )
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+    KMeansModel,
+    assign_clusters,
+    cluster_embeddings,
+    fit_kmeans,
+    semdedup,
+)
 
 __all__ = [
+    "KMeansModel",
+    "assign_clusters",
+    "cluster_embeddings",
+    "fit_kmeans",
+    "semdedup",
     "null_counts",
     "impute_median",
     "impute_mode",

@@ -4193,3 +4193,167 @@ def q108_recipe_v2_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit="assignment",
         artifact_path=artifact,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spherical k-means + cluster-based SemDeDup (operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+_KMEANS_SALT = "kmeans"
+_SEMDEDUP_TAU = 0.45
+
+
+def _kmeans_ctes(n_clusters: int, iters: int, salt: str) -> str:
+    """DuckDB CTE chain replicating ``fit_kmeans`` + ``assign_clusters``
+    exactly: md5-order init, per-iteration round-6 dot argmax (first-max /
+    lowest-cid tie-break), round-9 centroid means with the
+    empty-or-zero-mean coalesce-to-previous contract, ending in ``feats``
+    (id, nv, cluster, cent_cos). Generated for ANY fixed iteration count —
+    the same chain serves q111 and the q112 splice, so the oracle and the
+    engine share one parameterization (the q70/q98 one-source-of-truth
+    discipline)."""
+    nrm = "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])"
+    parts = [
+        f"""
+    norm AS (
+      SELECT vec_id AS id,
+             list_transform(embedding::DOUBLE[], x -> x / sqrt({nrm})) AS nv
+      FROM embeddings
+      WHERE {nrm} > 0
+    ),
+    cent0 AS (
+      SELECT cid, nv FROM (
+        SELECT (row_number() OVER (ORDER BY md5(id || ':{salt}'), id) - 1)::INT AS cid,
+               nv
+        FROM norm)
+      WHERE cid < {n_clusters}
+    )"""
+    ]
+    for k in range(iters + 1):
+        parts.append(
+            f""",
+    asg{k} AS (
+      SELECT n.id, n.nv, c.cid,
+             round(list_dot_product(n.nv, c.nv), 6) AS dot,
+             row_number() OVER (
+               PARTITION BY n.id
+               ORDER BY round(list_dot_product(n.nv, c.nv), 6) DESC, c.cid ASC
+             ) AS rk
+      FROM norm n CROSS JOIN cent{k} c
+    )"""
+        )
+        if k == iters:
+            break
+        parts.append(
+            f""",
+    mean{k + 1} AS (
+      SELECT cid, pos, round(avg(val), 9) AS m
+      FROM (SELECT cid, unnest(nv) AS val, generate_subscripts(nv, 1) AS pos
+            FROM asg{k} WHERE rk = 1)
+      GROUP BY cid, pos
+    ),
+    mvec{k + 1} AS (
+      SELECT cid, list(m ORDER BY pos) AS mv FROM mean{k + 1} GROUP BY cid
+    ),
+    cent{k + 1} AS (
+      SELECT p.cid,
+             CASE WHEN v.mv IS NOT NULL AND list_dot_product(v.mv, v.mv) > 0
+                  THEN list_transform(v.mv, x -> x / sqrt(list_dot_product(v.mv, v.mv)))
+                  ELSE p.nv END AS nv
+      FROM cent{k} p LEFT JOIN mvec{k + 1} v USING (cid)
+    )"""
+        )
+    parts.append(
+        f""",
+    feats AS (SELECT id, nv, cid AS cluster, dot AS cent_cos
+              FROM asg{iters} WHERE rk = 1)"""
+    )
+    return "".join(parts)
+
+
+_Q111_SQL = (
+    "WITH "
+    + _kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_SALT)
+    + "\n    SELECT id AS vec_id, cluster, cent_cos FROM feats"
+)
+
+
+@_register("q111_kmeans_clusters", _Q111_SQL)
+def q111_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means over the embeddings table
+    (`operators/clustering.py::cluster_embeddings`): md5-order init,
+    fixed Lloyd iterations (assignment = one scan against literal
+    centroids, update = one bounded posexplode shuffle), final
+    (vec_id, cluster, cent_cos). Fully oracle-replicable because the
+    iteration count is part of the contract — the SQL chain is generated
+    from the same (k, iters, salt) parameterization the engine runs."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        cluster_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_embeddings(
+        emb,
+        n_clusters=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        salt=_KMEANS_SALT,
+    )
+
+
+_Q112_SQL = (
+    "WITH RECURSIVE "
+    + _kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_SALT)
+    + f""",
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM feats a JOIN feats b
+        ON a.cluster = b.cluster AND a.id < b.id
+      WHERE round(list_dot_product(a.nv, b.nv), 6) >= {_SEMDEDUP_TAU}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+    labeled AS (
+      SELECT f.id, f.cluster, f.cent_cos,
+             coalesce(c.component, f.id) AS group_id
+      FROM feats f LEFT JOIN comp c ON f.id = c.id
+    )
+    SELECT id AS vec_id, cluster, group_id,
+           (row_number() OVER (PARTITION BY group_id
+                               ORDER BY cent_cos ASC, id ASC) = 1) AS keep
+    FROM labeled"""
+)
+
+
+@_register("q112_semdedup_kmeans", _Q112_SQL)
+def q112_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, the paper-exact cluster-bounded form
+    (`operators/clustering.py::semdedup`): k-means clusters →
+    within-cluster cosine pairs ≥ τ (candidate space bounded by cluster
+    sizes, never all-pairs) → connected components → keep the member
+    LEAST similar to its centroid per duplicate group. The oracle
+    splices the q111 k-means chain and closes the component fixpoint
+    with the q72 recursive CTE — every stage shares its SQL with an
+    already-registered query."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        semdedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb,
+        n_clusters=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        threshold=_SEMDEDUP_TAU,
+        salt=_KMEANS_SALT,
+    )
