@@ -167,7 +167,11 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cluster, cent_cos): nearest-centroid assignment — one scan,
-    zero shuffle, JVM-side."""
+    zero shuffle, JVM-side. Works unchanged on a STREAMING ``df`` (it is
+    a stateless projection: no shuffle, no aggregation, no state store —
+    replay == batch is pinned in tests), so a saved artifact
+    (`save_kmeans_artifact`/`load_kmeans_artifact`) routes live traffic
+    to clusters fitted offline."""
     norm = _normalized(df, id_col, vec_col)
     cluster, best = _assign_cols(model.centroids)
     return norm.select(
@@ -190,6 +194,47 @@ def cluster_embeddings(
     split form for fit-once / assign-many (the S5 artifact pattern)."""
     model = fit_kmeans(df, n_clusters, iters, id_col, vec_col, salt)
     return assign_clusters(df, model, id_col, vec_col)
+
+
+_KMEANS_ARTIFACT_COLS = ("cluster", "centroid", "salt", "iters")
+
+
+def save_kmeans_artifact(spark, model: KMeansModel, path: str) -> None:
+    """Persist a fitted `KMeansModel` as parquet — the clustering
+    family's member of the model sink/source contract (SURVEY S5; same
+    pattern as `plans.tokenizer.save_tokenizer_artifact`): fit once,
+    ship the bounded centroid table, assign on any cluster. One row per
+    centroid: (cluster, centroid array<double>, salt, iters)."""
+    rows = [
+        (cid, list(map(float, c)), model.salt, int(model.iters))
+        for cid, c in enumerate(model.centroids)
+    ]
+    spark.createDataFrame(
+        rows, "cluster int, centroid array<double>, salt string, iters int"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_kmeans_artifact(spark, path: str) -> KMeansModel:
+    """Reload a `save_kmeans_artifact` parquet, re-validating the schema
+    contract (a path mix-up fails loudly here, not as a garbage
+    assignment on a different cluster)."""
+    df = spark.read.parquet(path)
+    if not set(_KMEANS_ARTIFACT_COLS) <= set(df.columns):
+        raise ValueError(
+            f"load_kmeans_artifact: {path} has columns {sorted(df.columns)}"
+            f" — not a saved k-means artifact {_KMEANS_ARTIFACT_COLS}"
+        )
+    rows = df.orderBy("cluster").collect()
+    if [r["cluster"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"load_kmeans_artifact: {path} cluster ids are not the dense "
+            "0..k-1 range — artifact is corrupt or partially written"
+        )
+    return KMeansModel(
+        centroids=[list(r["centroid"]) for r in rows],
+        salt=rows[0]["salt"],
+        iters=rows[0]["iters"],
+    )
 
 
 def semdedup(

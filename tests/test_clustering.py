@@ -209,3 +209,55 @@ def test_semdedup_merges_cross_pair_components(spark):
     assert rows[1]["group_id"] == rows[2]["group_id"] == rows[3]["group_id"] == 1
     assert rows[4]["group_id"] == 4 and rows[4]["keep"]
     assert sum(rows[i]["keep"] for i in (1, 2, 3)) == 1
+
+
+def test_kmeans_artifact_roundtrip(spark, sf_dir, tmp_path):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        load_kmeans_artifact,
+        save_kmeans_artifact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = fit_kmeans(emb, n_clusters=4, iters=2, salt=SALT)
+    path = str(tmp_path / "kmeans_artifact")
+    save_kmeans_artifact(spark, model, path)
+    loaded = load_kmeans_artifact(spark, path)
+    assert loaded == model
+
+    direct = assign_clusters(emb, model).collect()
+    via = assign_clusters(emb, loaded).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via))
+
+    # a non-artifact parquet must fail loudly at load time
+    emb.limit(1).write.mode("overwrite").parquet(str(tmp_path / "not_model"))
+    with pytest.raises(ValueError, match="not a saved k-means artifact"):
+        load_kmeans_artifact(spark, str(tmp_path / "not_model"))
+
+
+def test_streaming_assignment_matches_batch(spark, sf_dir, tmp_path):
+    # assign_clusters is a stateless projection: replay == batch.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = fit_kmeans(emb, n_clusters=4, iters=1, salt=SALT)
+    batch = sorted(map(tuple, assign_clusters(emb, model).collect()))
+
+    src = str(tmp_path / "stream_src")
+    emb.write.mode("overwrite").parquet(src)  # readStream needs a DIRECTORY
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        assign_clusters(stream, model)
+        .writeStream.format("memory")
+        .queryName("kmeans_stream")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    replay = sorted(
+        map(tuple, spark.sql("SELECT * FROM kmeans_stream").collect())
+    )
+    assert replay == batch
