@@ -81,11 +81,19 @@ def _unit(col: Column) -> Column:
 
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, nv): ids with unit-normalized vectors; zero-norm rows dropped
-    (the malformed-embedding contract shared with q30/q31/q47)."""
+    """(id, nv): ids with unit-normalized vectors. Malformed embeddings —
+    zero norm, or any NaN/±Inf element (a failed upstream encoder) — are
+    DROPPED, explicitly: NaN comparison semantics differ across engines
+    (both Spark and DuckDB order NaN above all values, so a bare
+    ``norm > 0`` filter would KEEP a NaN vector and then poison every
+    argmax downstream); the exists-check makes the contract engine-
+    independent."""
     vd = F.col(vec_col).cast("array<double>")
+    bad = F.exists(
+        vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
     return (
-        df.where(dot_col(vec_col, vec_col) > 0)
+        df.where(~bad & (dot_col(vec_col, vec_col) > 0))
         .select(F.col(id_col).alias("id"), _unit(vd).alias("nv"))
     )
 

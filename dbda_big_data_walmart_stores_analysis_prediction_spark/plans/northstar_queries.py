@@ -4215,13 +4215,16 @@ def _kmeans_ctes(n_clusters: int, iters: int, salt: str) -> str:
     engine share one parameterization (the q70/q98 one-source-of-truth
     discipline)."""
     nrm = "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])"
+    bad = (
+        "len(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0"
+    )
     parts = [
         f"""
     norm AS (
       SELECT vec_id AS id,
              list_transform(embedding::DOUBLE[], x -> x / sqrt({nrm})) AS nv
       FROM embeddings
-      WHERE {nrm} > 0
+      WHERE NOT ({bad}) AND {nrm} > 0
     ),
     cent0 AS (
       SELECT cid, nv FROM (

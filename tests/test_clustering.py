@@ -261,3 +261,41 @@ def test_streaming_assignment_matches_batch(spark, sf_dir, tmp_path):
         map(tuple, spark.sql("SELECT * FROM kmeans_stream").collect())
     )
     assert replay == batch
+
+
+ADVERSARIAL_EMBEDDINGS = [
+    # ordinary vectors forming two loose bundles
+    (1, [1.0, 0.05, 0.0, 0.0]),
+    (2, [0.95, 0.1, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.02]),
+    (4, [0.0, 0.0, 0.98, 0.05]),
+    # exact duplicates (must land in one group)
+    (5, [0.5, 0.5, 0.0, 0.0]),
+    (6, [0.5, 0.5, 0.0, 0.0]),
+    # antipodal pair (cosine -1; never a near-dup pair)
+    (7, [0.0, 1.0, 0.0, 0.0]),
+    (8, [0.0, -1.0, 0.0, 0.0]),
+    # malformed: zero norm, NaN element, Inf element — all dropped
+    (9, [0.0, 0.0, 0.0, 0.0]),
+    (10, [float("nan"), 1.0, 0.0, 0.0]),
+    (11, [float("inf"), 1.0, 0.0, 0.0]),
+    # tiny-magnitude vector (normalizes fine, tests float head-room)
+    (12, [1e-4, 0.0, 0.0, 1e-5]),
+]
+
+
+@pytest.mark.parametrize(
+    "name", ["q111_kmeans_clusters", "q112_semdedup_kmeans"]
+)
+def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
+    """Cross-engine parity on malformed embeddings: NaN orders above all
+    values in BOTH Spark and DuckDB, so an unguarded norm>0 filter keeps
+    NaN vectors and poisons every argmax — the exists-based drop contract
+    must hold identically on both sides, along with zero-norm/Inf drops,
+    duplicate-vector ties, and antipodal members."""
+    from tests.test_oracle_parity import _assert_adversarial_parity
+
+    df = spark.createDataFrame(
+        ADVERSARIAL_EMBEDDINGS, "vec_id long, embedding array<float>"
+    )
+    _assert_adversarial_parity(spark, tmp_path, name, "embeddings", df)
