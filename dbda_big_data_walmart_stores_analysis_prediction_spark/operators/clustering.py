@@ -1,6 +1,5 @@
 """Spherical k-means over embedding columns, and the cluster-based
-SemDeDup it enables — deterministic, oracle-portable, zero Python in the
-per-row path.
+SemDeDup it enables — deterministic, oracle-portable, Arrow-batched.
 
 North-star surface (the reference's 489 lines have no vector ops; see
 SURVEY.md §2 extensions). The repo already ships TWO embedding near-dup
@@ -26,35 +25,45 @@ Design — why this is NOT MLlib KMeans:
   ``(md5(id || ':' || salt), id)`` — a seeded hash-order pick, the
   repo-wide convention for oracle-portable sampling.
 * **Rounding firewalls at every cross-engine float boundary**: centroid
-  means round to 9 dp (absorbs partial-aggregation summation-order ulps
-  between Spark and any oracle engine), assignment dots round to 6 dp
-  with first-max/lowest-index tie-break. Unit-normalized inputs make
-  dot == cosine, so L2-Lloyd on the unit sphere ranks identically to
-  cosine (same argument as ``knn_ivf``).
+  means round to 9 dp (absorbs summation-order ulps between numpy,
+  Spark partial aggregation, and any oracle engine), assignment dots
+  round to 6 dp with first-max/lowest-index tie-break. Unit-normalized
+  inputs make dot == cosine, so L2-Lloyd on the unit sphere ranks
+  identically to cosine (same argument as ``knn_ivf``).
 
-Scale shape at 100 TB: per iteration ONE full scan (assignment against
-``n_clusters × dim`` centroid literals — JVM higher-order functions, no
-Python, no shuffle of the data) plus ONE bounded shuffle
-(``posexplode`` → ``groupBy(cluster, pos).avg``, ≤ n_clusters·dim
-result rows to the driver). The corpus itself never shuffles. The
-literal-centroid assignment targets the curation regime (k up to a few
-hundred); a >10k-centroid FAISS-style deployment should route
-assignment through an Arrow-batched matmul instead (the `knn_ivf`
-machinery) and accept the Python boundary.
+Why the per-row math is an **Arrow-batched numpy** ``mapInPandas`` stage
+(the `knn_ivf`/`knn_bruteforce` precedent) and not JVM expressions —
+both JVM forms were built and MEASURED first (PERF.md round 11):
+
+* higher-order-function lambdas (``zip_with``+``aggregate`` against
+  literal centroid arrays) evaluate on the interpreted expression path —
+  ~1,000 lambda invocations per row at k=8, dim=64 made each Lloyd
+  iteration a ~5 s job on a 2,000-row fixture;
+* the dim-unrolled codegen form (8×64 multiply-adds) blows past
+  Janino's method limits at dim 64 — whole-stage codegen falls back and
+  the interpreted giant tree is slower still (the
+  ``functions/vectors.py`` caution, reproduced here).
+
+The Arrow stage moves each batch once through one matmul; per-row cost
+is nanoseconds and the oracle contract is unchanged (dots round to 6 dp
+before every comparison — the same numpy-vs-DuckDB agreement q30/q31
+have hash-checked since round 3).
+
+Scale shape at 100 TB: per Lloyd iteration ONE full Arrow-batched scan
+(assignment against the broadcast ``n_clusters × dim`` centroid matrix
+— no shuffle of the data) plus ONE bounded shuffle (``posexplode`` →
+``groupBy(cluster, pos).avg``, ≤ n_clusters·dim result rows to the
+driver). The corpus itself never shuffles during the fit; assignment is
+embarrassingly parallel.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.vectors import (
-    dot_col,
-    l2_norm_col,
-)
 
 MEAN_DP = 9  # centroid-mean rounding (cross-engine summation-order firewall)
 DOT_DP = 6  # assignment-dot rounding (matches the q30/q31 cosine contract)
@@ -70,48 +79,115 @@ class KMeansModel:
     iters: int
 
 
-def _unit(col: Column) -> Column:
-    """Unit-normalize an array<double> column. Null-guarded: zero-norm
-    rows are filtered out by the caller, but ANSI mode evaluates fused
-    subexpressions before the filter drops the row — the ``when`` keeps
-    the division off the zero-divisor path (elements come back NULL on
-    rows the filter discards anyway)."""
-    n = l2_norm_col(col)
-    return F.transform(col, lambda x: F.when(n > 0, x / n))
+def _clean_matrix(pdf, vec_col: str):
+    """(ids_mask, normalized matrix) for one Arrow batch: rows with a
+    NaN/±Inf element or zero norm are dropped — explicitly, because NaN
+    orders above all values in both Spark and DuckDB, so a bare
+    ``norm > 0`` filter would KEEP a NaN vector and poison every argmax
+    downstream. Ragged batches fall back to a per-row loop."""
+    import numpy as np
+
+    vals = pdf[vec_col].tolist()
+    try:
+        mat = np.asarray(vals, dtype=np.float64)
+        if mat.ndim != 2:
+            raise ValueError
+    except ValueError:  # ragged lengths: keep only the modal length
+        lens = [len(v) if v is not None else -1 for v in vals]
+        from collections import Counter
+
+        dim = Counter(x for x in lens if x > 0).most_common(1)[0][0]
+        keep = np.asarray([ln == dim for ln in lens])
+        mat = np.asarray(
+            [v for v, ln in zip(vals, lens) if ln == dim], dtype=np.float64
+        )
+        full = np.zeros((len(vals), dim))
+        full[keep] = mat
+        ok = keep & np.isfinite(full).all(axis=1)
+        nsq = (full * full).sum(axis=1)
+        ok &= nsq > 0
+        norms = np.sqrt(nsq, where=nsq > 0, out=np.ones_like(nsq))
+        return ok, full / norms[:, None]
+    ok = np.isfinite(mat).all(axis=1)
+    nsq = (mat * mat).sum(axis=1)
+    ok &= nsq > 0
+    norms = np.sqrt(np.where(nsq > 0, nsq, 1.0))
+    return ok, mat / norms[:, None]
+
+
+def _id_dtype(df: DataFrame, id_col: str) -> str:
+    return df.schema[id_col].dataType.simpleString()
 
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, nv): ids with unit-normalized vectors. Malformed embeddings —
-    zero norm, or any NaN/±Inf element (a failed upstream encoder) — are
-    DROPPED, explicitly: NaN comparison semantics differ across engines
-    (both Spark and DuckDB order NaN above all values, so a bare
-    ``norm > 0`` filter would KEEP a NaN vector and then poison every
-    argmax downstream); the exists-check makes the contract engine-
-    independent."""
-    vd = F.col(vec_col).cast("array<double>")
-    bad = F.exists(
-        vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
-    )
-    return (
-        df.where(~bad & (dot_col(vec_col, vec_col) > 0))
-        .select(F.col(id_col).alias("id"), _unit(vd).alias("nv"))
-    )
+    """(id, nv): unit-normalized vectors, malformed rows dropped — one
+    Arrow-batched pass."""
+    schema = f"id {_id_dtype(df, id_col)}, nv array<double>"
+    cols = df.select(F.col(id_col).alias("id"), F.col(vec_col))
 
+    def gen(batches):
+        import pandas as pd
 
-def _assign_cols(centroids: list[list[float]]) -> tuple[Column, Column]:
-    """(cluster, cent_cos) against literal centroids: per-centroid dots
-    rounded to DOT_DP, first-max wins (ties → lowest cluster id)."""
-    dots = F.array(
-        *[
-            F.round(
-                dot_col(F.col("nv"), F.array(*[F.lit(float(x)) for x in c])),
-                DOT_DP,
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ok, nv = _clean_matrix(pdf, vec_col)
+            if not ok.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy()[ok],
+                    "nv": [v.tolist() for v in nv[ok]],
+                }
             )
-            for c in centroids
-        ]
-    )
-    best = F.array_max(dots)
-    return (F.array_position(dots, best) - 1).cast("int"), best
+
+    return cols.mapInPandas(gen, schema)
+
+
+def _assigned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    with_nv: bool = False,
+) -> DataFrame:
+    """(id, cluster, cent_cos[, nv]): normalize + nearest-centroid argmax
+    in ONE Arrow-batched pass — one matmul per batch against the
+    broadcast centroid matrix, dots rounded to DOT_DP before the
+    first-max/lowest-id argmax. ``with_nv`` additionally ships the
+    normalized vectors (the fit's means stage and semdedup's pair stage
+    need them; plain assignment must NOT pay the 64-double-per-row Arrow
+    freight — Spark cannot column-prune through mapInPandas)."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+    schema = f"id {_id_dtype(df, id_col)}, cluster int, cent_cos double"
+    if with_nv:
+        schema += ", nv array<double>"
+    cols = df.select(F.col(id_col).alias("id"), F.col(vec_col))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ok, nv = _clean_matrix(pdf, vec_col)
+            if not ok.any():
+                continue
+            nv = nv[ok]
+            dots = np.round(nv @ cmat, DOT_DP)
+            cid = np.argmax(dots, axis=1)  # first max = lowest cluster id
+            out = {
+                "id": pdf["id"].to_numpy()[ok],
+                "cluster": cid.astype("int32"),
+                "cent_cos": dots[np.arange(len(cid)), cid],
+            }
+            if with_nv:
+                out["nv"] = [v.tolist() for v in nv]
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(gen, schema)
 
 
 def fit_kmeans(
@@ -124,14 +200,13 @@ def fit_kmeans(
 ) -> KMeansModel:
     """Fit spherical k-means; returns the bounded centroid model.
 
-    Per iteration: assignment is a scan against literal centroids (no
-    shuffle of the data), the centroid update is one
-    ``posexplode → groupBy(cluster, pos).avg`` shuffle whose result
-    (≤ n_clusters·dim rows) collects to the driver. A cluster that loses
-    all members — or whose member mean rounds to the zero vector — keeps
-    its previous centroid (the coalesce contract the SQL oracle
-    replicates).
-    """
+    Per iteration: assignment is one Arrow-batched scan against the
+    broadcast centroid matrix (no shuffle of the data), the centroid
+    update is one ``posexplode → groupBy(cluster, pos).avg`` shuffle
+    whose result (≤ n_clusters·dim rows) collects to the driver. A
+    cluster that loses all members — or whose member mean rounds to the
+    zero vector — keeps its previous centroid (the coalesce contract the
+    SQL oracle replicates)."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     norm = _normalized(df, id_col, vec_col)
@@ -145,9 +220,9 @@ def fit_kmeans(
     )
     centroids = [list(r["nv"]) for r in init_rows]
     for _ in range(iters):
-        cluster, _ = _assign_cols(centroids)
         means = (
-            norm.select(cluster.alias("cluster"), F.posexplode("nv"))
+            _assigned(df, id_col, vec_col, centroids, with_nv=True)
+            .select("cluster", F.posexplode("nv"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("col"), MEAN_DP).alias("m"))
             .collect()
@@ -174,19 +249,15 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cluster, cent_cos): nearest-centroid assignment — one scan,
-    zero shuffle, JVM-side. Works unchanged on a STREAMING ``df`` (it is
-    a stateless projection: no shuffle, no aggregation, no state store —
-    replay == batch is pinned in tests), so a saved artifact
+    """(id, cluster, cent_cos): nearest-centroid assignment — one
+    Arrow-batched scan, zero shuffle. Works unchanged on a STREAMING
+    ``df`` (a stateless projection: no shuffle, no aggregation, no state
+    store — replay == batch is pinned in tests), so a saved artifact
     (`save_kmeans_artifact`/`load_kmeans_artifact`) routes live traffic
     to clusters fitted offline."""
-    norm = _normalized(df, id_col, vec_col)
-    cluster, best = _assign_cols(model.centroids)
-    return norm.select(
-        F.col("id").alias(id_col),
-        cluster.alias("cluster"),
-        best.alias("cent_cos"),
-    )
+    return _assigned(
+        df, id_col, vec_col, model.centroids, with_nv=False
+    ).withColumnRenamed("id", id_col)
 
 
 def cluster_embeddings(
@@ -198,7 +269,7 @@ def cluster_embeddings(
     salt: str = "kmeans",
 ) -> DataFrame:
     """Fit + assign in one call: (id, cluster, cent_cos) for every
-    non-zero-norm input row. ``fit_kmeans``/``assign_clusters`` are the
+    well-formed input row. ``fit_kmeans``/``assign_clusters`` are the
     split form for fit-once / assign-many (the S5 artifact pattern)."""
     model = fit_kmeans(df, n_clusters, iters, id_col, vec_col, salt)
     return assign_clusters(df, model, id_col, vec_col)
@@ -245,6 +316,24 @@ def load_kmeans_artifact(spark, path: str) -> KMeansModel:
     )
 
 
+def _pair_dot():
+    """Arrow-batched row-wise dot of two array<double> columns (pair
+    scoring inside the cluster-keyed join — the q30 `_cosine_arrow`
+    pattern on already-normalized vectors)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def f(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.asarray(a.tolist(), dtype=np.float64)
+        mb = np.asarray(b.tolist(), dtype=np.float64)
+        return pd.Series((ma * mb).sum(axis=1))
+
+    return pandas_udf(f, "double")
+
+
 def semdedup(
     df: DataFrame,
     n_clusters: int = 8,
@@ -269,9 +358,10 @@ def semdedup(
     generation is O(Σ cluster_size²) and never all-pairs, the published
     trick that makes SemDeDup run at LAION scale. Cluster granularity
     (``n_clusters`` ~ corpus_size / desired_cluster_size) bounds the
-    quadratic term; the component closure reuses the size-gated
-    union-find / star-contraction machinery every other dedup family
-    goes through (`operators.dedup.connected_components`).
+    quadratic term; pair scoring is one Arrow-batched dot per candidate;
+    the component closure reuses the size-gated union-find /
+    star-contraction machinery every other dedup family goes through
+    (`operators.dedup.connected_components`).
 
     vs q72 (`embedding_near_dup_pairs` + collapse): the LSH form answers
     "collapse everything above τ" with banding-bounded recall; this form
@@ -284,43 +374,39 @@ def semdedup(
         connected_components,
     )
 
-    assigned = cluster_embeddings(
-        df, n_clusters, iters, id_col, vec_col, salt
-    )
-    norm = _normalized(df, id_col, vec_col)
-    feats = assigned.join(
-        norm.withColumnRenamed("id", id_col), id_col
-    ).select(id_col, "cluster", "cent_cos", "nv")
+    model = fit_kmeans(df, n_clusters, iters, id_col, vec_col, salt)
+    feats = _assigned(
+        df, id_col, vec_col, model.centroids, with_nv=True
+    ).localCheckpoint(eager=False)
     a = feats.select(
-        F.col(id_col).alias("id_a"),
+        F.col("id").alias("id_a"),
         F.col("cluster"),
         F.col("nv").alias("nv_a"),
     )
     b = feats.select(
-        F.col(id_col).alias("id_b"),
+        F.col("id").alias("id_b"),
         F.col("cluster"),
         F.col("nv").alias("nv_b"),
     )
+    dot = _pair_dot()
     pairs = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(dot_col("nv_a", "nv_b"), DOT_DP) >= threshold)
+        .where(F.round(dot(F.col("nv_a"), F.col("nv_b")), DOT_DP) >= threshold)
         .select("id_a", "id_b")
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    labeled = feats.join(
-        comp.withColumnRenamed("id", id_col), id_col, "left"
-    ).select(
-        id_col,
+    labeled = feats.join(comp, "id", "left").select(
+        F.col("id"),
         "cluster",
         "cent_cos",
-        F.coalesce(F.col("component"), F.col(id_col)).alias("group_id"),
+        F.coalesce(F.col("component"), F.col("id")).alias("group_id"),
     )
     survivor = F.row_number().over(
-        Window.partitionBy("group_id").orderBy(F.asc("cent_cos"), F.asc(id_col))
+        Window.partitionBy("group_id").orderBy(F.asc("cent_cos"), F.asc("id"))
     )
     return labeled.select(
-        id_col,
+        F.col("id").alias(id_col),
         "cluster",
         "group_id",
         (survivor == 1).alias("keep"),
