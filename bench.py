@@ -220,6 +220,9 @@ LONGTAIL = [
     # SemDeDup it enables
     "q111_kmeans_clusters",
     "q112_semdedup_kmeans",
+    # round-11: embedding-driven curation — SemDeDup survivors joined to
+    # documents, temperature-mixed over the discovered clusters
+    "q113_semantic_curation",
 ]
 
 _TABLES = (

@@ -1375,22 +1375,11 @@ def q61_stratified_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q71_temperature_mix",
-    f"""
-    WITH c AS (SELECT lang, count(*) AS n FROM documents
-               WHERE lang IS NOT NULL GROUP BY lang),
-    z AS (SELECT sum(pow(n, 0.5)) AS zsum, sum(n) AS grand FROM c),
-    q AS (SELECT lang,
-                 least(n::DOUBLE,
-                       ceil(round(ceil(grand * 0.6) * pow(n, 0.5) / zsum, 6))) AS q
-          FROM c, z),
-    h AS (SELECT doc_id, lang,
-                 {_SQL_HEX.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} AS hv
-          FROM documents),
-    r AS (SELECT doc_id, lang,
-                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
-          FROM h)
-    SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rn <= q
-    """,
+    # the temperature arithmetic is generated by _sql_temperature_ctes
+    # (defined below; registration resolves the string lazily via the
+    # placeholder swapped at module end) — ONE fragment serves q71 and
+    # the q113 splice
+    "__Q71_TEMPERATURE_SQL__",
 )
 def q71_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened corpus mixing (operators/sampling.py::
@@ -4305,10 +4294,10 @@ def q111_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q112_SQL = (
-    "WITH RECURSIVE "
-    + _kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_SALT)
-    + f""",
+# q112 body, also the q113 splice: within-cluster pairs → recursive
+# closure (the q72 fixpoint) → group labels. Ends at ``labeled``
+# (id, cluster, cent_cos, group_id).
+_SEMDEDUP_CTES = f""",
     pairs AS (
       SELECT a.id AS id_a, b.id AS id_b
       FROM feats a JOIN feats b
@@ -4330,7 +4319,13 @@ _Q112_SQL = (
       SELECT f.id, f.cluster, f.cent_cos,
              coalesce(c.component, f.id) AS group_id
       FROM feats f LEFT JOIN comp c ON f.id = c.id
-    )
+    )"""
+
+_Q112_SQL = (
+    "WITH RECURSIVE "
+    + _kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_SALT)
+    + _SEMDEDUP_CTES
+    + """
     SELECT id AS vec_id, cluster, group_id,
            (row_number() OVER (PARTITION BY group_id
                                ORDER BY cent_cos ASC, id ASC) = 1) AS keep
@@ -4360,3 +4355,104 @@ def q112_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_SEMDEDUP_TAU,
         salt=_KMEANS_SALT,
     )
+
+
+def _sql_temperature_ctes(
+    src: str, strata: str, id_c: str, alpha: float, frac: float, salt: str
+) -> str:
+    """DuckDB CTE fragment replicating ``temperature_mix`` exactly for any
+    (source CTE, stratum, id, alpha, total_frac, salt): data-dependent
+    quotas ∝ n^alpha of ceil(frac·N), round-6 before the ceil (the float
+    firewall), md5 hash-ordered selection, null strata excluded. ONE
+    parameterization serves q71 (documents/lang) and the q113 splice
+    (curated/cluster) — finish with
+    ``SELECT ... FROM tm_r JOIN tm_q USING ({strata}) WHERE rn <= q``."""
+    hv = _SQL_HEX.format(x=f"'{salt}:' || CAST({id_c} AS VARCHAR)")
+    return f""",
+    tm_c AS (SELECT {strata}, count(*) AS n FROM {src}
+             WHERE {strata} IS NOT NULL GROUP BY {strata}),
+    tm_z AS (SELECT sum(pow(n, {alpha})) AS zsum, sum(n) AS grand FROM tm_c),
+    tm_q AS (SELECT {strata},
+                    least(n::DOUBLE,
+                          ceil(round(ceil(grand * {frac}) * pow(n, {alpha})
+                                     / zsum, 6))) AS q
+             FROM tm_c, tm_z),
+    tm_r AS (SELECT {src}.*,
+                    row_number() OVER (PARTITION BY {strata}
+                                       ORDER BY {hv}, {id_c}) AS rn
+             FROM {src} WHERE {strata} IS NOT NULL)"""
+
+
+_Q113_SQL = (
+    "WITH RECURSIVE "
+    + _kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_SALT)
+    + _SEMDEDUP_CTES
+    + """,
+    surv AS (
+      SELECT id AS doc_id, cluster FROM (
+        SELECT id, cluster,
+               row_number() OVER (PARTITION BY group_id
+                                  ORDER BY cent_cos ASC, id ASC) AS rk
+        FROM labeled)
+      WHERE rk = 1
+    ),
+    curated AS (
+      SELECT d.doc_id, d.source, s.cluster
+      FROM documents d JOIN surv s ON d.doc_id = s.doc_id
+    )"""
+    + _sql_temperature_ctes("curated", "cluster", "doc_id", 0.5, 0.6, "semmix")
+    + """
+    SELECT doc_id, cluster, source
+    FROM tm_r JOIN tm_q USING (cluster) WHERE rn <= q"""
+)
+
+
+@_register("q113_semantic_curation", _Q113_SQL)
+def q113_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-driven corpus curation — the cross-table composition of
+    the clustering family: SemDeDup survivors (q112) joined back to the
+    ``documents`` table, then temperature-mixed (q71's GPT-3 balancing
+    rule) over the DISCOVERED clusters instead of the labeled source
+    column — domain balance by embedding geometry, the curation loop a
+    real pipeline runs after clustering. Oracle = the registered q112
+    chain (``_SEMDEDUP_CTES`` splice) + the shared
+    ``_sql_temperature_ctes`` fragment; every arithmetic rule is the
+    one already hash-checked standalone (q111/q112/q71)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        semdedup,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sd = semdedup(
+        emb,
+        n_clusters=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        threshold=_SEMDEDUP_TAU,
+        salt=_KMEANS_SALT,
+    )
+    surv = sd.where(F.col("keep")).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    curated = docs.join(surv, "doc_id").select("doc_id", "source", "cluster")
+    mixed = temperature_mix(
+        curated, "cluster", "doc_id", alpha=0.5, total_frac=0.6, salt="semmix"
+    )
+    return mixed.select("doc_id", "cluster", "source")
+
+
+# q71's oracle is generated from the SAME _sql_temperature_ctes fragment
+# as the q113 splice (single source of truth for the quota arithmetic);
+# the generator is defined after q71's registration, so the literal is
+# swapped in here.
+_Q71_SQL = (
+    "WITH d AS (SELECT doc_id, lang FROM documents)"
+    + _sql_temperature_ctes("d", "lang", "doc_id", 0.5, 0.6, "mix")
+    + """
+    SELECT doc_id, lang FROM tm_r JOIN tm_q USING (lang) WHERE rn <= q"""
+)
+assert ORACLE_SQL["q71_temperature_mix"] == "__Q71_TEMPERATURE_SQL__"
+ORACLE_SQL["q71_temperature_mix"] = _Q71_SQL
