@@ -79,40 +79,45 @@ class KMeansModel:
     iters: int
 
 
-def _clean_matrix(pdf, vec_col: str):
-    """(ids_mask, normalized matrix) for one Arrow batch: rows with a
-    NaN/±Inf element or zero norm are dropped — explicitly, because NaN
+def _clean_matrix(pdf, vec_col: str, dim: int | None = None):
+    """(ok_mask, normalized survivor rows) for one Arrow batch. Rows with
+    a NaN/±Inf element or zero norm are dropped — explicitly, because NaN
     orders above all values in both Spark and DuckDB, so a bare
     ``norm > 0`` filter would KEEP a NaN vector and poison every argmax
-    downstream. Ragged batches fall back to a per-row loop."""
+    downstream. ``dim`` is the expected vector length (the centroid
+    dimension): rows of any OTHER length are malformed and dropped — a
+    deterministic per-row rule, never a function of what else landed in
+    the batch. With ``dim=None`` (init discovery) every well-formed row
+    survives regardless of length. Batches containing nulls or ragged
+    lengths take a per-row fallback path; survivors are returned as a
+    list of 1-D float64 arrays (uniform length iff ``dim`` was given)."""
     import numpy as np
 
     vals = pdf[vec_col].tolist()
     try:
         mat = np.asarray(vals, dtype=np.float64)
-        if mat.ndim != 2:
+        if mat.ndim != 2 or (dim is not None and mat.shape[1] != dim):
             raise ValueError
-    except ValueError:  # ragged lengths: keep only the modal length
-        lens = [len(v) if v is not None else -1 for v in vals]
-        from collections import Counter
-
-        dim = Counter(x for x in lens if x > 0).most_common(1)[0][0]
-        keep = np.asarray([ln == dim for ln in lens])
-        mat = np.asarray(
-            [v for v, ln in zip(vals, lens) if ln == dim], dtype=np.float64
-        )
-        full = np.zeros((len(vals), dim))
-        full[keep] = mat
-        ok = keep & np.isfinite(full).all(axis=1)
-        nsq = (full * full).sum(axis=1)
+        ok = np.isfinite(mat).all(axis=1)
+        nsq = (mat * mat).sum(axis=1)
         ok &= nsq > 0
-        norms = np.sqrt(nsq, where=nsq > 0, out=np.ones_like(nsq))
-        return ok, full / norms[:, None]
-    ok = np.isfinite(mat).all(axis=1)
-    nsq = (mat * mat).sum(axis=1)
-    ok &= nsq > 0
-    norms = np.sqrt(np.where(nsq > 0, nsq, 1.0))
-    return ok, mat / norms[:, None]
+        kept = mat[ok] / np.sqrt(nsq[ok])[:, None]
+        return ok, list(kept)
+    except (ValueError, TypeError):
+        pass
+    # per-row fallback: null cells, ragged lengths, or a uniform batch of
+    # the wrong dimension (where every row fails the length rule)
+    ok_list, kept = [], []
+    for v in vals:
+        good = v is not None and len(v) > 0 and (dim is None or len(v) == dim)
+        if good:
+            a = np.asarray(v, dtype=np.float64)
+            nsq = float((a * a).sum())
+            good = bool(np.isfinite(a).all()) and nsq > 0
+            if good:
+                kept.append(a / np.sqrt(nsq))
+        ok_list.append(bool(good))
+    return np.asarray(ok_list, dtype=bool), kept
 
 
 def _id_dtype(df: DataFrame, id_col: str) -> str:
@@ -121,9 +126,15 @@ def _id_dtype(df: DataFrame, id_col: str) -> str:
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, nv): unit-normalized vectors, malformed rows dropped — one
-    Arrow-batched pass."""
+    Arrow-batched pass. Null-id rows are dropped up front (JVM-side): an
+    id-less row cannot participate in init ordering, pair generation, or
+    group labels, and a NULL id would otherwise diverge cross-engine
+    (Spark sorts nulls first, DuckDB last) and collapse all null-id rows
+    into one survivor group in `semdedup`."""
     schema = f"id {_id_dtype(df, id_col)}, nv array<double>"
-    cols = df.select(F.col(id_col).alias("id"), F.col(vec_col))
+    cols = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col)
+    )
 
     def gen(batches):
         import pandas as pd
@@ -131,13 +142,13 @@ def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ok, nv = _clean_matrix(pdf, vec_col)
+            ok, kept = _clean_matrix(pdf, vec_col)
             if not ok.any():
                 continue
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy()[ok],
-                    "nv": [v.tolist() for v in nv[ok]],
+                    "nv": [v.tolist() for v in kept],
                 }
             )
 
@@ -164,7 +175,10 @@ def _assigned(
     schema = f"id {_id_dtype(df, id_col)}, cluster int, cent_cos double"
     if with_nv:
         schema += ", nv array<double>"
-    cols = df.select(F.col(id_col).alias("id"), F.col(vec_col))
+    cols = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col)
+    )
+    dim = cmat.shape[0]
 
     def gen(batches):
         import pandas as pd
@@ -172,10 +186,10 @@ def _assigned(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ok, nv = _clean_matrix(pdf, vec_col)
+            ok, kept = _clean_matrix(pdf, vec_col, dim=dim)
             if not ok.any():
                 continue
-            nv = nv[ok]
+            nv = np.asarray(kept)
             dots = np.round(nv @ cmat, DOT_DP)
             cid = np.argmax(dots, axis=1)  # first max = lowest cluster id
             out = {
@@ -219,6 +233,13 @@ def fit_kmeans(
         .collect()
     )
     centroids = [list(r["nv"]) for r in init_rows]
+    if len({len(c) for c in centroids}) > 1:
+        raise ValueError(
+            "fit_kmeans: embedding column mixes vector dimensions "
+            f"({sorted({len(c) for c in centroids})}) — clean the corpus "
+            "to one dimension (or cluster each dimension separately) "
+            "before fitting"
+        )
     for _ in range(iters):
         means = (
             _assigned(df, id_col, vec_col, centroids, with_nv=True)

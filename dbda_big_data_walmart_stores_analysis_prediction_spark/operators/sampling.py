@@ -487,9 +487,23 @@ def repeat_by_weight(
         # task. Left join + coalesce-to-default is exactly the chain's
         # fallthrough (a null stratum matches nothing and coalesces to
         # the default, as the chain's null comparison does).
+        # the literal frame's stratum column must carry the DATA's type:
+        # a hard-coded string schema would make int-keyed weight dicts
+        # (e.g. cluster ids) work on the when-chain path but crash the
+        # moment they cross the threshold
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
         wdf = df.sparkSession.createDataFrame(
             [(k,) + _split(w) for k, w in sorted(weights.items())],
-            "__rbw_stratum string, __rbw_base int, __rbw_thr int",
+            StructType(
+                [
+                    StructField(
+                        "__rbw_stratum", df.schema[strata_col].dataType
+                    ),
+                    StructField("__rbw_base", IntegerType()),
+                    StructField("__rbw_thr", IntegerType()),
+                ]
+            ),
         )
         df = df.join(
             F.broadcast(wdf),

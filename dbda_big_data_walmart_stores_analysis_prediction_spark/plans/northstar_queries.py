@@ -4149,6 +4149,9 @@ def q107_recipe_v2_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q108_ARTIFACT_DIR = None
+
+
 @_register("q108_recipe_v2_trained")  # rows-only: merge loop + FFD
 def q108_recipe_v2_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q107's composition at the shipped-tokenizer configuration:
@@ -4169,7 +4172,14 @@ def q108_recipe_v2_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    artifact = tempfile.mkdtemp(prefix="rv2_tok_") + "/bpe_artifact"
+    # ONE artifact dir per process, not per invocation: q108 is benched
+    # (LONGTAIL) and scale-tested with reps — a fresh mkdtemp each call
+    # would leak an artifact directory per rep. The overwrite-mode save
+    # makes reuse safe.
+    global _Q108_ARTIFACT_DIR
+    if _Q108_ARTIFACT_DIR is None:
+        _Q108_ARTIFACT_DIR = tempfile.mkdtemp(prefix="rv2_tok_")
+    artifact = _Q108_ARTIFACT_DIR + "/bpe_artifact"
     return recipe_v2(
         docs,
         _recipe_eval(docs),
@@ -4213,7 +4223,7 @@ def _kmeans_ctes(n_clusters: int, iters: int, salt: str) -> str:
       SELECT vec_id AS id,
              list_transform(embedding::DOUBLE[], x -> x / sqrt({nrm})) AS nv
       FROM embeddings
-      WHERE NOT ({bad}) AND {nrm} > 0
+      WHERE vec_id IS NOT NULL AND NOT ({bad}) AND {nrm} > 0
     ),
     cent0 AS (
       SELECT cid, nv FROM (

@@ -46,8 +46,16 @@ def ensure_multifile(n_files: int) -> str:
         repo, ".bench_scale", f"{os.path.basename(SF_DIR)}_{n_files}f"
     )
     marker = os.path.join(dest, ".complete")
+    src_sig = " ".join(
+        f"{t}:{int(os.path.getmtime(f'{SF_DIR}/{t}.parquet'))}"
+        for t in TABLES
+        if os.path.exists(f"{SF_DIR}/{t}.parquet")
+    )
     if os.path.exists(marker):
-        return dest
+        with open(marker) as f:
+            if f.read().strip().endswith(src_sig):
+                return dest
+        # source fixtures changed since the copy was built: rebuild
     from dbda_big_data_walmart_stores_analysis_prediction_spark.session import get_spark
 
     spark = get_spark(app_name="ab_medians_multifile", shuffle_partitions=32)
@@ -60,7 +68,7 @@ def ensure_multifile(n_files: int) -> str:
         ).parquet(f"{dest}/{t}.parquet")
     spark.stop()
     with open(marker, "w") as f:
-        f.write(f"source={SF_DIR} n_files={n_files}\n")
+        f.write(f"source={SF_DIR} n_files={n_files} {src_sig}")
     return dest
 
 

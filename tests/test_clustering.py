@@ -281,6 +281,10 @@ ADVERSARIAL_EMBEDDINGS = [
     (11, [float("inf"), 1.0, 0.0, 0.0]),
     # tiny-magnitude vector (normalizes fine, tests float head-room)
     (12, [1e-4, 0.0, 0.0, 1e-5]),
+    # null id with a valid vector — dropped on both engines
+    (None, [0.2, 0.9, 0.1, 0.0]),
+    # null embedding
+    (13, None),
 ]
 
 
@@ -299,3 +303,43 @@ def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
         ADVERSARIAL_EMBEDDINGS, "vec_id long, embedding array<float>"
     )
     _assert_adversarial_parity(spark, tmp_path, name, "embeddings", df)
+
+
+def test_all_null_embedding_partition_does_not_crash(spark):
+    # a partition whose every row has a NULL embedding previously crashed
+    # the per-batch cleaner (IndexError on the empty length histogram)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, None), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    out = cluster_embeddings(df, n_clusters=2, iters=1, salt=SALT)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 4]
+
+
+def test_mixed_dimension_corpus_fails_loudly_or_filters(spark):
+    # mixed 2-dim / 3-dim vectors: the fit refuses (mixed init) instead of
+    # silently batch-dependent row dropping...
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="mixes vector dimensions"):
+        fit_kmeans(df, n_clusters=2, iters=1, salt=SALT)
+    # ...and assignment against a fixed-dimension model drops the
+    # wrong-length rows by a per-row rule (never batch composition)
+    model = KMeansModel(centroids=[[1.0, 0.0]], salt=SALT, iters=0)
+    out = assign_clusters(df, model).collect()
+    assert [r["vec_id"] for r in out] == [1]
+
+
+def test_null_id_rows_are_dropped(spark):
+    # an id-less row cannot take part in init ordering, pairs, or groups;
+    # previously two null-id rows would collapse into ONE survivor group
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [0.0, 1.0]), (None, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    out = cluster_embeddings(df, n_clusters=1, iters=1, salt=SALT)
+    assert [r["vec_id"] for r in out.collect()] == [1]
+    sd = semdedup(df, n_clusters=1, iters=1, threshold=0.9, salt=SALT)
+    assert [r["vec_id"] for r in sd.collect()] == [1]

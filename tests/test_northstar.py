@@ -2394,3 +2394,37 @@ def test_repeat_by_weight_wide_strata_broadcast_join(spark):
     got = {(r["doc_id"], r["copy_id"]) for r in out.collect()}
     assert got == expected
     assert len(got) == out.count()  # copy ids unique per doc
+
+
+def test_repeat_by_weight_wide_strata_int_keys(spark):
+    """Non-string strata (e.g. int cluster ids) must behave identically on
+    BOTH sides of the _WIDE_STRATA_THRESHOLD: the broadcast literal frame
+    types its stratum column from the DATA, not a hard-coded string."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        _WIDE_STRATA_THRESHOLD,
+        repeat_by_weight,
+    )
+
+    n_strata = _WIDE_STRATA_THRESHOLD + 5
+    weights = {i: 2.0 for i in range(n_strata)}
+    df = spark.createDataFrame(
+        [(i, i % n_strata) for i in range(1, 301)],
+        "doc_id long, cluster int",
+    )
+    out = repeat_by_weight(
+        df, "cluster", weights, "doc_id", default_weight=1.0, salt="epoch"
+    )
+    # integer weight 2.0 for every stratum: exactly two copies per doc
+    assert out.count() == 600
+    narrow = repeat_by_weight(
+        df,
+        "cluster",
+        {k: v for k, v in weights.items() if k < _WIDE_STRATA_THRESHOLD - 5},
+        "doc_id",
+        default_weight=2.0,
+        salt="epoch",
+    )
+    # same effective weights through the when-chain path: identical output
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, narrow.collect())
+    )
