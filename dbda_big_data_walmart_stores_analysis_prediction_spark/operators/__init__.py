@@ -23,6 +23,8 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering
     assign_clusters,
     cluster_embeddings,
     fit_kmeans,
+    load_kmeans_artifact,
+    save_kmeans_artifact,
     semdedup,
 )
 
@@ -31,6 +33,8 @@ __all__ = [
     "assign_clusters",
     "cluster_embeddings",
     "fit_kmeans",
+    "load_kmeans_artifact",
+    "save_kmeans_artifact",
     "semdedup",
     "null_counts",
     "impute_median",

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from dbda_big_data_walmart_stores_analysis_prediction_spark import get_spark
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
+EMB_SRC = "/root/testdata/sf0.1/embeddings.parquet"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_scale")
 
 
@@ -48,6 +49,22 @@ def main() -> None:
         dest = f"{OUT}/{name}/documents.parquet"
         out.repartition(8).write.mode("overwrite").parquet(dest)
         print(name, spark.read.parquet(dest).count(), "docs ->", dest)
+        # embeddings replicate the same way (re-keyed exact copies): the
+        # clustering/semdedup family's stress instance — within-cluster
+        # pair density grows ~copies^2 while rows grow ~copies
+        emb = spark.read.parquet(EMB_SRC)
+        eparts = [
+            emb.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(copies)
+        ]
+        eout = functools.reduce(lambda a, b: a.unionAll(b), eparts)
+        edest = f"{OUT}/{name}/embeddings.parquet"
+        eout.repartition(8).write.mode("overwrite").parquet(edest)
+        print(name, spark.read.parquet(edest).count(), "vecs ->", edest)
 
 
 if __name__ == "__main__":
