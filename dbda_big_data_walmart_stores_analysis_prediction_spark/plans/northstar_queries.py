@@ -4444,8 +4444,13 @@ def q113_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_SEMDEDUP_TAU,
         salt=_KMEANS_SALT,
     )
-    surv = sd.where(F.col("keep")).select(
-        F.col("vec_id").alias("doc_id"), "cluster"
+    # temperature_mix scans its input twice (quota counts + the ranked
+    # selection); the lazy checkpoint stops the second pass from
+    # re-running the survivor window / pair lineage above it
+    surv = (
+        sd.where(F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"), "cluster")
+        .localCheckpoint(eager=False)
     )
     curated = docs.join(surv, "doc_id").select("doc_id", "source", "cluster")
     mixed = temperature_mix(
