@@ -343,3 +343,15 @@ def test_null_id_rows_are_dropped(spark):
     assert [r["vec_id"] for r in out.collect()] == [1]
     sd = semdedup(df, n_clusters=1, iters=1, threshold=0.9, salt=SALT)
     assert [r["vec_id"] for r in sd.collect()] == [1]
+
+
+def test_semdedup_blockwise_equals_join_mode(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(n_clusters=4, iters=1, threshold=0.4, salt=SALT)
+    blockwise = sorted(map(tuple, semdedup(emb, **kw).collect()))
+    join = sorted(
+        map(tuple, semdedup(emb, pair_mode="join", **kw).collect())
+    )
+    assert blockwise == join
+    with pytest.raises(ValueError, match="pair_mode"):
+        semdedup(emb, pair_mode="matmul", **kw)
