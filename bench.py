@@ -223,6 +223,14 @@ LONGTAIL = [
     # round-11: embedding-driven curation — SemDeDup survivors joined to
     # documents, temperature-mixed over the discovered clusters
     "q113_semantic_curation",
+    # round-11: the WordPiece tokenizer family (zero-merge oracled vocab +
+    # encode, likelihood-scored trained configuration), the
+    # length-bucketed SFT loader, and the snapshot content diff
+    "q114_wordpiece_vocab",
+    "q115_wordpiece_tokens",
+    "q116_wordpiece_trained",
+    "q117_length_bucket_batches",
+    "q118_snapshot_diff",
 ]
 
 _TABLES = (

@@ -46,6 +46,89 @@ def delete_keys(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | str = "doc_id",
+    content_cols: list[str] | str | None = None,
+) -> DataFrame:
+    """Content diff between two corpus snapshots — the audit step an
+    incremental pipeline runs after every refresh (what did this crawl
+    delivery actually change?) and the input to incremental downstream
+    work (re-embed / re-tokenize only ``changed`` + ``added``).
+
+    Returns one row per key present in EITHER snapshot:
+    ``(*keys, status)`` with ``status`` in ``added`` (key only in
+    ``new``), ``removed`` (only in ``old``), ``changed`` (both, content
+    fingerprint differs), ``unchanged``. Content identity is
+    ``md5(concat_ws on content_cols)`` — EXACT bytes after the implicit
+    string cast, deliberately not the dedup family's normalized hash: a
+    whitespace-only edit IS a change to a snapshot auditor.
+    ``content_cols`` defaults to every non-key column shared by both
+    frames; null contents compare null-safely (null == null is
+    ``unchanged``, the ``<=>`` rule).
+
+    Scale shape: ONE co-partitioned shuffle — both sides hash-partition
+    on the key for the full outer join, and the fingerprints are
+    computed map-side before the exchange so the join carries
+    ``(key, 16-byte hash)``, never the document bodies.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if content_cols is None:
+        shared = [
+            c for c in old.columns if c in set(new.columns) and c not in key_list
+        ]
+        if not shared:
+            raise ValueError(
+                "snapshot_diff: no shared non-key columns to fingerprint "
+                f"(old has {old.columns}, new has {new.columns}); pass "
+                "content_cols explicitly"
+            )
+        content_cols = shared
+    elif isinstance(content_cols, str):
+        content_cols = [content_cols]
+    for side, frame in (("old", old), ("new", new)):
+        missing = [c for c in [*key_list, *content_cols] if c not in frame.columns]
+        if missing:
+            raise ValueError(
+                f"snapshot_diff: {side} snapshot is missing columns "
+                f"{missing} (has {frame.columns})"
+            )
+
+    def fingered(df: DataFrame, tag: str) -> DataFrame:
+        # Null cells take a positional sentinel (concat_ws SKIPS nulls,
+        # which would collide (null,'a') with ('a',null)); an all-null
+        # content row fingerprints as null and pairs null-safely.
+        content = F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in content_cols
+            ],
+        )
+        has_any = (
+            F.greatest(*[F.col(c).isNotNull() for c in content_cols])
+            if len(content_cols) > 1
+            else F.col(content_cols[0]).isNotNull()
+        )
+        return df.select(
+            *key_list,
+            F.when(has_any, F.md5(content)).alias(f"__h_{tag}"),
+            F.lit(True).alias(f"__in_{tag}"),
+        )
+
+    o = fingered(old, "old")
+    n = fingered(new, "new")
+    joined = o.join(n, key_list, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old").eqNullSafe(F.col("__h_new")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_list, status.alias("status"))
+
+
 def compact_small_files(
     spark,
     path: str,

@@ -70,16 +70,17 @@ def _sharded_counts(
     tokens_col: str | None,
     n_shards: int,
     salt: str,
+    op: str = "pack_sequences",
 ) -> DataFrame:
     """Shared pre-window base of the packing family:
     ``(id, n_tokens, __h, shard)`` with the eager column-contract
     validation — token counts resolved (precomputed column or inline
     whitespace count), the ``md5(salt:id)`` order key, and the hash
-    shard."""
+    shard. ``op`` names the public caller in contract errors."""
     if tokens_col is not None:
         if tokens_col not in df.columns:
             raise ValueError(
-                f"pack_sequences: tokens_col {tokens_col!r} is not a column "
+                f"{op}: tokens_col {tokens_col!r} is not a column "
                 f"of the input frame (has {df.columns}); pass the frame "
                 "that carries the precomputed token counts"
             )
@@ -87,19 +88,19 @@ def _sharded_counts(
     elif text_col is not None:
         if text_col not in df.columns:
             raise ValueError(
-                f"pack_sequences: text_col {text_col!r} is not a column of "
+                f"{op}: text_col {text_col!r} is not a column of "
                 f"the input frame (has {df.columns}); pass tokens_col for "
                 "frames that carry counts but no text"
             )
         ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
     else:
         raise ValueError(
-            "pack_sequences needs tokens_col (precomputed counts) or "
+            f"{op} needs tokens_col (precomputed counts) or "
             "text_col (inline whitespace count); both were None"
         )
     if id_col not in df.columns:
         raise ValueError(
-            f"pack_sequences: id_col {id_col!r} is not a column of the "
+            f"{op}: id_col {id_col!r} is not a column of the "
             f"input frame (has {df.columns})"
         )
     h = md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
@@ -295,7 +296,10 @@ def pack_sequences_ffd(
     ``n_tokens`` is 0, not null. Null ids sort last within their ties
     and land in their own null shard.
     """
-    base = _sharded_counts(df, id_col, text_col, tokens_col, n_shards, salt)
+    base = _sharded_counts(
+        df, id_col, text_col, tokens_col, n_shards, salt,
+        op="pack_sequences_ffd",
+    )
     id_field = next(f for f in base.schema.fields if f.name == id_col)
     out_schema = T.StructType(
         [
@@ -338,3 +342,81 @@ def pack_sequences_ffd(
         return out[[id_col, "shard", "bin_id", "n_tokens"]]
 
     return base.groupBy("shard").applyInPandas(_ffd, out_schema)
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+    boundaries: tuple[int, ...] = (64, 128, 256, 512),
+    batch_size: int = 16,
+    n_shards: int = 32,
+    salt: str = "lbatch",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-minimizing loader
+    used when sequences must NOT be packed (SFT, reward-model training:
+    one document per sequence, padded to the batch max). Docs go to the
+    first length bucket that holds them (``bucket i`` ⇔ ``n_tokens <=
+    boundaries[i]``, overflow bucket ``len(boundaries)`` above the last),
+    are shuffled reproducibly within their (shard, bucket) by
+    ``md5(salt:id)``, and grouped into fixed-size batches:
+    ``(id, n_tokens, bucket, shard, batch_idx)`` — batch
+    ``(shard, bucket, batch_idx)`` pads only to ITS bucket's ceiling,
+    which is the whole point of bucketing.
+
+    Deterministic for the same reason as `pack_sequences`: a pure
+    function of (data, boundaries, batch_size, salt) — reruns and
+    resumed jobs rebuild identical batches. Null token counts bucket as
+    literal 0 (the FFD rule: nulls pack as zero-token docs, no NaN
+    special case).
+
+    Scale shape: ONE exchange. The window partitions by (shard, bucket),
+    NOT bucket alone — a handful of global buckets would each become one
+    executor-crushing sort task at 100 TB; sharding first keeps the
+    parallelism unit ``n_shards × buckets`` and the per-task sort at
+    ``rows / n_shards`` while costing nothing semantically (a training
+    shard maps to a data-loader worker, exactly as in the packing
+    family).
+    """
+    if not boundaries or any(
+        b <= 0 or (i and b <= boundaries[i - 1])
+        for i, b in enumerate(boundaries)
+    ):
+        raise ValueError(
+            f"length_bucket_batches: boundaries must be positive and "
+            f"strictly increasing, got {boundaries!r}"
+        )
+    if batch_size < 1:
+        raise ValueError(
+            f"length_bucket_batches: batch_size must be >= 1, got {batch_size}"
+        )
+    base = _sharded_counts(
+        df, id_col, text_col, tokens_col, n_shards, salt,
+        op="length_bucket_batches",
+    )
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0))
+    bucket = F.lit(len(boundaries))
+    for i in reversed(range(len(boundaries))):
+        bucket = F.when(nt <= boundaries[i], F.lit(i)).otherwise(bucket)
+    in_bucket = Window.partitionBy("shard", "__bucket").orderBy(
+        F.asc_nulls_last("__h"), F.asc_nulls_last(id_col)
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            nt.cast("bigint").alias("n_tokens"),
+            bucket.cast("int").alias("__bucket"),
+            "shard",
+            "__h",
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("__bucket").alias("bucket"),
+            "shard",
+            F.floor((F.row_number().over(in_bucket) - 1) / batch_size).alias(
+                "batch_idx"
+            ),
+        )
+    )

@@ -4471,3 +4471,219 @@ _Q71_SQL = (
 )
 assert ORACLE_SQL["q71_temperature_mix"] == "__Q71_TEMPERATURE_SQL__"
 ORACLE_SQL["q71_temperature_mix"] = _Q71_SQL
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer family (q114-q116) — the third tokenizer, completing
+# the BPE / unigram-LM / WordPiece trio. Oracle posture mirrors the family:
+# the zero-merge point is SQL-replicable for BOTH the trained vocabulary
+# (q114 — the char inventory with sorted ranks) and the end-to-end encode
+# counts (q115 — greedy longest-match degenerates to one piece per char);
+# the trained configuration (q116) is the q84/q99/q101 solver-round class,
+# rows-only, pinned by the from-scratch twin in tests/test_northstar.py.
+# ---------------------------------------------------------------------------
+
+# The corpus word inventory over the shared normalization — one fragment
+# feeding both q114 CTEs (word-start chars, continuation chars).
+_Q114_SQL = f"""
+    WITH tnorm AS (SELECT {_SQL_NORM} AS t FROM documents
+                   WHERE text IS NOT NULL),
+    words AS (SELECT DISTINCT unnest(list_filter(string_split(t, ' '),
+                                                 x -> x <> '')) AS w
+              FROM tnorm WHERE t IS NOT NULL AND t <> ''),
+    starts AS (SELECT DISTINCT w[1:1] AS piece FROM words),
+    conts AS (SELECT DISTINCT
+                unnest(['##' || w[i:i] FOR i IN range(2, length(w) + 1)])
+                  AS piece
+              FROM words),
+    allp AS (SELECT piece FROM starts UNION SELECT piece FROM conts)
+    SELECT piece, (row_number() OVER (ORDER BY piece) - 1)::INT AS wp_rank
+    FROM allp
+"""
+
+
+@_register("q114_wordpiece_vocab", _Q114_SQL)
+def q114_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece training at the zero-merge point: the vocabulary is
+    exactly the corpus's character inventory under the shared
+    normalization — word-start chars bare, continuation chars
+    ``##``-prefixed, ``wp_rank`` = sorted order (UTF-8 code-point order
+    on both engines). The distributed stage (`bpe.word_counts`, oracled
+    standalone as q88) and the base-inventory construction hash-check
+    end to end; the merge loop on top is pinned at q116's trained
+    point by the from-scratch twin."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return train_wordpiece(docs, n_merges=0)
+
+
+_Q115_SQL = f"""
+    WITH tnorm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents)
+    SELECT doc_id,
+           (CASE WHEN t IS NULL OR t = '' THEN 0
+                 ELSE length(replace(t, ' ', '')) END)::BIGINT AS n_wp_tokens
+    FROM tnorm
+"""
+
+
+@_register("q115_wordpiece_tokens", _Q115_SQL)
+def q115_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece encode at the zero-merge point: with only single-char
+    pieces in the vocabulary, greedy longest-match-first yields one
+    piece per character, so every doc's ``n_wp_tokens`` is the
+    non-space character count of its normalized text — the q98/q100
+    zero-point argument, WordPiece edition (and since the char
+    inventory comes from the SAME corpus, no word can hit ``[UNK]``).
+    Exercises the full train → broadcast → Arrow-batched greedy-match
+    path with a bit-exact SQL twin."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = train_wordpiece(docs, n_merges=0)
+    return wordpiece_encode(docs, vocab, counts_only=True)
+
+
+@_register("q116_wordpiece_trained")  # rows-only: the merge-scoring loop
+def q116_wordpiece_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q115's encode at a real merge budget (``n_merges=40``): pair
+    selection by the WordPiece likelihood score
+    ``count(ab)/(count(a)·count(b))`` has no SQL twin (the q84/q99/q101
+    solver-round class), so the driver records rows-only; the vocabulary
+    and the per-doc counts are pinned EXACTLY at small scale by
+    tests/test_northstar.py::test_wordpiece_pinned_by_naive_reference
+    (a from-scratch full-recount trainer + greedy matcher), and the
+    distributed stages are oracled as q88 (word counts) and q114/q115
+    (zero-merge vocab + end-to-end counts)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = train_wordpiece(docs, n_merges=40)
+    return wordpiece_encode(docs, vocab, counts_only=True)
+
+
+# ---------------------------------------------------------------------------
+# Loader + snapshot-audit additions (q117-q118)
+# ---------------------------------------------------------------------------
+
+_Q117_SQL = f"""
+    WITH c AS (
+      SELECT doc_id,
+             (CASE WHEN text IS NULL THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END)::BIGINT AS n_tokens,
+             {_SQL_HEX.format(x="'lbatch:' || CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             (CASE WHEN n_tokens <= 16 THEN 0
+                   WHEN n_tokens <= 32 THEN 1
+                   WHEN n_tokens <= 64 THEN 2
+                   WHEN n_tokens <= 128 THEN 3
+                   ELSE 4 END)::INT AS bucket,
+             (hv % 8)::BIGINT AS shard, hv
+      FROM c
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY shard, bucket
+                                   ORDER BY hv, doc_id) AS rn
+      FROM b
+    )
+    SELECT doc_id, n_tokens, bucket, shard,
+           ((rn - 1) // 8)::BIGINT AS batch_idx
+    FROM r
+"""
+
+
+@_register("q117_length_bucket_batches", _Q117_SQL)
+def q117_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (operators/packing.py::
+    length_bucket_batches): docs to the first length bucket that holds
+    them, reproducibly shuffled within (shard, bucket) by md5(salt:id),
+    grouped into fixed-size batches — the padding-minimizing loader for
+    unpacked (SFT-style) training. The oracle replicates the bucket
+    CASE, the hash order, and the batch arithmetic bit-for-bit."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return length_bucket_batches(
+        docs,
+        boundaries=(16, 32, 64, 128),
+        batch_size=8,
+        n_shards=8,
+        salt="lbatch",
+    )
+
+
+_Q118_SQL = """
+    WITH old AS (SELECT doc_id, text FROM documents),
+    newsnap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             'fresh page ' || doc_id::VARCHAR AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 o.doc_id IS NOT NULL AS in_old,
+                 n.doc_id IS NOT NULL AS in_new,
+                 o.text AS t_old, n.text AS t_new
+          FROM old o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+    SELECT doc_id,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN t_old IS NOT DISTINCT FROM t_new THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM j
+"""
+
+
+@_register("q118_snapshot_diff", _Q118_SQL)
+def q118_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/maintenance.py::snapshot_diff):
+    full-outer key join of two snapshots with map-side md5 content
+    fingerprints → added / removed / changed / unchanged per doc — the
+    refresh audit that drives incremental re-embedding/re-tokenizing.
+    The "new" snapshot is derived deterministically from the fixture
+    (every 11th doc dropped, every 7th edited, a fresh page per 13th),
+    so the oracle rebuilds both sides and compares raw text — md5 on
+    equal strings is equal, statuses match exactly."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh page "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(docs, new, "doc_id", "text")

@@ -238,11 +238,13 @@ def tokenizer_corpus_unigram(
 
 _BPE_ARTIFACT_COLS = ("merge_rank", "left", "right", "new_symbol", "pair_count")
 _UNIGRAM_ARTIFACT_COLS = ("piece", "logprob")
+_WORDPIECE_ARTIFACT_COLS = ("piece", "wp_rank")
 
 
 def save_tokenizer_artifact(model: DataFrame, path: str) -> None:
     """Persist a trained tokenizer artifact — a BPE merge table
-    (``train_bpe`` output) or a unigram piece vocabulary
+    (``train_bpe`` output), a WordPiece vocabulary (``train_wordpiece``
+    output), or a unigram piece vocabulary
     (``train_unigram`` output) — as parquet, the tokenizer family's
     member of the model sink/source contract (SURVEY S5: the ML pipeline
     ships a PipelineModel; a tokenizer pipeline ships this table). The
@@ -257,11 +259,13 @@ def save_tokenizer_artifact(model: DataFrame, path: str) -> None:
     if not (
         set(_BPE_ARTIFACT_COLS) <= set(cols)
         or set(_UNIGRAM_ARTIFACT_COLS) <= set(cols)
+        or set(_WORDPIECE_ARTIFACT_COLS) <= set(cols)
     ):
         raise ValueError(
-            f"save_tokenizer_artifact: frame columns {cols} match neither "
-            f"the BPE merge-table contract {_BPE_ARTIFACT_COLS} nor the "
-            f"unigram vocab contract {_UNIGRAM_ARTIFACT_COLS}"
+            f"save_tokenizer_artifact: frame columns {cols} match none of "
+            f"the BPE merge-table contract {_BPE_ARTIFACT_COLS}, the "
+            f"unigram vocab contract {_UNIGRAM_ARTIFACT_COLS}, or the "
+            f"WordPiece vocab contract {_WORDPIECE_ARTIFACT_COLS}"
         )
     io.write_parquet(model, path)
 
@@ -277,12 +281,14 @@ def load_tokenizer_artifact(spark, path: str) -> DataFrame:
     cols = set(model.columns)
     if set(_BPE_ARTIFACT_COLS) <= cols:
         return model.orderBy("merge_rank")
+    if set(_WORDPIECE_ARTIFACT_COLS) <= cols:
+        return model.orderBy("wp_rank")
     if set(_UNIGRAM_ARTIFACT_COLS) <= cols:
         return model
     raise ValueError(
         f"load_tokenizer_artifact: {path} has columns {sorted(cols)} — "
-        "not a saved tokenizer artifact (expected a BPE merge table or a "
-        "unigram piece vocab)"
+        "not a saved tokenizer artifact (expected a BPE merge table, a "
+        "WordPiece piece vocab, or a unigram piece vocab)"
     )
 
 
@@ -295,9 +301,10 @@ def encode_with_artifact(
 ) -> DataFrame:
     """Tokenize documents with a trained artifact, dispatching on its
     schema (`load_tokenizer_artifact`'s contract): a BPE merge table
-    runs ``bpe_encode``, a unigram piece vocab runs ``unigram_encode``.
-    Output follows the dispatched family (``bpe_tokens``/
-    ``n_subword_tokens`` vs ``pieces``/``n_pieces``).
+    runs ``bpe_encode``, a WordPiece vocab runs ``wordpiece_encode``,
+    a unigram piece vocab runs ``unigram_encode``. Output follows the
+    dispatched family (``bpe_tokens``/``n_subword_tokens`` vs
+    ``wp_tokens``/``n_wp_tokens`` vs ``pieces``/``n_pieces``).
 
     Works unchanged on a STREAMING ``df``: both encoders are stateless
     broadcast-model Arrow projections — no shuffle, no aggregation, no
@@ -309,12 +316,21 @@ def encode_with_artifact(
     cols = set(model.columns)
     if set(_BPE_ARTIFACT_COLS) <= cols:
         return bpe_encode(df, model, text_col, id_col, counts_only=counts_only)
+    if set(_WORDPIECE_ARTIFACT_COLS) <= cols:
+        from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+            wordpiece_encode,
+        )
+
+        return wordpiece_encode(
+            df, model, text_col, id_col, counts_only=counts_only
+        )
     if set(_UNIGRAM_ARTIFACT_COLS) <= cols:
         return unigram_encode(
             df, model, text_col, id_col, counts_only=counts_only
         )
     raise ValueError(
-        f"encode_with_artifact: model columns {sorted(cols)} match neither "
-        f"the BPE merge-table contract {_BPE_ARTIFACT_COLS} nor the "
+        f"encode_with_artifact: model columns {sorted(cols)} match none of "
+        f"the BPE merge-table contract {_BPE_ARTIFACT_COLS}, the "
+        f"WordPiece vocab contract {_WORDPIECE_ARTIFACT_COLS}, or the "
         f"unigram vocab contract {_UNIGRAM_ARTIFACT_COLS}"
     )

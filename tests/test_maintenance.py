@@ -62,3 +62,48 @@ def test_compact_small_files(spark, tmp_path):
     assert len(files) == n <= 4
     got = sorted(r["k"] for r in spark.read.parquet(dst).collect())
     assert got == list(range(2000))
+
+
+def test_snapshot_diff_semantics(spark):
+    """All four statuses on one fixture, plus the null contracts: null
+    content on both sides is 'unchanged' (null-safe fingerprints), a
+    null appearing or disappearing is 'changed', and with multiple
+    content columns the null takes a POSITIONAL sentinel — (null,'a')
+    vs ('a',null) must be 'changed', not a concat_ws collision."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None), (6, "x")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None), (6, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",
+        6: "changed",
+    }
+
+    old2 = spark.createDataFrame(
+        [(1, None, "a")], "doc_id long, title string, body string"
+    )
+    new2 = spark.createDataFrame(
+        [(1, "a", None)], "doc_id long, title string, body string"
+    )
+    got2 = {r["doc_id"]: r["status"] for r in snapshot_diff(old2, new2).collect()}
+    assert got2 == {1: "changed"}
+
+    with pytest.raises(ValueError, match="missing columns"):
+        snapshot_diff(old, new.select("doc_id"), "doc_id", "text")
+    with pytest.raises(ValueError, match="no shared non-key"):
+        snapshot_diff(old.select("doc_id"), new.select("doc_id"))

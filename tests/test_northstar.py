@@ -1769,7 +1769,7 @@ def test_tokenizer_artifact_roundtrip(spark, tmp_path):
     uv = {r["doc_id"]: r["pieces"] for r in unigram_encode(df, uloaded).collect()}
     assert ud == uv
 
-    with pytest.raises(ValueError, match="match neither"):
+    with pytest.raises(ValueError, match="contract"):
         save_tokenizer_artifact(df, str(tmp_path / "bad"))
     df.write.mode("overwrite").parquet(str(tmp_path / "not_artifact"))
     with pytest.raises(ValueError, match="not a saved tokenizer artifact"):
@@ -2428,3 +2428,283 @@ def test_repeat_by_weight_wide_strata_int_keys(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, narrow.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer family (q114-q116)
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_pinned_by_naive_reference(spark):
+    """The q116 pin test: ``train_wordpiece`` + ``wordpiece_encode`` at a
+    real merge budget, recomputed by a from-scratch pure-Python reference
+    — full-RECOUNT training (symbol and pair counts rebuilt from the
+    whole vocabulary every round, no incremental index) scoring with
+    ``fractions.Fraction`` (the engine cross-multiplies integers), and a
+    max-over-candidates greedy matcher (the engine scans lengths
+    descending). Every deliberate implementation difference makes the
+    equality a genuine cross-check, not a transcription.
+
+    Pins exactly: the vocabulary (pieces AND ranks — base inventory
+    sorted, merges in selection order) and each doc's full token
+    sequence; plus the WordPiece-specific invariants: stripping ``##``
+    from a word's tokens reassembles the normalized word, and a merged
+    piece always outscored raw-frequency order (the fixture is built so
+    pure-count BPE would pick a DIFFERENT first merge than the
+    likelihood score does)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = [
+        # 'th' is the most FREQUENT pair, but 'q'+'##u' has a far better
+        # likelihood score (q occurs only before u): WordPiece must pick
+        # the qu merge first where BPE-by-count would pick th.
+        (1, "the then there that quik quik quail"),
+        (2, "then the quik quip that there the"),
+        (3, "  THE   Quik  quail THAT "),  # normalization exercise
+        (4, None),  # null text: encodes to zero tokens
+        (5, "café café naïve"),  # multibyte chars through both paths
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    N_MERGES, MIN_PAIR = 6, 2
+
+    # ---- naive reference, sharing no code with the engine ----
+    def norm(t):
+        return " ".join(t.strip().lower().split())
+
+    wc = Counter(
+        w
+        for _, t in docs
+        if t is not None
+        for w in norm(t).split(" ")
+        if w
+    )
+
+    def symseq(word):
+        return tuple([word[0]] + ["##" + c for c in word[1:]])
+
+    vocab_words = {w: [symseq(w), c] for w, c in wc.items()}
+    base = sorted({s for syms, _ in vocab_words.values() for s in syms})
+    naive_pieces = list(base)
+    for _ in range(N_MERGES):
+        syms_count = Counter()
+        pair_count = Counter()
+        for syms, c in vocab_words.values():  # full recount every round
+            for s in syms:
+                syms_count[s] += c
+            for a, b in zip(syms, syms[1:]):
+                pair_count[(a, b)] += c
+        cands = [p for p, c in pair_count.items() if c >= MIN_PAIR]
+        if not cands:
+            break
+        best = min(
+            cands,
+            key=lambda p: (
+                -Fraction(pair_count[p], syms_count[p[0]] * syms_count[p[1]]),
+                -pair_count[p],
+                p,
+            ),
+        )
+        merged = best[0] + best[1][2:]
+        naive_pieces.append(merged)
+        for w, (syms, c) in vocab_words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab_words[w] = [tuple(out), c]
+
+    vocab = train_wordpiece(df, n_merges=N_MERGES, min_pair_count=MIN_PAIR)
+    got = [(r["piece"], r["wp_rank"]) for r in vocab.orderBy("wp_rank").collect()]
+    assert got == [(p, i) for i, p in enumerate(naive_pieces)]
+    # the likelihood score picked 'qu' (or another low-denominator merge)
+    # before 'th' even though ('t','##h') has the higher raw count
+    first_merge = naive_pieces[len(base)]
+    assert first_merge != "th"
+
+    piece_set = set(naive_pieces)
+
+    def naive_match(word):
+        toks, i = [], 0
+        while i < len(word):
+            cands = [
+                word[i : i + L] if i == 0 else "##" + word[i : i + L]
+                for L in range(1, len(word) - i + 1)
+            ]
+            hits = [c for c in cands if c in piece_set]
+            if not hits:
+                return ["[UNK]"]
+            best = max(hits, key=len)
+            toks.append(best)
+            i += len(best) - 2 if best.startswith("##") else len(best)
+        return toks
+
+    expect = {}
+    for i, t in docs:
+        if t is None:
+            expect[i] = []
+        else:
+            expect[i] = [
+                tok for w in norm(t).split(" ") if w for tok in naive_match(w)
+            ]
+
+    enc = wordpiece_encode(df, vocab)
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    for i, _ in docs:
+        assert list(rows[i]["wp_tokens"]) == expect[i], i
+        assert rows[i]["n_wp_tokens"] == len(expect[i])
+    # round-trip: stripping ## reassembles each normalized word
+    for i, t in docs:
+        if t is None:
+            continue
+        joined = "".join(tok.lstrip("#") if tok.startswith("##") else tok
+                         for tok in rows[i]["wp_tokens"])
+        assert joined == norm(t).replace(" ", "")
+
+
+def test_wordpiece_unk_empty_and_counts_only(spark):
+    """Contract battery: a word containing ANY character unseen at train
+    time collapses to one ``[UNK]`` (BERT semantics — never a
+    half-tokenized word); null / empty / whitespace-only texts encode to
+    zero tokens; ``counts_only`` matches the full path row for row; a
+    wrong ``text_col`` fails eagerly at train time."""
+    import pytest as _pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "abc abd cab")], "doc_id long, text string"
+    )
+    vocab = train_wordpiece(train, n_merges=3)
+    test_df = spark.createDataFrame(
+        [
+            (1, "abc zzz"),      # 'z' unseen -> [UNK], abc still tokenized
+            (2, "axc"),          # unseen mid-word char -> whole word UNK
+            (3, ""),
+            (4, None),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    full = {r["doc_id"]: r for r in wordpiece_encode(test_df, vocab).collect()}
+    assert full[1]["wp_tokens"][-1] == "[UNK]"
+    assert full[1]["wp_tokens"][0] != "[UNK]"
+    assert list(full[2]["wp_tokens"]) == ["[UNK]"]
+    for i in (3, 4, 5):
+        assert list(full[i]["wp_tokens"]) == []
+        assert full[i]["n_wp_tokens"] == 0
+    counts = {
+        r["doc_id"]: r["n_wp_tokens"]
+        for r in wordpiece_encode(test_df, vocab, counts_only=True).collect()
+    }
+    assert counts == {i: full[i]["n_wp_tokens"] for i in full}
+    with _pytest.raises(ValueError, match="text_col"):
+        train_wordpiece(train, text_col="body")
+
+
+def test_wordpiece_artifact_roundtrip_and_dispatch(spark, tmp_path):
+    """The S5 sink/source contract extends to the WordPiece family:
+    train -> save -> load -> ``encode_with_artifact`` equals the direct
+    encode exactly, the loader restores rank order, and a non-artifact
+    frame is rejected by save with the contract spelled out."""
+    import pytest as _pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        encode_with_artifact,
+        load_tokenizer_artifact,
+        save_tokenizer_artifact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hug hugs hugging bug bugs rug"), (2, "hug the bug rug rug")],
+        "doc_id long, text string",
+    )
+    vocab = train_wordpiece(df, n_merges=5)
+    path = str(tmp_path / "wp_vocab")
+    save_tokenizer_artifact(vocab, path)
+    loaded = load_tokenizer_artifact(spark, path)
+    assert [tuple(r) for r in loaded.collect()] == [
+        tuple(r) for r in vocab.orderBy("wp_rank").collect()
+    ]
+    direct = sorted(map(tuple, wordpiece_encode(df, vocab).collect()))
+    via = sorted(map(tuple, encode_with_artifact(df, loaded).collect()))
+    assert via == direct
+    with _pytest.raises(ValueError, match="contract"):
+        save_tokenizer_artifact(
+            spark.createDataFrame([(1, "x")], "a long, b string"), path
+        )
+
+
+def test_length_bucket_batches_contract(spark):
+    """Loader contract battery: bucket = first boundary that holds the
+    doc (overflow bucket past the last), null text buckets as literal 0
+    tokens, no batch exceeds batch_size, reruns are identical, and the
+    boundary/batch_size validations fail eagerly."""
+    import pytest as _pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    docs = [(i, " ".join(["w"] * i)) for i in range(1, 40)] + [(99, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = length_bucket_batches(
+        df, boundaries=(8, 16, 32), batch_size=4, n_shards=4, salt="t"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == len(docs)
+    for i, t in docs:
+        r = rows[i]
+        n = r["n_tokens"]
+        assert n == (0 if t is None else i)
+        expect_bucket = next(
+            (j for j, b in enumerate((8, 16, 32)) if n <= b), 3
+        )
+        assert r["bucket"] == expect_bucket, (i, n)
+    # batch occupancy: no (shard, bucket, batch_idx) group exceeds batch_size
+    from collections import Counter as _C
+
+    occ = _C((r["shard"], r["bucket"], r["batch_idx"]) for r in rows.values())
+    assert max(occ.values()) <= 4
+    # within a (shard, bucket), batch indices are dense from 0
+    per_sb = {}
+    for (s, b, bi), c in occ.items():
+        per_sb.setdefault((s, b), []).append((bi, c))
+    for (s, b), batches in per_sb.items():
+        idxs = sorted(bi for bi, _ in batches)
+        assert idxs == list(range(len(idxs))), (s, b, idxs)
+        # only the LAST batch of a (shard, bucket) may be partial
+        for bi, c in sorted(batches):
+            if bi < len(idxs) - 1:
+                assert c == 4, (s, b, bi, c)
+    rerun = length_bucket_batches(
+        df, boundaries=(8, 16, 32), batch_size=4, n_shards=4, salt="t"
+    )
+    assert sorted(map(tuple, rerun.collect())) == sorted(
+        map(tuple, out.collect())
+    )
+    with _pytest.raises(ValueError, match="strictly increasing"):
+        length_bucket_batches(df, boundaries=(16, 8))
+    with _pytest.raises(ValueError, match="batch_size"):
+        length_bucket_batches(df, boundaries=(8,), batch_size=0)
+    with _pytest.raises(ValueError, match="text_col"):
+        length_bucket_batches(df, text_col="body")

@@ -457,3 +457,31 @@ def test_q106_ffd_single_exchange_arrow_group(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_q117_length_bucket_single_exchange_composite_key(spark):
+    """length_bucket_batches' scale contract: ONE exchange, and its
+    partitioning key is (shard, bucket) — NOT bucket alone, which would
+    turn a handful of global length buckets into a handful of
+    executor-crushing sort tasks at 100 TB. The hash/count/bucket math
+    all happens map-side below the exchange (nothing above it touches
+    md5 or the raw text)."""
+    plan = _plan(spark, "q117_length_bucket_batches")
+    ex = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(ex) == 1, plan
+    assert "shard" in ex[0] and "__bucket" in ex[0], ex[0]
+    above = plan[: plan.index("Exchange hashpartitioning")]
+    assert "md5(" not in above and "text#" not in above, above
+
+
+def test_q118_snapshot_diff_fingerprints_before_exchange(spark):
+    """snapshot_diff's scale contract: both snapshots reduce to
+    (key, 16-byte md5 fingerprint, presence flag) MAP-SIDE, so the two
+    co-partitioning exchanges and the full-outer join never carry
+    document bodies. Everything above the first exchange (the join and
+    the status projection) must not reference the text column."""
+    plan = _plan(spark, "q118_snapshot_diff")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "FullOuter" in plan, plan
+    above = plan[: plan.index("Exchange hashpartitioning")]
+    assert "text#" not in above, above

@@ -398,6 +398,9 @@ def test_streaming_tokenize_matches_batch(spark, tmp_path):
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.unigram import (
         train_unigram,
     )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+    )
     from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
         encode_with_artifact,
         load_tokenizer_artifact,
@@ -418,6 +421,7 @@ def test_streaming_tokenize_matches_batch(spark, tmp_path):
     for family, train in (
         ("bpe", lambda d: train_bpe(d, n_merges=3, min_pair_count=1)),
         ("uni", lambda d: train_unigram(d, vocab_size=6, max_piece_len=3)),
+        ("wp", lambda d: train_wordpiece(d, n_merges=3, min_pair_count=1)),
     ):
         save_tokenizer_artifact(train(docs), str(tmp_path / family))
         model = load_tokenizer_artifact(spark, str(tmp_path / family))
