@@ -231,6 +231,9 @@ LONGTAIL = [
     "q116_wordpiece_trained",
     "q117_length_bucket_batches",
     "q118_snapshot_diff",
+    # round-11: diff-gated re-encode — unchanged docs carry the previous
+    # encoding, only the delta pays the Arrow stage
+    "q119_incremental_encode",
 ]
 
 _TABLES = (

@@ -4651,22 +4651,11 @@ _Q118_SQL = """
 """
 
 
-@_register("q118_snapshot_diff", _Q118_SQL)
-def q118_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus snapshot diff (operators/maintenance.py::snapshot_diff):
-    full-outer key join of two snapshots with map-side md5 content
-    fingerprints → added / removed / changed / unchanged per doc — the
-    refresh audit that drives incremental re-embedding/re-tokenizing.
-    The "new" snapshot is derived deterministically from the fixture
-    (every 11th doc dropped, every 7th edited, a fresh page per 13th),
-    so the oracle rebuilds both sides and compares raw text — md5 on
-    equal strings is equal, statuses match exactly."""
-    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
-        snapshot_diff,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    new = (
+def _derived_new_snapshot(docs: DataFrame) -> DataFrame:
+    """The deterministic second snapshot q118/q119 share: every 11th doc
+    dropped, every 7th edited (text || ' v2'), a fresh page per 13th —
+    the `newsnap` CTE of ``_Q118_SQL``, one source of truth per engine."""
+    return (
         docs.where(F.col("doc_id") % 11 != 0)
         .select(
             "doc_id",
@@ -4686,4 +4675,75 @@ def q118_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return snapshot_diff(docs, new, "doc_id", "text")
+
+
+@_register("q118_snapshot_diff", _Q118_SQL)
+def q118_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/maintenance.py::snapshot_diff):
+    full-outer key join of two snapshots with map-side md5 content
+    fingerprints → added / removed / changed / unchanged per doc — the
+    refresh audit that drives incremental re-embedding/re-tokenizing.
+    The "new" snapshot is derived deterministically from the fixture
+    (every 11th doc dropped, every 7th edited, a fresh page per 13th),
+    so the oracle rebuilds both sides and compares raw text — md5 on
+    equal strings is equal, statuses match exactly."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return snapshot_diff(docs, _derived_new_snapshot(docs), "doc_id", "text")
+
+
+# q119's oracle is spliced mechanically from the registered q118 SQL (the
+# q70/q98 one-source-of-truth discipline): the diff chain becomes a CTE,
+# and the final select joins each surviving doc's status to the zero-merge
+# WordPiece count identity over the NEW snapshot's normalized text (the
+# q115 argument: single-char vocab ⇒ count = non-space chars; the vocab is
+# trained on the new snapshot, so no word can hit [UNK]).
+_q118_prefix, _q118_final = _Q118_SQL.rsplit("SELECT", 1)
+assert "FROM j" in _q118_final, (
+    "q118 oracle no longer ends with its status SELECT over j — re-derive "
+    "the q119 splice"
+)
+_Q119_SQL = (
+    _q118_prefix
+    + f""",
+    st AS (SELECT{_q118_final}),
+    tn AS (SELECT doc_id, {_SQL_NORM} AS t FROM newsnap)
+    SELECT st.doc_id,
+           (CASE WHEN t IS NULL OR t = '' THEN 0
+                 ELSE length(replace(t, ' ', '')) END)::BIGINT AS n_wp_tokens,
+           st.status
+    FROM st JOIN tn USING (doc_id)
+    WHERE st.status <> 'removed'
+"""
+)
+
+
+@_register("q119_incremental_encode", _Q119_SQL)
+def q119_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-encoding (plans/incremental.py::incremental_encode):
+    `snapshot_diff` gates the Arrow encode stage — unchanged docs carry
+    their PREVIOUS encoding forward verbatim, only added+changed docs
+    pass through `encode_with_artifact` — the composition the diff and
+    the artifact sink/source exist for (a delta-sized encode job at a
+    corpus-sized refresh). Runs at the WordPiece zero-merge point where
+    both the carried and the fresh path are SQL-replicable (count =
+    non-space chars of the new snapshot's normalized text, identical
+    whichever path produced it); that carried rows are genuinely NOT
+    re-encoded is pinned by the poisoned-prev unit test, which the
+    oracle cannot see by construction."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.incremental import (
+        incremental_encode,
+    )
+
+    old = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = _derived_new_snapshot(old)
+    vocab = train_wordpiece(new, n_merges=0)
+    prev = wordpiece_encode(old, vocab, counts_only=True)
+    return incremental_encode(old, new, prev, vocab)

@@ -2708,3 +2708,61 @@ def test_length_bucket_batches_contract(spark):
         length_bucket_batches(df, boundaries=(8,), batch_size=0)
     with _pytest.raises(ValueError, match="text_col"):
         length_bucket_batches(df, text_col="body")
+
+
+def test_incremental_encode_carries_unchanged_verbatim(spark):
+    """The q119 behavioral pin the oracle cannot see: unchanged docs are
+    NEVER re-encoded — their rows come from prev_encoded verbatim, which
+    this test proves by poisoning prev_encoded with impossible counts and
+    asserting the poison survives; added/changed docs get fresh counts
+    and the right status; removed docs are absent; a prev frame from the
+    wrong family fails eagerly; and the plan contains exactly ONE
+    mapInPandas (the fresh sliver's encode — the carried branch must not
+    pay the Python stage)."""
+    import pytest as _pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.incremental import (
+        incremental_encode,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd"), (3, "ee ff")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd edited"), (4, "gg hh")],
+        "doc_id long, text string",
+    )
+    vocab = train_wordpiece(new, n_merges=0)
+    poisoned_prev = spark.createDataFrame(
+        [(1, 777), (2, 888), (3, 999)],
+        "doc_id long, n_wp_tokens bigint",
+    )
+    out = {
+        r["doc_id"]: (r["n_wp_tokens"], r["status"])
+        for r in incremental_encode(old, new, poisoned_prev, vocab).collect()
+    }
+    # doc 1 unchanged: the poison carried verbatim -> no re-encode happened
+    assert out[1] == (777, "unchanged")
+    # doc 2 changed, doc 4 added: fresh single-char counts of the NEW text
+    assert out[2] == (len("ccddedited"), "changed")
+    assert out[4] == (len("gghh"), "added")
+    # doc 3 removed: absent even though prev_encoded has a row for it
+    assert 3 not in out and len(out) == 3
+
+    plan = (
+        incremental_encode(old, new, poisoned_prev, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+
+    wrong_family = spark.createDataFrame(
+        [(1, 5)], "doc_id long, n_pieces bigint"
+    )
+    with _pytest.raises(ValueError, match="SAME tokenizer family"):
+        incremental_encode(old, new, wrong_family, vocab)
