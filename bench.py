@@ -234,6 +234,10 @@ LONGTAIL = [
     # round-11: diff-gated re-encode — unchanged docs carry the previous
     # encoding, only the delta pays the Arrow stage
     "q119_incremental_encode",
+    # round-11: SFT/preference prep — chat-template assembly with
+    # loss-mask spans, and chosen/rejected pair construction
+    "q120_chat_assembly",
+    "q121_preference_pairs",
 ]
 
 _TABLES = (

@@ -4747,3 +4747,125 @@ def q119_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = train_wordpiece(new, n_merges=0)
     prev = wordpiece_encode(old, vocab, counts_only=True)
     return incremental_encode(old, new, prev, vocab)
+
+
+# ---------------------------------------------------------------------------
+# SFT / preference-data preparation (q120-q121)
+# ---------------------------------------------------------------------------
+
+_Q120_SQL = """
+    WITH t AS (SELECT (doc_id % 100) AS conv_id, doc_id AS turn_idx,
+                      CASE WHEN doc_id % 2 = 0 THEN 'user'
+                           ELSE 'assistant' END AS role,
+                      coalesce(text, '') AS txt
+               FROM documents),
+    r AS (SELECT conv_id, turn_idx, role,
+                 '<|' || role || '|>' || chr(10) || txt || chr(10) AS rendered,
+                 (length(role) + 6 + length(txt))::BIGINT AS rlen,
+                 length(txt)::BIGINT AS tlen
+          FROM t),
+    o AS (SELECT *, coalesce(sum(rlen) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx, role
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tstart
+          FROM r),
+    c AS (SELECT conv_id,
+                 md5(string_agg(rendered, '' ORDER BY turn_idx, role))
+                   AS chat_md5,
+                 count(*)::BIGINT AS n_turns, sum(rlen)::BIGINT AS n_chars
+          FROM o GROUP BY conv_id),
+    s AS (SELECT conv_id, turn_idx,
+                 (tstart + length(role) + 5)::BIGINT AS span_start,
+                 (tstart + length(role) + 5 + tlen)::BIGINT AS span_end
+          FROM o WHERE role = 'assistant')
+    SELECT c.conv_id, c.chat_md5, c.n_turns, c.n_chars,
+           s.turn_idx, s.span_start, s.span_end
+    FROM c JOIN s USING (conv_id)
+"""
+
+
+@_register("q120_chat_assembly", _Q120_SQL)
+def q120_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template assembly with loss-mask spans
+    (operators/sft.py::assemble_conversations): turn-structured rows
+    render per conversation as ``<|role|>\\n{text}\\n`` in turn order,
+    with the [start, end) character spans of every assistant payload —
+    exactly what an SFT loader needs to mask non-assistant tokens out of
+    the loss. Turns derive deterministically from the fixture (docs
+    grouped 100-way into conversations, alternating user/assistant by
+    parity); the query emits md5(chat_text) so the oracle hash-checks
+    the ENTIRE rendered conversation, not just its statistics, plus one
+    row per assistant span."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        assemble_conversations,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    turns = docs.select(
+        (F.col("doc_id") % 100).alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    conv = assemble_conversations(turns)
+    return conv.select(
+        "conv_id",
+        F.md5("chat_text").alias("chat_md5"),
+        "n_turns",
+        "n_chars",
+        F.explode("loss_spans").alias("__s"),
+    ).select(
+        "conv_id",
+        "chat_md5",
+        "n_turns",
+        "n_chars",
+        F.col("__s.turn_idx").alias("turn_idx"),
+        F.col("__s.span_start").alias("span_start"),
+        F.col("__s.span_end").alias("span_end"),
+    )
+
+
+_Q121_SQL = """
+    WITH s AS (SELECT (doc_id % 37) AS prompt_id, doc_id,
+                      length(text)::DOUBLE AS sc
+               FROM documents WHERE text IS NOT NULL),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY sc DESC, doc_id) AS rc,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY sc ASC, doc_id DESC) AS rr
+          FROM s),
+    p AS (SELECT prompt_id,
+                 max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id,
+                 max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id,
+                 round(max(CASE WHEN rc = 1 THEN sc END), 6) AS chosen_score,
+                 round(max(CASE WHEN rr = 1 THEN sc END), 6) AS rejected_score
+          FROM r GROUP BY prompt_id)
+    SELECT prompt_id, chosen_id, rejected_id, chosen_score, rejected_score,
+           round(chosen_score - rejected_score, 6) AS margin
+    FROM p WHERE chosen_id <> rejected_id
+"""
+
+
+@_register("q121_preference_pairs", _Q121_SQL)
+def q121_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (operators/sft.py::
+    preference_pairs): within each prompt group the highest-scoring
+    response is chosen, the lowest rejected, with fully deterministic
+    tie-breaks (chosen: score desc / id asc; rejected: score asc / id
+    DESC — a two-way tie yields two DISTINCT rows) and singleton groups
+    dropped. Prompt groups and scores derive deterministically from the
+    fixture (37-way grouping, text length as the score)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        preference_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        (F.col("doc_id") % 37).alias("prompt_id"),
+        "doc_id",
+        F.length("text").cast("double").alias("score"),
+    )
+    return preference_pairs(scored, "prompt_id", "doc_id", "score")

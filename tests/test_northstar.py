@@ -2766,3 +2766,87 @@ def test_incremental_encode_carries_unchanged_verbatim(spark):
     )
     with _pytest.raises(ValueError, match="SAME tokenizer family"):
         incremental_encode(old, new, wrong_family, vocab)
+
+
+def test_assemble_conversations_contract(spark):
+    """The q120 behavioral pin: exact rendered template, spans that
+    SLICE the assistant payloads back out of chat_text verbatim, null
+    text rendering as a bare turn marker, an empty (not null) span
+    array for assistant-free conversations, n_chars == len(chat_text),
+    and eager column validation."""
+    import pytest as _pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        assemble_conversations,
+    )
+
+    turns = spark.createDataFrame(
+        [
+            (1, 0, "system", "be helpful"),
+            (1, 1, "user", "hi there"),
+            (1, 2, "assistant", "hello! how can i help?"),
+            (1, 3, "user", None),
+            (1, 4, "assistant", "still here"),
+            (2, 0, "user", "no reply yet"),
+        ],
+        "conv_id long, turn_idx long, role string, text string",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in assemble_conversations(turns).collect()
+    }
+    c1 = out[1]
+    assert c1["chat_text"] == (
+        "<|system|>\nbe helpful\n"
+        "<|user|>\nhi there\n"
+        "<|assistant|>\nhello! how can i help?\n"
+        "<|user|>\n\n"
+        "<|assistant|>\nstill here\n"
+    )
+    assert c1["n_turns"] == 5
+    assert c1["n_chars"] == len(c1["chat_text"])
+    spans = [(s["turn_idx"], s["span_start"], s["span_end"]) for s in c1["loss_spans"]]
+    assert [t for t, _, _ in spans] == [2, 4]
+    assert c1["chat_text"][spans[0][1] : spans[0][2]] == "hello! how can i help?"
+    assert c1["chat_text"][spans[1][1] : spans[1][2]] == "still here"
+    c2 = out[2]
+    assert list(c2["loss_spans"]) == []
+    assert c2["chat_text"] == "<|user|>\nno reply yet\n"
+    with _pytest.raises(ValueError, match="column"):
+        assemble_conversations(turns.drop("role"))
+
+
+def test_preference_pairs_contract(spark):
+    """The q121 behavioral pin: deterministic two-way-tie resolution
+    (two DISTINCT rows, zero margin kept), singleton and all-null
+    groups dropped, null-score rows excluded from ranking, rounding at
+    6dp, eager column validation."""
+    import pytest as _pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        preference_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 0.5), ("a", 2, 0.9), ("a", 3, 0.1),   # normal group
+            ("b", 4, 0.7), ("b", 5, 0.7),                   # two-way tie
+            ("c", 6, 0.3),                                  # singleton
+            ("d", 7, None), ("d", 8, None),                 # all null
+            ("e", 9, None), ("e", 10, 0.2), ("e", 11, 0.8), # null excluded
+        ],
+        "prompt_id string, doc_id long, score double",
+    )
+    got = {
+        r["prompt_id"]: r for r in preference_pairs(df).collect()
+    }
+    assert set(got) == {"a", "b", "e"}
+    assert (got["a"]["chosen_id"], got["a"]["rejected_id"]) == (2, 3)
+    assert got["a"]["margin"] == 0.8
+    # tie: chosen = id asc, rejected = id DESC -> two distinct rows
+    assert (got["b"]["chosen_id"], got["b"]["rejected_id"]) == (4, 5)
+    assert got["b"]["margin"] == 0.0
+    # the null-scored doc 9 can be neither side
+    assert (got["e"]["chosen_id"], got["e"]["rejected_id"]) == (11, 10)
+    with _pytest.raises(ValueError, match="column"):
+        preference_pairs(df, score_col="reward")

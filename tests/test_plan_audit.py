@@ -485,3 +485,24 @@ def test_q118_snapshot_diff_fingerprints_before_exchange(spark):
     assert "FullOuter" in plan, plan
     above = plan[: plan.index("Exchange hashpartitioning")]
     assert "text#" not in above, above
+
+
+def test_q120_chat_assembly_single_exchange(spark):
+    """assemble_conversations' scale contract: ONE exchange —
+    hashpartitioning(conv_id) feeds the turn-offset window AND the
+    per-conversation aggregate (partitioning reuse, the bin_manifest
+    pattern); no UDF anywhere in the rendering."""
+    plan = _plan(spark, "q120_chat_assembly")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_q121_preference_pairs_single_exchange(spark):
+    """preference_pairs' scale contract: ONE exchange shared by both
+    ranking windows and the final aggregate (the two sort orders stack
+    as in-partition re-sorts); no join in the plan — the pair is built
+    by conditional aggregation, not a self-join."""
+    plan = _plan(spark, "q121_preference_pairs")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
