@@ -238,6 +238,11 @@ LONGTAIL = [
     # loss-mask spans, and chosen/rejected pair construction
     "q120_chat_assembly",
     "q121_preference_pairs",
+    # round-11 capstone: the SFT loader chain — assemble -> WordPiece
+    # train/encode -> length-bucket batches. q122 is the oracled
+    # zero-merge point, q123 the trained configuration.
+    "q122_sft_loader_capstone",
+    "q123_sft_loader_trained",
 ]
 
 _TABLES = (

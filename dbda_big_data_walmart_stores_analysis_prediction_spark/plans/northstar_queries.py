@@ -4869,3 +4869,128 @@ def q121_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("double").alias("score"),
     )
     return preference_pairs(scored, "prompt_id", "doc_id", "score")
+
+
+# ---------------------------------------------------------------------------
+# SFT loader capstone (q122-q123): assemble -> tokenize -> bucket-batch,
+# the q98/q107 composition argument applied to the SFT family — per-stage
+# oracles (q120/q115/q117) never exercise the hand-offs (the tokenizer
+# consuming RENDERED conversations through the shared normalization; the
+# loader budgeting on the ENCODER's counts).
+# ---------------------------------------------------------------------------
+
+_Q122_SQL = """
+    WITH t AS (SELECT (doc_id % 100) AS conv_id, doc_id AS turn_idx,
+                      CASE WHEN doc_id % 2 = 0 THEN 'user'
+                           ELSE 'assistant' END AS role,
+                      coalesce(text, '') AS txt
+               FROM documents),
+    r AS (SELECT conv_id, turn_idx, role,
+                 '<|' || role || '|>' || chr(10) || txt || chr(10) AS rendered
+          FROM t),
+    c AS (SELECT conv_id,
+                 string_agg(rendered, '' ORDER BY turn_idx, role) AS chat
+          FROM r GROUP BY conv_id),
+    n AS (SELECT conv_id,
+                 regexp_replace(lower(trim(chat)), '\\s+', ' ', 'g') AS tn
+          FROM c),
+    k AS (SELECT conv_id,
+                 (CASE WHEN tn IS NULL OR tn = '' THEN 0
+                       ELSE length(replace(tn, ' ', '')) END)::BIGINT
+                   AS n_tokens,
+                 ('0x' || substring(md5('sftb:' || conv_id::VARCHAR), 1, 15))::BIGINT
+                   AS hv
+          FROM n),
+    b AS (SELECT conv_id, n_tokens,
+                 (CASE WHEN n_tokens <= 256 THEN 0
+                       WHEN n_tokens <= 512 THEN 1
+                       WHEN n_tokens <= 1024 THEN 2
+                       WHEN n_tokens <= 2048 THEN 3
+                       ELSE 4 END)::INT AS bucket,
+                 (hv % 4)::BIGINT AS shard, hv
+          FROM k),
+    w AS (SELECT *, row_number() OVER (PARTITION BY shard, bucket
+                                       ORDER BY hv, conv_id) AS rn
+          FROM b)
+    SELECT conv_id, n_tokens, bucket, shard,
+           ((rn - 1) // 4)::BIGINT AS batch_idx
+    FROM w
+"""
+
+
+def _sft_loader(spark: SparkSession, sf_dir: str, n_merges: int) -> DataFrame:
+    """Shared body of q122/q123: derive turns from the fixture (the q120
+    parameterization), assemble conversations, train WordPiece on the
+    RENDERED chat corpus, encode it (counts only — the loader budgets on
+    counts, and Spark cannot prune token arrays through mapInPandas),
+    and length-bucket the conversations into fixed-size batches on the
+    ENCODER's accounting. The assembled frame is lazily checkpointed —
+    it feeds both the trainer's word-count aggregate and the encoder's
+    scan (the `_clean_corpus` two-consumer convention)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        length_bucket_batches,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        assemble_conversations,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    turns = docs.select(
+        (F.col("doc_id") % 100).alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    conv = (
+        assemble_conversations(turns)
+        .select("conv_id", "chat_text")
+        .localCheckpoint(eager=False)
+    )
+    vocab = train_wordpiece(conv, text_col="chat_text", n_merges=n_merges)
+    counted = wordpiece_encode(
+        conv, vocab, text_col="chat_text", id_col="conv_id", counts_only=True
+    )
+    # length_bucket_batches standardizes its count column to `n_tokens`
+    return length_bucket_batches(
+        counted,
+        id_col="conv_id",
+        text_col=None,
+        tokens_col="n_wp_tokens",
+        boundaries=(256, 512, 1024, 2048),
+        batch_size=4,
+        n_shards=4,
+        salt="sftb",
+    )
+
+
+@_register("q122_sft_loader_capstone", _Q122_SQL)
+def q122_sft_loader_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SFT loader capstone at the WordPiece zero-merge point — the
+    one configuration where the FULL chain (rendered chat text through
+    the shared normalization, real encoder counts, bucket/batch
+    arithmetic over them) is SQL-replicable bit-for-bit (count =
+    non-space chars of the normalized conversation; the vocab is
+    trained on the same rendered corpus, so no [UNK]). q123 is the same
+    composition at a real merge budget."""
+    return _sft_loader(spark, sf_dir, n_merges=0)
+
+
+@_register("q123_sft_loader_trained")  # rows-only: the merge-scoring loop
+def q123_sft_loader_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q122's composition at the shipped-tokenizer configuration
+    (``n_merges=40``): batching consumes counts the learned WordPiece
+    vocabulary actually produced. The likelihood-scored merge loop has
+    no SQL twin (the q99/q101/q116 solver-round class), so the driver
+    records rows-only; the composition is pinned EXACTLY at small scale
+    by tests/test_northstar.py::test_sft_loader_pinned_by_naive_reference
+    (the from-scratch WordPiece twin chained with hand-rendered chat
+    text and hashlib bucket arithmetic), and the stages are oracled as
+    q120 (assembly), q114/q115 (vocab + counts), q117 (bucketing), and
+    q122 (end to end at the zero-merge point)."""
+    return _sft_loader(spark, sf_dir, n_merges=40)

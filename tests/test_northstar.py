@@ -2435,55 +2435,19 @@ def test_repeat_by_weight_wide_strata_int_keys(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_wordpiece_pinned_by_naive_reference(spark):
-    """The q116 pin test: ``train_wordpiece`` + ``wordpiece_encode`` at a
-    real merge budget, recomputed by a from-scratch pure-Python reference
-    — full-RECOUNT training (symbol and pair counts rebuilt from the
-    whole vocabulary every round, no incremental index) scoring with
-    ``fractions.Fraction`` (the engine cross-multiplies integers), and a
-    max-over-candidates greedy matcher (the engine scans lengths
-    descending). Every deliberate implementation difference makes the
-    equality a genuine cross-check, not a transcription.
+def _naive_wp_norm(t):
+    return " ".join(t.strip().lower().split())
 
-    Pins exactly: the vocabulary (pieces AND ranks — base inventory
-    sorted, merges in selection order) and each doc's full token
-    sequence; plus the WordPiece-specific invariants: stripping ``##``
-    from a word's tokens reassembles the normalized word, and a merged
-    piece always outscored raw-frequency order (the fixture is built so
-    pure-count BPE would pick a DIFFERENT first merge than the
-    likelihood score does)."""
+
+def _naive_wp_train(wc, n_merges, min_pair):
+    """From-scratch WordPiece trainer, sharing no code with the engine:
+    full RECOUNT every round (symbol and pair counts rebuilt from the
+    whole vocabulary — the engine maintains them incrementally) and
+    ``fractions.Fraction`` scoring (the engine cross-multiplies
+    integers). Returns the full piece list: sorted base inventory, then
+    merges in selection order. Used by the q116 AND q123 pins."""
     from collections import Counter
     from fractions import Fraction
-
-    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
-        train_wordpiece,
-        wordpiece_encode,
-    )
-
-    docs = [
-        # 'th' is the most FREQUENT pair, but 'q'+'##u' has a far better
-        # likelihood score (q occurs only before u): WordPiece must pick
-        # the qu merge first where BPE-by-count would pick th.
-        (1, "the then there that quik quik quail"),
-        (2, "then the quik quip that there the"),
-        (3, "  THE   Quik  quail THAT "),  # normalization exercise
-        (4, None),  # null text: encodes to zero tokens
-        (5, "café café naïve"),  # multibyte chars through both paths
-    ]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
-    N_MERGES, MIN_PAIR = 6, 2
-
-    # ---- naive reference, sharing no code with the engine ----
-    def norm(t):
-        return " ".join(t.strip().lower().split())
-
-    wc = Counter(
-        w
-        for _, t in docs
-        if t is not None
-        for w in norm(t).split(" ")
-        if w
-    )
 
     def symseq(word):
         return tuple([word[0]] + ["##" + c for c in word[1:]])
@@ -2491,7 +2455,7 @@ def test_wordpiece_pinned_by_naive_reference(spark):
     vocab_words = {w: [symseq(w), c] for w, c in wc.items()}
     base = sorted({s for syms, _ in vocab_words.values() for s in syms})
     naive_pieces = list(base)
-    for _ in range(N_MERGES):
+    for _ in range(n_merges):
         syms_count = Counter()
         pair_count = Counter()
         for syms, c in vocab_words.values():  # full recount every round
@@ -2499,7 +2463,7 @@ def test_wordpiece_pinned_by_naive_reference(spark):
                 syms_count[s] += c
             for a, b in zip(syms, syms[1:]):
                 pair_count[(a, b)] += c
-        cands = [p for p, c in pair_count.items() if c >= MIN_PAIR]
+        cands = [p for p, c in pair_count.items() if c >= min_pair]
         if not cands:
             break
         best = min(
@@ -2525,39 +2489,90 @@ def test_wordpiece_pinned_by_naive_reference(spark):
                     out.append(syms[i])
                     i += 1
             vocab_words[w] = [tuple(out), c]
+    return naive_pieces, len(base)
+
+
+def _naive_wp_match(word, piece_set):
+    """From-scratch greedy matcher: max-over-candidates by length (the
+    engine scans lengths descending and stops at the first hit)."""
+    toks, i = [], 0
+    while i < len(word):
+        cands = [
+            word[i : i + L] if i == 0 else "##" + word[i : i + L]
+            for L in range(1, len(word) - i + 1)
+        ]
+        hits = [c for c in cands if c in piece_set]
+        if not hits:
+            return ["[UNK]"]
+        best = max(hits, key=len)
+        toks.append(best)
+        i += len(best) - 2 if best.startswith("##") else len(best)
+    return toks
+
+
+def test_wordpiece_pinned_by_naive_reference(spark):
+    """The q116 pin test: ``train_wordpiece`` + ``wordpiece_encode`` at a
+    real merge budget, recomputed by the from-scratch pure-Python
+    reference (`_naive_wp_train`/`_naive_wp_match` — see their docstrings
+    for the deliberate implementation differences that make the equality
+    a genuine cross-check, not a transcription).
+
+    Pins exactly: the vocabulary (pieces AND ranks — base inventory
+    sorted, merges in selection order) and each doc's full token
+    sequence; plus the WordPiece-specific invariants: stripping ``##``
+    from a word's tokens reassembles the normalized word, and a merged
+    piece always outscored raw-frequency order (the fixture is built so
+    pure-count BPE would pick a DIFFERENT first merge than the
+    likelihood score does)."""
+    from collections import Counter
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = [
+        # 'th' is the most FREQUENT pair, but 'q'+'##u' has a far better
+        # likelihood score (q occurs only before u): WordPiece must pick
+        # the qu merge first where BPE-by-count would pick th.
+        (1, "the then there that quik quik quail"),
+        (2, "then the quik quip that there the"),
+        (3, "  THE   Quik  quail THAT "),  # normalization exercise
+        (4, None),  # null text: encodes to zero tokens
+        (5, "café café naïve"),  # multibyte chars through both paths
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    N_MERGES, MIN_PAIR = 6, 2
+    norm = _naive_wp_norm
+
+    wc = Counter(
+        w
+        for _, t in docs
+        if t is not None
+        for w in norm(t).split(" ")
+        if w
+    )
+    naive_pieces, n_base = _naive_wp_train(wc, N_MERGES, MIN_PAIR)
 
     vocab = train_wordpiece(df, n_merges=N_MERGES, min_pair_count=MIN_PAIR)
     got = [(r["piece"], r["wp_rank"]) for r in vocab.orderBy("wp_rank").collect()]
     assert got == [(p, i) for i, p in enumerate(naive_pieces)]
     # the likelihood score picked 'qu' (or another low-denominator merge)
     # before 'th' even though ('t','##h') has the higher raw count
-    first_merge = naive_pieces[len(base)]
+    first_merge = naive_pieces[n_base]
     assert first_merge != "th"
 
     piece_set = set(naive_pieces)
-
-    def naive_match(word):
-        toks, i = [], 0
-        while i < len(word):
-            cands = [
-                word[i : i + L] if i == 0 else "##" + word[i : i + L]
-                for L in range(1, len(word) - i + 1)
-            ]
-            hits = [c for c in cands if c in piece_set]
-            if not hits:
-                return ["[UNK]"]
-            best = max(hits, key=len)
-            toks.append(best)
-            i += len(best) - 2 if best.startswith("##") else len(best)
-        return toks
-
     expect = {}
     for i, t in docs:
         if t is None:
             expect[i] = []
         else:
             expect[i] = [
-                tok for w in norm(t).split(" ") if w for tok in naive_match(w)
+                tok
+                for w in norm(t).split(" ")
+                if w
+                for tok in _naive_wp_match(w, piece_set)
             ]
 
     enc = wordpiece_encode(df, vocab)
@@ -2850,3 +2865,109 @@ def test_preference_pairs_contract(spark):
     assert (got["e"]["chosen_id"], got["e"]["rejected_id"]) == (11, 10)
     with _pytest.raises(ValueError, match="column"):
         preference_pairs(df, score_col="reward")
+
+
+def test_sft_loader_pinned_by_naive_reference(spark):
+    """The q123 pin test: the assemble -> WordPiece train/encode ->
+    length-bucket composition at a real merge budget, recomputed end to
+    end by a from-scratch reference — hand-rendered chat strings, the
+    `_naive_wp_train`/`_naive_wp_match` twin (Fraction scoring, full
+    recount), and hashlib-md5 bucket/batch arithmetic. Pins the stage
+    hand-offs no per-operator oracle reaches: the tokenizer consuming
+    RENDERED conversations through the shared normalization, and the
+    loader budgeting on the ENCODER's counts."""
+    import hashlib
+    from collections import Counter
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        length_bucket_batches,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        assemble_conversations,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = [
+        (0, "the then there that"),
+        (1, "quik quik quail replies here"),
+        (2, "then the quik quip"),
+        (3, "there there the answer"),
+        (4, "  THE   Quik  mixed Case "),
+        (5, None),
+    ]
+    turns = spark.createDataFrame(
+        [
+            (i % 3, i, "user" if i % 2 == 0 else "assistant", t)
+            for i, t in docs
+        ],
+        "conv_id long, turn_idx long, role string, text string",
+    )
+    N_MERGES, MIN_PAIR = 5, 2
+    BOUNDS, BATCH, SHARDS, SALT = (16, 32, 64), 2, 2, "s"
+
+    # ---- naive reference: hand-render, twin-train, hashlib-bucket ----
+    chats = {}
+    for conv in sorted({i % 3 for i, _ in docs}):
+        parts = []
+        for i, t in sorted(
+            ((i, t) for i, t in docs if i % 3 == conv),
+            key=lambda it: (it[0], "user" if it[0] % 2 == 0 else "assistant"),
+        ):
+            role = "user" if i % 2 == 0 else "assistant"
+            parts.append(f"<|{role}|>\n{t if t is not None else ''}\n")
+        chats[conv] = "".join(parts)
+    normed = {c: _naive_wp_norm(t) for c, t in chats.items()}
+    wc = Counter(w for t in normed.values() for w in t.split(" ") if w)
+    pieces, _ = _naive_wp_train(wc, N_MERGES, MIN_PAIR)
+    piece_set = set(pieces)
+    counts = {
+        c: sum(
+            len(_naive_wp_match(w, piece_set))
+            for w in t.split(" ")
+            if w
+        )
+        for c, t in normed.items()
+    }
+    rows = []
+    for c, n in counts.items():
+        hv = int(hashlib.md5(f"{SALT}:{c}".encode()).hexdigest()[:15], 16)
+        bucket = next((j for j, b in enumerate(BOUNDS) if n <= b), len(BOUNDS))
+        rows.append((c, n, bucket, hv % SHARDS, hv))
+    expect = {}
+    by_sb: dict = {}
+    for c, n, bucket, shard, hv in sorted(rows, key=lambda r: (r[4], r[0])):
+        k = (shard, bucket)
+        rn = by_sb.get(k, 0)
+        by_sb[k] = rn + 1
+        expect[c] = (n, bucket, shard, rn // BATCH)
+
+    # ---- engine composition (the q123 chain) ----
+    conv = assemble_conversations(turns).select("conv_id", "chat_text")
+    vocab = train_wordpiece(
+        conv, text_col="chat_text", n_merges=N_MERGES, min_pair_count=MIN_PAIR
+    )
+    counted = wordpiece_encode(
+        conv, vocab, text_col="chat_text", id_col="conv_id", counts_only=True
+    )
+    out = length_bucket_batches(
+        counted,
+        id_col="conv_id",
+        text_col=None,
+        tokens_col="n_wp_tokens",
+        boundaries=BOUNDS,
+        batch_size=BATCH,
+        n_shards=SHARDS,
+        salt=SALT,
+    )
+    got = {
+        r["conv_id"]: (r["n_tokens"], r["bucket"], r["shard"], r["batch_idx"])
+        for r in out.collect()
+    }
+    assert got == expect
+    # the merge budget actually bit: some conv count is BELOW its
+    # zero-merge character count, proving packed counts are the encoder's
+    zero_chars = {c: len(t.replace(" ", "")) for c, t in normed.items()}
+    assert any(counts[c] < zero_chars[c] for c in counts)
