@@ -60,13 +60,15 @@ def snapshot_diff(
     Returns one row per key present in EITHER snapshot:
     ``(*keys, status)`` with ``status`` in ``added`` (key only in
     ``new``), ``removed`` (only in ``old``), ``changed`` (both, content
-    fingerprint differs), ``unchanged``. Content identity is
-    ``md5(concat_ws on content_cols)`` — EXACT bytes after the implicit
-    string cast, deliberately not the dedup family's normalized hash: a
-    whitespace-only edit IS a change to a snapshot auditor.
-    ``content_cols`` defaults to every non-key column shared by both
-    frames; null contents compare null-safely (null == null is
-    ``unchanged``, the ``<=>`` rule).
+    fingerprint differs), ``unchanged``. Content identity is a hash of
+    PER-COLUMN fixed-width digests — EXACT bytes after the string cast
+    (deliberately not the dedup family's normalized hash: a
+    whitespace-only edit IS a change to a snapshot auditor) and
+    injective in the cell tuple (no delimiter-in-value or null-sentinel
+    collisions across column boundaries). ``content_cols`` defaults to
+    every non-key column shared by both frames; all-null contents
+    compare null-safely (null == null is ``unchanged``, the ``<=>``
+    rule).
 
     Scale shape: ONE co-partitioned shuffle — both sides hash-partition
     on the key for the full outer join, and the fingerprints are
@@ -96,16 +98,21 @@ def snapshot_diff(
             )
 
     def fingered(df: DataFrame, tag: str) -> DataFrame:
-        # Null cells take a positional sentinel (concat_ws SKIPS nulls,
-        # which would collide (null,'a') with ('a',null)); an all-null
-        # content row fingerprints as null and pairs null-safely.
-        content = F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                for c in content_cols
-            ],
-        )
+        # Hash PER COLUMN, then hash the fixed-width digests: a raw
+        # concat is ambiguous at the boundaries — a delimiter character
+        # INSIDE a value would collide ('a\\x1fb','c') with ('a','b\\x1fc'),
+        # and any null sentinel string could collide with a real value
+        # equal to it. Fixed-width cells ('v'+32-hex digest, 'n' for
+        # null) make the combined string injective in the cell tuple.
+        # An all-null content row fingerprints as null and pairs
+        # null-safely.
+        cells = [
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(F.lit("v"), F.md5(F.col(c).cast("string"))),
+            ).otherwise(F.lit("n"))
+            for c in content_cols
+        ]
         has_any = (
             F.greatest(*[F.col(c).isNotNull() for c in content_cols])
             if len(content_cols) > 1
@@ -113,7 +120,7 @@ def snapshot_diff(
         )
         return df.select(
             *key_list,
-            F.when(has_any, F.md5(content)).alias(f"__h_{tag}"),
+            F.when(has_any, F.md5(F.concat(*cells))).alias(f"__h_{tag}"),
             F.lit(True).alias(f"__in_{tag}"),
         )
 

@@ -41,11 +41,15 @@ def assemble_conversations(
     SFT loss mask.
 
     Input: one row per turn ``(conv_id, turn_idx, role, text)``; turns
-    render in ``turn_idx`` order as ``<|{role}|>\\n{text}\\n`` (null text
-    renders as empty — the turn marker still appears, so turn structure
-    survives). ``turn_idx`` must be unique within a conversation — the
-    rendering order is the contract, and a duplicate index would make it
-    ambiguous.
+    render in ``turn_idx`` order as ``<|{role}|>\\n{text}\\n``. Null text
+    AND null role render as empty strings (the turn marker still
+    appears — ``<||>`` for a null role — so turn structure survives and
+    ``n_chars == length(chat_text)`` holds unconditionally; a
+    null-propagating concat would instead silently DROP the turn's text
+    from chat_text while n_turns still counted it). A null role is
+    never a loss role. ``turn_idx`` must be unique within a
+    conversation — the rendering order is the contract, and a duplicate
+    index would make it ambiguous.
 
     Output: ``(conv_id, chat_text, n_turns, n_chars, loss_spans)`` where
     ``loss_spans`` is an array of ``(turn_idx, span_start, span_end)``
@@ -67,10 +71,9 @@ def assemble_conversations(
                 f"frame (has {turns.columns})"
             )
     txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
-    rendered = F.concat(
-        F.lit("<|"), F.col(role_col), F.lit("|>\n"), txt, F.lit("\n")
-    )
-    rlen = (F.length(F.col(role_col)) + 6 + F.length(txt)).cast("bigint")
+    role = F.coalesce(F.col(role_col).cast("string"), F.lit(""))
+    rendered = F.concat(F.lit("<|"), role, F.lit("|>\n"), txt, F.lit("\n"))
+    rlen = (F.length(role) + 6 + F.length(txt)).cast("bigint")
     w = Window.partitionBy(conv_col).orderBy(
         F.asc_nulls_last(turn_col), F.asc_nulls_last(role_col)
     )
@@ -81,7 +84,7 @@ def assemble_conversations(
     base = turns.select(
         F.col(conv_col),
         F.col(turn_col),
-        F.col(role_col),
+        role.alias(role_col),
         rendered.alias("__rendered"),
         rlen.alias("__rlen"),
         F.length(txt).cast("bigint").alias("__tlen"),

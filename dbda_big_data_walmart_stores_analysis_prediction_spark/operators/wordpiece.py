@@ -88,9 +88,11 @@ def train_wordpiece(
     merge order — the exact artifact the encoder consumes, analogous to
     HF tokenizers' ``vocab.txt``. Pair selection maximizes
     ``count(pair) / (count(left) * count(right))`` with exact integer
-    cross-multiplication; the loop stops early when the best pair's raw
-    count falls below ``min_pair_count`` (a high score on singleton
-    noise would just memorize the corpus tail).
+    cross-multiplication over the pairs whose raw count reaches
+    ``min_pair_count`` — sub-threshold pairs are INELIGIBLE (a high
+    likelihood score on singleton noise would just memorize the corpus
+    tail), matching reference trainers' min-frequency filters; the loop
+    stops early only when no eligible pair remains.
 
     Pair AND symbol counts are maintained incrementally (the subword-nmt
     optimization train_bpe uses): a merge only touches the words

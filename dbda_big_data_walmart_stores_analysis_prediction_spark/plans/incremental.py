@@ -18,8 +18,12 @@ Contract notes:
   stages later). Its rows for removed/changed docs are simply never
   selected; only ``unchanged`` ids are carried.
 * Carried rows are carried VERBATIM — this function never re-encodes
-  an unchanged doc, which the unit test pins by feeding a deliberately
-  poisoned ``prev_encoded`` and asserting the poison survives.
+  an unchanged doc THAT PREV HAS, which the unit test pins by feeding
+  a deliberately poisoned ``prev_encoded`` and asserting the poison
+  survives. An unchanged doc MISSING from ``prev_encoded`` (a partial
+  or filtered previous run) falls back to the fresh encode path
+  instead of silently vanishing — completeness beats thrift, and the
+  anti-join that detects the gap carries ids only.
 * Output = one row per doc in the NEW snapshot: the dispatched encode
   columns plus ``status`` (``unchanged`` / ``added`` / ``changed``);
   ``removed`` docs are dropped (they are not in the new corpus).
@@ -52,18 +56,27 @@ def incremental_encode(
     contract and the scale argument.
 
     Plan shape: the diff's two fingerprint exchanges + its full-outer
-    join, two id semi-joins, ONE mapInPandas over the added+changed
-    sliver, one union. The diff frame is lazily checkpointed — it feeds
-    the carried filter, the fresh filter, and the status join, and
-    without the cut the fingerprint lineage would run three times."""
+    join, the ids-only anti-join (the prev-gap completeness check), two
+    id semi-joins, ONE mapInPandas over the added+changed(+gap) sliver,
+    one union. The diff frame is lazily checkpointed — it feeds the
+    carried filter, the fresh filter, and the status join, and without
+    the cut the fingerprint lineage would run three times."""
     diff = snapshot_diff(
         old_docs, new_docs, id_col, text_col
     ).localCheckpoint(eager=False)
-    fresh_src = new_docs.join(
-        diff.where(F.col("status").isin("added", "changed")).select(id_col),
-        id_col,
-        "left_semi",
+    unchanged_ids = diff.where(F.col("status") == "unchanged").select(id_col)
+    # Completeness fallback: an unchanged id prev_encoded is missing (a
+    # partial or filtered previous run) re-encodes fresh instead of
+    # silently dropping out of the output — the anti-join ships ids only.
+    gap_ids = unchanged_ids.join(
+        prev_encoded.select(id_col), id_col, "left_anti"
     )
+    fresh_ids = (
+        diff.where(F.col("status").isin("added", "changed"))
+        .select(id_col)
+        .unionByName(gap_ids)
+    )
+    fresh_src = new_docs.join(fresh_ids, id_col, "left_semi")
     fresh = encode_with_artifact(
         fresh_src, model, text_col, id_col, counts_only=counts_only
     )
@@ -76,11 +89,7 @@ def incremental_encode(
             "setting"
         )
     carried = prev_encoded.join(
-        diff.where(F.col("status") == "unchanged").select(id_col),
-        id_col,
-        "left_semi",
+        unchanged_ids, id_col, "left_semi"
     ).withColumn("status", F.lit("unchanged"))
-    fresh_tagged = fresh.join(
-        diff.where(F.col("status").isin("added", "changed")), id_col
-    )
+    fresh_tagged = fresh.join(diff, id_col)
     return carried.unionByName(fresh_tagged.select(*carried.columns))

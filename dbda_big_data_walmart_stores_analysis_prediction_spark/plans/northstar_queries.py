@@ -4633,7 +4633,7 @@ _Q118_SQL = """
              CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
       FROM documents WHERE doc_id % 11 <> 0
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
+      SELECT doc_id + 100000000 AS doc_id,
              'fresh page ' || doc_id::VARCHAR AS text
       FROM documents WHERE doc_id % 13 = 0
     ),
@@ -4654,7 +4654,13 @@ _Q118_SQL = """
 def _derived_new_snapshot(docs: DataFrame) -> DataFrame:
     """The deterministic second snapshot q118/q119 share: every 11th doc
     dropped, every 7th edited (text || ' v2'), a fresh page per 13th —
-    the `newsnap` CTE of ``_Q118_SQL``, one source of truth per engine."""
+    the `newsnap` CTE of ``_Q118_SQL``, one source of truth per engine.
+    The fresh-page offset is 1e8, NOT 1e6: the .bench_scale fixtures
+    re-key replicas at ``doc_id + i * 1_000_000`` (gen_scale_bench.py),
+    and a 1e6 offset made fresh pages collide with real replica ids
+    there — duplicate keys in the "new" snapshot, which breaks
+    snapshot_diff's one-row-per-key contract on exactly the fixtures
+    the scaling lines run on."""
     return (
         docs.where(F.col("doc_id") % 11 != 0)
         .select(
@@ -4668,7 +4674,7 @@ def _derived_new_snapshot(docs: DataFrame) -> DataFrame:
         )
         .unionByName(
             docs.where(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (F.col("doc_id") + 100000000).alias("doc_id"),
                 F.concat(
                     F.lit("fresh page "), F.col("doc_id").cast("string")
                 ).alias("text"),
@@ -4753,7 +4759,12 @@ def q119_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SFT / preference-data preparation (q120-q121)
 # ---------------------------------------------------------------------------
 
-_Q120_SQL = """
+# The shared turn-derivation + rendering CTEs of the SFT family's oracles
+# (q120 and the q122 capstone splice — one source of truth for the
+# mod-100 conversation grouping, the parity role rule, and the
+# <|role|>\n{text}\n template, exactly as `_derived_turns` is for the
+# Spark side).
+_SQL_TURNS_CTES = """
     WITH t AS (SELECT (doc_id % 100) AS conv_id, doc_id AS turn_idx,
                       CASE WHEN doc_id % 2 = 0 THEN 'user'
                            ELSE 'assistant' END AS role,
@@ -4763,7 +4774,24 @@ _Q120_SQL = """
                  '<|' || role || '|>' || chr(10) || txt || chr(10) AS rendered,
                  (length(role) + 6 + length(txt))::BIGINT AS rlen,
                  length(txt)::BIGINT AS tlen
-          FROM t),
+          FROM t)"""
+
+
+def _derived_turns(docs: DataFrame) -> DataFrame:
+    """The deterministic turn frame q120/q122/q123 share: docs grouped
+    100-way into conversations, doc_id as the turn index, alternating
+    user/assistant by parity — the ``t`` CTE of ``_SQL_TURNS_CTES``."""
+    return docs.select(
+        (F.col("doc_id") % 100).alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+
+
+_Q120_SQL = _SQL_TURNS_CTES + """,
     o AS (SELECT *, coalesce(sum(rlen) OVER (
                     PARTITION BY conv_id ORDER BY turn_idx, role
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -4801,15 +4829,7 @@ def q120_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    turns = docs.select(
-        (F.col("doc_id") % 100).alias("conv_id"),
-        F.col("doc_id").alias("turn_idx"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
-        .otherwise(F.lit("assistant"))
-        .alias("role"),
-        "text",
-    )
-    conv = assemble_conversations(turns)
+    conv = assemble_conversations(_derived_turns(docs))
     return conv.select(
         "conv_id",
         F.md5("chat_text").alias("chat_md5"),
@@ -4879,15 +4899,7 @@ def q121_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loader budgeting on the ENCODER's counts).
 # ---------------------------------------------------------------------------
 
-_Q122_SQL = """
-    WITH t AS (SELECT (doc_id % 100) AS conv_id, doc_id AS turn_idx,
-                      CASE WHEN doc_id % 2 = 0 THEN 'user'
-                           ELSE 'assistant' END AS role,
-                      coalesce(text, '') AS txt
-               FROM documents),
-    r AS (SELECT conv_id, turn_idx, role,
-                 '<|' || role || '|>' || chr(10) || txt || chr(10) AS rendered
-          FROM t),
+_Q122_SQL = _SQL_TURNS_CTES + """,
     c AS (SELECT conv_id,
                  string_agg(rendered, '' ORDER BY turn_idx, role) AS chat
           FROM r GROUP BY conv_id),
@@ -4939,16 +4951,8 @@ def _sft_loader(spark: SparkSession, sf_dir: str, n_merges: int) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    turns = docs.select(
-        (F.col("doc_id") % 100).alias("conv_id"),
-        F.col("doc_id").alias("turn_idx"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
-        .otherwise(F.lit("assistant"))
-        .alias("role"),
-        "text",
-    )
     conv = (
-        assemble_conversations(turns)
+        assemble_conversations(_derived_turns(docs))
         .select("conv_id", "chat_text")
         .localCheckpoint(eager=False)
     )

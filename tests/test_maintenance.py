@@ -107,3 +107,24 @@ def test_snapshot_diff_semantics(spark):
         snapshot_diff(old, new.select("doc_id"), "doc_id", "text")
     with pytest.raises(ValueError, match="no shared non-key"):
         snapshot_diff(old.select("doc_id"), new.select("doc_id"))
+
+
+def test_snapshot_diff_fingerprint_injection_proof(spark):
+    """Per-column fixed-width digests make the fingerprint injective in
+    the cell tuple: a delimiter-looking character INSIDE a value must
+    not collide across column boundaries, and a value that looks like a
+    null sentinel must differ from an actual null."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a\x1fb", "c"), (2, None, "x"), (3, "same", "same")],
+        "doc_id long, title string, body string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b\x1fc"), (2, "\x00null", "x"), (3, "same", "same")],
+        "doc_id long, title string, body string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}

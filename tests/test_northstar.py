@@ -2971,3 +2971,56 @@ def test_sft_loader_pinned_by_naive_reference(spark):
     # zero-merge character count, proving packed counts are the encoder's
     zero_chars = {c: len(t.replace(" ", "")) for c, t in normed.items()}
     assert any(counts[c] < zero_chars[c] for c in counts)
+
+
+def test_assemble_conversations_null_role(spark):
+    """A null role renders as an empty marker (<||>) — the turn's text
+    must NOT silently vanish from chat_text (a null-propagating concat
+    would drop it while n_turns still counted it), n_chars must equal
+    len(chat_text) even for all-null-role conversations, and a null
+    role is never a loss role."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        assemble_conversations,
+    )
+
+    turns = spark.createDataFrame(
+        [(1, 0, None, "kept text"), (1, 1, "assistant", "reply")],
+        "conv_id long, turn_idx long, role string, text string",
+    )
+    c = assemble_conversations(turns).collect()[0]
+    assert c["chat_text"] == "<||>\nkept text\n<|assistant|>\nreply\n"
+    assert c["n_chars"] == len(c["chat_text"])
+    spans = [(s["span_start"], s["span_end"]) for s in c["loss_spans"]]
+    assert len(spans) == 1
+    assert c["chat_text"][spans[0][0] : spans[0][1]] == "reply"
+
+
+def test_incremental_encode_gap_fallback(spark):
+    """An unchanged doc MISSING from prev_encoded must not vanish: it
+    falls back to the fresh encode path with status 'unchanged' —
+    completeness beats thrift (the q119 review fix)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.incremental import (
+        incremental_encode,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string"
+    )
+    vocab = train_wordpiece(new, n_merges=0)
+    # prev has doc 1 (poisoned, to prove the carry) but is MISSING doc 2
+    prev = spark.createDataFrame(
+        [(1, 777)], "doc_id long, n_wp_tokens bigint"
+    )
+    out = {
+        r["doc_id"]: (r["n_wp_tokens"], r["status"])
+        for r in incremental_encode(old, new, prev, vocab).collect()
+    }
+    assert out[1] == (777, "unchanged")          # carried verbatim
+    assert out[2] == (len("ccdd"), "unchanged")  # gap re-encoded, not lost
+    assert len(out) == 2
