@@ -560,3 +560,91 @@ def test_encode_counts_only_matches_full_path(spark, texts):
         for r in unigram_encode(df, vocab, counts_only=True).collect()
     }
     assert ufast == ufull
+
+
+_wp_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("Ll", "Lu", "Nd", "Zs", "Po")
+            ),
+            max_size=40,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_wp_texts)
+@settings(**SETTINGS)
+def test_wordpiece_roundtrip_and_zero_merge_count(spark, texts):
+    """Two WordPiece invariants on arbitrary unicode corpora: (1) a
+    vocab trained on the SAME corpus never UNKs it, so stripping ## from
+    each doc's tokens reassembles the normalized text exactly; (2) at
+    zero merges the token count equals the non-space char count of the
+    normalized text (the q115 oracle identity)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = train_wordpiece(df, n_merges=3, min_pair_count=2)
+    rows = {r["doc_id"]: r for r in wordpiece_encode(df, vocab).collect()}
+    vocab0 = train_wordpiece(df, n_merges=0)
+    counts0 = {
+        r["doc_id"]: r["n_wp_tokens"]
+        for r in wordpiece_encode(df, vocab0, counts_only=True).collect()
+    }
+    for i, t in enumerate(texts):
+        normed = "" if t is None else " ".join(t.strip().lower().split())
+        joined = "".join(
+            tok[2:] if tok.startswith("##") and len(tok) > 2 else tok
+            for tok in rows[i]["wp_tokens"]
+        )
+        assert joined == normed.replace(" ", ""), (t, rows[i]["wp_tokens"])
+        assert counts0[i] == len(normed.replace(" ", "")), t
+
+
+_turn_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # conv_id
+        st.sampled_from(["user", "assistant", "system"]),
+        st.one_of(st.none(), st.text(max_size=30)),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_turn_rows)
+@settings(**SETTINGS)
+def test_assemble_conversations_spans_always_slice(spark, rows):
+    """For arbitrary turn sets: every loss span slices exactly its
+    turn's (null-coalesced) text out of chat_text, n_chars equals the
+    rendered length, and n_turns counts every input turn."""
+    from collections import Counter
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        assemble_conversations,
+    )
+
+    turns = [
+        (conv, i, role, text) for i, (conv, role, text) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        turns, "conv_id long, turn_idx long, role string, text string"
+    )
+    got = {r["conv_id"]: r for r in assemble_conversations(df).collect()}
+    n_by_conv = Counter(conv for conv, *_ in turns)
+    texts = {i: (t if t is not None else "") for _, i, _, t in turns}
+    for conv, r in got.items():
+        assert r["n_turns"] == n_by_conv[conv]
+        assert r["n_chars"] == len(r["chat_text"])
+        for s in r["loss_spans"]:
+            sliced = r["chat_text"][s["span_start"] : s["span_end"]]
+            assert sliced == texts[s["turn_idx"]]
