@@ -204,6 +204,14 @@ DOC_QUERY_NAMES = [
     "q103_fim_transform",
     "q104_epoch_repeat_mix",
     "q105_bin_manifest",
+    "q114_wordpiece_vocab",
+    "q115_wordpiece_tokens",
+    "q117_length_bucket_batches",
+    "q118_snapshot_diff",
+    "q119_incremental_encode",
+    "q120_chat_assembly",
+    "q121_preference_pairs",
+    "q122_sft_loader_capstone",
 ]
 
 
