@@ -243,6 +243,9 @@ LONGTAIL = [
     # zero-merge point, q123 the trained configuration.
     "q122_sft_loader_capstone",
     "q123_sft_loader_trained",
+    # round-11: eval-leakage audit on assembled conversations (the q68
+    # 13-gram machinery applied through the chat template)
+    "q124_sft_decontamination",
 ]
 
 _TABLES = (

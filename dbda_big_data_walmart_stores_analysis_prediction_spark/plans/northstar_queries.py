@@ -352,24 +352,34 @@ _SQL_SHINGLES13 = (
 )
 
 
-@_register(
-    "q68_ngram_decontamination",
-    f"""
-    WITH ev AS (
+def _sql_gram_overlap(train_sql: str, out_train_col: str) -> str:
+    """Shared 13-gram decontamination CTE chain (the q68 audit logic,
+    generated for both q68 and the q124 SFT splice — one source of truth
+    for the eval-window derivation and the gram join): ``train_sql``
+    must yield ``(doc_id, text)``; output is
+    ``({out_train_col}, doc_eval, n_shared)``."""
+    return f"""
+    gr_ev AS (
       SELECT doc_id + 300000 AS doc_id,
              array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:33], ' ') AS text
       FROM documents WHERE doc_id % 13 = 0
     ),
-    nt AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
-    wt AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nt),
-    sht AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh FROM wt),
-    ne AS (SELECT doc_id, {_SQL_NORM} AS t FROM ev),
-    we AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM ne),
-    she AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh FROM we)
-    SELECT t.doc AS doc_train, e.doc AS doc_eval, count(*) AS n_shared
-    FROM sht t JOIN she e ON t.sh = e.sh
+    gr_nt AS (SELECT doc_id, {_SQL_NORM} AS t FROM ({train_sql})),
+    gr_wt AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM gr_nt),
+    gr_sht AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh FROM gr_wt),
+    gr_ne AS (SELECT doc_id, {_SQL_NORM} AS t FROM gr_ev),
+    gr_we AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM gr_ne),
+    gr_she AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh FROM gr_we)
+    SELECT t.doc AS {out_train_col}, e.doc AS doc_eval, count(*) AS n_shared
+    FROM gr_sht t JOIN gr_she e ON t.sh = e.sh
     GROUP BY 1, 2
-    """,
+    """
+
+
+@_register(
+    "q68_ngram_decontamination",
+    "WITH "
+    + _sql_gram_overlap("SELECT doc_id, text FROM documents", "doc_train"),
 )
 def q68_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 13-gram benchmark decontamination (operators/dedup.py::
@@ -4998,3 +5008,49 @@ def q123_sft_loader_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     q120 (assembly), q114/q115 (vocab + counts), q117 (bucketing), and
     q122 (end to end at the zero-merge point)."""
     return _sft_loader(spark, sf_dir, n_merges=40)
+
+
+_Q124_SQL = (
+    _SQL_TURNS_CTES
+    + """,
+    c AS (SELECT conv_id AS doc_id,
+                 string_agg(rendered, '' ORDER BY turn_idx, role) AS text
+          FROM r GROUP BY conv_id),
+"""
+    + _sql_gram_overlap("SELECT doc_id, text FROM c", "conv_id")
+)
+
+
+@_register("q124_sft_decontamination", _Q124_SQL)
+def q124_sft_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit for SFT data: assembled conversations (the
+    q120 chain) checked against the q68 eval windows with the SAME exact
+    13-gram machinery (`dd.ngram_overlap_pairs` on ``chat_text``) — any
+    conversation sharing one exact word-13-gram with an eval item is
+    flagged with the overlap count. This is the decontamination a
+    fine-tuning pipeline runs BEFORE training on conversations: a
+    benchmark prompt pasted into a chat turn must be caught even though
+    the chat template wrapped it. Oracle = the shared turn/render CTEs
+    (`_SQL_TURNS_CTES`) + the shared gram chain (`_sql_gram_overlap`,
+    which also generates q68's oracle — one source of truth for both
+    engines)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        assemble_conversations,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    conv = assemble_conversations(_derived_turns(docs)).select(
+        F.col("conv_id").alias("doc_id"), F.col("chat_text").alias("text")
+    )
+    ev = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
+        ).alias("text"),
+    )
+    pairs = dd.ngram_overlap_pairs(
+        conv, ev, "doc_id", "text", n=13, max_doc_freq=10_000
+    )
+    return pairs.select(
+        F.col("doc_train").alias("conv_id"), "doc_eval", "n_shared"
+    )

@@ -212,6 +212,7 @@ DOC_QUERY_NAMES = [
     "q120_chat_assembly",
     "q121_preference_pairs",
     "q122_sft_loader_capstone",
+    "q124_sft_decontamination",
 ]
 
 
