@@ -91,9 +91,10 @@ def _check_rotation(
     moment an ordering regression lands (not two rounds later once
     starvation shows), and it degrades correctly in a fresh clone where
     every entry ties at round 0 and overflow past the cap is
-    unavoidable. Guarantees NO query goes ≥2 rounds without a driver row
-    while the 50-slot cap covers only part of the registry (see
-    ``len(QUERIES)`` — counts in prose go stale). Round 10's verdict
+    unavoidable. Guarantees every query cycles through the driver within
+    ``ceil(len(QUERIES) / cap)`` rounds — the tightest bound a fixed cap
+    admits (counts in prose go stale; the registry has outgrown
+    "within two rounds"). Round 10's verdict
     showed why rows-only entries need the guard too: the old
     oracled-only form let six clean rows-only entries sit at the
     registry's 2-round staleness maximum with nothing pinning their
@@ -156,7 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering = least-recently-driver-verified first, so all entries cycle
-    through the driver's ~50-query bound within two rounds. Round 3 proved
+    through the driver's ~50-query bound within ``ceil(N / 50)`` rounds
+    (two at ≤100 registered queries, three as the registry passed 100 in
+    round 11). Round 3 proved
     the old static ordering starves once-verified entries forever: with 59
     registered queries competing for 50 slots, q42/q43/q44 and the six
     rows-only entries sat permanently past the cap after their one green
