@@ -77,7 +77,6 @@ def _last_verified_round() -> dict[str, int]:
 def _check_rotation(
     ordered: list[str],
     last: dict[str, int],
-    oracled: set[str],
     crashed: set[str] | None = None,
 ) -> None:
     """Pin the rotation invariant with a REAL exception (asserts vanish
@@ -197,7 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             reg_index[k],
         ),
     )
-    _check_rotation(ordered_keys, last, oracled, crashed)
+    _check_rotation(ordered_keys, last, crashed)
     return {k: QUERIES[k] for k in ordered_keys}
 
 

@@ -109,7 +109,13 @@ def _clean_matrix(pdf, vec_col: str, dim: int | None = None):
     # the wrong dimension (where every row fails the length rule)
     ok_list, kept = [], []
     for v in vals:
-        good = v is not None and len(v) > 0 and (dim is None or len(v) == dim)
+        # missing cells may surface as None OR float NaN depending on the
+        # pandas conversion; only sized sequences are candidates at all
+        good = (
+            hasattr(v, "__len__")
+            and len(v) > 0
+            and (dim is None or len(v) == dim)
+        )
         if good:
             a = np.asarray(v, dtype=np.float64)
             nsq = float((a * a).sum())
@@ -223,6 +229,8 @@ def fit_kmeans(
     SQL oracle replicates)."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
     norm = _normalized(df, id_col, vec_col)
     init_rows = (
         norm.orderBy(
@@ -233,6 +241,12 @@ def fit_kmeans(
         .collect()
     )
     centroids = [list(r["nv"]) for r in init_rows]
+    if not centroids:
+        raise ValueError(
+            "fit_kmeans: no well-formed embeddings to initialize from "
+            f"(every row of {vec_col!r} was null/empty/non-finite/"
+            "zero-norm)"
+        )
     if len({len(c) for c in centroids}) > 1:
         raise ValueError(
             "fit_kmeans: embedding column mixes vector dimensions "
@@ -325,6 +339,11 @@ def load_kmeans_artifact(spark, path: str) -> KMeansModel:
             f" — not a saved k-means artifact {_KMEANS_ARTIFACT_COLS}"
         )
     rows = df.orderBy("cluster").collect()
+    if not rows:
+        raise ValueError(
+            f"load_kmeans_artifact: {path} has the artifact schema but "
+            "zero rows — artifact is corrupt or partially written"
+        )
     if [r["cluster"] for r in rows] != list(range(len(rows))):
         raise ValueError(
             f"load_kmeans_artifact: {path} cluster ids are not the dense "
@@ -427,8 +446,9 @@ def semdedup(
     dots as per-cluster numpy matmuls (`_blockwise_pairs`: each vector
     crosses Arrow once per cluster, row-blocked for bounded memory);
     ``pair_mode="join"`` is the self-join reference form (each candidate
-    pair ships both vectors — measured 2.4x slower at the 5x stress
-    point, PERF.md r11). Both emit identical round-6-thresholded pairs.
+    pair ships both vectors — measured 3.3x slower at the 5x stress
+    point on q112, 3.6x on q113; PERF.md r11 "blockwise SemDeDup
+    pairs"). Both emit identical round-6-thresholded pairs.
     The component closure reuses the size-gated union-find /
     star-contraction machinery every other dedup family goes through
     (`operators.dedup.connected_components`).

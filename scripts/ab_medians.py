@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
@@ -51,14 +52,21 @@ def ensure_multifile(n_files: int) -> str:
         for t in TABLES
         if os.path.exists(f"{SF_DIR}/{t}.parquet")
     )
+    # Full-marker EQUALITY, not endswith: a suffix match validated a
+    # stale copy whenever a source table was deleted (its old signature
+    # ended with the shrunken new one — trivially so for the empty sig).
+    expected_marker = f"source={SF_DIR} n_files={n_files} {src_sig}"
     if os.path.exists(marker):
         with open(marker) as f:
-            if f.read().strip().endswith(src_sig):
+            if f.read().strip() == expected_marker:
                 return dest
-        # source fixtures changed since the copy was built: rebuild
+        # source fixtures changed since the copy was built: rebuild from
+        # scratch so tables REMOVED from the source don't linger in dest
+        shutil.rmtree(dest)
     from dbda_big_data_walmart_stores_analysis_prediction_spark.session import get_spark
 
     spark = get_spark(app_name="ab_medians_multifile", shuffle_partitions=32)
+    os.makedirs(dest, exist_ok=True)
     for t in TABLES:
         src = f"{SF_DIR}/{t}.parquet"
         if not os.path.exists(src):
@@ -68,7 +76,7 @@ def ensure_multifile(n_files: int) -> str:
         ).parquet(f"{dest}/{t}.parquet")
     spark.stop()
     with open(marker, "w") as f:
-        f.write(f"source={SF_DIR} n_files={n_files} {src_sig}")
+        f.write(expected_marker)
     return dest
 
 

@@ -34,6 +34,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 def main() -> None:
     spark = get_spark(app_name="gen_scale_bench", shuffle_partitions=32)
     docs = spark.read.parquet(SRC)
+    emb = spark.read.parquet(EMB_SRC)
     for copies, name in [(2, "sf0.2"), (5, "sf0.5")]:
         parts = [
             docs.select(
@@ -52,7 +53,6 @@ def main() -> None:
         # embeddings replicate the same way (re-keyed exact copies): the
         # clustering/semdedup family's stress instance — within-cluster
         # pair density grows ~copies^2 while rows grow ~copies
-        emb = spark.read.parquet(EMB_SRC)
         eparts = [
             emb.select(
                 (F.col("vec_id") + i * 1_000_000).alias("vec_id"),

@@ -355,3 +355,46 @@ def test_semdedup_blockwise_equals_join_mode(spark, sf_dir):
     assert blockwise == join
     with pytest.raises(ValueError, match="pair_mode"):
         semdedup(emb, pair_mode="matmul", **kw)
+
+
+def test_fit_kmeans_contract_errors(spark, tmp_path):
+    """Review-pass contracts: n_clusters < 1 and an all-malformed corpus
+    fail loudly at fit time; a zero-row artifact (schema-valid but
+    corrupt) fails loudly at load time instead of IndexError; a float
+    NaN embedding CELL (a pandas-conversion representation of null) is
+    dropped per-row like None, not a task-killing TypeError."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        _clean_matrix,
+        fit_kmeans,
+        load_kmeans_artifact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_clusters"):
+        fit_kmeans(df, n_clusters=0)
+    bad = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="well-formed"):
+        fit_kmeans(bad, n_clusters=2)
+
+    empty = spark.createDataFrame(
+        [], "cluster int, centroid array<double>, salt string, iters int"
+    )
+    path = str(tmp_path / "empty_artifact")
+    empty.write.parquet(path)
+    with pytest.raises(ValueError, match="zero rows"):
+        load_kmeans_artifact(spark, path)
+
+    import math
+
+    import pandas as pd
+
+    ok, kept = _clean_matrix(
+        pd.DataFrame({"embedding": [[1.0, 0.0], math.nan]}), "embedding", dim=2
+    )
+    assert list(ok) == [True, False] and len(kept) == 1

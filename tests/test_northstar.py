@@ -1954,7 +1954,7 @@ def test_ffd_packing_pinned_by_naive_reference(spark):
             docs, "doc_id", "text", budget=budget, n_shards=n_shards
         ).collect()
     }
-    assert again == {d: sb for d, sb in expected.items()}
+    assert again == expected
 
 
 def test_repeat_by_weight_eager_column_contract(spark):
@@ -2281,12 +2281,23 @@ def test_recipe_v2_pinned_by_naive_reference(spark, tmp_path):
         for uid, ft in fim_texts.items()
     }
     # the trained-on-pre-objective / applied-to-post-objective seam is
-    # real: at least one FIM-selected unit's count differs from its
-    # unselected sibling semantics (sentinels tokenize as novel chars)
+    # real: a FIM-selected unit's count must differ from what its PLAIN
+    # (un-FIM'd) text would encode to — if the sentinels tokenized away
+    # to nothing, packing would be budgeting on pre-objective counts
+    plain_counts = {
+        i: sum(
+            len(naive_encode(w, naive_merges))
+            for w in norm(t).split(" ")
+            if w
+        )
+        for i, t in raw_of.items()
+    }
+    sel_units = [
+        uid for uid, (i, _) in units.items() if fim_texts[uid] != raw_of[i]
+    ]
+    assert sel_units
     assert any(
-        naive_counts[uid] != naive_counts.get(f"{i}#0", naive_counts[uid])
-        or uid == f"{i}#0"
-        for uid, (i, _) in units.items()
+        naive_counts[uid] != plain_counts[units[uid][0]] for uid in sel_units
     )
 
     # hashlib FFD twin over the composite unit ids

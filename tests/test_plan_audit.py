@@ -218,7 +218,7 @@ def test_driver_rotation_least_recently_verified_first():
     # -O-strippable assert
     if any(last.get(k, 0) != last.get(ordered[0], 0) for k in ordered):
         with pytest.raises(RuntimeError, match="rotation is broken"):
-            entry_mod._check_rotation(list(reversed(ordered)), last, oracled)
+            entry_mod._check_rotation(list(reversed(ordered)), last)
 
 
 def test_driver_rotation_fresh_clone_safe(monkeypatch):
@@ -265,9 +265,7 @@ def test_driver_rotation_crashed_latest_outranks_green_ties(monkeypatch):
     demoted = [k for k in ordered if k != victim] + [victim]
     if len(demoted) > entry_mod.DRIVER_QUERY_CAP:
         with pytest.raises(RuntimeError, match="crash-first rotation"):
-            entry_mod._check_rotation(
-                demoted, last, set(names), {victim}
-            )
+            entry_mod._check_rotation(demoted, last, {victim})
 
 
 def test_q80_dsir_stats_broadcast_no_cartesian(spark):
