@@ -246,6 +246,8 @@ LONGTAIL = [
     # round-11: eval-leakage audit on assembled conversations (the q68
     # 13-gram machinery applied through the chat template)
     "q124_sft_decontamination",
+    # round-11: stage-by-stage doc/token funnel over the q56 clean chain
+    "q125_corpus_funnel",
 ]
 
 _TABLES = (

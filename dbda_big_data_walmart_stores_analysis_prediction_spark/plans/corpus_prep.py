@@ -210,3 +210,78 @@ def corpus_summary(corpus: DataFrame) -> DataFrame:
         )
         .orderBy("lang_pred")
     )
+
+
+def corpus_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    keep_langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Stage-by-stage doc/token funnel of the cleaning chain — the
+    accounting report every ingest decision reads: how many documents
+    and tokens did the quality/language gates, the exact dedup, and the
+    near-dup collapse each actually remove?
+
+    Output: one row per stage, ``(stage, stage_order, n_docs,
+    n_tokens)`` for ``raw`` → ``quality_lang`` → ``exact_dedup`` →
+    ``near_dedup``. ``n_tokens`` is the whitespace token accounting the
+    chain itself carries (`add_text_features`'s ``n_tokens``); the raw
+    stage computes the same expression inline, with null text counting
+    as 0 tokens.
+
+    Runs the SAME operators with the SAME defaults as
+    `prepare_training_corpus` at the q56 oracle configuration
+    (``max_doc_freq=None`` ⇒ exact full-space near-dup semantics), so
+    the funnel's final row reconciles exactly with the q56 survivor
+    set — pinned by the spliced q125 oracle, which reuses the
+    registered q56 CTE chain verbatim.
+
+    Scale shape: four map-side-combinable single-row aggregates over
+    the shared lineage; the scored and exact-dedup frames are lazily
+    checkpointed (each feeds multiple consumers — the same boundaries
+    `prepare_training_corpus` persists eagerly).
+    """
+    raw_tokens = F.coalesce(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint"),
+        F.lit(0),
+    )
+
+    def level(df: DataFrame, stage: str, order: int, tok) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(tok), F.lit(0)).cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.lit(order).alias("stage_order"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    scored = language_id(
+        add_text_features(docs.select(id_col, text_col), text_col), text_col
+    ).localCheckpoint(eager=False)
+    filtered = scored.where(
+        (F.col("quality_score") >= min_quality)
+        & F.col("lang_pred").isin(*keep_langs)
+    )
+    exact = dd.dedup_exact(filtered, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    pairs = dd.minhash_lsh_pairs(
+        exact,
+        id_col,
+        text_col,
+        threshold=near_dup_threshold,
+        max_doc_freq=max_doc_freq,
+    )
+    final = dd.dedup_near(exact, pairs, id_col)
+    return (
+        level(docs, "raw", 0, raw_tokens)
+        .unionByName(level(filtered, "quality_lang", 1, F.col("n_tokens")))
+        .unionByName(level(exact, "exact_dedup", 2, F.col("n_tokens")))
+        .unionByName(level(final, "near_dedup", 3, F.col("n_tokens")))
+    )

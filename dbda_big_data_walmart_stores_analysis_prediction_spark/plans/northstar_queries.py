@@ -5054,3 +5054,59 @@ def q124_sft_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("doc_train").alias("conv_id"), "doc_eval", "n_shared"
     )
+
+
+# q125's oracle is spliced mechanically from the registered q56 SQL: the
+# ENTIRE CTE chain (scoring, gates, exact dedup, LSH pairs, recursive
+# component closure) is reused verbatim; only the final SELECT is
+# replaced by the four funnel aggregates. A q56 fragment fix propagates
+# here mechanically (the q98/q107 discipline). The split marker is the
+# final SELECT's distinctive head — rsplit("SELECT") would cut at the
+# NOT IN subquery instead.
+_q56_final_idx = ORACLE_SQL["q56_corpus_prep"].rfind("SELECT lang_pred")
+assert _q56_final_idx > 0, (
+    "q56 oracle no longer ends with its lang_pred rollup — re-derive the "
+    "q125 funnel splice"
+)
+_Q125_SQL = (
+    ORACLE_SQL["q56_corpus_prep"][:_q56_final_idx].rstrip().rstrip(",")
+    + """,
+    survivors AS (
+      SELECT doc_id, n_tokens FROM exact
+      WHERE doc_id NOT IN (SELECT id FROM losers)
+    )
+    SELECT * FROM (
+      SELECT 'raw' AS stage, 0 AS stage_order, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN text IS NULL THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END)::BIGINT AS n_tokens
+      FROM documents
+      UNION ALL
+      SELECT 'quality_lang', 1, count(*)::BIGINT,
+             coalesce(sum(n_tokens), 0)::BIGINT FROM filtered
+      UNION ALL
+      SELECT 'exact_dedup', 2, count(*)::BIGINT,
+             coalesce(sum(n_tokens), 0)::BIGINT FROM exact
+      UNION ALL
+      SELECT 'near_dedup', 3, count(*)::BIGINT,
+             coalesce(sum(n_tokens), 0)::BIGINT FROM survivors
+    )
+"""
+)
+
+
+@_register("q125_corpus_funnel", _Q125_SQL)
+def q125_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline funnel accounting (plans/corpus_prep.py::corpus_funnel):
+    docs and tokens surviving each stage of the q56 cleaning chain
+    (raw → quality/language gates → exact dedup → near-dup collapse) —
+    the observability report behind every ingest decision, and a
+    reconciliation check on the chain itself (the final row must agree
+    with the q56 survivor set; the oracle reuses the registered q56 CTE
+    chain verbatim with only the final SELECT swapped)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        corpus_funnel,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_funnel(docs)

@@ -3035,3 +3035,48 @@ def test_incremental_encode_gap_fallback(spark):
     assert out[1] == (777, "unchanged")          # carried verbatim
     assert out[2] == (len("ccdd"), "unchanged")  # gap re-encoded, not lost
     assert len(out) == 2
+
+
+def test_corpus_funnel_reconciles_with_prepare_training_corpus(spark):
+    """The q125 behavioral pin: the funnel is monotone non-increasing in
+    both docs and tokens, the raw row counts every input (nulls as
+    0-token docs), and the final (near_dedup) row reconciles EXACTLY
+    with `prepare_training_corpus`'s survivor set at the same
+    configuration — the funnel must report the chain it claims to."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.corpus_prep import (
+        corpus_funnel,
+        prepare_training_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "a completely different document about spark and data"),
+            (4, "der hund und die katze und der vogel und das haus"),
+            (5, None),
+            (6, "! ? ; ."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["stage"]: (r["stage_order"], r["n_docs"], r["n_tokens"])
+        for r in corpus_funnel(docs).collect()
+    }
+    assert set(rows) == {"raw", "quality_lang", "exact_dedup", "near_dedup"}
+    assert rows["raw"][1] == 6
+    order = ["raw", "quality_lang", "exact_dedup", "near_dedup"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a][1] >= rows[b][1], (a, b, rows)
+        assert rows[a][2] >= rows[b][2], (a, b, rows)
+    # the German doc and the junk doc fall at quality_lang; the exact
+    # duplicate falls at exact_dedup
+    assert rows["quality_lang"][1] < rows["raw"][1]
+    assert rows["exact_dedup"][1] == rows["quality_lang"][1] - 1
+
+    surv = prepare_training_corpus(docs, max_doc_freq=None)
+    agg = surv.agg(
+        {"n_tokens": "sum", "doc_id": "count"}
+    ).collect()[0]
+    assert rows["near_dedup"][1] == agg["count(doc_id)"]
+    assert rows["near_dedup"][2] == (agg["sum(n_tokens)"] or 0)

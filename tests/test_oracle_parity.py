@@ -213,6 +213,7 @@ DOC_QUERY_NAMES = [
     "q121_preference_pairs",
     "q122_sft_loader_capstone",
     "q124_sft_decontamination",
+    "q125_corpus_funnel",
 ]
 
 
