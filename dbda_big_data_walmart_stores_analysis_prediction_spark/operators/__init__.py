@@ -27,6 +27,26 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering
     save_kmeans_artifact,
     semdedup,
 )
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+    compact_small_files,
+    delete_keys,
+    merge_upsert,
+    snapshot_diff,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+    bin_manifest,
+    length_bucket_batches,
+    pack_sequences,
+    pack_sequences_ffd,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+    assemble_conversations,
+    preference_pairs,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+    train_wordpiece,
+    wordpiece_encode,
+)
 
 __all__ = [
     "KMeansModel",
@@ -48,4 +68,16 @@ __all__ = [
     "group_quartiles",
     "histogram",
     "outlier_bounds",
+    "merge_upsert",
+    "delete_keys",
+    "compact_small_files",
+    "snapshot_diff",
+    "pack_sequences",
+    "pack_sequences_ffd",
+    "bin_manifest",
+    "length_bucket_batches",
+    "assemble_conversations",
+    "preference_pairs",
+    "train_wordpiece",
+    "wordpiece_encode",
 ]
