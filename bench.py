@@ -248,6 +248,8 @@ LONGTAIL = [
     "q124_sft_decontamination",
     # round-11: stage-by-stage doc/token funnel over the q56 clean chain
     "q125_corpus_funnel",
+    # round-11: hard-negative mining for preference pairs (q121 x q30)
+    "q126_hard_negatives",
 ]
 
 _TABLES = (

@@ -5110,3 +5110,96 @@ def q125_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return corpus_funnel(docs)
+
+
+# q126's oracle splices the registered q121 SQL (the preference pairs
+# become a CTE) and replays the q30 brute-force cosine arithmetic over
+# the chosen docs' embeddings — one source of truth for both the pair
+# construction and the similarity math.
+_q121_prefix, _q121_final = _Q121_SQL.rsplit("SELECT", 1)
+assert _q121_final.lstrip().startswith("prompt_id, chosen_id"), (
+    "q121 oracle no longer ends with its pair SELECT — re-derive the "
+    "q126 splice"
+)
+_Q126_SQL = (
+    _q121_prefix
+    + f""",
+    pp AS (SELECT{_q121_final}),
+    qe AS (SELECT p.prompt_id, p.chosen_id, p.rejected_id,
+                  e.embedding::DOUBLE[] AS qv
+           FROM pp p JOIN embeddings e ON e.vec_id = p.chosen_id),
+    ce AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           FROM embeddings),
+    sc AS (SELECT prompt_id, chosen_id, neighbor_id,
+                  round(list_cosine_similarity(qv, cv), 6) AS cosine
+           FROM qe, ce
+           WHERE neighbor_id <> chosen_id AND neighbor_id <> rejected_id
+             AND list_dot_product(qv, qv) > 0
+             AND list_dot_product(cv, cv) > 0),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id, chosen_id
+                                        ORDER BY cosine DESC, neighbor_id)
+                       AS rank
+           FROM sc)
+    SELECT prompt_id, chosen_id, neighbor_id AS negative_id, cosine,
+           rank::INTEGER AS rank
+    FROM rk WHERE rank <= 5
+"""
+)
+
+
+@_register("q126_hard_negatives", _Q126_SQL)
+def q126_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/DPO training — the
+    retrieval-for-training composition: for each preference pair's
+    CHOSEN response (q121), the top-5 most cosine-similar corpus docs
+    that are neither the chosen nor the pair's rejected — semantically
+    close but unrewarded, exactly what contrastive losses want. The
+    registry's second embeddings×documents cross-table composition
+    (after q113).
+
+    Engine path: `sim.knn_bruteforce` at k=6 over the chosen docs'
+    embeddings (at most ONE exclusion — the rejected id — can fall
+    inside the top-6, so the post-exclusion re-rank's top-5 equals the
+    global post-exclusion top-5), then a broadcast pair join, the
+    exclusion filter, and a WindowGroupLimit re-rank. Brute-force is
+    the oracled baseline exactly as q30 established; `knn_lsh`/`knn_ivf`
+    (q32/q47) are the swap-in scale path for corpus-sized query sets.
+    Only chosen docs that HAVE an embedding mine negatives (inner
+    join — the q113 vec_id↔doc_id alignment)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        (F.col("doc_id") % 37).alias("prompt_id"),
+        "doc_id",
+        F.length("text").cast("double").alias("score"),
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        preference_pairs,
+    )
+
+    pairs = preference_pairs(scored, "prompt_id", "doc_id", "score")
+    emb = _t(spark, sf_dir, "embeddings")
+    chosen_emb = emb.join(
+        pairs.select(F.col("chosen_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    knn = sim.knn_bruteforce(emb, chosen_emb, k=6)
+    joined = knn.join(
+        F.broadcast(pairs.select("prompt_id", "chosen_id", "rejected_id")),
+        knn["query_id"] == F.col("chosen_id"),
+    ).where(F.col("neighbor_id") != F.col("rejected_id"))
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    return top_k_per_group(
+        joined.select(
+            "prompt_id",
+            "chosen_id",
+            F.col("neighbor_id").alias("negative_id"),
+            "cosine",
+        ),
+        partition_by=["prompt_id", "chosen_id"],
+        order_by=[F.desc("cosine"), F.asc("negative_id")],
+        k=5,
+        keep_rank=True,
+        rank_col="rank",
+    )

@@ -3080,3 +3080,64 @@ def test_corpus_funnel_reconciles_with_prepare_training_corpus(spark):
     ).collect()[0]
     assert rows["near_dedup"][1] == agg["count(doc_id)"]
     assert rows["near_dedup"][2] == (agg["sum(n_tokens)"] or 0)
+
+
+def test_hard_negatives_exclusion_rerank(spark):
+    """The q126 k=6 argument, exercised at its boundary: when the
+    pair's REJECTED doc is the chosen doc's single nearest neighbor, it
+    must be excluded and the re-rank must pull the 6th-nearest into a
+    contiguous rank-1..5 window — proving the post-exclusion top-5
+    equals the global post-exclusion top-5."""
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
+        preference_pairs,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        similarity as s,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        top_k_per_group,
+    )
+    from pyspark.sql import functions as F
+
+    # chosen = vec 0 at angle 0; rejected = vec 1 almost parallel (its
+    # nearest neighbor); vecs 2..8 at increasing angles
+    def v(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    emb = spark.createDataFrame(
+        [(i, v(0.05 * i)) for i in range(9)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = preference_pairs(
+        spark.createDataFrame(
+            [("g", 0, 1.0), ("g", 1, 0.5)],
+            "prompt_id string, doc_id long, score double",
+        )
+    )
+    assert pairs.collect()[0]["chosen_id"] == 0
+    chosen_emb = emb.join(
+        pairs.select(F.col("chosen_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    knn = s.knn_bruteforce(emb, chosen_emb, k=6)
+    # rejected (vec 1) IS rank 1 pre-exclusion
+    assert knn.where(F.col("rank") == 1).collect()[0]["neighbor_id"] == 1
+    joined = knn.join(
+        F.broadcast(pairs.select("prompt_id", "chosen_id", "rejected_id")),
+        knn["query_id"] == F.col("chosen_id"),
+    ).where(F.col("neighbor_id") != F.col("rejected_id"))
+    out = top_k_per_group(
+        joined.select(
+            "prompt_id", "chosen_id",
+            F.col("neighbor_id").alias("negative_id"), "cosine",
+        ),
+        partition_by=["prompt_id", "chosen_id"],
+        order_by=[F.desc("cosine"), F.asc("negative_id")],
+        k=5,
+        keep_rank=True,
+        rank_col="rank",
+    ).collect()
+    got = sorted((r["rank"], r["negative_id"]) for r in out)
+    # contiguous ranks 1..5, rejected absent, nearest-by-angle order
+    assert got == [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
