@@ -241,11 +241,12 @@ def fit_kmeans(
         .collect()
     )
     centroids = [list(r["nv"]) for r in init_rows]
-    if not centroids:
+    if len(centroids) < n_clusters:
         raise ValueError(
-            "fit_kmeans: no well-formed embeddings to initialize from "
-            f"(every row of {vec_col!r} was null/empty/non-finite/"
-            "zero-norm)"
+            f"fit_kmeans: only {len(centroids)} well-formed embeddings to "
+            f"initialize {n_clusters} clusters from (rows of {vec_col!r} "
+            "that are null/empty/non-finite/zero-norm don't count) — "
+            "lower n_clusters or clean the corpus"
         )
     if len({len(c) for c in centroids}) > 1:
         raise ValueError(

@@ -229,9 +229,10 @@ def corpus_funnel(
     Output: one row per stage, ``(stage, stage_order, n_docs,
     n_tokens)`` for ``raw`` → ``quality_lang`` → ``exact_dedup`` →
     ``near_dedup``. ``n_tokens`` is the whitespace token accounting the
-    chain itself carries (`add_text_features`'s ``n_tokens``); the raw
-    stage computes the same expression inline, with null text counting
-    as 0 tokens.
+    chain itself carries (`add_text_features`'s ``n_tokens``) at EVERY
+    stage — the raw row aggregates over the scored frame too (a
+    row-preserving projection of the input), so one tokenization rule
+    covers the whole funnel and null text counts as 0 tokens.
 
     Runs the SAME operators with the SAME defaults as
     `prepare_training_corpus` at the q56 oracle configuration
@@ -245,11 +246,6 @@ def corpus_funnel(
     checkpointed (each feeds multiple consumers — the same boundaries
     `prepare_training_corpus` persists eagerly).
     """
-    raw_tokens = F.coalesce(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint"),
-        F.lit(0),
-    )
-
     def level(df: DataFrame, stage: str, order: int, tok) -> DataFrame:
         return df.agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -279,8 +275,16 @@ def corpus_funnel(
         max_doc_freq=max_doc_freq,
     )
     final = dd.dedup_near(exact, pairs, id_col)
+    # The raw row aggregates over the CHECKPOINTED scored frame, not the
+    # raw table: add_text_features + language_id are row-preserving
+    # projections, so count(*) matches the raw count, sum(n_tokens) skips
+    # the null-text rows exactly as the inline null-as-0 rule would, and
+    # the funnel costs four aggregates over ONE materialized scan instead
+    # of an extra full pass over the raw corpus. n_tokens also comes from
+    # the SAME tokens_col rule every other stage sums — one tokenization
+    # definition, by construction.
     return (
-        level(docs, "raw", 0, raw_tokens)
+        level(scored, "raw", 0, F.col("n_tokens"))
         .unionByName(level(filtered, "quality_lang", 1, F.col("n_tokens")))
         .unionByName(level(exact, "exact_dedup", 2, F.col("n_tokens")))
         .unionByName(level(final, "near_dedup", 3, F.col("n_tokens")))

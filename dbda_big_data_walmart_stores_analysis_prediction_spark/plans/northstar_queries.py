@@ -389,12 +389,7 @@ def q68_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap count. Catches span-level leaks the whole-doc Jaccard audit
     (q65) can miss."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ev = docs.where(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
-        ).alias("text"),
-    )
+    ev = _derived_eval_windows(docs)
     return dd.ngram_overlap_pairs(
         docs, ev, "doc_id", "text", n=13, max_doc_freq=10_000
     )
@@ -1584,12 +1579,7 @@ def q77_cross_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc. Train grams probe the broadcast eval grams: the corpus never
     shuffles or sorts."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ev = docs.where(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
-        ).alias("text"),
-    )
+    ev = _derived_eval_windows(docs)
     return dd.cross_exact_substring_spans(
         docs, ev, "doc_id", "text", min_tokens=20, k=13
     )
@@ -1685,12 +1675,7 @@ def q79_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clean_text, n_tokens, n_tokens_removed) — the RefinedWeb remedy
     where a 30-token leak costs 30 tokens, not the whole document."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ev = docs.where(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
-        ).alias("text"),
-    )
+    ev = _derived_eval_windows(docs)
     spans = dd.cross_exact_substring_spans(
         docs, ev, "doc_id", "text", min_tokens=20, k=13
     )
@@ -3464,12 +3449,7 @@ def q87_pretrain_capstone(
             ),
         ).alias("text"),
     )
-    ev = docs.where(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
-        ).alias("text"),
-    )
+    ev = _derived_eval_windows(docs)
     target_ids = docs.where(F.col("lang") == "en").select("doc_id")
     if cuts is None:
         return pretrain_corpus(injected, ev, target_ids)
@@ -4103,9 +4083,13 @@ _Q107_SQL = (
 )
 
 
-def _recipe_eval(docs: DataFrame) -> DataFrame:
-    """The q68 simulated benchmark set: a 30-word window from every 13th
-    doc, re-idded clear of the corpus range — shared by q107/q108."""
+def _derived_eval_windows(docs: DataFrame) -> DataFrame:
+    """The simulated benchmark set every decontamination query shares:
+    a 30-word window from every 13th doc, re-idded clear of the corpus
+    range — the Spark twin of `_sql_gram_overlap`'s ``gr_ev`` CTE, one
+    source of truth per engine (q68/q77/q79/q87/q107/q108/q124). A
+    one-sided edit to the offset or slice bounds here breaks parity for
+    ALL of them at once instead of silently for some."""
     return docs.where(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.array_join(
@@ -4134,7 +4118,7 @@ def q107_recipe_v2_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     mani = recipe_v2(
         docs,
-        _recipe_eval(docs),
+        _derived_eval_windows(docs),
         weights=_RECIPE_EPOCH_WEIGHTS,
         n_merges=0,
         budget=2048,
@@ -4192,7 +4176,7 @@ def q108_recipe_v2_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact = _Q108_ARTIFACT_DIR + "/bpe_artifact"
     return recipe_v2(
         docs,
-        _recipe_eval(docs),
+        _derived_eval_windows(docs),
         weights=_RECIPE_EPOCH_WEIGHTS,
         n_merges=60,
         budget=2048,
@@ -4718,10 +4702,11 @@ def q118_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q115 argument: single-char vocab ⇒ count = non-space chars; the vocab is
 # trained on the new snapshot, so no word can hit [UNK]).
 _q118_prefix, _q118_final = _Q118_SQL.rsplit("SELECT", 1)
-assert "FROM j" in _q118_final, (
-    "q118 oracle no longer ends with its status SELECT over j — re-derive "
-    "the q119 splice"
-)
+if "FROM j" not in _q118_final:  # real exception: asserts vanish under -O
+    raise RuntimeError(
+        "q118 oracle no longer ends with its status SELECT over j — "
+        "re-derive the q119 splice"
+    )
 _Q119_SQL = (
     _q118_prefix
     + f""",
@@ -5042,12 +5027,7 @@ def q124_sft_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = assemble_conversations(_derived_turns(docs)).select(
         F.col("conv_id").alias("doc_id"), F.col("chat_text").alias("text")
     )
-    ev = docs.where(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 4, 30), " "
-        ).alias("text"),
-    )
+    ev = _derived_eval_windows(docs)
     pairs = dd.ngram_overlap_pairs(
         conv, ev, "doc_id", "text", n=13, max_doc_freq=10_000
     )
@@ -5064,10 +5044,11 @@ def q124_sft_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final SELECT's distinctive head — rsplit("SELECT") would cut at the
 # NOT IN subquery instead.
 _q56_final_idx = ORACLE_SQL["q56_corpus_prep"].rfind("SELECT lang_pred")
-assert _q56_final_idx > 0, (
-    "q56 oracle no longer ends with its lang_pred rollup — re-derive the "
-    "q125 funnel splice"
-)
+if _q56_final_idx <= 0:  # real exception: asserts vanish under -O
+    raise RuntimeError(
+        "q56 oracle no longer ends with its lang_pred rollup — re-derive "
+        "the q125 funnel splice"
+    )
 _Q125_SQL = (
     ORACLE_SQL["q56_corpus_prep"][:_q56_final_idx].rstrip().rstrip(",")
     + """,
@@ -5117,10 +5098,12 @@ def q125_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the chosen docs' embeddings — one source of truth for both the pair
 # construction and the similarity math.
 _q121_prefix, _q121_final = _Q121_SQL.rsplit("SELECT", 1)
-assert _q121_final.lstrip().startswith("prompt_id, chosen_id"), (
-    "q121 oracle no longer ends with its pair SELECT — re-derive the "
-    "q126 splice"
-)
+if not _q121_final.lstrip().startswith("prompt_id, chosen_id"):
+    # real exception: asserts vanish under -O
+    raise RuntimeError(
+        "q121 oracle no longer ends with its pair SELECT — re-derive the "
+        "q126 splice"
+    )
 _Q126_SQL = (
     _q121_prefix
     + f""",

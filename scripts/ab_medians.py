@@ -60,8 +60,10 @@ def ensure_multifile(n_files: int) -> str:
         with open(marker) as f:
             if f.read().strip() == expected_marker:
                 return dest
-        # source fixtures changed since the copy was built: rebuild from
-        # scratch so tables REMOVED from the source don't linger in dest
+    # Any other state — stale marker, OR a marker-less partial dir from a
+    # crashed rebuild — rebuilds from scratch so tables REMOVED from the
+    # source (or half-written ones) never linger in dest.
+    if os.path.isdir(dest):
         shutil.rmtree(dest)
     from dbda_big_data_walmart_stores_analysis_prediction_spark.session import get_spark
 
