@@ -648,3 +648,43 @@ def test_assemble_conversations_spans_always_slice(spark, rows):
         for s in r["loss_spans"]:
             sliced = r["chat_text"][s["span_start"] : s["span_end"]]
             assert sliced == texts[s["turn_idx"]]
+
+
+_snap = st.dictionaries(
+    st.integers(0, 12),
+    st.one_of(st.none(), st.text(max_size=12)),
+    max_size=10,
+)
+
+
+@given(old=_snap, new=_snap)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_python_reference(spark, old, new):
+    """For arbitrary snapshot pairs (including null contents and keys
+    present on only one side): snapshot_diff's per-key status equals a
+    pure-Python dict diff — added/removed by key membership,
+    changed/unchanged by null-safe content equality."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    if not old and not new:
+        return  # empty-union diff is trivially empty; nothing to compare
+    odf = spark.createDataFrame(
+        [(k, v) for k, v in old.items()], "doc_id long, text string"
+    ) if old else spark.createDataFrame([], "doc_id long, text string")
+    ndf = spark.createDataFrame(
+        [(k, v) for k, v in new.items()], "doc_id long, text string"
+    ) if new else spark.createDataFrame([], "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(odf, ndf).collect()}
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expect[k] = "added"
+        elif k not in new:
+            expect[k] = "removed"
+        elif old[k] == new[k]:
+            expect[k] = "unchanged"
+        else:
+            expect[k] = "changed"
+    assert got == expect, (old, new)
