@@ -562,6 +562,16 @@ def test_encode_counts_only_matches_full_path(spark, texts):
     assert ufast == ufull
 
 
+def _java_norm(t: str) -> str:
+    """The engine's normalization replicated with JAVA semantics: trim
+    strips 0x20 only, ``\\s`` is the ASCII class [ \\t\\n\\x0b\\f\\r]
+    (no \\x1f, no NBSP — both of which Python's str.split() treats as
+    whitespace)."""
+    import re
+
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", t.strip(" ")).lower().strip(" ")
+
+
 _wp_texts = st.lists(
     st.one_of(
         st.none(),
@@ -601,7 +611,10 @@ def test_wordpiece_roundtrip_and_zero_merge_count(spark, texts):
         for r in wordpiece_encode(df, vocab0, counts_only=True).collect()
     }
     for i, t in enumerate(texts):
-        normed = "" if t is None else " ".join(t.strip().lower().split())
+        # engine-faithful normalization: Spark trim strips 0x20 only and
+        # Java \s is the ASCII class — Python str.split() would also
+        # split on \x1f/NBSP and silently diverge from the engine
+        normed = "" if t is None else _java_norm(t)
         joined = "".join(
             tok[2:] if tok.startswith("##") and len(tok) > 2 else tok
             for tok in rows[i]["wp_tokens"]
@@ -688,3 +701,65 @@ def test_snapshot_diff_matches_python_reference(spark, old, new):
         else:
             expect[k] = "changed"
     assert got == expect, (old, new)
+
+
+_prev_keys = st.sets(st.integers(0, 12), max_size=10)
+
+
+@given(old=_snap, new=_snap, prev_keys=_prev_keys)
+@settings(**SETTINGS)
+def test_incremental_encode_matches_python_reference(
+    spark, old, new, prev_keys
+):
+    """For arbitrary old/new snapshots and an arbitrary (possibly
+    gappy) prev_encoded: every doc in the new snapshot appears exactly
+    once — carried verbatim (poisoned counts survive) iff unchanged AND
+    present in prev, freshly encoded (zero-merge = non-space char count
+    of the normalized text) otherwise — and removed docs never appear."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.incremental import (
+        incremental_encode,
+    )
+
+    if not new:
+        return  # nothing to encode; output is trivially empty
+    mk = lambda d: (
+        spark.createDataFrame(
+            [(k, v) for k, v in d.items()], "doc_id long, text string"
+        )
+        if d
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    odf, ndf = mk(old), mk(new)
+    vocab = train_wordpiece(ndf, n_merges=0)
+    prev_rows = [(k, 900 + k) for k in prev_keys]  # poisoned sentinel counts
+    prev = (
+        spark.createDataFrame(prev_rows, "doc_id long, n_wp_tokens bigint")
+        if prev_rows
+        else spark.createDataFrame([], "doc_id long, n_wp_tokens bigint")
+    )
+    got = {
+        r["doc_id"]: (r["n_wp_tokens"], r["status"])
+        for r in incremental_encode(odf, ndf, prev, vocab).collect()
+    }
+
+    def norm_chars(t):
+        # engine-faithful count: every char outside Java's ASCII \s class
+        # (Python's str.split() also treats \x1f / NBSP as whitespace and
+        # would diverge — hypothesis found exactly that)
+        return 0 if t is None else len(_java_norm(t).replace(" ", ""))
+
+    expect = {}
+    for k, v in new.items():
+        if k not in old:
+            expect[k] = (norm_chars(v), "added")
+        elif old[k] == v:
+            expect[k] = (
+                (900 + k, "unchanged") if k in prev_keys
+                else (norm_chars(v), "unchanged")
+            )
+        else:
+            expect[k] = (norm_chars(v), "changed")
+    assert got == expect, (old, new, sorted(prev_keys))
