@@ -763,3 +763,47 @@ def test_incremental_encode_matches_python_reference(
         else:
             expect[k] = (norm_chars(v), "changed")
     assert got == expect, (old, new, sorted(prev_keys))
+
+
+@given(
+    counts=st.lists(
+        st.one_of(st.none(), st.integers(0, 200)), min_size=1, max_size=25
+    )
+)
+@settings(**SETTINGS)
+def test_length_bucket_batches_invariants(spark, counts):
+    """For arbitrary (nullable) token counts: every doc appears exactly
+    once, lands in the FIRST bucket that holds its (null-coalesced)
+    count, no (shard, bucket, batch) group exceeds batch_size, and
+    batch indices are dense from 0 with only the last batch partial."""
+    from collections import Counter
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    bounds, batch = (16, 64), 3
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id long, n long"
+    )
+    rows = length_bucket_batches(
+        df, text_col=None, tokens_col="n", boundaries=bounds,
+        batch_size=batch, n_shards=2, salt="p",
+    ).collect()
+    assert len(rows) == len(counts)
+    for r in rows:
+        n = counts[r["doc_id"]] or 0
+        assert r["n_tokens"] == n
+        assert r["bucket"] == next(
+            (j for j, b in enumerate(bounds) if n <= b), len(bounds)
+        )
+    occ = Counter((r["shard"], r["bucket"], r["batch_idx"]) for r in rows)
+    assert max(occ.values()) <= batch
+    per_sb: dict = {}
+    for (s, b, bi), c in occ.items():
+        per_sb.setdefault((s, b), {})[bi] = c
+    for batches in per_sb.values():
+        idxs = sorted(batches)
+        assert idxs == list(range(len(idxs)))
+        for bi in idxs[:-1]:
+            assert batches[bi] == batch
