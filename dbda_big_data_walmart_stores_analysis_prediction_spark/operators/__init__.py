@@ -39,9 +39,18 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing im
     pack_sequences,
     pack_sequences_ffd,
 )
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+    curriculum_stages,
+    mixture_weights,
+    plan_mixture,
+)
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import (
     assemble_conversations,
     preference_pairs,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+    kmv_group_sketches,
+    kmv_overlap_matrix,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
     train_wordpiece,
@@ -80,4 +89,9 @@ __all__ = [
     "preference_pairs",
     "train_wordpiece",
     "wordpiece_encode",
+    "curriculum_stages",
+    "plan_mixture",
+    "mixture_weights",
+    "kmv_group_sketches",
+    "kmv_overlap_matrix",
 ]

@@ -674,3 +674,192 @@ def leakage_safe_split(
             .otherwise("test"),
         )
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_stages: int,
+    salt: str = "curriculum",
+    n_shards: int = 32,
+    stage_col: str = "stage",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Curriculum schedule: assign every row a training STAGE by
+    equal-width binning of ``score_col`` (stage 0 = lowest scores — pass
+    a difficulty signal like document length and the schedule trains
+    easy-to-hard), then a reproducible md5-shuffled position within each
+    (stage, shard). The ordering step between data selection and the
+    loader: curriculum learning wants a coarse difficulty ramp with the
+    docs INSIDE each stage decorrelated, not a corpus-wide difficulty
+    sort (which would feed the model near-identical neighbors
+    back-to-back).
+
+    Equal-width stages (the q16 histogram rule: ``floor((s − min) /
+    width)``, top edge clamped into the last stage) are chosen over
+    quantile stages deliberately: the bounds come from ONE tiny
+    min/max aggregate broadcast back into a codegen projection — no
+    global sort, no per-stage ntile window over the whole corpus, which
+    is what rank-balanced staging costs at 100 TB. Null scores schedule
+    LAST (stage ``n_stages − 1``): unknown difficulty is treated as
+    hard, never silently dropped. If every score is identical (or all
+    null) the data is one stage.
+
+    Positions are ``row_number`` over (stage, shard) ordered by
+    ``md5(salt:id)`` — the window partitions by (stage, SHARD), not
+    stage alone, so a handful of stages can never become a handful of
+    executor-crushing sort tasks (the `length_bucket_batches`
+    discipline). Null ids hash to null, sort last, and take shard 0.
+    Deterministic end to end: rerun- and SQL-oracle-identical."""
+    for need, what in ((id_col, "id_col"), (score_col, "score_col")):
+        if need not in df.columns:
+            raise ValueError(
+                f"curriculum_stages: {what} {need!r} is not a column of "
+                f"the input frame (has {df.columns})"
+            )
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    s = F.col(score_col).cast("double")
+    bounds = df.agg(
+        F.min(s).alias("__cur_mn"), F.max(s).alias("__cur_mx")
+    )
+    width = (F.col("__cur_mx") - F.col("__cur_mn")) / F.lit(float(n_stages))
+    stage = (
+        F.when(s.isNull(), F.lit(n_stages - 1))
+        .when(F.col("__cur_mx") == F.col("__cur_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((s - F.col("__cur_mn")) / width),
+                F.lit(n_stages - 1),
+            )
+        )
+        .cast("bigint")
+    )
+    shard = F.coalesce(
+        F.pmod(_mix_hash(id_col, f"{salt}:shard"), F.lit(n_shards)),
+        F.lit(0),
+    ).cast("bigint")
+    staged = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(*df.columns, stage.alias(stage_col), shard.alias(shard_col))
+    )
+    w = Window.partitionBy(stage_col, shard_col).orderBy(
+        F.asc_nulls_last(_mix_hash(id_col, salt)),
+        F.asc_nulls_last(id_col),
+    )
+    return staged.select(
+        "*", F.row_number().over(w).cast("bigint").alias(pos_col)
+    )
+
+
+def plan_mixture(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: str,
+    targets: dict,
+    token_budget: int,
+    max_epochs: float = 10.0,
+) -> DataFrame:
+    """Mixture PLANNER: turn a target domain recipe ("web 50%, wiki 25%,
+    code 25%") plus a total token budget into the per-stratum epoch
+    weights `repeat_by_weight` realizes. For each stratum present in the
+    data: ``epochs = min(max_epochs, share · budget / tokens_available)``
+    — the stratum's budgeted token mass divided by what one pass over it
+    supplies, capped so a tiny treasured domain cannot be upsampled past
+    the repetition cliff. This is the arithmetic seam between "recipe as
+    proportions" (how mixtures are specified) and "recipe as epoch
+    weights" (how the expansion operator consumes them).
+
+    ``targets`` maps stratum → target WEIGHT (any non-negative numbers;
+    shares are weight / total). The total resolves driver-side to one
+    literal so both engines divide by the identical constant; strata
+    missing from ``targets`` (and null strata) plan 0 epochs, and
+    ``epochs`` is rounded to 6 dp — exactly the precision
+    `repeat_by_weight` honors, so the plan IS the contract the expander
+    executes. Null token counts supply 0.
+
+    Output per data stratum: ``(stratum, tokens_available, target_share,
+    epochs, planned_tokens)`` with ``planned_tokens = round(epochs ·
+    available)``. One grouped aggregate + a broadcast literal join —
+    scan-bounded at any corpus size.
+    """
+    for need, what in ((strata_col, "strata_col"), (tokens_col, "tokens_col")):
+        if need not in df.columns:
+            raise ValueError(
+                f"plan_mixture: {what} {need!r} is not a column of the "
+                f"input frame (has {df.columns})"
+            )
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    if not targets:
+        raise ValueError("targets must be a non-empty stratum -> weight map")
+    for k, v in targets.items():
+        if v < 0:
+            raise ValueError(f"target weight for {k!r} must be >= 0, got {v}")
+    total = float(sum(v for _, v in sorted(targets.items())))
+    if total <= 0:
+        raise ValueError("target weights must sum to > 0")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    tdf = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        StructType(
+            [
+                StructField("__pm_stratum", df.schema[strata_col].dataType),
+                StructField("__pm_weight", DoubleType()),
+            ]
+        ),
+    )
+    avail = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(F.coalesce(F.col(tokens_col), F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_available")
+    )
+    share = F.coalesce(F.col("__pm_weight"), F.lit(0.0)) / F.lit(total)
+    epochs = F.round(
+        F.when(
+            F.col("tokens_available") > 0,
+            F.least(
+                share * F.lit(float(token_budget))
+                / F.col("tokens_available").cast("double"),
+                F.lit(float(max_epochs)),
+            ),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        avail.join(
+            F.broadcast(tdf),
+            F.col("stratum") == F.col("__pm_stratum"),
+            "left",
+        )
+        .select(
+            "stratum",
+            "tokens_available",
+            F.round(share, 6).alias("target_share"),
+            epochs.alias("epochs"),
+            F.round(epochs * F.col("tokens_available").cast("double"))
+            .cast("bigint")
+            .alias("planned_tokens"),
+        )
+    )
+
+
+def mixture_weights(plan: DataFrame) -> dict:
+    """Collect a `plan_mixture` frame into the stratum → epochs dict
+    `repeat_by_weight` consumes. Driver-side by design — a mixture plan
+    has one row per DOMAIN (dozens to thousands, never corpus-sized; the
+    same bounded-cardinality contract as `repeat_by_weight`'s weights).
+    Null strata are skipped: the expander's weight lookup can never
+    match a null key, and the planner already assigns them 0 epochs."""
+    return {
+        r["stratum"]: float(r["epochs"])
+        for r in plan.select("stratum", "epochs").collect()
+        if r["stratum"] is not None
+    }

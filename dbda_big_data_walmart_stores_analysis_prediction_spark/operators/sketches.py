@@ -458,3 +458,161 @@ def theta_overlap(
             est("ni").alias("est_intersection"),
         )
     )
+
+
+def kmv_group_sketches(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    pre_hashed: bool = False,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Per-GROUP KMV sketches in one pass: the k smallest distinct
+    ``md5_int64`` hashes of ``key_col`` within each ``group_col`` value,
+    as ``(g, h)`` rows (≤ groups·k total). The grouped twin of
+    `kmv_mins` — one corpus scan yields a bounded sketch table for EVERY
+    source/crawl/snapshot at once, instead of one `kmv_mins` job per
+    group.
+
+    Exact-k-min is mergeable (the k smallest of a union are among the
+    union of each part's k smallest), so the take runs TWO-LEVEL: a
+    shard-local ``row_number`` bounds every sort partition to one
+    (group, shard) slice of the hash stream, then a second window
+    re-takes the k smallest of the ≤ n_shards·k survivors per group.
+    No single task ever sorts a whole group's distinct-hash stream —
+    the property a flat per-group window cannot offer when one crawl
+    dominates the corpus. Result is IDENTICAL to the flat take, which
+    is what a SQL oracle runs.
+
+    ``pre_hashed=True`` declares ``key_col`` already carries
+    ``md5_int64`` values (e.g. `shingle_table(..., hashed=True)`
+    output) and skips the re-hash; rows are distinct-ed on (g, h)
+    either way. Null keys and null groups carry no information and are
+    dropped."""
+    from pyspark.sql import Window
+
+    h = (
+        F.col(key_col)
+        if pre_hashed
+        else md5_int64(F.col(key_col).cast("string"))
+    )
+    hashed = (
+        df.where(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
+    lvl1 = Window.partitionBy("g", F.pmod("h", F.lit(n_shards))).orderBy("h")
+    lvl2 = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(lvl1))
+        .where(F.col("__rn") <= k)
+        .withColumn("__rn", F.row_number().over(lvl2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_overlap_matrix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 128,
+    pre_hashed: bool = False,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Pairwise cross-source content overlap from ONE corpus scan: for
+    every unordered pair of ``group_col`` values, the `theta_overlap`
+    estimates (distinct cardinalities, union, intersection) plus the
+    estimated Jaccard — the S×S contamination/provenance audit a
+    multi-crawl ingest runs before choosing mixture weights. Exact
+    pairwise answers need S² distinct joins over the corpus; here the
+    corpus is touched ONCE (`kmv_group_sketches`), and everything
+    after is arithmetic over ≤ S·k sketch rows — S² never multiplies
+    against data size.
+
+    Per pair (a, b): θ = min of the two sides' k-th smallest hash (a
+    side with fewer than k distinct keys contributes θ = 2^60, i.e.
+    exact); sketch entries below θ are uniform density-θ/2^60 samples,
+    so ``n · 2^60 / θ`` estimates each cardinality and degenerates to
+    the exact count when both sides fit their sketches. Jaccard is the
+    pure ratio ``ni / (na + nb − ni)`` (θ cancels), 0.0 for two empty
+    sides. Deterministic md5 construction end to end — a SQL oracle
+    reproduces every estimate bit-for-bit, sampling error included.
+
+    Output: ``(src_a, src_b, est_distinct_a, est_distinct_b,
+    est_union, est_intersection, est_jaccard)``, one row per pair with
+    ``src_a < src_b``, estimates rounded to 4 dp."""
+    sk = kmv_group_sketches(
+        df, key_col, group_col, k, pre_hashed=pre_hashed, n_shards=n_shards
+    ).localCheckpoint(eager=False)
+    th = sk.groupBy("g").agg(
+        F.when(F.count("*") < k, F.lit(_TWO_60))
+        .otherwise(F.max("h"))
+        .alias("th")
+    )
+    pairs = (
+        th.select(F.col("g").alias("src_a"), F.col("th").alias("__tha"))
+        .join(
+            th.select(F.col("g").alias("src_b"), F.col("th").alias("__thb")),
+            F.col("src_a") < F.col("src_b"),
+        )
+        .select(
+            "src_a", "src_b", F.least("__tha", "__thb").alias("theta")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def side_count(side: str) -> DataFrame:
+        return (
+            sk.join(
+                F.broadcast(pairs),
+                (F.col("g") == F.col(side))
+                & (F.col("h") < F.col("theta")),
+            )
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").alias(f"__n{side[-1]}"))
+        )
+
+    inter = (
+        sk.select(F.col("g").alias("__ga"), "h")
+        .join(
+            sk.select(F.col("g").alias("__gb"), F.col("h").alias("__hb")),
+            (F.col("h") == F.col("__hb")) & (F.col("__ga") < F.col("__gb")),
+        )
+        .join(
+            F.broadcast(pairs),
+            (F.col("__ga") == F.col("src_a"))
+            & (F.col("__gb") == F.col("src_b"))
+            & (F.col("h") < F.col("theta")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("__ni"))
+    )
+    keys = ["src_a", "src_b"]
+    na = F.coalesce("__na", F.lit(0)).cast("bigint")
+    nb = F.coalesce("__nb", F.lit(0)).cast("bigint")
+    ni = F.coalesce("__ni", F.lit(0)).cast("bigint")
+    nu = na + nb - ni
+
+    def est(n) -> Column:
+        return F.round(
+            n.cast("double") * F.lit(float(_TWO_60)) / F.col("theta"), 4
+        )
+
+    return (
+        pairs.join(side_count("src_a"), keys, "left")
+        .join(side_count("src_b"), keys, "left")
+        .join(inter, keys, "left")
+        .select(
+            "src_a",
+            "src_b",
+            est(na).alias("est_distinct_a"),
+            est(nb).alias("est_distinct_b"),
+            est(nu).alias("est_union"),
+            est(ni).alias("est_intersection"),
+            F.when(nu > 0, F.round(ni.cast("double") / nu.cast("double"), 4))
+            .otherwise(F.lit(0.0))
+            .alias("est_jaccard"),
+        )
+    )

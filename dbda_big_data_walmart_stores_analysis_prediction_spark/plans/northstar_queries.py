@@ -5186,3 +5186,305 @@ def q126_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_rank=True,
         rank_col="rank",
     )
+
+
+# q127's oracle replicates the whole KMV construction: the same
+# normalized 3-word shingles (_SQL_NORM/_SQL_SHINGLES — the q26 single
+# source of truth), the same md5-int64 hash, a flat per-group k-smallest
+# take (provably identical to the engine's two-level sharded take:
+# exact k-min is mergeable), and the theta arithmetic of the q96 oracle
+# generalized to every source pair.
+_Q127_K = 64
+_Q127_SQL = f"""
+    WITH norm AS (SELECT source, {_SQL_NORM} AS t FROM documents
+                  WHERE text IS NOT NULL AND source IS NOT NULL),
+    words AS (SELECT source, regexp_split_to_array(t, '\\s+') AS w
+              FROM norm),
+    grams AS (SELECT DISTINCT source AS g, unnest({_SQL_SHINGLES}) AS s
+              FROM words),
+    hh AS (SELECT DISTINCT g, {_SQL_HEX.format(x='s')} AS h FROM grams),
+    sk AS (SELECT g, h FROM (
+             SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+                    AS rn FROM hh)
+           WHERE rn <= {_Q127_K}),
+    th AS (SELECT g, CASE WHEN count(*) < {_Q127_K}
+                          THEN 1152921504606846976
+                          ELSE max(h) END AS th
+           FROM sk GROUP BY g),
+    pairs AS (SELECT a.g AS src_a, b.g AS src_b,
+                     least(a.th, b.th) AS theta
+              FROM th a JOIN th b ON a.g < b.g),
+    na AS (SELECT src_a, src_b, count(*) AS n FROM pairs p
+           JOIN sk ON sk.g = p.src_a AND sk.h < p.theta GROUP BY 1, 2),
+    nb AS (SELECT src_a, src_b, count(*) AS n FROM pairs p
+           JOIN sk ON sk.g = p.src_b AND sk.h < p.theta GROUP BY 1, 2),
+    ni AS (SELECT src_a, src_b, count(*) AS n FROM pairs p
+           JOIN sk x ON x.g = p.src_a AND x.h < p.theta
+           JOIN sk y ON y.g = p.src_b AND y.h = x.h GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b,
+      round(coalesce(na.n, 0)::DOUBLE * 1152921504606846976.0 / p.theta,
+            4) AS est_distinct_a,
+      round(coalesce(nb.n, 0)::DOUBLE * 1152921504606846976.0 / p.theta,
+            4) AS est_distinct_b,
+      round((coalesce(na.n, 0) + coalesce(nb.n, 0)
+             - coalesce(ni.n, 0))::DOUBLE
+            * 1152921504606846976.0 / p.theta, 4) AS est_union,
+      round(coalesce(ni.n, 0)::DOUBLE * 1152921504606846976.0 / p.theta,
+            4) AS est_intersection,
+      CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
+                - coalesce(ni.n, 0) > 0
+           THEN round(coalesce(ni.n, 0)::DOUBLE
+                      / (coalesce(na.n, 0) + coalesce(nb.n, 0)
+                         - coalesce(ni.n, 0))::DOUBLE, 4)
+           ELSE 0.0 END AS est_jaccard
+    FROM pairs p
+    LEFT JOIN na USING (src_a, src_b)
+    LEFT JOIN nb USING (src_a, src_b)
+    LEFT JOIN ni USING (src_a, src_b)
+"""
+
+
+@_register("q127_source_overlap_matrix", _Q127_SQL)
+def q127_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source shingle-overlap matrix from ONE corpus scan
+    (operators/sketches.py::kmv_overlap_matrix): every source pair's
+    distinct-content cardinalities, union, intersection, and Jaccard,
+    estimated from per-source KMV sketches (k=64) over the q26 3-word
+    shingle stream — the S×S provenance audit run before choosing
+    mixture weights, at sketch cost instead of S² corpus joins. The
+    ESTIMATES (sampling error included) hash-check against the oracle's
+    identical md5 construction."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        kmv_overlap_matrix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text", "source")
+    sh = dd.shingle_table(docs, id_col="source", k=3, hashed=True)
+    return kmv_overlap_matrix(
+        sh, key_col="sh", group_col="doc", k=_Q127_K, pre_hashed=True
+    )
+
+
+_Q128_STAGES, _Q128_SHARDS = 8, 16
+_Q128_SQL = f"""
+    WITH b AS (SELECT min(n_chars::DOUBLE) AS mn, max(n_chars::DOUBLE)
+                      AS mx FROM documents),
+    s AS (SELECT doc_id, n_chars,
+            (CASE WHEN n_chars IS NULL THEN {_Q128_STAGES - 1}
+                  WHEN mx = mn THEN 0
+                  ELSE least(floor((n_chars::DOUBLE - mn)
+                                   / ((mx - mn) / {_Q128_STAGES}.0)),
+                             {_Q128_STAGES - 1}) END)::BIGINT AS stage,
+            coalesce({_SQL_HEX.format(x="'curriculum:shard:' || CAST(doc_id AS VARCHAR)")}
+                     % {_Q128_SHARDS}, 0)::BIGINT AS shard,
+            {_SQL_HEX.format(x="'curriculum:' || CAST(doc_id AS VARCHAR)")} AS hsh
+          FROM documents, b)
+    SELECT doc_id, stage, shard,
+           row_number() OVER (PARTITION BY stage, shard
+                              ORDER BY hsh NULLS LAST,
+                                       doc_id NULLS LAST)::BIGINT AS pos
+    FROM s
+"""
+
+
+@_register("q128_curriculum_schedule", _Q128_SQL)
+def q128_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (operators/sampling.py::curriculum_stages):
+    docs staged easy-to-hard by equal-width binning of n_chars (the
+    classic length curriculum — 8 stages from one min/max aggregate, no
+    global sort), md5-shuffled positions within each (stage, shard)
+    window so stages feed the loader decorrelated."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        curriculum_stages,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_stages(
+        docs, "doc_id", "n_chars", _Q128_STAGES, n_shards=_Q128_SHARDS
+    ).select("doc_id", "stage", "shard", "pos")
+
+
+# q129: the audit point is the q115 zero-merge identity — with a
+# char-inventory WordPiece vocab trained on the SAME corpus, per-doc
+# tokens = non-space chars of the normalized text (no [UNK] possible),
+# so the per-source report is fully SQL-replicable while the Spark side
+# runs the REAL artifact path (train -> broadcast -> Arrow greedy-match
+# encode -> id join -> aggregate).
+_Q129_SQL = f"""
+    WITH tnorm AS (SELECT doc_id, source, text, {_SQL_NORM} AS t
+                   FROM documents),
+    per_doc AS (SELECT source,
+                  (CASE WHEN t IS NULL OR t = '' THEN 0
+                        ELSE length(replace(t, ' ', '')) END)::BIGINT
+                      AS nt,
+                  coalesce(length(text), 0)::BIGINT AS nc
+                FROM tnorm)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(nt)::BIGINT AS total_tokens,
+           sum(nc)::BIGINT AS total_chars,
+           CASE WHEN sum(nt) > 0
+                THEN round(sum(nc)::DOUBLE / sum(nt)::DOUBLE, 4)
+                ELSE 0.0 END AS chars_per_token
+    FROM per_doc GROUP BY source
+"""
+
+
+@_register("q129_tokenizer_audit", _Q129_SQL)
+def q129_tokenizer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fit report (plans/tokenizer.py::
+    tokenizer_audit): a trained WordPiece artifact run over the corpus
+    (counts-only Arrow encode), aggregated into docs / tokens / raw
+    chars / chars-per-token compression per source — the go/no-go audit
+    before a tokenizer rollout. Oracled at the zero-merge point via the
+    q115 identity; the trained path is pinned by the unit twin."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    vocab = train_wordpiece(docs.select("doc_id", "text"), n_merges=0)
+    return tokenizer_audit(docs, vocab, by_col="source")
+
+
+# q130/q131: the recipe is a module constant so the Spark call and the
+# generated oracle SQL share ONE parameterization (the q111 discipline)
+# — every 5th source weighted 4x, budget and epoch cap chosen so the
+# sf ladder exercises both the proportional and the capped branch.
+_Q130_TARGETS = {f"src{i}": 4 if i % 5 == 0 else 1 for i in range(20)}
+_Q130_TOTAL = float(sum(v for _, v in sorted(_Q130_TARGETS.items())))
+_Q130_BUDGET, _Q130_MAX_EPOCHS = 100_000, 4.0
+_Q130_VALUES = ", ".join(
+    f"('{k}', {float(v)!r})" for k, v in sorted(_Q130_TARGETS.items())
+)
+_Q130_PLAN_CTES = f"""
+    avail AS (SELECT source AS stratum,
+                     sum(coalesce(n_chars, 0))::BIGINT AS tokens_available
+              FROM documents GROUP BY source),
+    tgt(s, w) AS (VALUES {_Q130_VALUES}),
+    shr AS (SELECT stratum, tokens_available,
+                   coalesce(w, 0.0) / {_Q130_TOTAL!r} AS share
+            FROM avail LEFT JOIN tgt ON stratum = s),
+    plan AS (SELECT stratum, tokens_available,
+               round(share, 6) AS target_share,
+               round(CASE WHEN tokens_available > 0
+                          THEN least(share * {float(_Q130_BUDGET)!r}
+                                     / tokens_available::DOUBLE,
+                                     {_Q130_MAX_EPOCHS!r})
+                          ELSE 0.0 END, 6) AS epochs
+             FROM shr)
+"""
+_Q130_SQL = f"""
+    WITH {_Q130_PLAN_CTES}
+    SELECT stratum, tokens_available, target_share, epochs,
+           round(epochs * tokens_available::DOUBLE)::BIGINT
+               AS planned_tokens
+    FROM plan
+"""
+
+
+@_register("q130_mixture_plan", _Q130_SQL)
+def q130_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planner (operators/sampling.py::plan_mixture): a target
+    domain recipe (every 5th source weighted 4x) plus a 100k-char budget
+    resolved into the per-source epoch weights `repeat_by_weight`
+    executes — min(cap, share·budget/available), 6 dp, the exact
+    precision contract of the expander. One grouped aggregate + a
+    broadcast literal join."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        plan_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return plan_mixture(
+        docs, "source", "n_chars", _Q130_TARGETS,
+        _Q130_BUDGET, _Q130_MAX_EPOCHS,
+    )
+
+
+# q131's oracle re-derives the plan (the q130 CTEs verbatim) and then
+# replicates repeat_by_weight's integer micro-unit draw per doc:
+# w_micro = round(epochs * 1e6) (the 6-dp contract), base copies =
+# w_micro // 1e6, extra iff md5('plan:' || id) % 1e6 < w_micro % 1e6 —
+# summed per stratum WITHOUT materializing the exploded frame (the
+# engine materializes it, which is the point of the comparison).
+_Q131_SQL = f"""
+    WITH {_Q130_PLAN_CTES},
+    per_doc AS (
+      SELECT d.source AS stratum, coalesce(d.n_chars, 0) AS nc,
+             CAST(round(coalesce(p.epochs, 0.0) * 1000000) AS BIGINT)
+                 AS wm,
+             {_SQL_HEX.format(x="'plan:' || CAST(doc_id AS VARCHAR)")}
+                 % 1000000 AS draw
+      FROM documents d LEFT JOIN plan p ON d.source = p.stratum),
+    cop AS (SELECT stratum, nc,
+                   wm // 1000000
+                   + (CASE WHEN draw IS NOT NULL AND draw < wm % 1000000
+                           THEN 1 ELSE 0 END) AS n_copies
+            FROM per_doc),
+    realized AS (SELECT stratum,
+                        sum(n_copies)::BIGINT AS realized_rows,
+                        sum(n_copies * nc)::BIGINT AS realized_tokens
+                 FROM cop GROUP BY stratum)
+    SELECT p.stratum, p.epochs,
+           round(p.epochs * p.tokens_available::DOUBLE)::BIGINT
+               AS planned_tokens,
+           coalesce(r.realized_rows, 0)::BIGINT AS realized_rows,
+           coalesce(r.realized_tokens, 0)::BIGINT AS realized_tokens
+    FROM plan p LEFT JOIN realized r ON p.stratum = r.stratum
+"""
+
+
+@_register("q131_planned_mixture_realized", _Q131_SQL)
+def q131_planned_mixture_realized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Planner → expander composition: `plan_mixture`'s epoch weights
+    collected through `mixture_weights` (bounded: one row per source)
+    and EXECUTED by `repeat_by_weight`, then the realized corpus
+    audited per source against the plan (planned vs realized token
+    mass — the drift report a mixture run ships with). The oracle
+    re-derives the plan and replicates the md5 micro-unit draw
+    analytically; the engine actually materializes the expanded
+    corpus, which is what makes the equality a composition proof."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        mixture_weights,
+        plan_mixture,
+        repeat_by_weight,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    plan = plan_mixture(
+        docs, "source", "n_chars", _Q130_TARGETS,
+        _Q130_BUDGET, _Q130_MAX_EPOCHS,
+    ).localCheckpoint(eager=False)
+    rep = repeat_by_weight(
+        docs, "source", mixture_weights(plan), "doc_id", salt="plan"
+    )
+    realized = rep.groupBy(F.col("source").alias("__r_stratum")).agg(
+        F.count("*").cast("bigint").alias("realized_rows"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+        .cast("bigint")
+        .alias("realized_tokens"),
+    )
+    return (
+        plan.join(
+            realized, F.col("stratum") == F.col("__r_stratum"), "left"
+        )
+        .select(
+            "stratum",
+            "epochs",
+            "planned_tokens",
+            F.coalesce("realized_rows", F.lit(0))
+            .cast("bigint")
+            .alias("realized_rows"),
+            F.coalesce("realized_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("realized_tokens"),
+        )
+    )

@@ -334,3 +334,72 @@ def encode_with_artifact(
         f"WordPiece vocab contract {_WORDPIECE_ARTIFACT_COLS}, or the "
         f"unigram vocab contract {_UNIGRAM_ARTIFACT_COLS}"
     )
+
+
+def tokenizer_audit(
+    df: DataFrame,
+    model: DataFrame,
+    by_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain tokenizer fit report: run a trained artifact over the
+    corpus (`encode_with_artifact`, counts only — token ARRAYS never
+    leave the Arrow stage) and aggregate, per ``by_col``, the numbers a
+    tokenizer rollout is judged on: doc count, total tokens, total raw
+    characters, and the chars-per-token compression ratio. A tokenizer
+    trained on one mix always serves another — this is the audit that
+    shows WHERE it fertilizes (web English at 4.2 chars/token) and where
+    it shreds (a new language at 1.1, i.e. near-char fallback), the
+    standard go/no-go before re-training.
+
+    Works with any artifact family (the `encode_with_artifact` schema
+    dispatch); the per-doc count column is whatever the dispatched
+    encoder emits (``n_subword_tokens`` / ``n_wp_tokens`` /
+    ``n_pieces``). Every doc counts: the encoders emit 0 tokens for
+    null/empty text (never drop rows), raw chars coalesce null text to
+    0, and a domain with 0 total tokens reports ratio 0.0 rather than
+    dividing by zero.
+
+    Scale shape: one Arrow encode scan + one id-equi join (the count
+    frame carries two columns — Spark co-partitions both sides on the
+    id) + one grouped aggregate. No driver data path."""
+    for need, what in (
+        (by_col, "by_col"),
+        (text_col, "text_col"),
+        (id_col, "id_col"),
+    ):
+        if need not in df.columns:
+            raise ValueError(
+                f"tokenizer_audit: {what} {need!r} is not a column of the "
+                f"input frame (has {df.columns})"
+            )
+    enc = encode_with_artifact(
+        df.select(id_col, text_col), model, text_col, id_col,
+        counts_only=True,
+    )
+    count_col = [c for c in enc.columns if c != id_col][-1]
+    base = df.select(
+        F.col(id_col),
+        F.col(by_col),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0)).alias("__chars"),
+    )
+    tok = F.sum(F.col(count_col)).cast("bigint")
+    chars = F.sum("__chars").cast("bigint")
+    return (
+        base.join(enc.select(id_col, count_col), id_col)
+        .groupBy(F.col(by_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            tok.alias("total_tokens"),
+            chars.alias("total_chars"),
+            F.when(
+                tok > 0,
+                F.round(
+                    chars.cast("double") / tok.cast("double"), 4
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("chars_per_token"),
+        )
+    )

@@ -3141,3 +3141,322 @@ def test_hard_negatives_exclusion_rerank(spark):
     got = sorted((r["rank"], r["negative_id"]) for r in out)
     # contiguous ranks 1..5, rejected absent, nearest-by-angle order
     assert got == [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+
+
+def test_kmv_overlap_matrix_pinned_by_naive_reference(spark):
+    """kmv_overlap_matrix (q127) reproduced by a from-scratch hashlib
+    twin: per-group k-min sketches, per-pair theta, filtered counts and
+    estimates — covering the estimation regime (groups larger than k),
+    the exact regime (a group smaller than k contributes θ=2^60), a
+    fully disjoint pair (jaccard 0.0), duplicate keys (set semantics)
+    and null key/group rows (dropped)."""
+    import hashlib
+    import itertools
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        kmv_overlap_matrix,
+    )
+
+    TWO60 = 1 << 60
+    K = 8
+    rows = (
+        [("g0", f"k{i}") for i in range(40)]
+        + [("g1", f"k{i}") for i in range(25, 55)]  # overlaps g0
+        + [("g2", f"k{i}") for i in (0, 1, 2)]  # tiny: exact side
+        + [("g3", f"x{i}") for i in range(100, 112)]  # disjoint
+        + [("g0", "k0"), (None, "k5"), ("g0", None)]  # dup + null drops
+    )
+    df = spark.createDataFrame(rows, "g string, key string")
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in kmv_overlap_matrix(df, "key", "g", k=K).collect()
+    }
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sets: dict = {}
+    for g, kk in rows:
+        if g is None or kk is None:
+            continue
+        sets.setdefault(g, set()).add(h(kk))
+    sk = {g: sorted(v)[:K] for g, v in sets.items()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        tha = TWO60 if len(sk[a]) < K else max(sk[a])
+        thb = TWO60 if len(sk[b]) < K else max(sk[b])
+        theta = min(tha, thb)
+        fa = [x for x in sk[a] if x < theta]
+        fb = [x for x in sk[b] if x < theta]
+        na, nb, ni = len(fa), len(fb), len(set(fa) & set(fb))
+        nu = na + nb - ni
+
+        def est(n):
+            return round(n * TWO60 / theta, 4)
+
+        jac = round(ni / nu, 4) if nu > 0 else 0.0
+        expected[(a, b)] = (est(na), est(nb), est(nu), est(ni), jac)
+    assert set(out) == set(expected)
+    for pair, (ea, eb, eu, ei, ej) in expected.items():
+        r = out[pair]
+        got = (
+            r["est_distinct_a"],
+            r["est_distinct_b"],
+            r["est_union"],
+            r["est_intersection"],
+            r["est_jaccard"],
+        )
+        assert all(
+            math.isclose(g, e, rel_tol=0, abs_tol=1e-9)
+            for g, e in zip(got, (ea, eb, eu, ei, ej))
+        ), (pair, got, (ea, eb, eu, ei, ej))
+    # the tiny group's pairs: exact regime iff BOTH sides fit, so
+    # (g2, anything-large) still estimates; the disjoint pair is 0.0
+    assert out[("g0", "g3")]["est_jaccard"] == 0.0
+    assert out[("g0", "g3")]["est_intersection"] == 0.0
+
+
+def test_kmv_group_sketches_two_level_equals_flat_take(spark):
+    """The mergeability argument the two-level sharded take rests on,
+    asserted directly: for every group, the operator's sketch equals
+    the flat 'k smallest distinct hashes' — and the physical plan
+    really contains BOTH window levels (the shard-bounded one first)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        kmv_group_sketches,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        F.concat(F.lit("v"), "id").alias("key"),
+    )
+    K = 16
+    got: dict = {}
+    for r in kmv_group_sketches(df, "key", "g", K, n_shards=5).collect():
+        got.setdefault(r["g"], []).append(r["h"])
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    flat: dict = {}
+    for i in range(2000):
+        flat.setdefault(str(i % 7), set()).add(h(f"v{i}"))
+    for g, hs in flat.items():
+        assert sorted(got[g]) == sorted(hs)[:K], g
+    plan = (
+        kmv_group_sketches(df, "key", "g", K, n_shards=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") >= 2, plan
+
+
+def test_curriculum_stages_pinned_by_naive_reference(spark):
+    """curriculum_stages (q128) reproduced by a pure-Python twin: the
+    equal-width stage rule (top edge clamped, null scores to the last
+    stage, null ids to shard 0 sorting last), md5 shard assignment, and
+    per-(stage, shard) positions; plus the degenerate all-equal-scores
+    case and the eager contracts."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        curriculum_stages,
+    )
+
+    rows = [(i, float((i * 37) % 101)) for i in range(50)]
+    rows += [(50, None), (None, 42.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    N_STAGES, N_SHARDS = 4, 3
+    out = curriculum_stages(
+        df, "doc_id", "score", N_STAGES, salt="cur", n_shards=N_SHARDS
+    )
+    got = {
+        r["doc_id"]: (r["stage"], r["shard"], r["pos"])
+        for r in out.collect()
+    }
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    scores = [s for _, s in rows if s is not None]
+    mn, mx = min(scores), max(scores)
+    width = (mx - mn) / N_STAGES
+
+    def stage(s):
+        if s is None:
+            return N_STAGES - 1
+        return min(int(math.floor((s - mn) / width)), N_STAGES - 1)
+
+    def shard(i):
+        return 0 if i is None else h(f"cur:shard:{i}") % N_SHARDS
+
+    def sort_key(i):
+        return (h(f"cur:{i}"), i) if i is not None else (float("inf"), 0)
+
+    groups: dict = {}
+    for i, s in rows:
+        groups.setdefault((stage(s), shard(i)), []).append(i)
+    expected = {}
+    for (st, sh), ids in groups.items():
+        for pos, i in enumerate(sorted(ids, key=sort_key), 1):
+            expected[i] = (st, sh, pos)
+    assert got == expected
+    # rerun determinism
+    assert got == {
+        r["doc_id"]: (r["stage"], r["shard"], r["pos"])
+        for r in out.collect()
+    }
+    # all-equal scores (and all-null): one stage
+    flat = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, None)], "doc_id bigint, score double"
+    )
+    st = {
+        r["doc_id"]: r["stage"]
+        for r in curriculum_stages(flat, "doc_id", "score", 4).collect()
+    }
+    assert st == {1: 0, 2: 0, 3: 3}
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, "doc_id", "score", 0)
+    with pytest.raises(ValueError, match="score_col"):
+        curriculum_stages(df, "doc_id", "nope", 4)
+
+
+def test_plan_mixture_pinned_and_contracts(spark):
+    """plan_mixture (q130) reproduced by hand arithmetic: proportional
+    and capped branches, a data stratum missing from the targets (0
+    epochs), a target absent from the data (no row), null token counts
+    (0 supply), and a null stratum (0 epochs, skipped by
+    mixture_weights); plus the eager contracts."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        mixture_weights,
+        plan_mixture,
+    )
+
+    rows = [
+        ("a", 100), ("a", 100),          # avail 200, share 0.3 -> capped
+        ("b", 1000), ("b", 1000),        # avail 2000, share 0.1 -> 0.05
+        ("c", 50), ("c", None),          # no target -> 0 epochs
+        (None, 75),                      # null stratum -> 0 epochs
+    ]
+    df = spark.createDataFrame(rows, "src string, toks int")
+    targets = {"a": 3, "b": 1, "ghost": 6}  # total 10; ghost not in data
+    plan = plan_mixture(df, "src", "toks", targets, 1000, max_epochs=1.2)
+    got = {
+        r["stratum"]: (
+            r["tokens_available"],
+            r["target_share"],
+            r["epochs"],
+            r["planned_tokens"],
+        )
+        for r in plan.collect()
+    }
+    assert got == {
+        "a": (200, 0.3, 1.2, 240),      # min(1.2, 0.3*1000/200=1.5)
+        "b": (2000, 0.1, 0.05, 100),
+        "c": (50, 0.0, 0.0, 0),
+        None: (75, 0.0, 0.0, 0),
+    }
+    assert mixture_weights(plan) == {"a": 1.2, "b": 0.05, "c": 0.0}
+    with pytest.raises(ValueError, match="token_budget"):
+        plan_mixture(df, "src", "toks", targets, 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        plan_mixture(df, "src", "toks", {}, 1000)
+    with pytest.raises(ValueError, match=">= 0"):
+        plan_mixture(df, "src", "toks", {"a": -1}, 1000)
+    with pytest.raises(ValueError, match="max_epochs"):
+        plan_mixture(df, "src", "toks", targets, 1000, max_epochs=0)
+    with pytest.raises(ValueError, match="strata_col"):
+        plan_mixture(df, "nope", "toks", targets, 1000)
+
+
+def test_tokenizer_audit_trained_pinned_by_naive_reference(spark):
+    """tokenizer_audit (q129) at a REAL merge budget, recomputed from
+    the shared `_naive_wp_train`/`_naive_wp_match` twin: per-source doc
+    counts, token totals (null text = 0 tokens, still counted as a
+    doc), raw char totals, and the 4-dp compression ratio — the trained
+    path the zero-merge oracle cannot see."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_audit,
+    )
+
+    docs = [
+        (1, "the then there that quik quik quail", "web"),
+        (2, "then the quik quip that there the", "web"),
+        (3, "  THE   Quik  quail THAT ", "wiki"),
+        (4, None, "wiki"),  # null text: 0 tokens, 0 chars, counted doc
+        (5, "café café naïve", "wiki"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    N_MERGES, MIN_PAIR = 6, 2
+    vocab = train_wordpiece(
+        df.select("doc_id", "text"), n_merges=N_MERGES,
+        min_pair_count=MIN_PAIR,
+    )
+    out = {
+        r["source"]: r
+        for r in tokenizer_audit(df, vocab, by_col="source").collect()
+    }
+
+    wc = Counter(
+        w
+        for _, t, _ in docs
+        if t is not None
+        for w in _naive_wp_norm(t).split(" ")
+        if w
+    )
+    pieces, _ = _naive_wp_train(wc, N_MERGES, MIN_PAIR)
+    piece_set = set(pieces)
+    agg: dict = {}
+    for _, t, src in docs:
+        n_docs, toks, chars = agg.get(src, (0, 0, 0))
+        nt = (
+            0
+            if t is None
+            else sum(
+                len(_naive_wp_match(w, piece_set))
+                for w in _naive_wp_norm(t).split(" ")
+                if w
+            )
+        )
+        agg[src] = (n_docs + 1, toks + nt, chars + (len(t) if t else 0))
+    assert set(out) == set(agg)
+    for src, (n_docs, toks, chars) in agg.items():
+        r = out[src]
+        assert (r["n_docs"], r["total_tokens"], r["total_chars"]) == (
+            n_docs,
+            toks,
+            chars,
+        ), src
+        want = (
+            float(
+                (Decimal(chars) / Decimal(toks)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+            if toks
+            else 0.0
+        )
+        assert abs(r["chars_per_token"] - want) < 1e-9, src
+        # a real merge budget must compress below char fallback
+        if toks:
+            assert r["chars_per_token"] > 1.0, src
+    with pytest.raises(ValueError, match="by_col"):
+        tokenizer_audit(df, vocab, by_col="nope")
