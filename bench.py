@@ -250,6 +250,14 @@ LONGTAIL = [
     "q125_corpus_funnel",
     # round-11: hard-negative mining for preference pairs (q121 x q30)
     "q126_hard_negatives",
+    # round-11: cross-source KMV overlap matrix (one-scan S x S audit),
+    # length-curriculum staging, the per-source tokenizer fit report,
+    # and the mixture planner + its repeat_by_weight composition
+    "q127_source_overlap_matrix",
+    "q128_curriculum_schedule",
+    "q129_tokenizer_audit",
+    "q130_mixture_plan",
+    "q131_planned_mixture_realized",
 ]
 
 _TABLES = (
