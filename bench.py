@@ -258,6 +258,10 @@ LONGTAIL = [
     "q129_tokenizer_audit",
     "q130_mixture_plan",
     "q131_planned_mixture_realized",
+    # round-11: JL random projection (oracled exact-fold point) and the
+    # vocabulary coverage curve over the shared word_counts head
+    "q132_random_projection",
+    "q133_vocab_coverage_curve",
 ]
 
 _TABLES = (

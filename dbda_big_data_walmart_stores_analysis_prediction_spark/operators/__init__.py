@@ -48,6 +48,12 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sft import
     assemble_conversations,
     preference_pairs,
 )
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+    vocab_coverage_curve,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.similarity import (
+    random_projection,
+)
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
     kmv_group_sketches,
     kmv_overlap_matrix,
@@ -94,4 +100,6 @@ __all__ = [
     "mixture_weights",
     "kmv_group_sketches",
     "kmv_overlap_matrix",
+    "random_projection",
+    "vocab_coverage_curve",
 ]

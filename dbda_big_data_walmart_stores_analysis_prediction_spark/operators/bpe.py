@@ -272,3 +272,81 @@ def bpe_encode(
 
     src = df.select(F.col(id_col), norm_text_col(text_col).alias("__norm"))
     return src.mapInPandas(encode, out_schema)
+
+
+def vocab_coverage_curve(
+    df: DataFrame, sizes: list[int], text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size,
+    what fraction of the corpus's word OCCURRENCES the top-N most
+    frequent words cover — the standard plot behind "how big should the
+    tokenizer vocabulary be" (the knee of this curve is where adding
+    vocab stops buying compression). Word stream and tie-breaks are the
+    shared `word_counts` construction (count desc, word asc), so the
+    curve describes exactly the vocabulary the tokenizer trainers see.
+
+    Output: ``(vocab_size, covered_tokens, total_tokens, coverage)``,
+    one row per distinct requested size, coverage rounded to 6 dp (0.0
+    on an empty corpus).
+
+    Scale shape: the total is one map-side ``sum(size(words))``
+    aggregate (no explode shuffle); the head is `word_counts`'
+    TakeOrderedAndProject (per-partition heaps, never a full vocabulary
+    sort); ranking and the size join then run on a ≤ max(sizes)-row
+    frame. The single-partition window is bounded by max(sizes) BY
+    CONSTRUCTION — the corpus never meets it."""
+    if not sizes:
+        raise ValueError("sizes must be a non-empty list of vocab sizes")
+    for s in sizes:
+        if int(s) < 1:
+            raise ValueError(f"vocab sizes must be >= 1, got {s}")
+    if text_col not in df.columns:
+        raise ValueError(
+            f"vocab_coverage_curve: text_col {text_col!r} is not a column "
+            f"of the input frame (has {df.columns})"
+        )
+    from pyspark.sql.window import Window
+
+    distinct_sizes = sorted({int(s) for s in sizes})
+    top = word_counts(df, text_col, max_vocab_rows=max(distinct_sizes))
+    ranked = top.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("word")))
+        .alias("__rn"),
+    )
+    total = (
+        df.where(F.col(text_col).isNotNull())
+        .agg(
+            F.coalesce(
+                F.sum(F.size(norm_words_col(text_col))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("total_tokens")
+        )
+    )
+    sizes_df = df.sparkSession.createDataFrame(
+        [(s,) for s in distinct_sizes], "vocab_size bigint"
+    )
+    covered = (
+        sizes_df.join(
+            F.broadcast(ranked), F.col("__rn") <= F.col("vocab_size"), "left"
+        )
+        .groupBy("vocab_size")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("covered_tokens"))
+    )
+    return covered.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coverage"),
+    )

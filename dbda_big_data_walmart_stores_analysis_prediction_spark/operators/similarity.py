@@ -422,3 +422,91 @@ def embedding_near_dup_pairs(
         "id_b",
         score.alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+
+
+def projection_coeff(salt: str, j: int, d: int) -> float:
+    """Deterministic JL coefficient in [-1, 1]: the `_plane_coeff` md5
+    construction scaled to unit range — computed driver-side with
+    hashlib (identical to the SQL md5-int64 formula) so the plan
+    carries plain double literals, and any SQL engine regenerates the
+    projection matrix from (salt, j, d) with no stored model."""
+    h = int(hashlib.md5(f"{salt}:{j}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    dim: int,
+    salt: str = "proj",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style random projection of an embedding
+    column to ``out_dim`` dimensions — the cheap-ANN/dedup preprocessing
+    step when 64-dim cosine is still too expensive at corpus scale
+    (project once, bucket or brute-force in the small space, re-rank
+    survivors in the original space). Coefficients are md5-derived
+    uniform values in [-1, 1] (`projection_coeff`), so the projection is
+    a pure function of (salt, out_dim, dim): rerun-identical, shippable
+    as a formula instead of a matrix, reproducible by a SQL oracle.
+
+    Output: one ``(id, proj_dim, proj_value)`` row per kept input vector
+    and output dimension, values scaled by 1/√out_dim (the JL norm
+    convention) and rounded to 6 dp. Null vectors carry no direction and
+    are dropped; vectors must be exactly ``dim`` wide (the `embeddings`
+    table contract).
+
+    Two physical forms, one semantics (the `_sign_lsh_signature_reference`
+    split): ``exact=False`` (default) is ONE Arrow-batched numpy matmul —
+    the production path, milliseconds per batch; ``exact=True`` builds
+    ``out_dim`` sequential ``zip_with``/``aggregate`` folds whose
+    summation order matches SQL dot products bit-for-bit — the
+    oracle/audit path (interpreted HOFs, ~30x slower; identical up to
+    summation order, i.e. differences need a value within ~ulp of a
+    rounding boundary)."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if vec_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"random_projection: need columns {id_col!r}, {vec_col!r} "
+            f"(input has {df.columns})"
+        )
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    coeffs = [
+        [projection_coeff(salt, j, d) for d in range(dim)]
+        for j in range(out_dim)
+    ]
+    src = df.where(F.col(vec_col).isNotNull())
+    if exact:
+        v = F.col(vec_col).cast("array<double>")
+        vals = []
+        for j in range(out_dim):
+            carr = F.array(*[F.lit(c) for c in coeffs[j]])
+            dot = F.aggregate(
+                F.zip_with(v, carr, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            vals.append(F.round(dot * F.lit(scale), 6))
+        arr = F.array(*vals)
+    else:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        planes = np.array(coeffs, dtype=np.float64).T  # (dim, out_dim)
+
+        def _proj(v):
+            mat = np.asarray(v.tolist(), dtype=np.float64)
+            out = np.round(mat @ planes * scale, 6)
+            return pd.Series(list(out))
+
+        arr = pandas_udf(_proj, "array<double>")(F.col(vec_col))
+    return src.select(
+        F.col(id_col),
+        F.posexplode(arr).alias("proj_dim", "proj_value"),
+    ).withColumn("proj_dim", F.col("proj_dim").cast("bigint"))

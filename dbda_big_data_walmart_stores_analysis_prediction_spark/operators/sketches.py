@@ -467,6 +467,7 @@ def kmv_group_sketches(
     k: int,
     pre_hashed: bool = False,
     n_shards: int = 64,
+    distinct: bool = True,
 ) -> DataFrame:
     """Per-GROUP KMV sketches in one pass: the k smallest distinct
     ``md5_int64`` hashes of ``key_col`` within each ``group_col`` value,
@@ -487,9 +488,13 @@ def kmv_group_sketches(
 
     ``pre_hashed=True`` declares ``key_col`` already carries
     ``md5_int64`` values (e.g. `shingle_table(..., hashed=True)`
-    output) and skips the re-hash; rows are distinct-ed on (g, h)
-    either way. Null keys and null groups carry no information and are
-    dropped."""
+    output) and skips the re-hash. ``distinct=False`` declares the
+    input already carries SET semantics on (group, key) — e.g.
+    `shingle_table`'s output, which is distinct by contract — and
+    skips the dedup exchange (a redundant corpus-scale shuffle
+    otherwise; duplicate rows under ``distinct=False`` would double-
+    count inside the take and are the CALLER's contract violation).
+    Null keys and null groups carry no information and are dropped."""
     from pyspark.sql import Window
 
     h = (
@@ -497,11 +502,11 @@ def kmv_group_sketches(
         if pre_hashed
         else md5_int64(F.col(key_col).cast("string"))
     )
-    hashed = (
-        df.where(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
-        .select(F.col(group_col).alias("g"), h.alias("h"))
-        .distinct()
-    )
+    hashed = df.where(
+        F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), h.alias("h"))
+    if distinct:
+        hashed = hashed.distinct()
     lvl1 = Window.partitionBy("g", F.pmod("h", F.lit(n_shards))).orderBy("h")
     lvl2 = Window.partitionBy("g").orderBy("h")
     return (
@@ -520,6 +525,7 @@ def kmv_overlap_matrix(
     k: int = 128,
     pre_hashed: bool = False,
     n_shards: int = 64,
+    distinct: bool = True,
 ) -> DataFrame:
     """Pairwise cross-source content overlap from ONE corpus scan: for
     every unordered pair of ``group_col`` values, the `theta_overlap`
@@ -544,7 +550,13 @@ def kmv_overlap_matrix(
     est_union, est_intersection, est_jaccard)``, one row per pair with
     ``src_a < src_b``, estimates rounded to 4 dp."""
     sk = kmv_group_sketches(
-        df, key_col, group_col, k, pre_hashed=pre_hashed, n_shards=n_shards
+        df,
+        key_col,
+        group_col,
+        k,
+        pre_hashed=pre_hashed,
+        n_shards=n_shards,
+        distinct=distinct,
     ).localCheckpoint(eager=False)
     th = sk.groupBy("g").agg(
         F.when(F.count("*") < k, F.lit(_TWO_60))

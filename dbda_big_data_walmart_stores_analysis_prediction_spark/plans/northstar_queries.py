@@ -5260,8 +5260,16 @@ def q127_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text", "source")
     sh = dd.shingle_table(docs, id_col="source", k=3, hashed=True)
+    # shingle_table output is distinct (source, hash) BY CONTRACT —
+    # distinct=False drops the operator's redundant dedup exchange
+    # (measured: the extra corpus-scale shuffle was ~30% of wall-clock)
     return kmv_overlap_matrix(
-        sh, key_col="sh", group_col="doc", k=_Q127_K, pre_hashed=True
+        sh,
+        key_col="sh",
+        group_col="doc",
+        k=_Q127_K,
+        pre_hashed=True,
+        distinct=False,
     )
 
 
@@ -5488,3 +5496,86 @@ def q131_planned_mixture_realized(
             .alias("realized_tokens"),
         )
     )
+
+
+# q132's oracle regenerates the projection matrix from the same
+# (salt, j, d) md5 formula and takes the dot products with
+# list_dot_product — the q30-proven bit-equality between DuckDB's list
+# dot and Spark's sequential zip_with/aggregate fold at 6 dp. The scale
+# literal resolves driver-side once so both engines multiply by the
+# identical double.
+_Q132_OUT, _Q132_DIM = 8, 64
+_Q132_SCALE = 1.0 / (float(_Q132_OUT) ** 0.5)
+_Q132_SQL = f"""
+    WITH pl AS (
+      SELECT j, list(((('0x' || substring(md5('proj:' || j || ':' || d),
+                        1, 15))::BIGINT % 2001) - 1000) / 1000.0
+                     ORDER BY d) AS cl
+      FROM (SELECT unnest(range({_Q132_OUT})) AS j),
+           (SELECT unnest(range({_Q132_DIM})) AS d)
+      GROUP BY j
+    ),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             WHERE embedding IS NOT NULL)
+    SELECT vec_id, j::BIGINT AS proj_dim,
+           round(list_dot_product(v, cl) * {_Q132_SCALE!r}, 6)
+               AS proj_value
+    FROM vecs, pl
+"""
+
+
+@_register("q132_random_projection", _Q132_SQL)
+def q132_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 → 8 dims (operators/similarity.py::
+    random_projection): md5-derived coefficient matrix, 1/√8 scaling,
+    6-dp values — the project-once preprocessing for cheap ANN/dedup in
+    a small space. Registered on the ``exact`` sequential-fold path
+    whose summation order a SQL oracle replicates bit-for-bit; the
+    production Arrow matmul path is pinned against it in tests/ (equal
+    up to summation-order ulps)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return sim.random_projection(
+        emb, out_dim=_Q132_OUT, dim=_Q132_DIM, exact=True
+    )
+
+
+_Q133_SIZES = [100, 1000, 8000, 32000]
+_Q133_SQL = f"""
+    WITH w AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array({_SQL_NORM}, ' '), x -> x <> ''))
+             AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wc AS (SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word),
+    rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rn
+           FROM wc),
+    tot AS (SELECT count(*)::BIGINT AS total FROM w),
+    sz(vocab_size) AS (VALUES {", ".join(f"({s})" for s in _Q133_SIZES)}),
+    cov AS (SELECT vocab_size, sum(n)::BIGINT AS covered
+            FROM sz JOIN rk ON rn <= vocab_size GROUP BY vocab_size)
+    SELECT s.vocab_size::BIGINT AS vocab_size,
+           coalesce(c.covered, 0)::BIGINT AS covered_tokens,
+           t.total AS total_tokens,
+           CASE WHEN t.total > 0
+                THEN round(coalesce(c.covered, 0)::DOUBLE
+                           / t.total::DOUBLE, 6)
+                ELSE 0.0 END AS coverage
+    FROM sz s LEFT JOIN cov c USING (vocab_size), tot t
+"""
+
+
+@_register("q133_vocab_coverage_curve", _Q133_SQL)
+def q133_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators/bpe.py::
+    vocab_coverage_curve): the fraction of corpus word occurrences the
+    top-N words cover, at the candidate vocab sizes a tokenizer design
+    sweeps — one map-side total aggregate + the shared `word_counts`
+    TakeOrderedAndProject head + arithmetic on a ≤ max(sizes)-row
+    frame."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        vocab_coverage_curve,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return vocab_coverage_curve(docs, _Q133_SIZES)

@@ -3460,3 +3460,152 @@ def test_tokenizer_audit_trained_pinned_by_naive_reference(spark):
             assert r["chars_per_token"] > 1.0, src
     with pytest.raises(ValueError, match="by_col"):
         tokenizer_audit(df, vocab, by_col="nope")
+
+
+def test_random_projection_pinned_and_arrow_matches_exact(spark):
+    """random_projection (q132): the exact fold path pinned by a
+    hashlib + sequential-sum twin, and the production Arrow matmul path
+    equal to it up to one 6-dp rounding step (summation-order ulps);
+    null vectors dropped, contracts eager."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = _emb(spark).limit(40)
+    OUT, DIM = 4, 64
+    exact = random_projection(emb, OUT, DIM, salt="tw", exact=True)
+    got = {
+        (r["vec_id"], r["proj_dim"]): r["proj_value"]
+        for r in exact.collect()
+    }
+
+    def coeff(j, d):
+        h = int(hashlib.md5(f"tw:{j}:{d}".encode()).hexdigest()[:15], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    scale = 1.0 / math.sqrt(OUT)
+    rows = emb.collect()
+    assert len(got) == OUT * len(rows)
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        for j in range(OUT):
+            acc = 0.0
+            for d in range(DIM):  # sequential fold, same order as engine
+                acc = acc + v[d] * coeff(j, d)
+            want = round(acc * scale, 6)
+            assert abs(got[(r["vec_id"], j)] - want) < 1e-9, (r["vec_id"], j)
+
+    arrow = random_projection(emb, OUT, DIM, salt="tw", exact=False)
+    ar = {
+        (r["vec_id"], r["proj_dim"]): r["proj_value"]
+        for r in arrow.collect()
+    }
+    assert set(ar) == set(got)
+    assert all(abs(ar[k] - got[k]) <= 1.000001e-6 for k in got)
+
+    # null vectors are dropped by both paths
+    withnull = emb.select("vec_id", "embedding").unionAll(
+        spark.createDataFrame(
+            [(9999, None)], "vec_id bigint, embedding array<double>"
+        )
+    )
+    assert (
+        random_projection(withnull, 2, DIM, exact=True)
+        .where("vec_id = 9999")
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(emb, 0, DIM)
+    with pytest.raises(ValueError, match="need columns"):
+        random_projection(emb.select("vec_id"), 2, DIM)
+
+
+def test_vocab_coverage_curve_pinned_by_naive_reference(spark):
+    """vocab_coverage_curve (q133) recomputed from a Counter twin:
+    coverage at each size = occurrences of the top-N words under the
+    (count desc, word asc) order / total occurrences; sizes past the
+    vocabulary cover everything; null/empty text contributes nothing;
+    contracts eager."""
+    from collections import Counter
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        vocab_coverage_curve,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate"),
+        (3, "  THE   Dog "),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sizes = [1, 2, 3, 100]
+    out = {
+        r["vocab_size"]: (
+            r["covered_tokens"],
+            r["total_tokens"],
+            r["coverage"],
+        )
+        for r in vocab_coverage_curve(df, sizes).collect()
+    }
+    words = [
+        w
+        for _, t in docs
+        if t
+        for w in " ".join(t.strip().lower().split()).split(" ")
+        if w
+    ]
+    wc = Counter(words)
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = len(words)
+    for s in sizes:
+        covered = sum(n for _, n in ranked[:s])
+        assert out[s] == (covered, total, round(covered / total, 6)), s
+    assert out[100][0] == total and out[100][2] == 1.0
+    # monotone non-decreasing in size
+    vals = [out[s][0] for s in sorted(out)]
+    assert vals == sorted(vals)
+    with pytest.raises(ValueError, match="non-empty"):
+        vocab_coverage_curve(df, [])
+    with pytest.raises(ValueError, match=">= 1"):
+        vocab_coverage_curve(df, [0])
+    with pytest.raises(ValueError, match="text_col"):
+        vocab_coverage_curve(df, [2], text_col="nope")
+
+
+def test_kmv_group_sketches_distinct_false_equals_distinct_input(spark):
+    """The distinct=False fast path (q127's shape: shingle_table output
+    is distinct by contract) must produce exactly the distinct=True
+    sketch — and skipping the dedup exchange is only legal on genuinely
+    distinct input, so the equality is asserted on one."""
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        kmv_group_sketches,
+    )
+
+    raw = spark.range(600).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("w"), (F.col("id") % 150)).alias("key"),
+    )  # duplicates: each (g, key) appears ~4/3 times
+    dedup = raw.distinct()
+    a = sorted(
+        (r["g"], r["h"])
+        for r in kmv_group_sketches(raw, "key", "g", 12).collect()
+    )
+    b = sorted(
+        (r["g"], r["h"])
+        for r in kmv_group_sketches(
+            dedup, "key", "g", 12, distinct=False
+        ).collect()
+    )
+    assert a == b and len(a) == 36

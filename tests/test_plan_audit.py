@@ -551,3 +551,25 @@ def test_q131_planned_mixture_no_python_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "Generate explode" in plan, plan
+
+
+def test_q132_projection_exact_path_pure_jvm(spark):
+    """The ORACLED projection point runs the sequential-fold form: no
+    Python stage anywhere (the Arrow matmul path is the production
+    default, pinned against this one in test_northstar), one generator
+    for the posexplode, and the null filter pushed to the scan."""
+    plan = _plan(spark, "q132_random_projection")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate posexplode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q133_coverage_heap_take_not_full_sort(spark):
+    """vocab_coverage_curve's scale contract: the vocabulary head is the
+    word_counts TakeOrderedAndProject (per-partition heaps), never a
+    corpus-wide Sort; the total is a map-side size() aggregate (no
+    explode feeding an exchange); the single-partition window runs on
+    the ≤ max(sizes)-row head only."""
+    plan = _plan(spark, "q133_vocab_coverage_curve")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
