@@ -262,6 +262,10 @@ LONGTAIL = [
     # vocabulary coverage curve over the shared word_counts head
     "q132_random_projection",
     "q133_vocab_coverage_curve",
+    # round-11: per-domain percentile calibration and the corpus
+    # word-distribution drift monitor (KL/JS/TVD vs the q118 refresh)
+    "q134_calibrated_scores",
+    "q135_word_distribution_drift",
 ]
 
 _TABLES = (

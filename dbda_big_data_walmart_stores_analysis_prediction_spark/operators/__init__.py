@@ -32,6 +32,7 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenanc
     delete_keys,
     merge_upsert,
     snapshot_diff,
+    word_distribution_drift,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
     bin_manifest,
@@ -53,6 +54,9 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.similarity import (
     random_projection,
+)
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+    calibrate_scores,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
     kmv_group_sketches,
@@ -102,4 +106,6 @@ __all__ = [
     "kmv_overlap_matrix",
     "random_projection",
     "vocab_coverage_curve",
+    "calibrate_scores",
+    "word_distribution_drift",
 ]

@@ -176,3 +176,85 @@ def compact_small_files(
         writer = df.repartition(n).write.mode("overwrite")
     writer.parquet(out_path)
     return n
+
+
+def word_distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    vocab_cap: int = 100_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus drift monitor: compare two snapshots' word distributions —
+    the re-train/re-mix trigger a living corpus runs per refresh ("did
+    this month's crawl change the language enough to care"). Emits ONE
+    row: symmetric KL divergences, Jensen–Shannon divergence, and total
+    variation distance between additive-smoothed unigram distributions
+    over the union of both sides' `word_counts` heads (cap
+    ``vocab_cap``, smoothing ``alpha`` — 0.5 = Jeffreys — so a word
+    absent from one side contributes finitely).
+
+    Everything is arithmetic over the joined ≤ 2·cap-row vocabulary
+    frame: two `word_counts` heaps (the corpus-scale work, map-side
+    combinable), one full-outer join on the word, two 1-row total
+    aggregates broadcast back, and a final 1-row aggregate. Values are
+    rounded to 6 dp; summation-order float drift lives ~1e-12 below
+    that (terms are O(p·log p) over a bounded vocabulary), the same
+    firewall every sketch estimate here uses.
+
+    Output: ``(vocab_union, kl_ab, kl_ba, js_divergence, tvd)``; two
+    empty corpora are identical by definition (all zeros)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        word_counts,
+    )
+
+    wa = word_counts(a, text_col, vocab_cap).withColumnRenamed("n", "na")
+    wb = word_counts(b, text_col, vocab_cap).withColumnRenamed("n", "nb")
+    j = (
+        wa.join(wb, "word", "full_outer")
+        .select(
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = j.agg(
+        F.sum("na").cast("double").alias("ta"),
+        F.sum("nb").cast("double").alias("tb"),
+        F.count("*").cast("double").alias("v"),
+    )
+    al = F.lit(float(alpha))
+    pa = (F.col("na") + al) / (F.col("ta") + al * F.col("v"))
+    pb = (F.col("nb") + al) / (F.col("tb") + al * F.col("v"))
+    m = (pa + pb) / F.lit(2.0)
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .agg(
+            F.count("*").cast("bigint").alias("vocab_union"),
+            # coalesce: two empty corpora join to zero rows, and the
+            # drift of nothing against nothing is zero, not NULL
+            F.round(
+                F.coalesce(F.sum(pa * F.log(pa / pb)), F.lit(0.0)), 6
+            ).alias("kl_ab"),
+            F.round(
+                F.coalesce(F.sum(pb * F.log(pb / pa)), F.lit(0.0)), 6
+            ).alias("kl_ba"),
+            F.round(
+                F.coalesce(
+                    (
+                        F.sum(pa * F.log(pa / m))
+                        + F.sum(pb * F.log(pb / m))
+                    )
+                    / F.lit(2.0),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("js_divergence"),
+            F.round(
+                F.coalesce(F.sum(F.abs(pa - pb)) / F.lit(2.0), F.lit(0.0)),
+                6,
+            ).alias("tvd"),
+        )
+    )

@@ -777,3 +777,55 @@ def gopher_repetition(
         F.lit(False).alias("keep"),
     )
     return scored.unionByName(zeros)
+
+
+def calibrate_scores(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-domain percentile calibration of a quality signal: within each
+    ``group_col`` stratum, replace the raw score with its percentile rank
+    ``(rank − 1) / (non-null scores − 1)`` in [0, 1]. Raw quality scores
+    are not comparable ACROSS domains (a mid-tier web doc outscores a
+    top-tier forum post on absolute features); "keep the top 30% of each
+    domain" — the FineWeb-style per-domain threshold — needs exactly this
+    rank, not the raw value.
+
+    Deterministic and oracle-portable: ties share a percentile (``rank``
+    over score ascending, not ``row_number`` — equal evidence gets equal
+    treatment and no hash tiebreak is needed), null scores keep their row
+    with a NULL percentile (ranked NULLS LAST so they never perturb the
+    scored ranks, and excluded from the denominator), and a single-score
+    group calibrates to 0.0. Output = the input plus ``out_col`` rounded
+    to 6 dp.
+
+    Scale shape: ONE exchange (hash partition on the group) feeding one
+    window sort — the grouped-aggregate shape; skewed domains are single
+    fat partitions handled by AQE."""
+    for need, what in ((group_col, "group_col"), (score_col, "score_col")):
+        if need not in df.columns:
+            raise ValueError(
+                f"calibrate_scores: {what} {need!r} is not a column of the "
+                f"input frame (has {df.columns})"
+            )
+    if out_col in df.columns:
+        raise ValueError(
+            f"calibrate_scores: out_col {out_col!r} already exists on the "
+            "input frame; pass a different out_col"
+        )
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col)
+    w = Window.partitionBy(group_col).orderBy(F.asc_nulls_last(score_col))
+    n = F.count(score_col).over(Window.partitionBy(group_col))
+    rk = F.rank().over(w)
+    pct = F.when(
+        s.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.when(n > 1, F.round((rk - 1).cast("double") / (n - 1), 6)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return df.select("*", pct.alias(out_col))

@@ -5579,3 +5579,103 @@ def q133_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return vocab_coverage_curve(docs, _Q133_SIZES)
+
+
+_Q134_SQL = """
+    WITH r AS (SELECT doc_id, source, n_chars,
+                 rank() OVER (PARTITION BY source
+                              ORDER BY n_chars ASC NULLS LAST) AS rk,
+                 count(n_chars) OVER (PARTITION BY source) AS cnt
+               FROM documents)
+    SELECT doc_id, source, n_chars,
+           CASE WHEN n_chars IS NULL THEN NULL
+                WHEN cnt > 1 THEN round((rk - 1)::DOUBLE / (cnt - 1), 6)
+                ELSE 0.0 END AS score_pct
+    FROM r
+"""
+
+
+@_register("q134_calibrated_scores", _Q134_SQL)
+def q134_calibrated_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain percentile calibration (operators/text.py::
+    calibrate_scores): every doc's quality signal (n_chars here)
+    replaced by its rank percentile WITHIN its source — the
+    FineWeb-style "top X% of each domain" gate needs this rank, not raw
+    scores that aren't comparable across domains. Ties share a
+    percentile (rank, not row_number — no hash tiebreak), nulls keep
+    their row with a NULL percentile."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return tx.calibrate_scores(docs, "source", "n_chars")
+
+
+# q135's oracle splices the newsnap CTE VERBATIM from the registered
+# q118 SQL (one source of truth for the derived second snapshot) and the
+# q88/q133 word construction, then replicates the smoothed-distribution
+# arithmetic. Import-time guards make a drifted splice a loud error.
+_Q135_NEWSNAP = _Q118_SQL[
+    _Q118_SQL.index("newsnap AS (") : _Q118_SQL.index("j AS (")
+].rstrip().rstrip(",").rstrip()
+if not (
+    _Q135_NEWSNAP.startswith("newsnap AS (")
+    and _Q135_NEWSNAP.endswith(")")
+    and "fresh page" in _Q135_NEWSNAP
+):
+    raise RuntimeError(
+        "q135 splice: the q118 newsnap CTE no longer parses out cleanly — "
+        "update the q135 oracle alongside the q118 SQL"
+    )
+_Q135_CAP, _Q135_ALPHA = 100_000, 0.5
+_Q135_WORDS = (
+    "SELECT unnest(list_filter(regexp_split_to_array("
+    + _SQL_NORM
+    + ", ' '), x -> x <> '')) AS word FROM {src} WHERE text IS NOT NULL"
+)
+_Q135_SQL = f"""
+    WITH {_Q135_NEWSNAP},
+    wa0 AS ({_Q135_WORDS.format(src='documents')}),
+    wb0 AS ({_Q135_WORDS.format(src='newsnap')}),
+    wa AS (SELECT word, count(*)::BIGINT AS na FROM wa0 GROUP BY word
+           ORDER BY na DESC, word LIMIT {_Q135_CAP}),
+    wb AS (SELECT word, count(*)::BIGINT AS nb FROM wb0 GROUP BY word
+           ORDER BY nb DESC, word LIMIT {_Q135_CAP}),
+    j AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+          FROM wa FULL OUTER JOIN wb USING (word)),
+    t AS (SELECT sum(na)::DOUBLE AS ta, sum(nb)::DOUBLE AS tb,
+                 count(*)::DOUBLE AS v FROM j),
+    p AS (SELECT (na + {_Q135_ALPHA!r}) / (ta + {_Q135_ALPHA!r} * v) AS pa,
+                 (nb + {_Q135_ALPHA!r}) / (tb + {_Q135_ALPHA!r} * v) AS pb
+          FROM j, t)
+    SELECT count(*)::BIGINT AS vocab_union,
+           round(coalesce(sum(pa * ln(pa / pb)), 0.0), 6) AS kl_ab,
+           round(coalesce(sum(pb * ln(pb / pa)), 0.0), 6) AS kl_ba,
+           round(coalesce((sum(pa * ln(pa / ((pa + pb) / 2.0)))
+                           + sum(pb * ln(pb / ((pa + pb) / 2.0)))) / 2.0,
+                          0.0), 6) AS js_divergence,
+           round(coalesce(sum(abs(pa - pb)) / 2.0, 0.0), 6) AS tvd
+    FROM p
+"""
+
+
+@_register("q135_word_distribution_drift", _Q135_SQL)
+def q135_word_distribution_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus drift monitor (operators/maintenance.py::
+    word_distribution_drift): smoothed unigram KL/JS/TVD between the
+    corpus and the q118 derived refresh snapshot — the re-train/re-mix
+    trigger a living corpus runs per refresh. Two word_counts heaps +
+    one vocabulary join + three 1-row aggregates; every divergence
+    hash-checks against the oracle's identical construction."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        word_distribution_drift,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return word_distribution_drift(
+        docs,
+        _derived_new_snapshot(docs),
+        vocab_cap=_Q135_CAP,
+        alpha=_Q135_ALPHA,
+    )

@@ -3609,3 +3609,110 @@ def test_kmv_group_sketches_distinct_false_equals_distinct_input(spark):
         ).collect()
     )
     assert a == b and len(a) == 36
+
+
+def test_calibrate_scores_pinned_by_naive_reference(spark):
+    """calibrate_scores (q134) recomputed by a pure-Python twin: tied
+    scores share a percentile (rank semantics), nulls keep their row
+    with a NULL percentile and never perturb the scored ranks, a
+    single-score group calibrates to 0.0; contracts eager."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        calibrate_scores,
+    )
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0), ("a", 4, 40.0),
+        ("a", 5, None),
+        ("b", 6, 7.0),                      # single score -> 0.0
+        ("c", 7, None), ("c", 8, None),     # all null -> all NULL pct
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, score double")
+    got = {
+        r["doc_id"]: r["score_pct"]
+        for r in calibrate_scores(df, "src", "score").collect()
+    }
+    groups: dict = {}
+    for src, i, s in rows:
+        groups.setdefault(src, []).append((i, s))
+    expected = {}
+    for src, members in groups.items():
+        scored = sorted(
+            [(i, s) for i, s in members if s is not None], key=lambda t: t[1]
+        )
+        n = len(scored)
+        for i, s in members:
+            if s is None:
+                expected[i] = None
+            elif n <= 1:
+                expected[i] = 0.0
+            else:
+                rk = 1 + sum(1 for _, v in scored if v < s)  # rank w/ ties
+                expected[i] = round((rk - 1) / (n - 1), 6)
+    assert got == expected
+    with pytest.raises(ValueError, match="score_col"):
+        calibrate_scores(df, "src", "nope")
+    with pytest.raises(ValueError, match="out_col"):
+        calibrate_scores(df, "src", "score", out_col="doc_id")
+
+
+def test_word_distribution_drift_pinned_by_naive_reference(spark):
+    """word_distribution_drift (q135) recomputed from Counter + math.log:
+    smoothed KL both ways, JS, TVD over the union vocabulary; identical
+    corpora drift to exactly zero; the alpha contract is eager."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        word_distribution_drift,
+    )
+
+    a_docs = [(1, "the cat sat"), (2, "the dog ran far"), (3, None)]
+    b_docs = [(1, "the cat sat"), (2, "a fox ran"), (4, "the the end")]
+    a = spark.createDataFrame(a_docs, "doc_id long, text string")
+    b = spark.createDataFrame(b_docs, "doc_id long, text string")
+    r = word_distribution_drift(a, b, alpha=0.5).collect()[0]
+
+    def counts(docs):
+        return Counter(
+            w
+            for _, t in docs
+            if t
+            for w in " ".join(t.strip().lower().split()).split(" ")
+            if w
+        )
+    ca, cb = counts(a_docs), counts(b_docs)
+    vocab = sorted(set(ca) | set(cb))
+    v = len(vocab)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    pa = {w: (ca.get(w, 0) + 0.5) / (ta + 0.5 * v) for w in vocab}
+    pb = {w: (cb.get(w, 0) + 0.5) / (tb + 0.5 * v) for w in vocab}
+    kl_ab = sum(pa[w] * math.log(pa[w] / pb[w]) for w in vocab)
+    kl_ba = sum(pb[w] * math.log(pb[w] / pa[w]) for w in vocab)
+    js = (
+        sum(pa[w] * math.log(pa[w] / ((pa[w] + pb[w]) / 2)) for w in vocab)
+        + sum(pb[w] * math.log(pb[w] / ((pa[w] + pb[w]) / 2)) for w in vocab)
+    ) / 2
+    tvd = sum(abs(pa[w] - pb[w]) for w in vocab) / 2
+    assert r["vocab_union"] == v
+    for got, want in (
+        (r["kl_ab"], kl_ab),
+        (r["kl_ba"], kl_ba),
+        (r["js_divergence"], js),
+        (r["tvd"], tvd),
+    ):
+        assert abs(got - round(want, 6)) < 1e-9, (got, want)
+    assert r["kl_ab"] > 0 and r["js_divergence"] > 0 and r["tvd"] > 0
+
+    same = word_distribution_drift(a, a).collect()[0]
+    assert (
+        same["kl_ab"],
+        same["kl_ba"],
+        same["js_divergence"],
+        same["tvd"],
+    ) == (0.0, 0.0, 0.0, 0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        word_distribution_drift(a, b, alpha=0.0)

@@ -573,3 +573,22 @@ def test_q133_coverage_heap_take_not_full_sort(spark):
     plan = _plan(spark, "q133_vocab_coverage_curve")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q134_calibration_single_exchange(spark):
+    """calibrate_scores' scale contract: ONE exchange (hash partition on
+    the domain) feeding the rank window — the grouped-aggregate shape —
+    and no Python anywhere."""
+    plan = _plan(spark, "q134_calibrated_scores")
+    ex = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(ex) == 1 and "source" in ex[0], plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q135_drift_no_python_no_cartesian(spark):
+    """word_distribution_drift stays pure JVM: heap-take vocabulary
+    heads, one vocabulary join, broadcast totals — no Python stage, no
+    cartesian against anything data-sized."""
+    plan = _plan(spark, "q135_word_distribution_drift")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
