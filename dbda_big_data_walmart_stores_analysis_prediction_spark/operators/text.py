@@ -817,9 +817,12 @@ def calibrate_scores(
         )
     from pyspark.sql.window import Window
 
-    s = F.col(score_col)
-    w = Window.partitionBy(group_col).orderBy(F.asc_nulls_last(score_col))
-    n = F.count(score_col).over(Window.partitionBy(group_col))
+    # NaN firewall (the curriculum_stages rule): a NaN score is "no
+    # evidence", not "best in domain" — fold it into the null rule so it
+    # gets a NULL percentile instead of out-ranking every real score
+    s = F.when(~F.isnan(F.col(score_col).cast("double")), F.col(score_col))
+    w = Window.partitionBy(group_col).orderBy(s.asc_nulls_last())
+    n = F.count(s).over(Window.partitionBy(group_col))
     rk = F.rank().over(w)
     pct = F.when(
         s.isNull(), F.lit(None).cast("double")

@@ -3323,6 +3323,17 @@ def test_curriculum_stages_pinned_by_naive_reference(spark):
         for r in curriculum_stages(flat, "doc_id", "score", 4).collect()
     }
     assert st == {1: 0, 2: 0, 3: 3}
+    # NaN scores fold into the null rule (schedule last), never a null
+    # stage or a poisoned max()
+    nan_df = spark.createDataFrame(
+        [(1, 2.0), (2, float("nan")), (3, 8.0)],
+        "doc_id bigint, score double",
+    )
+    nan_st = {
+        r["doc_id"]: r["stage"]
+        for r in curriculum_stages(nan_df, "doc_id", "score", 4).collect()
+    }
+    assert nan_st == {1: 0, 2: 3, 3: 3}
     with pytest.raises(ValueError, match="n_stages"):
         curriculum_stages(df, "doc_id", "score", 0)
     with pytest.raises(ValueError, match="score_col"):
@@ -3651,6 +3662,17 @@ def test_calibrate_scores_pinned_by_naive_reference(spark):
                 rk = 1 + sum(1 for _, v in scored if v < s)  # rank w/ ties
                 expected[i] = round((rk - 1) / (n - 1), 6)
     assert got == expected
+    # NaN scores fold into the null rule: NULL percentile, excluded from
+    # the denominator, never out-ranking real scores
+    nan_df = spark.createDataFrame(
+        [("x", 1, 1.0), ("x", 2, float("nan")), ("x", 3, 3.0)],
+        "src string, doc_id long, score double",
+    )
+    nan_got = {
+        r["doc_id"]: r["score_pct"]
+        for r in calibrate_scores(nan_df, "src", "score").collect()
+    }
+    assert nan_got == {1: 0.0, 2: None, 3: 1.0}
     with pytest.raises(ValueError, match="score_col"):
         calibrate_scores(df, "src", "nope")
     with pytest.raises(ValueError, match="out_col"):
