@@ -513,3 +513,39 @@ def test_streaming_objectives_match_batch(spark, tmp_path):
     )
     assert got_fim == batch_fim
     assert got_span == batch_span
+
+
+def test_streaming_random_projection_matches_batch(spark, tmp_path):
+    """random_projection's production Arrow path over an embedding
+    STREAM: a stateless broadcast-coefficient projection (no shuffle,
+    no aggregation), so lifting it to Structured Streaming must be a
+    semantic no-op — the continuous re-embed/re-project path of a
+    corpus refresh."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "emb"))
+    batch = sorted(
+        tuple(r) for r in random_projection(emb, 4, 64, salt="st").collect()
+    )
+    stream = spark.readStream.schema(emb.schema).parquet(
+        str(tmp_path / "emb")
+    )
+    q = (
+        random_projection(stream, 4, 64, salt="st")
+        .writeStream.format("memory")
+        .queryName("proj_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_proj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        tuple(r) for r in spark.table("proj_stream").collect()
+    )
+    assert streamed == batch
