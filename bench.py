@@ -266,6 +266,9 @@ LONGTAIL = [
     # word-distribution drift monitor (KL/JS/TVD vs the q118 refresh)
     "q134_calibrated_scores",
     "q135_word_distribution_drift",
+    # round-11 capstone: the curation loader — calibrate -> budget-select
+    # -> curriculum-stage, hash-checked through all three operators
+    "q136_curation_loader_capstone",
 ]
 
 _TABLES = (

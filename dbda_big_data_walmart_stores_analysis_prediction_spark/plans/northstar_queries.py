@@ -5679,3 +5679,95 @@ def q135_word_distribution_drift(
         vocab_cap=_Q135_CAP,
         alpha=_Q135_ALPHA,
     )
+
+
+# q136: the curation-loader composition — the q107/q122 argument applied
+# to the round-11 curation family: per-domain percentile calibration
+# (q134's expressions) feeding greedy budget selection (q109's window
+# shape, ranked on the CALIBRATED score) feeding curriculum staging
+# (q128's binning, bounds over the SURVIVOR set) — three operators whose
+# seams (calibrated ties into the selection order; selection shrinking
+# the stage bounds) only a composed run exercises.
+_Q136_BUDGET, _Q136_STAGES, _Q136_SHARDS = 4000, 4, 8
+_Q136_SQL = f"""
+    WITH cal AS (
+      SELECT doc_id, source, n_chars,
+        CASE WHEN n_chars IS NULL THEN NULL
+             WHEN cnt > 1 THEN round((rk - 1)::DOUBLE / (cnt - 1), 6)
+             ELSE 0.0 END AS score_pct
+      FROM (SELECT doc_id, source, n_chars,
+              rank() OVER (PARTITION BY source
+                           ORDER BY n_chars ASC NULLS LAST) AS rk,
+              count(n_chars) OVER (PARTITION BY source) AS cnt
+            FROM documents)),
+    sel AS (
+      SELECT *, sum(coalesce(n_chars, 0)) OVER (
+          PARTITION BY source
+          ORDER BY score_pct DESC NULLS LAST, doc_id ASC NULLS LAST,
+                   n_chars DESC NULLS LAST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+          AS cum
+      FROM cal),
+    kept AS (SELECT doc_id, source, n_chars, score_pct FROM sel
+             WHERE cum <= {_Q136_BUDGET}),
+    b AS (SELECT min(n_chars::DOUBLE) AS mn, max(n_chars::DOUBLE) AS mx
+          FROM kept),
+    st AS (SELECT doc_id, source, score_pct,
+             (CASE WHEN n_chars IS NULL THEN {_Q136_STAGES - 1}
+                   WHEN mx = mn THEN 0
+                   ELSE least(floor((n_chars::DOUBLE - mn)
+                                    / ((mx - mn) / {_Q136_STAGES}.0)),
+                              {_Q136_STAGES - 1}) END)::BIGINT AS stage,
+             coalesce({_SQL_HEX.format(x="'cur136:shard:' || CAST(doc_id AS VARCHAR)")}
+                      % {_Q136_SHARDS}, 0)::BIGINT AS shard,
+             {_SQL_HEX.format(x="'cur136:' || CAST(doc_id AS VARCHAR)")} AS hsh
+           FROM kept, b)
+    SELECT doc_id, source, score_pct, stage, shard,
+           row_number() OVER (PARTITION BY stage, shard
+                              ORDER BY hsh NULLS LAST,
+                                       doc_id NULLS LAST)::BIGINT AS pos
+    FROM st
+"""
+
+
+@_register("q136_curation_loader_capstone", _Q136_SQL)
+def q136_curation_loader_capstone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation-loader capstone: `calibrate_scores` (per-source
+    percentile of n_chars) → `select_within_budget` (top calibrated
+    docs until 4k chars per source) → `curriculum_stages` (4
+    equal-width length stages over the SURVIVORS, md5 positions per
+    (stage, shard)). The end-to-end seam a real curation loop runs —
+    calibrated ties flow into the selection order, and the selection
+    reshapes the curriculum's stage bounds — hash-checked through all
+    three operators at once."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        curriculum_stages,
+        select_within_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cal = tx.calibrate_scores(docs, "source", "n_chars")
+    sel = select_within_budget(
+        cal, "source", "score_pct", "n_chars", "doc_id",
+        budget=_Q136_BUDGET,
+    )
+    # checkpoint the survivor set (the q113 discipline): curriculum's
+    # min/max bounds aggregate is a SECOND consumer, and without the
+    # boundary it re-derives the whole calibrate->select window chain —
+    # two full corpus passes instead of one at scale
+    kept = (
+        sel.where(F.col("selected"))
+        .select("doc_id", "source", "n_chars", "score_pct")
+        .localCheckpoint(eager=False)
+    )
+    cur = curriculum_stages(
+        kept, "doc_id", "n_chars", _Q136_STAGES,
+        salt="cur136", n_shards=_Q136_SHARDS,
+    )
+    return cur.select(
+        "doc_id", "source", "score_pct", "stage", "shard", "pos"
+    )

@@ -592,3 +592,47 @@ def test_q135_drift_no_python_no_cartesian(spark):
     plan = _plan(spark, "q135_word_distribution_drift")
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q136_survivors_computed_once(spark):
+    """The curation capstone's seam contract, audited in two layers.
+    Top layer: the composed plan reads the survivor set through the
+    checkpoint boundary (Scan ExistingRDD) and contains NO
+    hashpartitioning(source) exchange — i.e. the calibrate→select
+    window chain does NOT re-derive under curriculum's bounds branch
+    (pre-fix it appeared twice: two full corpus passes at 100 TB).
+    Bottom layer: the pre-checkpoint chain itself plans ONE source
+    exchange shared by all three source-partitioned windows (rank,
+    count, running sum)."""
+    plan = _plan(spark, "q136_curation_loader_capstone")
+    assert not [
+        e
+        for e in re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        if "source" in e
+    ], plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sampling import (
+        select_within_budget,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        calibrate_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    chain = select_within_budget(
+        calibrate_scores(docs, "source", "n_chars"),
+        "source", "score_pct", "n_chars", "doc_id", budget=4000,
+    ).where(F.col("selected"))
+    cplan = chain._jdf.queryExecution().executedPlan().toString()
+    src_ex = [
+        e
+        for e in re.findall(r"Exchange hashpartitioning\([^)]*\)", cplan)
+        if "source" in e
+    ]
+    assert len(src_ex) == 1, cplan
