@@ -269,6 +269,10 @@ LONGTAIL = [
     # round-11 capstone: the curation loader — calibrate -> budget-select
     # -> curriculum-stage, hash-checked through all three operators
     "q136_curation_loader_capstone",
+    # corpus-internal memorization audit + int8 embedding quantization
+    "q137_memorization_report",
+    "q138_int8_quantization",
+    "q139_knn_quantized",
 ]
 
 _TABLES = (

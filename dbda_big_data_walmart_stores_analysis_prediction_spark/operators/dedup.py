@@ -1624,3 +1624,73 @@ def simhash_near_pairs(
         F.col("b.doc").alias("doc_b"),
         F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
     )
+
+
+def memorization_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Per-document memorization-risk audit over CORPUS-INTERNAL n-gram
+    repetition: for every document, the fraction of its distinct word
+    n-grams that also appear in at least ``min_dup_docs`` documents
+    (itself included). The signal behind train-data dedup for
+    memorization (Lee et al. "Deduplicating Training Data Makes Language
+    Models Better"; Carlini et al. extraction attacks): sequences
+    repeated verbatim across documents are the ones models memorize and
+    regurgitate, and ``n=13`` is the same window the eval-decontamination
+    rule (`ngram_overlap_pairs`) uses — this is that audit turned inward
+    on the corpus instead of against an eval suite.
+
+    Output, one row per document WITH at least one n-gram (null-text and
+    empty docs carry no grams and are absent, matching the shingle
+    family's contract): ``(id, n_grams, n_dup_grams, dup_fraction,
+    max_gram_docs)`` where ``dup_fraction = n_dup_grams / n_grams``
+    rounded to 6 dp and ``max_gram_docs`` is the document frequency of
+    the doc's most-shared gram — 1 means fully unique, a large value
+    means the doc contains boilerplate shared corpus-wide. Docs shorter
+    than ``n`` words contribute their whole text as one partial gram
+    (`shingle_table`'s rule), so short exact dups still flag each other.
+
+    Scale shape — three exchanges of the 8-byte hashed gram stream and
+    nothing else: (1) `shingle_table`'s set-semantics distinct (map-side
+    partial dedup), (2) a gram-keyed window for per-gram document
+    frequency (count over PARTITION BY sh — no join back, no
+    collect_list fan-out: a boilerplate gram shared by a million docs
+    stays one fat-but-flat partition that AQE splits), (3) the per-doc
+    aggregate. No cross join, no UDF, no driver state; memory per task
+    is one aggregation buffer row per (doc) / (sh) group.
+    """
+    if min_dup_docs < 2:
+        raise ValueError(
+            f"min_dup_docs must be >= 2 (1 would flag every gram), got "
+            f"{min_dup_docs}"
+        )
+    from pyspark.sql.window import Window
+
+    sh = shingle_table(df, id_col, text_col, k=n, hashed=True)
+    # (doc, sh) is distinct, so count(*) over sh == the gram's document
+    # frequency — no countDistinct state needed.
+    freq = sh.select(
+        "doc", F.count("*").over(Window.partitionBy("sh")).alias("__df")
+    )
+    dup = (F.col("__df") >= min_dup_docs).cast("bigint")
+    return (
+        freq.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(dup).alias("n_dup_grams"),
+            F.max("__df").alias("max_gram_docs"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias(
+                "dup_fraction"
+            ),
+            "max_gram_docs",
+        )
+    )

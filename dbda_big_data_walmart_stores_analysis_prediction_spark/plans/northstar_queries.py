@@ -5771,3 +5771,105 @@ def q136_curation_loader_capstone(
     return cur.select(
         "doc_id", "source", "score_pct", "stage", "shard", "pos"
     )
+
+
+# q137: the q68 13-gram audit turned INWARD — corpus-internal verbatim
+# repetition per doc (the memorization-risk signal dedup exists to
+# reduce), over the exact shingle construction every gram query shares.
+_Q137_SQL = f"""
+    WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    words AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM norm),
+    msh AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh
+            FROM words),
+    mfr AS (SELECT doc, count(*) OVER (PARTITION BY sh) AS df FROM msh)
+    SELECT doc AS doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_fraction,
+           max(df)::BIGINT AS max_gram_docs
+    FROM mfr GROUP BY doc
+"""
+
+
+@_register("q137_memorization_report", _Q137_SQL)
+def q137_memorization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc memorization-risk audit (operators/dedup.py::
+    memorization_report): fraction of each doc's distinct 13-grams that
+    appear in >= 2 documents, plus the doc frequency of its most-shared
+    gram — the q68 decontamination window pointed at the corpus itself.
+    Three exchanges of the 8-byte hashed gram stream (distinct, per-gram
+    frequency window, per-doc aggregate); no join, no UDF."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.memorization_report(docs, "doc_id", "text", n=13)
+
+
+# q138/q139: int8 embedding quantization (FAISS-SQ8 shape) — the exploded
+# code table hash-checks every quantized component; the kNN point runs
+# the full quantize -> dequantize -> cosine chain through the audited
+# q30 broadcast plan.
+_Q138_SQL = """
+    WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qz AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+           FROM src)
+    SELECT vec_id, round(s, 6) AS q_scale,
+           generate_subscripts(v, 1) - 1 AS dim,
+           (CASE WHEN s = 0 THEN 0
+                 ELSE greatest(least(round(unnest(v) / s), 127.0),
+                               -127.0) END)::INTEGER AS q_val
+    FROM qz
+"""
+
+
+@_register("q138_int8_quantization", _Q138_SQL)
+def q138_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embeddings table
+    (operators/similarity.py::quantize_embeddings), exploded to one row
+    per (vector, dimension) so every code and scale hash-checks. The
+    operator itself is a zero-shuffle codegen projection — 4x less
+    embedding IO for every downstream ANN consumer."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qz = sim.quantize_embeddings(emb)
+    return qz.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.posexplode("q_vec").alias("dim", "q_val"),
+    ).withColumn("dim", F.col("dim").cast("bigint"))
+
+
+_Q139_SQL = """
+    WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qz AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+           FROM src),
+    dq AS (SELECT vec_id,
+             [CASE WHEN s = 0 THEN 0.0
+                   ELSE greatest(least(round(x / s), 127.0), -127.0) * s END
+              FOR x IN v]::DOUBLE[] AS dv
+           FROM qz),
+    q AS (SELECT vec_id AS query_id, dv AS qv FROM dq WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, dv AS cv FROM dq),
+    sc AS (SELECT query_id, neighbor_id,
+                  round(list_cosine_similarity(qv, cv), 6) AS cosine
+           FROM q, c WHERE query_id <> neighbor_id
+             AND list_dot_product(qv, qv) > 0
+             AND list_dot_product(cv, cv) > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC,
+                                                neighbor_id ASC) AS rank
+          FROM sc)
+    SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank
+    FROM r WHERE rank <= 10
+"""
+
+
+@_register("q139_knn_quantized", _Q139_SQL)
+def q139_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 over int8-QUANTIZED embeddings
+    (operators/similarity.py::knn_quantized): quantize -> dequantize ->
+    the audited q30 broadcast kNN plan. The memory-bound serving shape
+    (int8 codes + one scale instead of float32), value-checked through
+    the entire arithmetic chain; agreement with the float baseline is
+    pinned in tests/."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_quantized(emb, emb.where(F.col("vec_id") < 5), k=10)

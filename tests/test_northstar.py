@@ -3738,3 +3738,142 @@ def test_word_distribution_drift_pinned_by_naive_reference(spark):
     ) == (0.0, 0.0, 0.0, 0.0)
     with pytest.raises(ValueError, match="alpha"):
         word_distribution_drift(a, b, alpha=0.0)
+
+
+def test_memorization_report_pinned_by_naive_reference(spark):
+    """memorization_report recomputed by a pure-Python Counter twin over
+    a fixture that hits every contract seam: a verbatim 13-gram shared
+    across two long docs, a gram REPEATED inside one doc (distinct per
+    doc — doc frequency stays 1, must NOT flag), a short-doc exact dup
+    pair (whole-text partial gram), a fully unique doc, a null-text doc
+    (absent from output), and the min_dup_docs knob."""
+    import re as _re
+    from collections import Counter
+
+    import pytest
+
+    boiler = "the quick brown fox jumps over the lazy dog near the old mill"
+    rows = [
+        (1, boiler + " alpha beta gamma delta unique one tail words here"),
+        (2, "prefix words go here first " + boiler + " epsilon zeta"),
+        # doc 3 repeats ITS OWN opening 13 words verbatim — internal
+        # repetition must not count as cross-doc duplication
+        (3, "aa bb cc dd ee ff gg hh ii jj kk ll mm " * 2 + "nn oo"),
+        (4, "short exact dup"),
+        (5, "  Short   EXACT dup "),  # normalizes equal to doc 4
+        (6, "totally unique text with not enough overlap anywhere at all"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(text, n=13):
+        t = _re.sub(r"\s+", " ", text.strip().lower())
+        w = t.split(" ")
+        if len(w) <= n:
+            return {t}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: grams(t) for i, t in rows if t is not None}
+    freq = Counter(g for s in sets.values() for g in s)
+    expected = {
+        i: (
+            len(s),
+            sum(1 for g in s if freq[g] >= 2),
+            round(sum(1 for g in s if freq[g] >= 2) / len(s), 6),
+            max(freq[g] for g in s),
+        )
+        for i, s in sets.items()
+    }
+
+    out = dd.memorization_report(df, "doc_id", "text", n=13).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["n_dup_grams"],
+            r["dup_fraction"],
+            r["max_gram_docs"],
+        )
+        for r in out
+    }
+    assert got == expected
+    # the seams, stated: docs 1/2 flag each other through the boilerplate,
+    # doc 3's internal repeat does NOT flag, the short dups flag each other
+    assert got[1][1] > 0 and got[2][1] > 0
+    assert got[3][1] == 0 and got[3][3] == 1
+    assert got[4] == (1, 1, 1.0, 2) and got[5] == (1, 1, 1.0, 2)
+    assert got[6][1] == 0
+    assert 7 not in got  # null text carries no grams
+
+    # min_dup_docs=3: nothing in this fixture reaches 3 docs
+    strict = dd.memorization_report(df, "doc_id", "text", n=13, min_dup_docs=3)
+    assert all(r["n_dup_grams"] == 0 for r in strict.collect())
+    with pytest.raises(ValueError, match="min_dup_docs"):
+        dd.memorization_report(df, "doc_id", "text", min_dup_docs=1)
+
+
+def test_quantize_embeddings_pinned_by_naive_reference(spark):
+    """quantize_embeddings recomputed by a pure-Python twin: scale =
+    max|x|/127, q = clamp(round(x/scale), ±127) with round-half-away —
+    over a fixture hitting the max component (must code to exactly
+    ±127), an exact .5 quotient (half-away tie), the all-zero vector
+    (scale 0, zero code), and a null vector (null scale/code)."""
+    import pytest
+
+    rows = [
+        (1, [127.0, 0.5, -0.5, 63.5]),   # scale 1.0: ties at ±.5, .5 exact
+        (2, [-2.0, 1.0, 0.0, 0.25]),     # negative max-|x| component
+        (3, [0.0, 0.0, 0.0, 0.0]),       # zero vector
+        (4, None),                        # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def twin(v):
+        if v is None:
+            return None, None
+        scale = max(abs(x) for x in v) / 127.0
+        if scale == 0.0:
+            return 0.0, [0] * len(v)
+
+        def rnd(y):  # round half away from zero
+            import math
+
+            return int(math.floor(y + 0.5)) if y >= 0 else -int(
+                math.floor(-y + 0.5)
+            )
+
+        return scale, [max(min(rnd(x / scale), 127), -127) for x in v]
+
+    out = {r["vec_id"]: r for r in sim.quantize_embeddings(df).collect()}
+    for i, v in rows:
+        scale, q = twin(v)
+        r = out[i]
+        if v is None:
+            assert r["q_scale"] is None and r["q_vec"] is None
+        else:
+            assert abs(r["q_scale"] - scale) < 1e-12, (i, r["q_scale"], scale)
+            assert r["q_vec"] == q, (i, r["q_vec"], q)
+    # the documented extremes: max component codes to exactly ±127
+    assert out[1]["q_vec"][0] == 127 and out[2]["q_vec"][0] == -127
+    # half-away ties: 0.5 -> 1, -0.5 -> -1
+    assert out[1]["q_vec"][1] == 1 and out[1]["q_vec"][2] == -1
+
+    with pytest.raises(ValueError, match="vec_col 'nope'"):
+        sim.quantize_embeddings(df, vec_col="nope")
+
+
+def test_knn_quantized_agrees_with_float_baseline(spark):
+    """int8 quantization on 64-dim embeddings barely moves cosine
+    ordering: recall@10 vs the exact float baseline stays >= 0.9 and the
+    top-1 neighbor agrees for every query (measured 1.0 / 5-of-5 on the
+    sf0.001 fixture — the floor guards regressions, e.g. a clamp or
+    scale bug that would scramble the ranking)."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = sim.knn_bruteforce(emb, queries, k=10).collect()
+    qz = sim.knn_quantized(emb, queries, k=10).collect()
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    qz_set = {(r["query_id"], r["neighbor_id"]) for r in qz}
+    assert len(bf_set & qz_set) / len(bf_set) >= 0.9
+    top1_bf = {r["query_id"]: r["neighbor_id"] for r in bf if r["rank"] == 1}
+    top1_qz = {r["query_id"]: r["neighbor_id"] for r in qz if r["rank"] == 1}
+    assert top1_bf == top1_qz

@@ -636,3 +636,47 @@ def test_q136_survivors_computed_once(spark):
         if "source" in e
     ]
     assert len(src_ex) == 1, cplan
+
+
+def test_q137_memorization_three_gram_exchanges_no_join(spark):
+    """The memorization report is three exchanges of the hashed gram
+    stream (shingle distinct, per-gram frequency window, per-doc
+    aggregate) and NOTHING else — in particular no join back of a
+    frequency table (the window form) and no Python."""
+    plan = _plan(spark, "q137_memorization_report")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # distinct partial+final counts as one logical exchange boundary;
+    # allow the fan-out repartition of the small-scan guard but nothing
+    # quadratic: total exchanges stay <= 4
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_q138_quantization_zero_shuffle_projection(spark):
+    """int8 quantization must stay a pure projection over the scan: no
+    exchange, no UDF, no join — the 'composes with any scan without
+    moving data' contract the operator docstring sells. (`*(n)` is the
+    executedPlan codegen-span marker.)"""
+    plan = _plan(spark, "q138_int8_quantization")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "*(" in plan, plan
+
+
+def test_q139_quantized_knn_broadcast_corpus_never_shuffles(spark):
+    """The quantized kNN inherits q30's audited shape: query side
+    broadcast, corpus side scanned in place, and the only exchange is
+    the per-query top-k window's — fed by a PARTIAL WindowGroupLimit,
+    so it carries <= k rows per query per partition, never the scored
+    pair stream. No sort-merge join, no Python."""
+    plan = _plan(spark, "q139_knn_quantized")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # the partial group-limit must sit BELOW the window exchange
+    partial = plan.find("WindowGroupLimit")
+    assert partial >= 0 and ", Partial" in plan, plan
+    ex = plan.find("Exchange hashpartitioning")
+    assert ex == -1 or plan.find(", Partial") > ex, plan
