@@ -454,9 +454,12 @@ def random_projection(
 
     Output: one ``(id, proj_dim, proj_value)`` row per kept input vector
     and output dimension, values scaled by 1/√out_dim (the JL norm
-    convention) and rounded to 6 dp. Null vectors carry no direction and
-    are dropped; vectors must be exactly ``dim`` wide (the `embeddings`
-    table contract).
+    convention) and rounded to 6 dp with IEEE negative zero folded to
+    +0.0 (a denormal-magnitude input rounds to -0.0 on one engine and
+    +0.0 on the other — numerically equal, representationally not; the
+    ``+ 0.0`` pins one representation on both paths and in the oracle).
+    Null vectors carry no direction and are dropped; vectors must be
+    exactly ``dim`` wide (the `embeddings` table contract).
 
     Two physical forms, one semantics (the `_sign_lsh_signature_reference`
     split): ``exact=False`` (default) is ONE Arrow-batched numpy matmul —
@@ -491,7 +494,7 @@ def random_projection(
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            vals.append(F.round(dot * F.lit(scale), 6))
+            vals.append(F.round(dot * F.lit(scale), 6) + F.lit(0.0))
         arr = F.array(*vals)
     else:
         import numpy as np
@@ -502,7 +505,7 @@ def random_projection(
 
         def _proj(v):
             mat = np.asarray(v.tolist(), dtype=np.float64)
-            out = np.round(mat @ planes * scale, 6)
+            out = np.round(mat @ planes * scale, 6) + 0.0
             return pd.Series(list(out))
 
         arr = pandas_udf(_proj, "array<double>")(F.col(vec_col))

@@ -5518,7 +5518,7 @@ _Q132_SQL = f"""
     vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
              WHERE embedding IS NOT NULL)
     SELECT vec_id, j::BIGINT AS proj_dim,
-           round(list_dot_product(v, cl) * {_Q132_SCALE!r}, 6)
+           round(list_dot_product(v, cl) * {_Q132_SCALE!r}, 6) + 0.0
                AS proj_value
     FROM vecs, pl
 """

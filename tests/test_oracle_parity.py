@@ -37,7 +37,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # + 0.0 folds IEEE negative zero into positive zero: -0.0 == 0.0
+        # numerically, but str(-0.0) != str(0.0) would misalign the
+        # multiset sort (seen on denormal vectors rounding to -0.0 in one
+        # engine and +0.0 in the other)
+        return round(v, 6) + 0.0
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bool):
@@ -214,6 +218,15 @@ DOC_QUERY_NAMES = [
     "q122_sft_loader_capstone",
     "q124_sft_decontamination",
     "q125_corpus_funnel",
+    "q127_source_overlap_matrix",
+    "q128_curriculum_schedule",
+    "q130_mixture_plan",
+    "q131_planned_mixture_realized",
+    "q133_vocab_coverage_curve",
+    "q134_calibrated_scores",
+    "q135_word_distribution_drift",
+    "q136_curation_loader_capstone",
+    "q137_memorization_report",
 ]
 
 
@@ -254,7 +267,15 @@ def _adversarial_embeddings():
 
 
 @pytest.mark.parametrize(
-    "name", ["q30_knn_bruteforce", "q31_embedding_near_dups", "q72_semantic_dedup"]
+    "name",
+    [
+        "q30_knn_bruteforce",
+        "q31_embedding_near_dups",
+        "q72_semantic_dedup",
+        "q132_random_projection",
+        "q138_int8_quantization",
+        "q139_knn_quantized",
+    ],
 )
 def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
     """Zero vectors (cosine division by zero), exact duplicates, antipodes
