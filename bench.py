@@ -273,6 +273,8 @@ LONGTAIL = [
     "q137_memorization_report",
     "q138_int8_quantization",
     "q139_knn_quantized",
+    # BPE vocabulary extension (driver merge loop over the bounded vocab)
+    "q140_bpe_vocab_extension",
 ]
 
 _TABLES = (

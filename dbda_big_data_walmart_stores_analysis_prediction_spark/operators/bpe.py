@@ -118,13 +118,29 @@ def train_bpe(
     if n_merges <= 0:
         return spark.createDataFrame([], schema)
     rows = word_counts(df, text_col, max_vocab_rows).collect()
-    # Incremental pair maintenance (the subword-nmt optimization): a merge
-    # only changes the pair counts of words CONTAINING the merged pair, so
-    # each round touches index[best] words, not the whole vocabulary — at
-    # the 1M-word gate bound the naive full recount costs ~vocab*len work
-    # per merge (measured 8.8 s for 40 merges even on a 2k-word vocab at
-    # sf0.1; the argmax scan, not the rewrite, is then the bound).
     vocab: list[list] = [[tuple(r["word"]) + (END,), r["n"]] for r in rows]
+    merges = _pair_merge_loop(vocab, n_merges, min_pair_count)
+    return spark.createDataFrame(merges, schema)
+
+
+def _pair_merge_loop(
+    vocab: list[list],
+    n_merges: int,
+    min_pair_count: int,
+    start_rank: int = 0,
+) -> list[tuple[int, str, str, str, int]]:
+    """The driver-side Sennrich merge loop over a bounded
+    ``[symbols, count]`` vocabulary (mutated in place), emitting ranks
+    from ``start_rank`` — shared by `train_bpe` (fresh vocab, rank 0)
+    and `extend_bpe` (base-merged vocab, ranks continue). Incremental
+    pair maintenance (the subword-nmt optimization): a merge only
+    changes the pair counts of words CONTAINING the merged pair, so
+    each round touches index[best] words, not the whole vocabulary — at
+    the 1M-word gate bound the naive full recount costs ~vocab*len work
+    per merge (measured 8.8 s for 40 merges even on a 2k-word vocab at
+    sf0.1; the argmax scan, not the rewrite, is then the bound)."""
+    from collections import defaultdict
+
     pair_counts: Counter = Counter()
     index: defaultdict = defaultdict(set)
     for i, (syms, c) in enumerate(vocab):
@@ -132,7 +148,7 @@ def train_bpe(
             pair_counts[p] += c
             index[p].add(i)
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    for rank in range(start_rank, start_rank + n_merges):
         if not pair_counts:
             break
         top = max(pair_counts.values())
@@ -152,7 +168,79 @@ def train_bpe(
             for p in zip(new, new[1:]):
                 pair_counts[p] += c
                 index[p].add(i)
-    return spark.createDataFrame(merges, schema)
+    return merges
+
+
+def extend_bpe(
+    df: DataFrame,
+    base_merges: DataFrame,
+    text_col: str = "text",
+    n_new_merges: int = 20,
+    min_pair_count: int = 2,
+    max_vocab_rows: int = 1_000_000,
+) -> DataFrame:
+    """Vocabulary EXTENSION: continue Sennrich training from an existing
+    merge table on a new corpus — the continued-pretraining /
+    domain-adaptation move (extend a general tokenizer with
+    domain-specific merges so in-domain text stops fragmenting) without
+    invalidating a single existing token id: base merges keep their
+    ranks verbatim, new merges append at ranks ``len(base)..``.
+
+    Semantics are exactly "training had continued": the new corpus's
+    word vocabulary is first rewritten by the base merges in rank order
+    (the trainer's own state evolution), then the standard
+    pair-count/argmax loop (`_pair_merge_loop`) runs for
+    ``n_new_merges`` more rounds. Pinned invariant: extending on the
+    SAME corpus equals training longer —
+    ``extend_bpe(c, train_bpe(c, k), n) == train_bpe(c, k + n)`` row
+    for row (tests/). Base rows keep their original ``pair_count``
+    (a statistic of the corpus they were trained on, not this one).
+
+    Returns the FULL extended merge table, schema-identical to
+    `train_bpe` — a drop-in for `bpe_encode`, `save_tokenizer_artifact`
+    and every other consumer. ``n_new_merges <= 0`` returns the base
+    table unchanged (after the eager column check). Scale shape: same
+    as `train_bpe` — the only corpus-scale job is the `word_counts`
+    aggregate; the base table is artifact-sized by contract and the
+    loop runs driver-side over the bounded vocabulary head.
+    """
+    spark = df.sparkSession
+    if text_col not in df.columns:
+        raise ValueError(
+            f"extend_bpe: text_col {text_col!r} is not a column of the "
+            f"input frame (has {df.columns})"
+        )
+    schema = (
+        "merge_rank int, left string, right string, new_symbol string, "
+        "pair_count bigint"
+    )
+    base = sorted(base_merges.collect(), key=lambda r: r["merge_rank"])
+    if [r["merge_rank"] for r in base] != list(range(len(base))):
+        raise ValueError(
+            "extend_bpe: base_merges ranks must be contiguous from 0 "
+            f"(got {[r['merge_rank'] for r in base]!r}); pass a table "
+            "produced by train_bpe/extend_bpe (or loaded from a saved "
+            "tokenizer artifact)"
+        )
+    base_rows = [
+        (r["merge_rank"], r["left"], r["right"], r["new_symbol"],
+         r["pair_count"])
+        for r in base
+    ]
+    if n_new_merges <= 0:
+        return spark.createDataFrame(base_rows, schema)
+    rows = word_counts(df, text_col, max_vocab_rows).collect()
+    vocab: list[list] = [[tuple(r["word"]) + (END,), r["n"]] for r in rows]
+    # replay the base merges over the fresh vocabulary in rank order —
+    # after this the (vocab, pair-count) state is exactly the trainer's
+    # state after its first len(base) rounds on this corpus
+    for _, left, right, _, _ in base_rows:
+        for entry in vocab:
+            entry[0] = _merge_word(entry[0], left, right)
+    merges = _pair_merge_loop(
+        vocab, n_new_merges, min_pair_count, start_rank=len(base_rows)
+    )
+    return spark.createDataFrame(base_rows + merges, schema)
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -5873,3 +5873,25 @@ def q139_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.knn_quantized(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@_register("q140_bpe_vocab_extension")  # driver-loop trained: rows-only;
+# pinned exactly by test_extend_bpe_equals_training_longer (extend ==
+# train-longer on the same corpus) and the cross-domain naive-recount
+# twin (test_extend_bpe_pinned_by_naive_reference)
+def q140_bpe_vocab_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary extension (operators/bpe.py::extend_bpe): a base BPE
+    trained on the first half of the corpus's sources (src0-src9) is
+    extended with domain merges from the second half (src10-src19) —
+    the continued-pretraining move, with base ranks frozen so existing
+    token ids stay valid. Returns the full extended merge table
+    (schema-identical to train_bpe, drop-in for every consumer)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        extend_bpe,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    half = F.substring("source", 4, 10).cast("int") < 10
+    base = train_bpe(docs.where(half), n_merges=30)
+    return extend_bpe(docs.where(~half), base, n_new_merges=20)

@@ -3877,3 +3877,129 @@ def test_knn_quantized_agrees_with_float_baseline(spark):
     top1_bf = {r["query_id"]: r["neighbor_id"] for r in bf if r["rank"] == 1}
     top1_qz = {r["query_id"]: r["neighbor_id"] for r in qz if r["rank"] == 1}
     assert top1_bf == top1_qz
+
+
+def test_extend_bpe_equals_training_longer(spark):
+    """The extension invariant: continuing training from a k-merge base
+    on the SAME corpus must reproduce training k+n merges from scratch —
+    row for row, including the base rows' pair counts. This is the
+    'semantics are exactly training-had-continued' contract that makes
+    the extended table a drop-in artifact."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        extend_bpe,
+        train_bpe,
+    )
+
+    docs = _docs(spark).select("doc_id", "text").limit(40)
+    base = train_bpe(docs, n_merges=12)
+    extended = extend_bpe(docs, base, n_new_merges=8)
+    longer = train_bpe(docs, n_merges=20)
+    key = lambda r: r["merge_rank"]
+    assert sorted(map(tuple, extended.collect()), key=lambda t: t[0]) == \
+        sorted(map(tuple, longer.collect()), key=lambda t: t[0])
+    assert extended.count() == 20
+
+
+def test_extend_bpe_pinned_by_naive_reference(spark):
+    """Cross-domain extension recomputed by a from-scratch naive-RECOUNT
+    twin (pair counts rebuilt from the whole vocabulary every round, no
+    incremental index; base merges replayed in rank order) — the
+    continued-pretraining case the operator exists for: a general base,
+    a domain corpus, new merges that stop fragmenting domain words."""
+    from collections import Counter
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        bpe_encode,
+        extend_bpe,
+        train_bpe,
+    )
+
+    END = "</w>"
+    general = [
+        (1, "the low low low lower newest"),
+        (2, "that widest newest low and lower lowest"),
+        (3, "of newest newest low lower to the widest"),
+    ]
+    domain = [
+        (10, "kinase kinase kinase inhibitor inhibitor assay"),
+        (11, "kinase inhibitor binding assay assay kinase"),
+        (12, "the inhibitor of the kinase assay"),
+    ]
+    gdf = spark.createDataFrame(general, "doc_id long, text string")
+    ddf = spark.createDataFrame(domain, "doc_id long, text string")
+
+    base = train_bpe(gdf, n_merges=6)
+    out = sorted(
+        map(tuple, extend_bpe(ddf, base, n_new_merges=6).collect())
+    )
+
+    # ---- naive twin, sharing no code with the engine ----
+    def norm(t):
+        return " ".join(t.strip().lower().split())
+
+    def naive_merge(syms, left, right):
+        o, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                o.append(left + right)
+                i += 2
+            else:
+                o.append(syms[i])
+                i += 1
+        return tuple(o)
+
+    def naive_train(texts, n, seed=(), start_rank=0, min_pair=2):
+        wc = Counter(w for t in texts for w in norm(t).split(" "))
+        vocab = [[tuple(w) + (END,), c] for w, c in sorted(wc.items())]
+        for left, right in seed:
+            vocab = [[naive_merge(s, left, right), c] for s, c in vocab]
+        merges = []
+        for rank in range(start_rank, start_rank + n):
+            pairs = Counter()  # full recount every round
+            for syms, c in vocab:
+                for p in zip(syms, syms[1:]):
+                    pairs[p] += c
+            if not pairs:
+                break
+            top = max(pairs.values())
+            if top < min_pair:
+                break
+            left, right = min(p for p, c in pairs.items() if c == top)
+            merges.append((rank, left, right, left + right, top))
+            vocab = [[naive_merge(s, left, right), c] for s, c in vocab]
+        return merges
+
+    naive_base = naive_train([t for _, t in general], 6)
+    naive_ext = naive_train(
+        [t for _, t in domain],
+        6,
+        seed=[(l, r) for _, l, r, _, _ in naive_base],
+        start_rank=len(naive_base),
+    )
+    assert out == sorted(naive_base + naive_ext)
+
+    # the payoff the operator exists for: domain text fragments LESS
+    # under the extended table than under the base alone
+    n_base = sum(
+        r["n_subword_tokens"]
+        for r in bpe_encode(ddf, base, counts_only=True).collect()
+    )
+    ext_tbl = extend_bpe(ddf, base, n_new_merges=6)
+    n_ext = sum(
+        r["n_subword_tokens"]
+        for r in bpe_encode(ddf, ext_tbl, counts_only=True).collect()
+    )
+    assert n_ext < n_base
+
+    # contract: n_new_merges <= 0 returns the base verbatim; ranks must
+    # be contiguous from 0; text_col checked eagerly on BOTH paths
+    same = extend_bpe(ddf, base, n_new_merges=0)
+    assert sorted(map(tuple, same.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    with pytest.raises(ValueError, match="contiguous"):
+        extend_bpe(ddf, base.where(F.col("merge_rank") >= 2), n_new_merges=1)
+    with pytest.raises(ValueError, match="text_col 'nope'"):
+        extend_bpe(ddf, base, text_col="nope", n_new_merges=0)
