@@ -275,6 +275,8 @@ LONGTAIL = [
     "q139_knn_quantized",
     # BPE vocabulary extension (driver merge loop over the bounded vocab)
     "q140_bpe_vocab_extension",
+    # sequence-length sizing sweep (one scan, all budgets)
+    "q141_packing_budget_sweep",
 ]
 
 _TABLES = (

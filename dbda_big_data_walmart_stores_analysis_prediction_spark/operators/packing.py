@@ -420,3 +420,103 @@ def length_bucket_batches(
             ),
         )
     )
+
+
+def packing_budget_sweep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+    budgets: tuple[int, ...] = (128, 512, 2048),
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """The sequence-length sizing report: for every candidate token
+    budget, the padding and truncation cost of training at that length —
+    the knee plot behind the "what max_seq_len do we train at" decision
+    (`vocab_coverage_curve`'s sibling for the length axis). One row per
+    budget:
+
+    * ``n_sequences`` / ``padded_tokens`` / ``padding_fraction`` — the
+      token-STREAM loader accounting (`pack_sequences`' semantics: each
+      shard's stream fills ``ceil(T_shard / budget)`` fixed-length
+      sequences, only the last is padded). Padding falls as budgets
+      shrink.
+    * ``n_docs_truncated`` / ``truncated_tokens`` — the cost of the
+      boundary-respecting alternative (`pack_sequences_ffd` + truncate):
+      docs longer than the budget lose their tail. Truncation falls as
+      budgets grow. The knee where both are acceptable is the answer.
+
+    Null token counts count 0 (the `pack_sequences_ffd` rule); docs are
+    sharded exactly like the packers (``md5(salt:id) % n_shards``), so
+    the sequence counts are the ones those packers' loaders will see.
+
+    Scale shape: ONE exchange of (shard, count) rows — a hash aggregate
+    with map-side combine carrying every per-budget conditional sum in
+    the same pass — then arithmetic on a ≤ ``n_shards``-row frame. No
+    window sort, no per-budget corpus pass: sweeping 20 budgets costs
+    the same scan as sweeping one. All integer arithmetic (``div``, not
+    double ceil), so counts are exact at any corpus size and the report
+    is SQL-oracle-checkable bit-for-bit.
+    """
+    budgets = tuple(budgets)
+    if not budgets or len(set(budgets)) != len(budgets):
+        raise ValueError(
+            f"budgets must be a non-empty set of distinct values, got "
+            f"{budgets!r}"
+        )
+    if any(b <= 0 for b in budgets):
+        raise ValueError(f"budgets must all be > 0, got {budgets!r}")
+    base = _sharded_counts(
+        df, id_col, text_col, tokens_col, n_shards, salt,
+        op="packing_budget_sweep",
+    )
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0))
+    aggs = [
+        F.sum(nt).alias("__T"),
+        F.count("*").alias("__docs"),
+    ]
+    for i, b in enumerate(budgets):
+        aggs.append(
+            F.sum(F.greatest(nt - b, F.lit(0))).alias(f"__tr{i}")
+        )
+        aggs.append(F.sum((nt > b).cast("bigint")).alias(f"__ntr{i}"))
+    per_shard = base.groupBy("shard").agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("budget"),
+                F.expr(f"CAST((__T + {b - 1}) DIV {b} AS BIGINT)").alias(
+                    "nseq"
+                ),
+                F.col(f"__tr{i}").cast("bigint").alias("tr"),
+                F.col(f"__ntr{i}").cast("bigint").alias("ntr"),
+            )
+            for i, b in enumerate(budgets)
+        ]
+    )
+    ex = per_shard.select("__T", "__docs", F.explode(structs).alias("x"))
+    out = ex.groupBy(F.col("x.budget").alias("budget")).agg(
+        F.sum("x.nseq").cast("bigint").alias("n_sequences"),
+        F.sum("__T").cast("bigint").alias("total_tokens"),
+        F.sum("__docs").cast("bigint").alias("n_docs"),
+        F.sum("x.ntr").cast("bigint").alias("n_docs_truncated"),
+        F.sum("x.tr").cast("bigint").alias("truncated_tokens"),
+    )
+    seq_tokens = F.col("n_sequences") * F.col("budget")
+    return out.select(
+        "budget",
+        "n_sequences",
+        "total_tokens",
+        (seq_tokens - F.col("total_tokens"))
+        .cast("bigint")
+        .alias("padded_tokens"),
+        F.when(F.col("n_sequences") == 0, F.lit(0.0))
+        .otherwise(
+            F.round((seq_tokens - F.col("total_tokens")) / seq_tokens, 6)
+        )
+        .alias("padding_fraction"),
+        "n_docs",
+        "n_docs_truncated",
+        "truncated_tokens",
+    )

@@ -550,6 +550,12 @@ def quantize_embeddings(
                 f"quantize_embeddings: {what} {need!r} is not a column of "
                 f"the input frame (has {df.columns})"
             )
+    for out, what in ((scale_col, "scale_col"), (qvec_col, "qvec_col")):
+        if out in df.columns:
+            raise ValueError(
+                f"quantize_embeddings: {what} {out!r} already exists on "
+                "the input frame; pass a different name"
+            )
     v = F.col(vec_col).cast("array<double>")
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     out = df.select("*", scale.alias(scale_col))

@@ -5895,3 +5895,55 @@ def q140_bpe_vocab_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = F.substring("source", 4, 10).cast("int") < 10
     base = train_bpe(docs.where(half), n_merges=30)
     return extend_bpe(docs.where(~half), base, n_new_merges=20)
+
+
+# q141: the sequence-length sizing sweep — per candidate budget, the
+# stream-loader padding AND the boundary-respecting truncation cost,
+# from ONE corpus pass (the q63 shard/hash/count fragments, no window).
+_Q141_BUDGETS = (128, 512, 2048)
+_Q141_SQL = f"""
+    WITH swb AS (SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+        {_SQL_HEX.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents),
+    sws AS (SELECT coalesce(n_tokens, 0) AS nt, (hv % 32)::BIGINT AS shard
+            FROM swb),
+    bud AS (SELECT unnest([{", ".join(str(b) for b in _Q141_BUDGETS)}])::BIGINT
+                   AS budget),
+    sh AS (SELECT shard, sum(nt)::BIGINT AS t, count(*)::BIGINT AS docs
+           FROM sws GROUP BY shard),
+    sq AS (SELECT budget, sum((t + budget - 1) // budget)::BIGINT AS n_sequences,
+                  sum(t)::BIGINT AS total_tokens, sum(docs)::BIGINT AS n_docs
+           FROM sh, bud GROUP BY budget),
+    tr AS (SELECT budget,
+                  sum(CASE WHEN nt > budget THEN 1 ELSE 0 END)::BIGINT
+                      AS n_docs_truncated,
+                  sum(CASE WHEN nt > budget THEN nt - budget ELSE 0 END)::BIGINT
+                      AS truncated_tokens
+           FROM sws, bud GROUP BY budget)
+    SELECT sq.budget, n_sequences, total_tokens,
+           (n_sequences * sq.budget - total_tokens)::BIGINT AS padded_tokens,
+           CASE WHEN n_sequences = 0 THEN 0.0
+                ELSE round((n_sequences * sq.budget - total_tokens)::DOUBLE
+                           / (n_sequences * sq.budget), 6) END
+               AS padding_fraction,
+           n_docs, n_docs_truncated, truncated_tokens
+    FROM sq JOIN tr ON sq.budget = tr.budget
+"""
+
+
+@_register("q141_packing_budget_sweep", _Q141_SQL)
+def q141_packing_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length sizing sweep (operators/packing.py::
+    packing_budget_sweep): per candidate budget (128/512/2048), the
+    stream-loader padding accounting and the truncation cost of the
+    boundary-respecting alternative — the max_seq_len knee plot, from
+    one corpus pass (no window, no per-budget re-scan)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        packing_budget_sweep,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return packing_budget_sweep(
+        docs, "doc_id", "text", budgets=_Q141_BUDGETS, n_shards=32
+    )

@@ -3859,6 +3859,11 @@ def test_quantize_embeddings_pinned_by_naive_reference(spark):
 
     with pytest.raises(ValueError, match="vec_col 'nope'"):
         sim.quantize_embeddings(df, vec_col="nope")
+    # output-column collision guard (the repeat_by_weight copy_col rule)
+    with pytest.raises(ValueError, match="already exists"):
+        sim.quantize_embeddings(
+            sim.quantize_embeddings(df).select("vec_id", "embedding", "q_vec")
+        )
 
 
 def test_knn_quantized_agrees_with_float_baseline(spark):
@@ -4003,3 +4008,115 @@ def test_extend_bpe_pinned_by_naive_reference(spark):
         extend_bpe(ddf, base.where(F.col("merge_rank") >= 2), n_new_merges=1)
     with pytest.raises(ValueError, match="text_col 'nope'"):
         extend_bpe(ddf, base, text_col="nope", n_new_merges=0)
+
+
+def test_extended_merge_table_is_artifact_drop_in(spark, tmp_path):
+    """The 'drop-in for every consumer' claim, exercised: an
+    extend_bpe table saves/loads through the tokenizer artifact
+    sink/source and encode_with_artifact produces the same counts as
+    encoding with the in-memory extended table."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        bpe_encode,
+        extend_bpe,
+        train_bpe,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        encode_with_artifact,
+        load_tokenizer_artifact,
+        save_tokenizer_artifact,
+    )
+
+    docs = _docs(spark).select("doc_id", "text").limit(30)
+    ext = extend_bpe(docs, train_bpe(docs, n_merges=8), n_new_merges=6)
+    path = str(tmp_path / "ext_artifact")
+    save_tokenizer_artifact(ext, path)
+    loaded = load_tokenizer_artifact(spark, path)
+    direct = {
+        r["doc_id"]: r["n_subword_tokens"]
+        for r in bpe_encode(docs, ext, counts_only=True).collect()
+    }
+    via_artifact = {
+        r["doc_id"]: r["n_subword_tokens"]
+        for r in encode_with_artifact(
+            docs, loaded, counts_only=True
+        ).collect()
+    }
+    assert direct == via_artifact and len(direct) == 30
+
+
+def test_packing_budget_sweep_pinned_by_naive_reference(spark):
+    """packing_budget_sweep recomputed by a hashlib + pure-Python twin
+    over a fixture with a doc LONGER than every budget (truncation on
+    all rows), null text (counts 0 — the FFD rule), a null id (own
+    shard), and a budget larger than the whole corpus (one padded
+    sequence per non-empty shard)."""
+    import hashlib
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        packing_budget_sweep,
+    )
+
+    rows = [
+        (1, "one two three four five six seven eight"),          # 8
+        (2, "a b c"),                                            # 3
+        (3, " ".join(f"w{i}" for i in range(40))),               # 40 > all
+        (4, None),                                               # 0 tokens
+        (None, "x y"),                                           # null id
+        (6, "p q r s t u"),                                      # 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budgets, n_shards = (4, 16, 1000), 8
+
+    def h(i):
+        return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:15], 16)
+
+    shard_tot, doc_counts = {}, []
+    for i, t in rows:
+        nt = len(t.strip().split()) if t else 0
+        sh = h(i) % n_shards if i is not None else None
+        shard_tot[sh] = shard_tot.get(sh, 0) + nt
+        doc_counts.append(nt)
+    expected = {}
+    for b in budgets:
+        nseq = sum(-(-t // b) for t in shard_tot.values())
+        tot = sum(doc_counts)
+        padded = nseq * b - tot
+        expected[b] = (
+            nseq,
+            tot,
+            padded,
+            round(padded / (nseq * b), 6) if nseq else 0.0,
+            len(rows),
+            sum(1 for c in doc_counts if c > b),
+            sum(c - b for c in doc_counts if c > b),
+        )
+
+    out = packing_budget_sweep(
+        df, "doc_id", "text", budgets=budgets, n_shards=n_shards
+    ).collect()
+    got = {
+        r["budget"]: (
+            r["n_sequences"],
+            r["total_tokens"],
+            r["padded_tokens"],
+            r["padding_fraction"],
+            r["n_docs"],
+            r["n_docs_truncated"],
+            r["truncated_tokens"],
+        )
+        for r in out
+    }
+    assert got == expected
+    # the knee-plot shape, stated: padding falls / truncation rises as
+    # the budget shrinks
+    assert got[4][2] <= got[16][2] <= got[1000][2]
+    assert got[4][6] >= got[16][6] >= got[1000][6]
+
+    with pytest.raises(ValueError, match="distinct"):
+        packing_budget_sweep(df, budgets=(4, 4))
+    with pytest.raises(ValueError, match="> 0"):
+        packing_budget_sweep(df, budgets=(0,))
+    with pytest.raises(ValueError, match="text_col 'nope'"):
+        packing_budget_sweep(df, text_col="nope")

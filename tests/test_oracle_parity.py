@@ -227,6 +227,7 @@ DOC_QUERY_NAMES = [
     "q135_word_distribution_drift",
     "q136_curation_loader_capstone",
     "q137_memorization_report",
+    "q141_packing_budget_sweep",
 ]
 
 

@@ -680,3 +680,17 @@ def test_q139_quantized_knn_broadcast_corpus_never_shuffles(spark):
     assert partial >= 0 and ", Partial" in plan, plan
     ex = plan.find("Exchange hashpartitioning")
     assert ex == -1 or plan.find(", Partial") > ex, plan
+
+
+def test_q141_budget_sweep_single_doc_exchange_no_window(spark):
+    """The sweep's 'k budgets cost one scan' contract: exactly one
+    exchange carries doc-derived rows (the shard hash aggregate — every
+    per-budget conditional sum rides it map-side); everything after
+    operates on <= n_shards rows. No window sort, no join of corpus
+    rows, no Python."""
+    plan = _plan(spark, "q141_packing_budget_sweep")
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # shard agg + final budget agg (tiny frame) — nothing else
+    assert plan.count("Exchange") <= 2, plan
