@@ -277,6 +277,8 @@ LONGTAIL = [
     "q140_bpe_vocab_extension",
     # sequence-length sizing sweep (one scan, all budgets)
     "q141_packing_budget_sweep",
+    # ANN serving capstone: kmeans cells + int8 codes + probe-and-rerank
+    "q142_ann_serving_capstone",
 ]
 
 _TABLES = (

@@ -296,6 +296,65 @@ def assign_clusters(
     ).withColumnRenamed("id", id_col)
 
 
+def probe_cells(
+    df: DataFrame,
+    model: KMeansModel,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, probe_rank, cluster, cent_cos): each vector's ``n_probe``
+    nearest centroids, rank 0 first — the query-side fan-out of IVF
+    serving (`assign_clusters` is the ``n_probe=1`` build-side special
+    case, and the rank-0 row here equals its assignment, pinned in
+    tests). Same Arrow-batched one-matmul pass and the same
+    deterministic tie rule (dots rounded to DOT_DP, first-max = lowest
+    cluster id via stable argsort); a stateless projection, so it works
+    unchanged on streaming query frames. ``n_probe`` above the model's
+    cluster count probes every cell."""
+    import numpy as np
+
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    cmat = np.asarray(model.centroids, dtype=np.float64).T  # (dim, k)
+    take = min(n_probe, cmat.shape[1])
+    schema = (
+        f"id {_id_dtype(df, id_col)}, probe_rank int, cluster int, "
+        "cent_cos double"
+    )
+    cols = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col)
+    )
+    dim = cmat.shape[0]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ok, kept = _clean_matrix(pdf, vec_col, dim=dim)
+            if not ok.any():
+                continue
+            dots = np.round(np.asarray(kept) @ cmat, DOT_DP)
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :take]
+            ids = pdf["id"].to_numpy()[ok]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, take),
+                    "probe_rank": np.tile(
+                        np.arange(take, dtype="int32"), len(ids)
+                    ),
+                    "cluster": order.astype("int32").ravel(),
+                    "cent_cos": np.take_along_axis(
+                        dots, order, axis=1
+                    ).ravel(),
+                }
+            )
+
+    return cols.mapInPandas(gen, schema).withColumnRenamed("id", id_col)
+
+
 def cluster_embeddings(
     df: DataFrame,
     n_clusters: int = 8,

@@ -5947,3 +5947,85 @@ def q141_packing_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_budget_sweep(
         docs, "doc_id", "text", budgets=_Q141_BUDGETS, n_shards=32
     )
+
+
+@_register("q142_ann_serving_capstone")  # kmeans fit (driver rounds) +
+# approximate probing: rows-only, the q32/q47 class; recall vs the q30
+# exact baseline, probe/assign agreement, and rerun determinism are
+# pinned in tests/test_northstar.py
+def q142_ann_serving_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING capstone — the similarity family's composition
+    argument (the q70/q98/q122/q136 discipline applied to vectors): the
+    index a vector store builds offline is coarse k-means cells
+    (`fit_kmeans`, artifact-shippable) over int8 codes
+    (`quantize_embeddings`, 4x less index IO); serving probes each
+    query's `probe_cells` nearest cells and exact-cosine re-ranks the
+    DEQUANTIZED candidates only. Seams only the composition exercises:
+    cell assignment runs on full-precision vectors while re-rank runs
+    on dequantized codes (the build/serve precision split every real
+    IVF-SQ index has), and the probe fan-out joins the cluster-keyed
+    index — at scale the index is bucketed by cluster, so serving
+    never shuffles the corpus. Output: (query_id, neighbor_id, cosine,
+    rank) — the q30 contract."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        assign_clusters,
+        fit_kmeans,
+        probe_cells,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5)
+    model = fit_kmeans(emb, n_clusters=8, iters=2, salt="ann142")
+    # index build (offline): full-precision cell assignment + int8 codes
+    codes = sim.quantize_embeddings(emb).select(
+        "vec_id", "q_scale", "q_vec"
+    )
+    dequant = F.transform(
+        F.col("q_vec"), lambda qi: qi.cast("double") * F.col("q_scale")
+    )
+    index = (
+        assign_clusters(emb, model)
+        .select("vec_id", "cluster")
+        .join(codes, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cluster",
+            dequant.alias("c_vec"),
+        )
+    )
+    # serving (online): probe 3 cells per query, re-rank candidates
+    probes = probe_cells(queries, model, n_probe=3).select(
+        F.col("vec_id").alias("query_id"), "cluster"
+    )
+    q_vecs = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.functions.vectors import (
+        cosine_similarity_col,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    pairs = (
+        F.broadcast(probes)
+        .join(index, "cluster")
+        .join(q_vecs, "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity_col("q_vec", "c_vec"), 6).alias("cosine"),
+    ).where(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=10,
+        keep_rank=True,
+        rank_col="rank",
+    )

@@ -4120,3 +4120,84 @@ def test_packing_budget_sweep_pinned_by_naive_reference(spark):
         packing_budget_sweep(df, budgets=(0,))
     with pytest.raises(ValueError, match="text_col 'nope'"):
         packing_budget_sweep(df, text_col="nope")
+
+
+def test_probe_cells_rank0_equals_assignment(spark):
+    """probe_cells' rank-0 row must equal assign_clusters' assignment
+    for every vector (same matmul, same DOT_DP rounding, same
+    stable-argmax tie rule) — the build/serve agreement the IVF index
+    depends on. Also pins: n_probe above the cluster count probes every
+    cell exactly once, and n_probe < 1 is rejected."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        assign_clusters,
+        fit_kmeans,
+        probe_cells,
+    )
+
+    emb = _emb(spark).limit(200)
+    model = fit_kmeans(emb, n_clusters=6, iters=1)
+    assigned = {
+        r["vec_id"]: (r["cluster"], r["cent_cos"])
+        for r in assign_clusters(emb, model).collect()
+    }
+    probed = probe_cells(emb, model, n_probe=2).collect()
+    rank0 = {
+        r["vec_id"]: (r["cluster"], r["cent_cos"])
+        for r in probed
+        if r["probe_rank"] == 0
+    }
+    assert rank0 == assigned and len(assigned) == 200
+    # rank-1 cells differ from rank-0 and score <= rank-0
+    by_id = {}
+    for r in probed:
+        by_id.setdefault(r["vec_id"], {})[r["probe_rank"]] = r
+    for i, ranks in by_id.items():
+        assert ranks[0]["cluster"] != ranks[1]["cluster"]
+        assert ranks[1]["cent_cos"] <= ranks[0]["cent_cos"]
+
+    everything = probe_cells(emb.limit(5), model, n_probe=99).collect()
+    for i in {r["vec_id"] for r in everything}:
+        cells = [r["cluster"] for r in everything if r["vec_id"] == i]
+        assert sorted(cells) == list(range(6))
+    with pytest.raises(ValueError, match="n_probe"):
+        probe_cells(emb, model, n_probe=0)
+
+
+def test_ann_serving_capstone_recall_determinism_artifact(spark, tmp_path):
+    """The q142 composition pinned three ways: recall@10 vs the exact
+    float baseline (>= 0.4 measured 0.6 on the worst-case uniform
+    fixture at 3/8 cells probed), exact rerun determinism (the whole
+    chain is a pure function of the data), and the S5 artifact seam —
+    serving from a saved+reloaded k-means model returns the identical
+    top-k."""
+    import __spark_entry__ as entry_mod
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        fit_kmeans,
+        load_kmeans_artifact,
+        save_kmeans_artifact,
+    )
+
+    q142 = entry_mod.queries()["q142_ann_serving_capstone"]
+    out1 = sorted(map(tuple, q142(spark, SF_SMOKE).collect()))
+    out2 = sorted(map(tuple, q142(spark, SF_SMOKE).collect()))
+    assert out1 == out2 and len(out1) == 50
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_bruteforce(emb, queries, k=10).collect()
+    }
+    got = {(q, n) for q, n, _, _ in out1}
+    assert len(bf & got) / len(bf) >= 0.4
+
+    # artifact seam: the model that served out1 round-trips through the
+    # S5 sink/source and reproduces the same centroids (serving equality
+    # follows: the chain is deterministic in (data, centroids))
+    model = fit_kmeans(emb, n_clusters=8, iters=2, salt="ann142")
+    path = str(tmp_path / "ann_cells")
+    save_kmeans_artifact(spark, model, path)
+    loaded = load_kmeans_artifact(spark, path)
+    assert loaded.centroids == model.centroids

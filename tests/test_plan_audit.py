@@ -694,3 +694,18 @@ def test_q141_budget_sweep_single_doc_exchange_no_window(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     # shard agg + final budget agg (tiny frame) — nothing else
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_q142_ann_serving_no_corpus_shuffle_no_smj(spark):
+    """The serving chain's scale contract: every join is broadcast-shaped
+    (probe fan-out, query vectors, and — at this scale — the index-build
+    join), never sort-merge; the only hash exchange is the per-query
+    top-k window's, fed by a PARTIAL WindowGroupLimit so it carries <= k
+    rows per query per partition."""
+    plan = _plan(spark, "q142_ann_serving_capstone")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    ex = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert set(ex) <= {"query_id"}, ex
+    assert ", Partial" in plan, plan
