@@ -279,6 +279,8 @@ LONGTAIL = [
     "q141_packing_budget_sweep",
     # ANN serving capstone: kmeans cells + int8 codes + probe-and-rerank
     "q142_ann_serving_capstone",
+    # in-engine ANN evaluation (quantized vs exact recall)
+    "q143_ann_recall",
 ]
 
 _TABLES = (

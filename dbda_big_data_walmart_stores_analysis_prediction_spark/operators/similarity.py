@@ -612,3 +612,48 @@ def knn_quantized(
         vec_col=vec_col,
         exclude_self=exclude_self,
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate kNN result against an exact
+    baseline — the evaluation primitive behind every ANN configuration
+    decision (how many LSH tables / IVF probes / quantization bits are
+    enough), run in-engine instead of in a notebook. Both inputs are
+    top-k result frames (`knn_bruteforce` contract: one row per (query,
+    neighbor)); output is one row per query appearing in ``exact``:
+    ``(query, n_exact, n_hit, recall)`` with recall rounded to 6 dp.
+    A query the approximate side missed entirely scores 0.0 rather than
+    disappearing (left join from the baseline).
+
+    Scale shape: both inputs are queries x k rows — index-output-sized,
+    never corpus-sized — so the left join + per-query aggregate are
+    bounded by the evaluation set no matter the corpus behind it.
+    """
+    for frame, name in ((approx, "approx"), (exact, "exact")):
+        for c in (query_col, neighbor_col):
+            if c not in frame.columns:
+                raise ValueError(
+                    f"ann_recall: {name} frame lacks column {c!r} "
+                    f"(has {frame.columns})"
+                )
+    ex = exact.select(query_col, neighbor_col)
+    ap = approx.select(query_col, neighbor_col).withColumn(
+        "__hit", F.lit(1)
+    )
+    hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        ex.join(ap, [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            hit.cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 6)
+        )
+    )

@@ -6029,3 +6029,46 @@ def q142_ann_serving_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_rank=True,
         rank_col="rank",
     )
+
+
+# q143: the ANN evaluation primitive, oracled by wrapping TWO registered
+# oracles verbatim as subquery CTEs (the one-source-of-truth splice
+# discipline): exact = q30's float brute force, approx = q139's
+# int8-quantized chain — recall of quantization measured in-engine.
+for _k in ("q30_knn_bruteforce", "q139_knn_quantized"):
+    assert "row_number() OVER (PARTITION BY query_id" in ORACLE_SQL[_k], (
+        f"{_k} oracle no longer has the top-k window shape — re-derive "
+        "the q143 recall splice"
+    )
+_Q143_SQL = f"""
+    WITH rc_ex AS (SELECT query_id, neighbor_id FROM (
+        {ORACLE_SQL["q30_knn_bruteforce"]}
+    )),
+    rc_ap AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+        {ORACLE_SQL["q139_knn_quantized"]}
+    ))
+    SELECT rc_ex.query_id,
+           count(*)::BIGINT AS n_exact,
+           sum(coalesce(hit, 0))::BIGINT AS n_hit,
+           round(sum(coalesce(hit, 0))::DOUBLE / count(*), 6) AS recall
+    FROM rc_ex LEFT JOIN rc_ap
+      ON rc_ex.query_id = rc_ap.query_id
+     AND rc_ex.neighbor_id = rc_ap.neighbor_id
+    GROUP BY rc_ex.query_id
+"""
+
+
+@_register("q143_ann_recall", _Q143_SQL)
+def q143_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation primitive (operators/similarity.py::ann_recall):
+    per-query recall@10 of the int8-quantized kNN (q139) against the
+    exact float baseline (q30) — the in-engine answer to "did
+    quantization cost me recall". Both sides are index-output-sized
+    (queries x k rows), so the join + aggregate are bounded by the
+    evaluation set regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.ann_recall(
+        sim.knn_quantized(emb, queries, k=10),
+        sim.knn_bruteforce(emb, queries, k=10),
+    )

@@ -398,3 +398,36 @@ def test_fit_kmeans_contract_errors(spark, tmp_path):
         pd.DataFrame({"embedding": [[1.0, 0.0], math.nan]}), "embedding", dim=2
     )
     assert list(ok) == [True, False] and len(kept) == 1
+
+
+def test_streaming_probe_matches_batch(spark, sf_dir, tmp_path):
+    # probe_cells is the same stateless projection class as
+    # assign_clusters (its docstring sells streaming query frames —
+    # the q142 serving path over live traffic): replay == batch.
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        probe_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = fit_kmeans(emb, n_clusters=4, iters=1, salt=SALT)
+    batch = sorted(map(tuple, probe_cells(emb, model, n_probe=2).collect()))
+
+    src = str(tmp_path / "probe_src")
+    emb.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        probe_cells(stream, model, n_probe=2)
+        .writeStream.format("memory")
+        .queryName("probe_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "probe_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    replay = sorted(
+        map(tuple, spark.sql("SELECT * FROM probe_stream").collect())
+    )
+    assert replay == batch

@@ -4201,3 +4201,31 @@ def test_ann_serving_capstone_recall_determinism_artifact(spark, tmp_path):
     save_kmeans_artifact(spark, model, path)
     loaded = load_kmeans_artifact(spark, path)
     assert loaded.centroids == model.centroids
+
+
+def test_ann_recall_pinned_by_hand_fixture(spark):
+    """ann_recall recomputed by hand over a fixture covering: full hit,
+    partial hit, zero hit (query missing entirely from the approx side —
+    must appear with recall 0.0, not vanish), and an approx-side extra
+    neighbor (precision noise must not inflate recall)."""
+    import pytest
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 21), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in sim.ann_recall(approx, exact).collect()
+    }
+    assert got == {
+        1: (3, 3, 1.0),
+        2: (2, 1, 0.5),
+        3: (1, 0, 0.0),
+    }
+    with pytest.raises(ValueError, match="approx frame lacks"):
+        sim.ann_recall(approx.select("query_id"), exact)

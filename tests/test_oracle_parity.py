@@ -276,6 +276,7 @@ def _adversarial_embeddings():
         "q132_random_projection",
         "q138_int8_quantization",
         "q139_knn_quantized",
+        "q143_ann_recall",
     ],
 )
 def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
