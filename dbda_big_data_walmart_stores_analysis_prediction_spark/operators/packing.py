@@ -465,6 +465,11 @@ def packing_budget_sweep(
             f"budgets must be a non-empty set of distinct values, got "
             f"{budgets!r}"
         )
+    if any(not isinstance(b, int) or isinstance(b, bool) for b in budgets):
+        raise ValueError(
+            f"budgets must be ints (the DIV arithmetic is exact-integer "
+            f"by contract), got {budgets!r}"
+        )
     if any(b <= 0 for b in budgets):
         raise ValueError(f"budgets must all be > 0, got {budgets!r}")
     base = _sharded_counts(

@@ -641,9 +641,15 @@ def ann_recall(
                     f"ann_recall: {name} frame lacks column {c!r} "
                     f"(has {frame.columns})"
                 )
-    ex = exact.select(query_col, neighbor_col)
-    ap = approx.select(query_col, neighbor_col).withColumn(
-        "__hit", F.lit(1)
+    # set semantics on both sides: the contract is one row per (query,
+    # neighbor), and a caller handing a frame with repeats (e.g. a pair
+    # table instead of a top-k result) must not have the left join
+    # multiply baseline rows or double-count hits
+    ex = exact.select(query_col, neighbor_col).dropDuplicates()
+    ap = (
+        approx.select(query_col, neighbor_col)
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
     )
     hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
     return (

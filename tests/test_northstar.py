@@ -4116,6 +4116,8 @@ def test_packing_budget_sweep_pinned_by_naive_reference(spark):
 
     with pytest.raises(ValueError, match="distinct"):
         packing_budget_sweep(df, budgets=(4, 4))
+    with pytest.raises(ValueError, match="ints"):
+        packing_budget_sweep(df, budgets=(4.0, 16))
     with pytest.raises(ValueError, match="> 0"):
         packing_budget_sweep(df, budgets=(0,))
     with pytest.raises(ValueError, match="text_col 'nope'"):
@@ -4227,5 +4229,14 @@ def test_ann_recall_pinned_by_hand_fixture(spark):
         2: (2, 1, 0.5),
         3: (1, 0, 0.0),
     }
+    # set semantics: duplicated (query, neighbor) rows on either side
+    # must not multiply baseline rows or double-count hits
+    dup = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in sim.ann_recall(
+            approx.union(approx), exact.union(exact)
+        ).collect()
+    }
+    assert dup == got
     with pytest.raises(ValueError, match="approx frame lacks"):
         sim.ann_recall(approx.select("query_id"), exact)
