@@ -281,6 +281,8 @@ LONGTAIL = [
     "q142_ann_serving_capstone",
     # in-engine ANN evaluation (quantized vs exact recall)
     "q143_ann_recall",
+    # tokenizer A/B report (two counts-only encode scans + domain join)
+    "q144_tokenizer_ab_report",
 ]
 
 _TABLES = (

@@ -6072,3 +6072,68 @@ def q143_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.knn_quantized(emb, queries, k=10),
         sim.knn_bruteforce(emb, queries, k=10),
     )
+
+
+# q144: the tokenizer A/B report at a double-oracle-able point —
+# artifact A = zero-merge WordPiece (per-doc tokens = non-space chars
+# of the normalized text, the q129 identity), artifact B = zero-merge
+# BPE (per-word char symbols + the </w> end marker, so tokens = chars
+# + word count). The delta column is then exactly the end-marker
+# overhead — every value including the percentage hash-checks.
+_Q144_SQL = f"""
+    WITH abn AS (SELECT doc_id, source, text, {_SQL_NORM} AS t
+                 FROM documents),
+    ab_doc AS (SELECT source,
+                 (CASE WHEN t IS NULL OR t = '' THEN 0
+                       ELSE length(replace(t, ' ', '')) END)::BIGINT AS ca,
+                 -- count NON-EMPTY fields, not spaces+1: text whose raw
+                 -- boundary whitespace is a tab/newline normalizes to a
+                 -- boundary SPACE (trim strips spaces only), and the
+                 -- engine's encoder skips the empty fields that mints
+                 (CASE WHEN t IS NULL OR t = '' THEN 0
+                       ELSE len(list_filter(string_split(t, ' '),
+                                            w -> w <> '')) END)::BIGINT
+                     AS nw,
+                 coalesce(length(text), 0)::BIGINT AS nc
+               FROM abn)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(ca)::BIGINT AS tokens_a,
+           (sum(ca) + sum(nw))::BIGINT AS tokens_b,
+           CASE WHEN sum(ca) > 0
+                THEN round(sum(nc)::DOUBLE / sum(ca)::DOUBLE, 4)
+                ELSE 0.0 END AS chars_per_token_a,
+           CASE WHEN sum(ca) + sum(nw) > 0
+                THEN round(sum(nc)::DOUBLE / (sum(ca) + sum(nw))::DOUBLE, 4)
+                ELSE 0.0 END AS chars_per_token_b,
+           CASE WHEN sum(ca) > 0
+                THEN round(sum(nw)::DOUBLE / sum(ca)::DOUBLE * 100.0, 6)
+                END AS token_delta_pct
+    FROM ab_doc GROUP BY source
+"""
+
+
+@_register("q144_tokenizer_ab_report", _Q144_SQL)
+def q144_tokenizer_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer A/B comparison (plans/tokenizer.py::tokenizer_ab_report):
+    two artifacts of DIFFERENT families (zero-merge WordPiece vs
+    zero-merge BPE) audited side by side per source with the relative
+    token delta — at this point the delta is exactly BPE's </w>
+    end-marker overhead, so the whole report (both encode dispatches,
+    both ratios, the percentage) hash-checks. Trained-artifact A/B runs
+    (extend_bpe base-vs-extended) are pinned by the extend_bpe payoff
+    test."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        train_bpe,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
+        train_wordpiece,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_ab_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    wp = train_wordpiece(docs.select("doc_id", "text"), n_merges=0)
+    bp = train_bpe(docs.select("doc_id", "text"), n_merges=0)
+    return tokenizer_ab_report(docs, wp, bp, by_col="source")

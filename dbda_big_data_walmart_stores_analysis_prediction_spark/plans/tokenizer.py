@@ -403,3 +403,60 @@ def tokenizer_audit(
             .alias("chars_per_token"),
         )
     )
+
+
+def tokenizer_ab_report(
+    df: DataFrame,
+    model_a: DataFrame,
+    model_b: DataFrame,
+    by_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Side-by-side tokenizer comparison: `tokenizer_audit` run for TWO
+    artifacts (any families — the `encode_with_artifact` schema dispatch
+    resolves each independently) joined per domain, plus the relative
+    token-count delta — the A/B report behind "does the extended /
+    re-trained / other-family tokenizer actually compress this corpus
+    better, and where". The natural consumer of `extend_bpe`: base vs
+    extended on the domain mix answers whether the new merges paid.
+
+    Output per ``by_col`` value: ``(by, n_docs, tokens_a, tokens_b,
+    chars_per_token_a, chars_per_token_b, token_delta_pct)`` where
+    ``token_delta_pct = 100 * (tokens_b - tokens_a) / tokens_a``
+    (rounded 6 dp; NULL for a domain artifact A tokenized to 0 tokens —
+    no meaningful ratio). Negative delta = B compresses better.
+
+    Scale shape: two counts-only Arrow encode scans (one per artifact —
+    irreducible: the models differ), each the audited q129 shape, then
+    one join of two ≤ |domains|-row frames.
+    """
+    def half(model, tok_alias, cpt_alias):
+        rep = tokenizer_audit(df, model, by_col, text_col, id_col)
+        return rep.select(
+            by_col,
+            "n_docs",
+            F.col("total_tokens").alias(tok_alias),
+            F.col("chars_per_token").alias(cpt_alias),
+        )
+
+    a = half(model_a, "tokens_a", "chars_per_token_a")
+    b = half(model_b, "tokens_b", "chars_per_token_b").drop("n_docs")
+    delta = F.when(
+        F.col("tokens_a") > 0,
+        F.round(
+            (F.col("tokens_b") - F.col("tokens_a"))
+            / F.col("tokens_a")
+            * 100.0,
+            6,
+        ),
+    )
+    return a.join(b, by_col).select(
+        by_col,
+        "n_docs",
+        "tokens_a",
+        "tokens_b",
+        "chars_per_token_a",
+        "chars_per_token_b",
+        delta.alias("token_delta_pct"),
+    )

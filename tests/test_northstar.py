@@ -4240,3 +4240,38 @@ def test_ann_recall_pinned_by_hand_fixture(spark):
     assert dup == got
     with pytest.raises(ValueError, match="approx frame lacks"):
         sim.ann_recall(approx.select("query_id"), exact)
+
+
+def test_tokenizer_ab_report_trained_pair(spark):
+    """The A/B report on a TRAINED pair — extend_bpe base vs extended
+    over domain text (the report's reason to exist): the extended
+    artifact must show fewer tokens (negative delta) on the domain it
+    learned, n_docs must match the corpus, and a domain with zero
+    artifact-A tokens must carry a NULL delta rather than a division."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        extend_bpe,
+        train_bpe,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.tokenizer import (
+        tokenizer_ab_report,
+    )
+
+    rows = [
+        (1, "dom", "kinase kinase kinase inhibitor inhibitor assay"),
+        (2, "dom", "kinase inhibitor binding assay assay kinase"),
+        (3, "dom", "the inhibitor of the kinase assay"),
+        (4, "empty", None),   # whole domain tokenizes to 0 -> NULL delta
+        (5, "empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = train_bpe(df, n_merges=6)
+    ext = extend_bpe(df, base, n_new_merges=6)
+    rep = {
+        r["source"]: r
+        for r in tokenizer_ab_report(df, base, ext).collect()
+    }
+    assert rep["dom"]["n_docs"] == 3 and rep["empty"]["n_docs"] == 2
+    assert rep["dom"]["tokens_b"] < rep["dom"]["tokens_a"]
+    assert rep["dom"]["token_delta_pct"] < 0
+    assert rep["empty"]["tokens_a"] == 0
+    assert rep["empty"]["token_delta_pct"] is None

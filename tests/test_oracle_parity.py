@@ -228,6 +228,7 @@ DOC_QUERY_NAMES = [
     "q136_curation_loader_capstone",
     "q137_memorization_report",
     "q141_packing_budget_sweep",
+    "q144_tokenizer_ab_report",
 ]
 
 
