@@ -549,3 +549,90 @@ def test_streaming_random_projection_matches_batch(spark, tmp_path):
         tuple(r) for r in spark.table("proj_stream").collect()
     )
     assert streamed == batch
+
+
+def test_streaming_index_ingest_restart_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Fault-tolerance contract of the vector-index ingest (the q142
+    serving index, fed continuously): (a) restart from the checkpoint
+    continues without re-reading committed input; (b) lost-checkpoint
+    full replay appends nothing (the index's own ids are the anti-join
+    state); (c) the appended rows equal a one-shot batch build
+    (assign_clusters + quantize_embeddings) over the same vectors; null
+    ids and null vectors never land."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        assign_clusters,
+        fit_kmeans,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.vectors import (
+        streaming_index_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    model = fit_kmeans(emb, n_clusters=4, iters=1, salt="sidx")
+
+    inp = tmp_path / "in"
+    idx = tmp_path / "index"
+    ckpt = tmp_path / "ckpt"
+    b1 = emb.where(F.col("vec_id") < 40)
+    b1.union(
+        spark.createDataFrame(
+            [(None, [1.0] * 64), (9001, None)],
+            "vec_id long, embedding array<double>",
+        ).select("vec_id", F.col("embedding").cast(b1.schema["embedding"].dataType))
+    ).coalesce(1).write.parquet(str(inp / "b1"))
+
+    def mkstream():
+        return (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inp}/*")
+        )
+
+    q = streaming_index_ingest(
+        mkstream(), str(idx), model, checkpoint_dir=str(ckpt)
+    )
+    q.awaitTermination(120)
+    after1 = spark.read.parquet(str(idx)).collect()
+    assert {r["vec_id"] for r in after1} == set(range(40))
+
+    # restart from the same checkpoint with new + overlapping input:
+    # committed b1 is not re-read; b2's overlap (30..39) anti-joins out
+    emb.where(
+        (F.col("vec_id") >= 30) & (F.col("vec_id") < 60)
+    ).coalesce(1).write.parquet(str(inp / "b2"))
+    q = streaming_index_ingest(
+        mkstream(), str(idx), model, checkpoint_dir=str(ckpt)
+    )
+    q.awaitTermination(120)
+    after2 = spark.read.parquet(str(idx)).collect()
+    assert {r["vec_id"] for r in after2} == set(range(60))
+    assert len(after2) == 60  # no duplicate rows for the overlap
+
+    # lost checkpoint: full replay appends nothing
+    q = streaming_index_ingest(
+        mkstream(), str(idx), model, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(str(idx)).collect()
+    assert len(final) == 60
+
+    # streamed index rows == one-shot batch build over the same vectors
+    lived = emb.where(F.col("vec_id") < 60)
+    batch_idx = (
+        assign_clusters(lived, model)
+        .select("vec_id", "cluster")
+        .join(
+            quantize_embeddings(lived).select("vec_id", "q_scale", "q_vec"),
+            "vec_id",
+        )
+    )
+    assert sorted(map(tuple, final)) == sorted(
+        map(tuple, batch_idx.collect())
+    )
