@@ -283,6 +283,8 @@ LONGTAIL = [
     "q143_ann_recall",
     # tokenizer A/B report (two counts-only encode scans + domain join)
     "q144_tokenizer_ab_report",
+    # embedding drift monitor (per-label mean-vector cosine + norm ratio)
+    "q145_embedding_drift",
 ]
 
 _TABLES = (

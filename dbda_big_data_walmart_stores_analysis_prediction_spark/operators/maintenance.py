@@ -258,3 +258,93 @@ def word_distribution_drift(
             ).alias("tvd"),
         )
     )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    by_col: str = "label",
+    vec_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group embedding-distribution drift between two snapshots —
+    `word_distribution_drift`'s sibling for the vector axis, and the
+    re-embed / re-fit trigger behind the serving index
+    (`streaming_index_ingest` grows the index under a FROZEN cell model;
+    this is the monitor that says when that stops being sound): for each
+    ``by_col`` group, the cosine between the snapshots' mean vectors and
+    the ratio of their norms. A direction swing (cos well below 1) means
+    the group's content moved; a norm collapse (ratio toward 0) means it
+    diffused.
+
+    Output per group present in EITHER snapshot: ``(by, n_old, n_new,
+    centroid_cos, norm_ratio)`` — counts are 0 (not null) for the absent
+    side, and the two geometry columns are NULL when either side lacks a
+    usable mean (absent group, all-null vectors, or a zero-norm mean:
+    no direction to compare). Mean components round to ``dp`` before the
+    cosine (the q111 avg-agreement precedent), so the report
+    hash-checks cross-engine.
+
+    Scale shape: one ``posexplode → groupBy(by, dim)`` average per
+    snapshot (the q111 means stage — the only corpus-scale work, a hash
+    aggregate with map-side combine), then joins and folds over
+    ≤ groups × dim rows. No UDF, no window, no driver data path.
+    """
+    for df, name in ((old, "old"), (new, "new")):
+        for c in (by_col, vec_col):
+            if c not in df.columns:
+                raise ValueError(
+                    f"embedding_drift: {name} frame lacks column {c!r} "
+                    f"(has {df.columns})"
+                )
+
+    def means(df, tag):
+        return (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.col(by_col).alias("by"), F.posexplode(vec_col))
+            .groupBy("by", "pos")
+            .agg(F.round(F.avg("col"), dp).alias(f"m_{tag}"))
+        )
+
+    def counts(df, alias):
+        return df.groupBy(F.col(by_col).alias("by")).agg(
+            F.count("*").cast("bigint").alias(alias)
+        )
+
+    geom = (
+        means(old, "a")
+        .join(means(new, "b"), ["by", "pos"])
+        .groupBy("by")
+        .agg(
+            F.sum(F.col("m_a") * F.col("m_b")).alias("__ab"),
+            F.sum(F.col("m_a") * F.col("m_a")).alias("__aa"),
+            F.sum(F.col("m_b") * F.col("m_b")).alias("__bb"),
+        )
+        .select(
+            "by",
+            F.when(
+                (F.col("__aa") > 0) & (F.col("__bb") > 0),
+                F.round(
+                    F.col("__ab")
+                    / (F.sqrt(F.col("__aa")) * F.sqrt(F.col("__bb"))),
+                    6,
+                ),
+            ).alias("centroid_cos"),
+            F.when(
+                F.col("__aa") > 0,
+                F.round(F.sqrt(F.col("__bb")) / F.sqrt(F.col("__aa")), 6),
+            ).alias("norm_ratio"),
+        )
+    )
+    return (
+        counts(old, "n_old")
+        .join(counts(new, "n_new"), "by", "full_outer")
+        .join(geom, "by", "left")
+        .select(
+            F.col("by").alias(by_col),
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "centroid_cos",
+            "norm_ratio",
+        )
+    )

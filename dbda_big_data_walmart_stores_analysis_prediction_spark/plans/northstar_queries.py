@@ -6137,3 +6137,61 @@ def q144_tokenizer_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = train_wordpiece(docs.select("doc_id", "text"), n_merges=0)
     bp = train_bpe(docs.select("doc_id", "text"), n_merges=0)
     return tokenizer_ab_report(docs, wp, bp, by_col="source")
+
+
+# q145: embedding drift between the corpus and a derived refresh
+# snapshot (every vec_id % 3 == 0 vector gone — the membership change a
+# re-embed/re-crawl produces), per label. Means round to 6 dp before
+# the cosine (the q111 avg-agreement precedent).
+_Q145_SQL = """
+    WITH edo AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+    edn AS (SELECT * FROM edo WHERE vec_id % 3 <> 0),
+    edma AS (SELECT label, d, round(avg(x), 6) AS m
+             FROM (SELECT label, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS d
+                   FROM edo WHERE v IS NOT NULL)
+             GROUP BY label, d),
+    edmb AS (SELECT label, d, round(avg(x), 6) AS m
+             FROM (SELECT label, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS d
+                   FROM edn WHERE v IS NOT NULL)
+             GROUP BY label, d),
+    edg AS (SELECT a.label, sum(a.m * b.m) AS ab,
+                   sum(a.m * a.m) AS aa, sum(b.m * b.m) AS bb
+            FROM edma a JOIN edmb b ON a.label = b.label AND a.d = b.d
+            GROUP BY a.label),
+    edco AS (SELECT label, count(*)::BIGINT AS n_old FROM edo
+             GROUP BY label),
+    edcn AS (SELECT label, count(*)::BIGINT AS n_new FROM edn
+             GROUP BY label)
+    SELECT coalesce(edco.label, edcn.label) AS label,
+           coalesce(n_old, 0)::BIGINT AS n_old,
+           coalesce(n_new, 0)::BIGINT AS n_new,
+           CASE WHEN aa > 0 AND bb > 0
+                THEN round(ab / (sqrt(aa) * sqrt(bb)), 6) END
+               AS centroid_cos,
+           CASE WHEN aa > 0 THEN round(sqrt(bb) / sqrt(aa), 6) END
+               AS norm_ratio
+    FROM edco FULL OUTER JOIN edcn ON edco.label = edcn.label
+    LEFT JOIN edg ON coalesce(edco.label, edcn.label) = edg.label
+"""
+
+
+@_register("q145_embedding_drift", _Q145_SQL)
+def q145_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift (operators/maintenance.py::
+    embedding_drift): mean-vector cosine + norm ratio between the corpus
+    and a derived refresh snapshot (every third vector gone) — the
+    re-embed / re-fit-cells trigger behind the serving index, the q135
+    word-drift monitor's sibling for vectors."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        embedding_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return embedding_drift(
+        emb, emb.where(F.col("vec_id") % 3 != 0), by_col="label"
+    )

@@ -4275,3 +4275,76 @@ def test_tokenizer_ab_report_trained_pair(spark):
     assert rep["dom"]["token_delta_pct"] < 0
     assert rep["empty"]["tokens_a"] == 0
     assert rep["empty"]["token_delta_pct"] is None
+
+
+def test_embedding_drift_pinned_by_naive_reference(spark):
+    """embedding_drift recomputed by pure-Python statistics over a
+    fixture hitting every geometry seam: identical groups (cos exactly
+    1.0, ratio 1.0), a group rotated 90 degrees (cos 0.0), a group
+    absent from the new snapshot (n_new 0, NULL geometry), a group new
+    in the refresh (n_old 0, NULL geometry), null vectors (counted,
+    excluded from means), and a group whose new mean cancels to zero
+    norm (NULL geometry, not a division)."""
+    import math
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        embedding_drift,
+    )
+
+    old_rows = [
+        ("same", [1.0, 0.0]), ("same", [1.0, 2.0]),
+        ("rot", [2.0, 0.0]),
+        ("gone", [1.0, 1.0]),
+        ("nulls", [4.0, 0.0]), ("nulls", None),
+        ("cancel", [1.0, 0.0]),
+    ]
+    new_rows = [
+        ("same", [1.0, 0.0]), ("same", [1.0, 2.0]),
+        ("rot", [0.0, 3.0]),
+        ("fresh", [5.0, 5.0]),
+        ("nulls", [0.0, 2.0]),
+        ("cancel", [1.0, 0.0]), ("cancel", [-1.0, 0.0]),
+    ]
+    schema = "label string, embedding array<double>"
+    out = {
+        r["label"]: (
+            r["n_old"], r["n_new"], r["centroid_cos"], r["norm_ratio"]
+        )
+        for r in embedding_drift(
+            spark.createDataFrame(old_rows, schema),
+            spark.createDataFrame(new_rows, schema),
+        ).collect()
+    }
+
+    def mean(rows, lbl):
+        vs = [v for l, v in rows if l == lbl and v is not None]
+        if not vs:
+            return None
+        return [round(sum(col) / len(vs), 6) for col in zip(*vs)]
+
+    for lbl in ("same", "rot", "gone", "fresh", "nulls", "cancel"):
+        n_old = sum(1 for l, _ in old_rows if l == lbl)
+        n_new = sum(1 for l, _ in new_rows if l == lbl)
+        ma, mb = mean(old_rows, lbl), mean(new_rows, lbl)
+        if ma and mb:
+            aa = sum(x * x for x in ma)
+            bb = sum(x * x for x in mb)
+            ab = sum(x * y for x, y in zip(ma, mb))
+            cos = round(ab / math.sqrt(aa * bb), 6) if aa and bb else None
+            ratio = round(math.sqrt(bb / aa), 6) if aa else None
+        else:
+            cos = ratio = None
+        assert out[lbl] == (n_old, n_new, cos, ratio), (lbl, out[lbl])
+    assert out["same"][2] == 1.0 and out["same"][3] == 1.0
+    assert out["rot"][2] == 0.0
+    assert out["gone"][1] == 0 and out["gone"][2] is None
+    assert out["fresh"][0] == 0 and out["fresh"][2] is None
+    assert out["cancel"][2] is None  # zero-norm new mean: no direction
+
+    with pytest.raises(ValueError, match="new frame lacks"):
+        embedding_drift(
+            spark.createDataFrame(old_rows, schema),
+            spark.createDataFrame([(1,)], "x long"),
+        )

@@ -278,6 +278,7 @@ def _adversarial_embeddings():
         "q138_int8_quantization",
         "q139_knn_quantized",
         "q143_ann_recall",
+        "q145_embedding_drift",
     ],
 )
 def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
