@@ -285,6 +285,8 @@ LONGTAIL = [
     "q144_tokenizer_ab_report",
     # embedding drift monitor (per-label mean-vector cosine + norm ratio)
     "q145_embedding_drift",
+    # maintenance capstone: incremental dedup -> merge-upsert -> diff audit
+    "q146_corpus_refresh_capstone",
 ]
 
 _TABLES = (

@@ -6195,3 +6195,72 @@ def q145_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift(
         emb, emb.where(F.col("vec_id") % 3 != 0), by_col="label"
     )
+
+
+# q146: the maintenance-family capstone — the q87/q107/q122/q136
+# composition argument applied to the refresh loop: q60's incremental
+# dedup decides WHAT enters, merge_upsert applies it (plus derived
+# in-place edits), snapshot_diff audits the result. The oracle derives
+# the survivor set through the registered q60 SQL verbatim (subquery
+# splice, import-time-guarded) and asserts the composed contract:
+# survivors land as 'added', edited corpus docs as 'changed' (null-text
+# edits stay 'unchanged' — concat propagates the null), nothing is
+# 'removed'.
+assert "surv" in ORACLE_SQL["q60_incremental_dedup"] and ORACLE_SQL[
+    "q60_incremental_dedup"
+].lstrip().startswith("WITH"), (
+    "q60 oracle shape changed — re-derive the q146 refresh splice"
+)
+_Q146_SQL = f"""
+    WITH rfsurv AS (SELECT doc_id FROM (
+        {ORACLE_SQL["q60_incremental_dedup"]}
+    )),
+    rfcorpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0)
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 4 AND text IS NOT NULL THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM rfcorpus
+    UNION ALL
+    SELECT doc_id, 'added' AS status FROM rfsurv
+"""
+
+
+@_register("q146_corpus_refresh_capstone", _Q146_SQL)
+def q146_corpus_refresh_capstone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus REFRESH capstone: `dedup_incremental` (q60's exact fixture
+    — 80% corpus, 20%-plus-injected-copies batch) decides the novel
+    survivors, `merge_upsert` applies them together with in-place edits
+    of every 9th corpus doc, and `snapshot_diff` audits old-vs-merged.
+    The seams only the composition exercises: survivor ids (and ONLY
+    those) must surface as 'added', edit keys must collide-and-win as
+    'changed', a null-text edit must stay 'unchanged' (concat propagates
+    the null through the upsert into the fingerprint), and nothing may
+    go 'removed'. The survivor sliver is checkpointed (the q113/q136
+    discipline): merge_upsert consumes it twice (anti-join keys + the
+    union) and the diff a third time — without the boundary the whole
+    corpus-scale dedup chain would re-derive per consumer."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    newb = docs.where(F.col("doc_id") % 5 == 0).unionAll(
+        docs.where(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    surv = dd.dedup_incremental(
+        corpus, newb, "doc_id", "text", threshold=0.5, broadcast_batch=True
+    )
+    kept = newb.join(
+        surv.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=False)
+    edits = corpus.where(F.col("doc_id") % 9 == 4).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" rev2")).alias("text")
+    )
+    merged = merge_upsert(corpus, kept.unionByName(edits), "doc_id")
+    return snapshot_diff(corpus, merged, "doc_id", "text")

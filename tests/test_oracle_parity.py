@@ -229,6 +229,7 @@ DOC_QUERY_NAMES = [
     "q137_memorization_report",
     "q141_packing_budget_sweep",
     "q144_tokenizer_ab_report",
+    "q146_corpus_refresh_capstone",
 ]
 
 

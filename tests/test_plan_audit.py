@@ -709,3 +709,20 @@ def test_q142_ann_serving_no_corpus_shuffle_no_smj(spark):
     ex = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert set(ex) <= {"query_id"}, ex
     assert ", Partial" in plan, plan
+
+
+def test_q146_refresh_capstone_checkpoint_and_diff_shape(spark):
+    """The refresh capstone's seam contract: the survivor sliver enters
+    through the checkpoint boundary (Scan ExistingRDD) so the
+    corpus-scale dedup chain does NOT re-derive per consumer — no
+    shingle exchange may appear in the composed plan; every exchange is
+    doc_id-keyed (the diff's co-partitioned full outer join + the merge
+    legs), and the only sort-merge join is that full outer (a full
+    outer cannot broadcast)."""
+    plan = _plan(spark, "q146_corpus_refresh_capstone")
+    assert "Scan ExistingRDD" in plan, plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) == {"doc_id"}, keys
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
