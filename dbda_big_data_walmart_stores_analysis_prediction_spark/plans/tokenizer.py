@@ -441,7 +441,11 @@ def tokenizer_ab_report(
         )
 
     a = half(model_a, "tokens_a", "chars_per_token_a")
-    b = half(model_b, "tokens_b", "chars_per_token_b").drop("n_docs")
+    b = (
+        half(model_b, "tokens_b", "chars_per_token_b")
+        .drop("n_docs")
+        .withColumnRenamed(by_col, "__by_b")
+    )
     delta = F.when(
         F.col("tokens_a") > 0,
         F.round(
@@ -451,7 +455,13 @@ def tokenizer_ab_report(
             6,
         ),
     )
-    return a.join(b, by_col).select(
+    # null-SAFE domain join: both halves group the same frame, so a NULL
+    # domain exists on both sides and must pair with itself — a plain
+    # equi-join would silently drop the null-domain row the audits (and
+    # the SQL oracle's GROUP BY) both report
+    return a.join(
+        b, F.col(by_col).eqNullSafe(F.col("__by_b"))
+    ).drop("__by_b").select(
         by_col,
         "n_docs",
         "tokens_a",

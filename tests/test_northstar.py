@@ -4262,6 +4262,7 @@ def test_tokenizer_ab_report_trained_pair(spark):
         (3, "dom", "the inhibitor of the kinase assay"),
         (4, "empty", None),   # whole domain tokenizes to 0 -> NULL delta
         (5, "empty", ""),
+        (6, None, "unsourced text words here"),  # NULL domain must report
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     base = train_bpe(df, n_merges=6)
@@ -4271,6 +4272,8 @@ def test_tokenizer_ab_report_trained_pair(spark):
         for r in tokenizer_ab_report(df, base, ext).collect()
     }
     assert rep["dom"]["n_docs"] == 3 and rep["empty"]["n_docs"] == 2
+    # the NULL-domain group pairs with itself (null-safe join), never drops
+    assert rep[None]["n_docs"] == 1 and rep[None]["tokens_a"] > 0
     assert rep["dom"]["tokens_b"] < rep["dom"]["tokens_a"]
     assert rep["dom"]["token_delta_pct"] < 0
     assert rep["empty"]["tokens_a"] == 0
