@@ -807,3 +807,74 @@ def test_length_bucket_batches_invariants(spark, counts):
         assert idxs == list(range(len(idxs)))
         for bi in idxs[:-1]:
             assert batches[bi] == batch
+
+
+@given(
+    counts=st.lists(
+        st.one_of(st.none(), st.integers(0, 200)), min_size=1, max_size=25
+    ),
+    budgets=st.lists(
+        st.integers(1, 300), min_size=1, max_size=4, unique=True
+    ),
+)
+@settings(**SETTINGS)
+def test_budget_sweep_accounting_identities(spark, counts, budgets):
+    """Structural invariants of packing_budget_sweep on arbitrary
+    corpora: per budget, padded_tokens == n_sequences*budget -
+    total_tokens (the accounting identity), truncated_tokens <=
+    total_tokens, totals are budget-invariant, and both padding and
+    truncation move monotonically with the budget."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.packing import (
+        packing_budget_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id long, n_toks long"
+    )
+    rows = {
+        r["budget"]: r
+        for r in packing_budget_sweep(
+            df, "doc_id", text_col=None, tokens_col="n_toks",
+            budgets=tuple(budgets), n_shards=4,
+        ).collect()
+    }
+    assert set(rows) == set(budgets)
+    total = sum(c or 0 for c in counts)
+    for b, r in rows.items():
+        assert r["total_tokens"] == total
+        assert r["n_docs"] == len(counts)
+        assert (
+            r["padded_tokens"]
+            == r["n_sequences"] * b - r["total_tokens"]
+        )
+        assert 0 <= r["truncated_tokens"] <= total
+    for small, big in [(a, b) for a in budgets for b in budgets if a < b]:
+        assert rows[small]["truncated_tokens"] >= rows[big]["truncated_tokens"]
+        assert rows[small]["n_sequences"] >= rows[big]["n_sequences"]
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_ann_recall_bounds_and_self_identity(spark, pairs):
+    """ann_recall invariants on arbitrary result frames: recall(x, x)
+    is exactly 1.0 for every query, and against any other frame
+    0 <= n_hit <= n_exact with recall = round(n_hit/n_exact, 6)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.similarity import (
+        ann_recall,
+    )
+
+    df = spark.createDataFrame(pairs, "query_id long, neighbor_id long")
+    self_rows = ann_recall(df, df).collect()
+    assert self_rows and all(r["recall"] == 1.0 for r in self_rows)
+    other = df.select(
+        "query_id", (F.col("neighbor_id") + 1).alias("neighbor_id")
+    )
+    for r in ann_recall(other, df).collect():
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert r["recall"] == round(r["n_hit"] / r["n_exact"], 6)
