@@ -287,6 +287,8 @@ LONGTAIL = [
     "q145_embedding_drift",
     # maintenance capstone: incremental dedup -> merge-upsert -> diff audit
     "q146_corpus_refresh_capstone",
+    # corpus boilerplate table (top duplicated grams with text)
+    "q147_top_duplicated_grams",
 ]
 
 _TABLES = (

@@ -1694,3 +1694,44 @@ def memorization_report(
             "max_gram_docs",
         )
     )
+
+
+def top_duplicated_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The corpus-level complement of `memorization_report`: the top-k
+    most widespread word n-grams WITH THEIR TEXT — "what IS the
+    boilerplate" (the C4-paper-style table engineers read before
+    writing a cleaning rule; `memorization_report` scores docs, this
+    names the strings doing it). Output ``(gram, n_docs)``, ordered by
+    (n_docs DESC, gram ASC) — fully deterministic, so the report
+    hash-checks.
+
+    Deliberately UNHASHED grams (the one gram consumer where the text
+    is the product, not a join key): the doc-frequency aggregate
+    shuffles gram strings instead of 8-byte hashes, but only grams
+    reaching ``min_docs`` survive to the heap take, and Spark plans the
+    orderBy+limit as TakeOrderedAndProject (per-partition heaps — the
+    full sorted gram table never materializes). Scale shape: the
+    shingle distinct + one hash aggregate + the k-row heap take.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (1 would rank every unique gram), "
+            f"got {min_docs}"
+        )
+    sh = shingle_table(df, id_col, text_col, k=n, hashed=False)
+    return (
+        sh.groupBy(F.col("sh").alias("gram"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("gram"))
+        .limit(k)
+    )

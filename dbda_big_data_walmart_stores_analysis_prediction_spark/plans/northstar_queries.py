@@ -6264,3 +6264,29 @@ def q146_corpus_refresh_capstone(
     )
     merged = merge_upsert(corpus, kept.unionByName(edits), "doc_id")
     return snapshot_diff(corpus, merged, "doc_id", "text")
+
+
+# q147: the boilerplate table — top duplicated 13-grams with text, the
+# shared shingle construction with the gram TEXT kept (the one consumer
+# where the string is the product).
+_Q147_SQL = f"""
+    WITH bnorm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    bwords AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w
+               FROM bnorm),
+    bsh AS (SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES13}) AS sh
+            FROM bwords)
+    SELECT sh AS gram, count(*)::BIGINT AS n_docs
+    FROM bsh GROUP BY sh HAVING count(*) >= 2
+    ORDER BY n_docs DESC, gram LIMIT 50
+"""
+
+
+@_register("q147_top_duplicated_grams", _Q147_SQL)
+def q147_top_duplicated_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate table (operators/dedup.py::
+    top_duplicated_grams): the 50 most widespread 13-grams with their
+    text and doc counts — what engineers read before writing a cleaning
+    rule; `memorization_report` (q137) scores the docs, this names the
+    strings. Deterministic (n_docs DESC, gram ASC) heap take."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.top_duplicated_grams(docs, "doc_id", "text", n=13, k=50)

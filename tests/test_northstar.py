@@ -4351,3 +4351,57 @@ def test_embedding_drift_pinned_by_naive_reference(spark):
             spark.createDataFrame(old_rows, schema),
             spark.createDataFrame([(1,)], "x long"),
         )
+
+
+def test_top_duplicated_grams_pinned_and_consistent_with_report(spark):
+    """top_duplicated_grams recomputed by the Counter twin over the
+    memorization fixture, plus the cross-operator consistency seam: the
+    top gram's n_docs must equal q137's max_gram_docs for every doc
+    containing it, and every reported gram's doc count must be >= 2."""
+    import re as _re
+    from collections import Counter
+
+    import pytest
+
+    boiler = "the quick brown fox jumps over the lazy dog near the old mill"
+    rows = [
+        (1, boiler + " alpha beta gamma delta unique one tail words here"),
+        (2, "prefix words go here first " + boiler + " epsilon zeta"),
+        (3, "short exact dup"),
+        (4, "  Short   EXACT dup "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(text, n=13):
+        t = _re.sub(r"\s+", " ", text.strip().lower())
+        w = t.split(" ")
+        if len(w) <= n:
+            return {t}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    freq = Counter(
+        g for _, t in rows if t is not None for g in grams(t)
+    )
+    expected = sorted(
+        ((g, c) for g, c in freq.items() if c >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )
+    out = [
+        (r["gram"], r["n_docs"])
+        for r in dd.top_duplicated_grams(df, k=50).collect()
+    ]
+    assert out == expected
+    assert all(c >= 2 for _, c in out)
+    # cross-operator seam: the boilerplate docs' max_gram_docs equals
+    # the shared gram's reported doc count
+    rep = {
+        r["doc_id"]: r["max_gram_docs"]
+        for r in dd.memorization_report(df).collect()
+    }
+    assert rep[1] == 2 and rep[2] == 2 and rep[3] == 2 and rep[4] == 2
+
+    with pytest.raises(ValueError, match="min_docs"):
+        dd.top_duplicated_grams(df, min_docs=1)
+    with pytest.raises(ValueError, match="k must"):
+        dd.top_duplicated_grams(df, k=0)

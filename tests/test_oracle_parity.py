@@ -230,6 +230,7 @@ DOC_QUERY_NAMES = [
     "q141_packing_budget_sweep",
     "q144_tokenizer_ab_report",
     "q146_corpus_refresh_capstone",
+    "q147_top_duplicated_grams",
 ]
 
 

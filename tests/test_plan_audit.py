@@ -726,3 +726,14 @@ def test_q146_refresh_capstone_checkpoint_and_diff_shape(spark):
     assert plan.count("SortMergeJoin") <= 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q147_boilerplate_heap_take_not_full_sort(spark):
+    """The boilerplate table must plan its top-50 as
+    TakeOrderedAndProject (per-partition heaps) — a global Sort over
+    the gram-frequency table is the 100 TB failure mode; no join, no
+    Python."""
+    plan = _plan(spark, "q147_top_duplicated_grams")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
