@@ -289,6 +289,8 @@ LONGTAIL = [
     "q146_corpus_refresh_capstone",
     # corpus boilerplate table (top duplicated grams with text)
     "q147_top_duplicated_grams",
+    # ANN quality monitor: LSH recall vs the exact baseline per round
+    "q148_lsh_recall_monitor",
 ]
 
 _TABLES = (

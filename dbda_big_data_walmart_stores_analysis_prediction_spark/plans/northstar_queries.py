@@ -6290,3 +6290,22 @@ def q147_top_duplicated_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings. Deterministic (n_docs DESC, gram ASC) heap take."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.top_duplicated_grams(docs, "doc_id", "text", n=13, k=50)
+
+
+@_register("q148_lsh_recall_monitor")  # approximate side (sign-LSH Arrow
+# matmul) is not SQL-replicable -> rows-only; the ann_recall arithmetic
+# itself is oracled by q143 and hand-pinned, and knn_lsh's recall floor
+# is asserted in tests — this registration makes the number a
+# driver-visible per-round monitor
+def q148_lsh_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the sign-LSH ANN path (q32) against the
+    exact float baseline (q30) via `ann_recall` — the ANN quality
+    monitor run as a query, so every driver round records whether the
+    bucketed path still finds what the exact path finds. Deterministic:
+    both sides are pure functions of the data (md5-derived planes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.ann_recall(
+        sim.knn_lsh(emb, queries, k=10),
+        sim.knn_bruteforce(emb, queries, k=10),
+    )
