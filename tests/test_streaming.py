@@ -581,7 +581,10 @@ def test_streaming_index_ingest_restart_and_replay_idempotent(
     idx = tmp_path / "index"
     ckpt = tmp_path / "ckpt"
     b1 = emb.where(F.col("vec_id") < 40)
-    b1.union(
+    # intra-batch duplicate delivery (at-least-once source): vec_id 5
+    # appears twice in ONE micro-batch — must land exactly once, not
+    # fan out through the cells x codes join
+    b1.union(b1.where(F.col("vec_id") == 5)).union(
         spark.createDataFrame(
             [(None, [1.0] * 64), (9001, None)],
             "vec_id long, embedding array<double>",
@@ -601,6 +604,7 @@ def test_streaming_index_ingest_restart_and_replay_idempotent(
     q.awaitTermination(120)
     after1 = spark.read.parquet(str(idx)).collect()
     assert {r["vec_id"] for r in after1} == set(range(40))
+    assert len(after1) == 40  # duplicated vec_id 5 landed exactly once
 
     # restart from the same checkpoint with new + overlapping input:
     # committed b1 is not re-read; b2's overlap (30..39) anti-joins out
@@ -636,3 +640,80 @@ def test_streaming_index_ingest_restart_and_replay_idempotent(
     assert sorted(map(tuple, final)) == sorted(
         map(tuple, batch_idx.collect())
     )
+
+
+def test_streaming_index_ingest_bloom_prefilter_equivalent(spark, tmp_path):
+    """Ingest-with-standing-Bloom == ingest-without, across overlapping
+    batches AND a lost-checkpoint full replay: identical final index
+    rows. Also pins (a) the bootstrap path — ``bloom_dir`` enabled only
+    AFTER the index already exists, so the bitset is built from the
+    standing index ids — and (b) the crash-safety invariant
+    bitset ⊇ index-ids (every index id probes bloom_hit TRUE)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
+        fit_kmeans,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        bloom_probe,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.vectors import (
+        streaming_index_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    model = fit_kmeans(emb, n_clusters=4, iters=1, salt="sidx")
+
+    inp = tmp_path / "in"
+    b1 = emb.where(F.col("vec_id") < 30)
+    # intra-batch duplicate under the bloom path too
+    b1.union(b1.where(F.col("vec_id") == 7)).coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+    emb.where(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 50)
+    ).coalesce(1).write.parquet(str(inp / "b2"))
+
+    def mkstream():
+        return (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inp}/*")
+        )
+
+    def run(idx, ckpt, bloom):
+        streaming_index_ingest(
+            mkstream(),
+            str(idx),
+            model,
+            checkpoint_dir=str(ckpt),
+            bloom_dir=str(tmp_path / "bloom") if bloom else None,
+        ).awaitTermination(120)
+
+    # plain reference run (all batches + a lost-checkpoint replay)
+    run(tmp_path / "idx_plain", tmp_path / "ck_p1", bloom=False)
+    run(tmp_path / "idx_plain", tmp_path / "ck_p2", bloom=False)
+    plain = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "idx_plain")).collect())
+    )
+
+    # bloom run: first pass WITHOUT bloom (index exists, no bitset),
+    # then enable bloom_dir → bootstrap + replay must append nothing
+    run(tmp_path / "idx_bloom", tmp_path / "ck_b1", bloom=False)
+    run(tmp_path / "idx_bloom", tmp_path / "ck_b2", bloom=True)
+    run(tmp_path / "idx_bloom", tmp_path / "ck_b3", bloom=True)
+    with_bloom = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "idx_bloom")).collect())
+    )
+    assert with_bloom == plain
+    assert len(with_bloom) == 50
+
+    # invariant: every index id is "maybe" in the standing bitset
+    words = (
+        spark.read.parquet(str(tmp_path / "bloom"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    ids = spark.read.parquet(str(tmp_path / "idx_bloom")).select("vec_id")
+    probed = bloom_probe(ids, words, "vec_id", "vec_id").collect()
+    assert len(probed) == 50 and all(r["bloom_hit"] for r in probed)
