@@ -311,9 +311,19 @@ def embedding_drift(
             F.count("*").cast("bigint").alias(alias)
         )
 
+    # every by-keyed join below is null-SAFE (the q144 tokenizer_ab_report
+    # precedent): a NULL group present in both snapshots must pair with
+    # itself — plain equi-joins would split it into (n_old, 0)/(0, n_new)
+    # count rows and strand its computable geometry
     geom = (
         means(old, "a")
-        .join(means(new, "b"), ["by", "pos"])
+        .join(
+            means(new, "b")
+            .withColumnRenamed("by", "__by_b")
+            .withColumnRenamed("pos", "__pos_b"),
+            F.col("by").eqNullSafe(F.col("__by_b"))
+            & (F.col("pos") == F.col("__pos_b")),
+        )
         .groupBy("by")
         .agg(
             F.sum(F.col("m_a") * F.col("m_b")).alias("__ab"),
@@ -338,8 +348,19 @@ def embedding_drift(
     )
     return (
         counts(old, "n_old")
-        .join(counts(new, "n_new"), "by", "full_outer")
-        .join(geom, "by", "left")
+        .join(
+            counts(new, "n_new").withColumnRenamed("by", "__by_n"),
+            F.col("by").eqNullSafe(F.col("__by_n")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("by", "__by_n").alias("by"), "n_old", "n_new"
+        )
+        .join(
+            geom.withColumnRenamed("by", "__by_g"),
+            F.col("by").eqNullSafe(F.col("__by_g")),
+            "left",
+        )
         .select(
             F.col("by").alias(by_col),
             F.coalesce("n_old", F.lit(0)).alias("n_old"),

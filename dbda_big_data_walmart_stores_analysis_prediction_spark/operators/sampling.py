@@ -712,7 +712,13 @@ def curriculum_stages(
     stage alone, so a handful of stages can never become a handful of
     executor-crushing sort tasks (the `length_bucket_batches`
     discipline). Null ids hash to null, sort last, and take shard 0.
-    Deterministic end to end: rerun- and SQL-oracle-identical."""
+    Deterministic end to end: rows that tie on BOTH sort keys (duplicate
+    ids — null ids in particular, which all land in shard 0) fall
+    through to a hash of the full row rendering, so positions are
+    content-deterministic; rows identical in EVERY column stay tied, but
+    then any row_number assignment yields the same output multiset.
+    Unique ids never reach the third key, so the SQL oracle's two-key
+    ORDER BY replicates unchanged."""
     for need, what in ((id_col, "id_col"), (score_col, "score_col")):
         if need not in df.columns:
             raise ValueError(
@@ -752,9 +758,22 @@ def curriculum_stages(
         df.crossJoin(F.broadcast(bounds))
         .select(*df.columns, stage.alias(stage_col), shard.alias(shard_col))
     )
+    # concat_ws SKIPS nulls (it does not emit an empty slot), so each
+    # column gets an explicit null sentinel before joining — otherwise
+    # (null, "x") and ("x", null) would render identically
+    row_fp = md5_int64(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in df.columns
+            ],
+        )
+    )
     w = Window.partitionBy(stage_col, shard_col).orderBy(
         F.asc_nulls_last(_mix_hash(id_col, salt)),
         F.asc_nulls_last(id_col),
+        F.asc(row_fp),
     )
     return staged.select(
         "*", F.row_number().over(w).cast("bigint").alias(pos_col)

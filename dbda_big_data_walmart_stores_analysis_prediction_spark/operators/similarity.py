@@ -458,8 +458,12 @@ def random_projection(
     +0.0 (a denormal-magnitude input rounds to -0.0 on one engine and
     +0.0 on the other — numerically equal, representationally not; the
     ``+ 0.0`` pins one representation on both paths and in the oracle).
-    Null vectors carry no direction and are dropped; vectors must be
-    exactly ``dim`` wide (the `embeddings` table contract).
+    Null vectors carry no direction and are dropped; vectors of any
+    width other than ``dim`` are malformed and dropped up front (the
+    `_clean_matrix` discipline), so BOTH physical paths see only
+    ``dim``-wide rows — without the filter the exact path's ``zip_with``
+    would null-pad a short vector into silent NULL proj_values while the
+    Arrow path raised on the ragged batch.
 
     Two physical forms, one semantics (the `_sign_lsh_signature_reference`
     split): ``exact=False`` (default) is ONE Arrow-batched numpy matmul —
@@ -483,7 +487,9 @@ def random_projection(
         [projection_coeff(salt, j, d) for d in range(dim)]
         for j in range(out_dim)
     ]
-    src = df.where(F.col(vec_col).isNotNull())
+    src = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim))
+    )
     if exact:
         v = F.col(vec_col).cast("array<double>")
         vals = []

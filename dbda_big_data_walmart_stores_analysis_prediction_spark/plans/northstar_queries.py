@@ -6159,7 +6159,8 @@ _Q145_SQL = """
              GROUP BY label, d),
     edg AS (SELECT a.label, sum(a.m * b.m) AS ab,
                    sum(a.m * a.m) AS aa, sum(b.m * b.m) AS bb
-            FROM edma a JOIN edmb b ON a.label = b.label AND a.d = b.d
+            FROM edma a JOIN edmb b
+              ON a.label IS NOT DISTINCT FROM b.label AND a.d = b.d
             GROUP BY a.label),
     edco AS (SELECT label, count(*)::BIGINT AS n_old FROM edo
              GROUP BY label),
@@ -6173,8 +6174,10 @@ _Q145_SQL = """
                AS centroid_cos,
            CASE WHEN aa > 0 THEN round(sqrt(bb) / sqrt(aa), 6) END
                AS norm_ratio
-    FROM edco FULL OUTER JOIN edcn ON edco.label = edcn.label
-    LEFT JOIN edg ON coalesce(edco.label, edcn.label) = edg.label
+    FROM edco FULL OUTER JOIN edcn
+      ON edco.label IS NOT DISTINCT FROM edcn.label
+    LEFT JOIN edg
+      ON coalesce(edco.label, edcn.label) IS NOT DISTINCT FROM edg.label
 """
 
 

@@ -358,8 +358,12 @@ def tokenizer_audit(
     encoder emits (``n_subword_tokens`` / ``n_wp_tokens`` /
     ``n_pieces``). Every doc counts: the encoders emit 0 tokens for
     null/empty text (never drop rows), raw chars coalesce null text to
-    0, and a domain with 0 total tokens reports ratio 0.0 rather than
-    dividing by zero.
+    0, the count join is null-SAFE so a null-id doc pairs with its own
+    encode row instead of silently vanishing from n_docs/total_chars,
+    and a domain with 0 total tokens reports ratio 0.0 rather than
+    dividing by zero. Ids must be UNIQUE (at most one null included) —
+    they key the count join, so a duplicated id would cross-match and
+    double-count its docs.
 
     Scale shape: one Arrow encode scan + one id-equi join (the count
     frame carries two columns — Spark co-partitions both sides on the
@@ -387,7 +391,12 @@ def tokenizer_audit(
     tok = F.sum(F.col(count_col)).cast("bigint")
     chars = F.sum("__chars").cast("bigint")
     return (
-        base.join(enc.select(id_col, count_col), id_col)
+        base.join(
+            enc.select(
+                F.col(id_col).alias("__id_e"), F.col(count_col)
+            ),
+            F.col(id_col).eqNullSafe(F.col("__id_e")),
+        )
         .groupBy(F.col(by_col))
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

@@ -3314,6 +3314,18 @@ def test_curriculum_stages_pinned_by_naive_reference(spark):
         r["doc_id"]: (r["stage"], r["shard"], r["pos"])
         for r in out.collect()
     }
+    # duplicate NULL ids tie on BOTH primary sort keys (all in shard 0,
+    # null hash, null id) — the full-row-hash tiebreaker must order them
+    # content-deterministically, replicable by the twin
+    dup = spark.createDataFrame(
+        [(None, 1.0), (None, 9.0), (None, 5.0)],
+        "doc_id bigint, score double",
+    )
+    dup_out = curriculum_stages(dup, "doc_id", "score", 1, salt="cur")
+    got_dup = {r["score"]: r["pos"] for r in dup_out.collect()}
+    fp_order = sorted([1.0, 9.0, 5.0], key=lambda s: h(f"\x00\x1f{s}"))
+    assert got_dup == {s: i + 1 for i, s in enumerate(fp_order)}
+    assert got_dup == {r["score"]: r["pos"] for r in dup_out.collect()}
     # all-equal scores (and all-null): one stage
     flat = spark.createDataFrame(
         [(1, 5.0), (2, 5.0), (3, None)], "doc_id bigint, score double"
@@ -3414,6 +3426,8 @@ def test_tokenizer_audit_trained_pinned_by_naive_reference(spark):
         (3, "  THE   Quik  quail THAT ", "wiki"),
         (4, None, "wiki"),  # null text: 0 tokens, 0 chars, counted doc
         (5, "café café naïve", "wiki"),
+        # null id: must still count (the count join is null-safe)
+        (None, "the quail that quip", "web"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string, source string")
     N_MERGES, MIN_PAIR = 6, 2
@@ -3519,18 +3533,23 @@ def test_random_projection_pinned_and_arrow_matches_exact(spark):
     assert set(ar) == set(got)
     assert all(abs(ar[k] - got[k]) <= 1.000001e-6 for k in got)
 
-    # null vectors are dropped by both paths
+    # null vectors AND wrong-width vectors are dropped by both paths —
+    # identically: before the up-front size filter, a short vector was
+    # silent NULL proj_values on the exact path and a ragged-batch crash
+    # on the Arrow path
     withnull = emb.select("vec_id", "embedding").unionAll(
         spark.createDataFrame(
-            [(9999, None)], "vec_id bigint, embedding array<double>"
+            [(9999, None), (9998, [1.0, 2.0]), (9997, [0.5] * (DIM + 3))],
+            "vec_id bigint, embedding array<double>",
         )
     )
-    assert (
-        random_projection(withnull, 2, DIM, exact=True)
-        .where("vec_id = 9999")
-        .count()
-        == 0
-    )
+    for is_exact in (True, False):
+        bad = (
+            random_projection(withnull, 2, DIM, exact=is_exact)
+            .where("vec_id >= 9997")
+            .collect()
+        )
+        assert bad == [], (is_exact, bad)
     with pytest.raises(ValueError, match="out_dim"):
         random_projection(emb, 0, DIM)
     with pytest.raises(ValueError, match="need columns"):
@@ -4302,6 +4321,7 @@ def test_embedding_drift_pinned_by_naive_reference(spark):
         ("gone", [1.0, 1.0]),
         ("nulls", [4.0, 0.0]), ("nulls", None),
         ("cancel", [1.0, 0.0]),
+        (None, [3.0, 4.0]),
     ]
     new_rows = [
         ("same", [1.0, 0.0]), ("same", [1.0, 2.0]),
@@ -4309,6 +4329,7 @@ def test_embedding_drift_pinned_by_naive_reference(spark):
         ("fresh", [5.0, 5.0]),
         ("nulls", [0.0, 2.0]),
         ("cancel", [1.0, 0.0]), ("cancel", [-1.0, 0.0]),
+        (None, [6.0, 8.0]),
     ]
     schema = "label string, embedding array<double>"
     out = {
@@ -4327,7 +4348,7 @@ def test_embedding_drift_pinned_by_naive_reference(spark):
             return None
         return [round(sum(col) / len(vs), 6) for col in zip(*vs)]
 
-    for lbl in ("same", "rot", "gone", "fresh", "nulls", "cancel"):
+    for lbl in ("same", "rot", "gone", "fresh", "nulls", "cancel", None):
         n_old = sum(1 for l, _ in old_rows if l == lbl)
         n_new = sum(1 for l, _ in new_rows if l == lbl)
         ma, mb = mean(old_rows, lbl), mean(new_rows, lbl)
@@ -4345,6 +4366,9 @@ def test_embedding_drift_pinned_by_naive_reference(spark):
     assert out["gone"][1] == 0 and out["gone"][2] is None
     assert out["fresh"][0] == 0 and out["fresh"][2] is None
     assert out["cancel"][2] is None  # zero-norm new mean: no direction
+    # the NULL group pairs with itself (null-safe joins): one row with
+    # counts from BOTH sides and its computable geometry attached
+    assert out[None] == (1, 1, 1.0, 2.0)
 
     with pytest.raises(ValueError, match="new frame lacks"):
         embedding_drift(
