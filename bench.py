@@ -273,7 +273,8 @@ LONGTAIL = [
     "q137_memorization_report",
     "q138_int8_quantization",
     "q139_knn_quantized",
-    # BPE vocabulary extension (driver merge loop over the bounded vocab)
+    # BPE vocabulary extension — q140 the oracled single-merge
+    # zero-base point, q149 the trained 30+20 configuration
     "q140_bpe_vocab_extension",
     # sequence-length sizing sweep (one scan, all budgets)
     "q141_packing_budget_sweep",
@@ -291,6 +292,9 @@ LONGTAIL = [
     "q147_top_duplicated_grams",
     # ANN quality monitor: LSH recall vs the exact baseline per round
     "q148_lsh_recall_monitor",
+    # round-12: the trained BPE extension configuration (q140's oracled
+    # point moved to the zero-base single-merge identity)
+    "q149_bpe_extension_trained",
 ]
 
 _TABLES = (

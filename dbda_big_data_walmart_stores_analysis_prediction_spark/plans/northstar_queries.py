@@ -5837,8 +5837,10 @@ def q138_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
-_Q139_SQL = """
-    WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# shared quantize -> dequantize fragment (q138's arithmetic ending in
+# ``dq`` (vec_id, dv)) — spliced verbatim into q139 and the q142 serving
+# capstone so the int8 chain has ONE SQL source of truth
+_DEQUANT_CTES = """src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     qz AS (SELECT vec_id, v,
                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
            FROM src),
@@ -5846,7 +5848,10 @@ _Q139_SQL = """
              [CASE WHEN s = 0 THEN 0.0
                    ELSE greatest(least(round(x / s), 127.0), -127.0) * s END
               FOR x IN v]::DOUBLE[] AS dv
-           FROM qz),
+           FROM qz)"""
+
+_Q139_SQL = f"""
+    WITH {_DEQUANT_CTES},
     q AS (SELECT vec_id AS query_id, dv AS qv FROM dq WHERE vec_id < 5),
     c AS (SELECT vec_id AS neighbor_id, dv AS cv FROM dq),
     sc AS (SELECT query_id, neighbor_id,
@@ -5875,17 +5880,75 @@ def q139_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_quantized(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
-@_register("q140_bpe_vocab_extension")  # driver-loop trained: rows-only;
-# pinned exactly by test_extend_bpe_equals_training_longer (extend ==
-# train-longer on the same corpus) and the cross-domain naive-recount
-# twin (test_extend_bpe_pinned_by_naive_reference)
+# q140's oracled point: extension from the ZERO-MERGE base. With an
+# empty base table, "continue training" IS training — one new merge on
+# the extension corpus equals train_bpe's FIRST merge there, and that
+# single Sennrich round is fully SQL-expressible: char+</w> symbol
+# pairs weighted by word counts, argmax with the (count desc, pair
+# lexicographic) tie-break, min_pair_count gate, rank continuing from
+# len(base) = 0. This hash-checks extend_bpe's whole live path
+# (word_counts on the new corpus, base replay over an empty table, one
+# _pair_merge_loop round); the TRAINED extension stays q149, pinned by
+# test_extend_bpe_equals_training_longer + the naive-recount twin.
+_Q140_SQL = f"""
+    WITH tnorm AS (SELECT {_SQL_NORM} AS t FROM documents
+                   WHERE text IS NOT NULL
+                     AND CAST(substring(source, 4) AS INT) >= 10),
+    wrd AS (SELECT w, count(*)::BIGINT AS n FROM
+              (SELECT unnest(list_filter(string_split(t, ' '),
+                                         x -> x <> '')) AS w
+               FROM tnorm WHERE t IS NOT NULL AND t <> '')
+            GROUP BY w),
+    syms AS (SELECT list_append([w[i:i] FOR i IN range(1, length(w) + 1)],
+                                '</w>') AS s, n
+             FROM wrd),
+    prs AS (SELECT unnest(s[1:len(s) - 1]) AS lft,
+                   unnest(s[2:len(s)]) AS rgt, n
+            FROM syms),
+    pc AS (SELECT lft, rgt, sum(n)::BIGINT AS cnt
+           FROM prs GROUP BY lft, rgt)
+    SELECT 0::INT AS merge_rank, lft AS "left", rgt AS "right",
+           lft || rgt AS new_symbol, cnt AS pair_count
+    FROM pc WHERE cnt >= 2
+    ORDER BY cnt DESC, lft, rgt
+    LIMIT 1
+"""
+
+
+@_register("q140_bpe_vocab_extension", _Q140_SQL)
 def q140_bpe_vocab_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary extension (operators/bpe.py::extend_bpe): a base BPE
-    trained on the first half of the corpus's sources (src0-src9) is
-    extended with domain merges from the second half (src10-src19) —
-    the continued-pretraining move, with base ranks frozen so existing
-    token ids stay valid. Returns the full extended merge table
-    (schema-identical to train_bpe, drop-in for every consumer)."""
+    """Vocabulary extension (operators/bpe.py::extend_bpe) at the
+    oracled zero-base point: a zero-merge base (empty merge table) is
+    extended with ONE merge learned from the second half of the
+    corpus's sources (src10-src19) — extend's live path end to end
+    (new-corpus word counts, base replay, rank-continuing merge loop)
+    with the emitted row hash-checked against the SQL Sennrich round.
+    The trained configuration (30-merge base + 20 domain merges) is
+    q149."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
+        extend_bpe,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    half = F.substring("source", 4, 10).cast("int") < 10
+    base = train_bpe(docs.where(half), n_merges=0)
+    return extend_bpe(docs.where(~half), base, n_new_merges=1)
+
+
+@_register("q149_bpe_extension_trained")  # driver-loop trained:
+# rows-only; pinned exactly by test_extend_bpe_equals_training_longer
+# (extend == train-longer on the same corpus) and the cross-domain
+# naive-recount twin (test_extend_bpe_pinned_by_naive_reference); the
+# oracled single-merge point is q140
+def q149_bpe_extension_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary extension (operators/bpe.py::extend_bpe) at the
+    trained configuration: a base BPE trained on the first half of the
+    corpus's sources (src0-src9) is extended with domain merges from
+    the second half (src10-src19) — the continued-pretraining move,
+    with base ranks frozen so existing token ids stay valid. Returns
+    the full extended merge table (schema-identical to train_bpe,
+    drop-in for every consumer)."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.bpe import (
         extend_bpe,
         train_bpe,
@@ -5949,10 +6012,56 @@ def q141_packing_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q142_ann_serving_capstone")  # kmeans fit (driver rounds) +
-# approximate probing: rows-only, the q32/q47 class; recall vs the q30
-# exact baseline, probe/assign agreement, and rerun determinism are
-# pinned in tests/test_northstar.py
+# q142: the whole serving chain is oracle-replicable at a FIXED-CELLS
+# point — the k-means fit is the q111 generated CTE chain at this
+# query's own (k, iters, salt), probing is that chain's own per-id cell
+# ranking cut at n_probe (``asg{iters} WHERE rk <= n_probe`` — the SAME
+# ranked-dots relation whose rk=1 slice is the assignment, which is
+# exactly probe_cells' "assign_clusters is the n_probe=1 special case"
+# contract), and re-rank runs q139's spliced dequant fragment.
+_Q142_K, _Q142_ITERS, _Q142_SALT = 8, 2, "ann142"
+_Q142_NPROBE, _Q142_TOPK = 3, 10
+_Q142_SQL = (
+    "WITH "
+    + _kmeans_ctes(_Q142_K, _Q142_ITERS, _Q142_SALT)
+    + f""",
+    {_DEQUANT_CTES},
+    probes AS (SELECT id AS query_id, cid AS cluster
+               FROM asg{_Q142_ITERS}
+               WHERE id < 5 AND rk <= {_Q142_NPROBE}),
+    idx AS (SELECT f.id AS neighbor_id, f.cluster, d.dv AS cv
+            FROM feats f JOIN dq d ON f.id = d.vec_id),
+    qraw AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 5),
+    sc AS (SELECT p.query_id, i.neighbor_id,
+                  round(list_cosine_similarity(q.qv, i.cv), 6) AS cosine
+           FROM probes p
+           JOIN idx i ON p.cluster = i.cluster
+           JOIN qraw q ON q.query_id = p.query_id
+           WHERE p.query_id <> i.neighbor_id
+             AND list_dot_product(q.qv, q.qv) > 0
+             AND list_dot_product(i.cv, i.cv) > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC,
+                                                neighbor_id ASC) AS rank
+          FROM sc)
+    SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank
+    FROM r WHERE rank <= {_Q142_TOPK}
+"""
+)
+# import-time splice guards (the q143/q146 discipline): the capstone
+# oracle must keep sharing the generated k-means chain and q139's
+# dequant fragment verbatim — a drift in either source breaks HERE, not
+# in a driver correctness row
+assert _kmeans_ctes(_Q142_K, _Q142_ITERS, _Q142_SALT) in _Q142_SQL
+assert _DEQUANT_CTES in _Q142_SQL and _DEQUANT_CTES in _Q139_SQL
+assert f"asg{_Q142_ITERS} AS (" in _Q142_SQL, (
+    "q142 probes read the kmeans chain's final ranked-dots CTE — "
+    "re-derive the splice if _kmeans_ctes renames it"
+)
+
+
+@_register("q142_ann_serving_capstone", _Q142_SQL)
 def q142_ann_serving_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN SERVING capstone — the similarity family's composition
     argument (the q70/q98/q122/q136 discipline applied to vectors): the
@@ -5975,7 +6084,9 @@ def q142_ann_serving_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.where(F.col("vec_id") < 5)
-    model = fit_kmeans(emb, n_clusters=8, iters=2, salt="ann142")
+    model = fit_kmeans(
+        emb, n_clusters=_Q142_K, iters=_Q142_ITERS, salt=_Q142_SALT
+    )
     # index build (offline): full-precision cell assignment + int8 codes
     codes = sim.quantize_embeddings(emb).select(
         "vec_id", "q_scale", "q_vec"
@@ -5993,8 +6104,8 @@ def q142_ann_serving_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             dequant.alias("c_vec"),
         )
     )
-    # serving (online): probe 3 cells per query, re-rank candidates
-    probes = probe_cells(queries, model, n_probe=3).select(
+    # serving (online): probe _Q142_NPROBE cells per query, re-rank
+    probes = probe_cells(queries, model, n_probe=_Q142_NPROBE).select(
         F.col("vec_id").alias("query_id"), "cluster"
     )
     q_vecs = F.broadcast(
@@ -6025,7 +6136,7 @@ def q142_ann_serving_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored,
         partition_by=["query_id"],
         order_by=[F.desc("cosine"), F.asc("neighbor_id")],
-        k=10,
+        k=_Q142_TOPK,
         keep_rank=True,
         rank_col="rank",
     )
