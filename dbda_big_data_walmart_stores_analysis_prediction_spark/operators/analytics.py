@@ -13,6 +13,7 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def _refine_ranks(
@@ -66,16 +67,19 @@ def _refine_ranks(
             sel_bucket = (
                 F.when(b["cond"], expr) if sel_bucket is None else sel_bucket.when(b["cond"], expr)
             )
+        # Arrow toPandas, not collect(): these results can run to tens of
+        # thousands of rows and Row-object materialization was measured at
+        # ~30k rows/s vs ~ms for an Arrow batch
         hist_rows = (
             melted.select(sel_bid.alias("bid"), sel_bucket.alias("bucket"))
             .where(F.col("bid").isNotNull())
             .groupBy("bid", "bucket")
             .count()
-            .collect()
+            .toPandas()
         )
         counts: dict[int, dict[int, int]] = {}
-        for r in hist_rows:
-            counts.setdefault(r["bid"], {})[r["bucket"]] = r["count"]
+        for bid, bucket, cnt in hist_rows.itertuples(index=False):
+            counts.setdefault(int(bid), {})[int(bucket)] = int(cnt)
         for i, b in enumerate(big):
             span = b["hi"] - b["lo"]
             cnts = counts.get(i, {})
@@ -116,11 +120,11 @@ def _refine_ranks(
             .where(F.col("fid").isNotNull())
             .groupBy("fid", "v")
             .count()
-            .collect()
+            .toPandas()
         )
         groups: dict[int, list[tuple[float, int]]] = {}
-        for r in val_rows:
-            groups.setdefault(r["fid"], []).append((r["v"], r["count"]))
+        for fid, v, cnt in val_rows.itertuples(index=False):
+            groups.setdefault(int(fid), []).append((float(v), int(cnt)))
         for i, b in enumerate(finals):
             cum = b["below"]
             kranks = sorted(b["ranks"])
@@ -136,6 +140,163 @@ def _refine_ranks(
                 )
     return resolved
 
+
+def _log_bucket(v, sub_buckets: int):
+    """Data-independent, deterministic magnitude bucketing of a double:
+    (sign, binary exponent, ``sub_buckets`` mantissa slices) → one integer
+    code. Pure codegen arithmetic (abs/log2/pow/floor), no data-dependent
+    bounds, so a histogram over it needs NO prior min/max pass.
+
+    Near powers of two a faithfully-rounded ``log2`` can land the exponent
+    one off; the clamps below keep the code well-defined there, and
+    ``_grouped_quantile_scan`` never assumes code order matches value
+    order — cells are re-ordered and merged by their EXACT per-cell
+    (min, max) spans, so a boundary slip costs at most a merged cell,
+    never a wrong answer. ±inf saturates the mantissa clamp; 0 is its own
+    bucket; NaN/null in → null out (callers exclude them from counts).
+    """
+    av = F.abs(v)
+    e = F.floor(F.least(F.greatest(F.log2(av), F.lit(-1100.0)), F.lit(1099.0)))
+    m = av / F.pow(F.lit(2.0), e)
+    sub = F.floor(
+        F.least(
+            F.greatest((m - F.lit(1.0)) * sub_buckets, F.lit(0.0)),
+            F.lit(float(sub_buckets - 1)),
+        )
+    )
+    code = e * sub_buckets + sub + F.lit(1101 * sub_buckets)
+    return F.when(v == 0, F.lit(0)).otherwise(
+        (F.signum(v) * code).cast("long")
+    )
+
+
+def _grouped_quantile_scan(
+    melted: DataFrame,
+    bins: int,
+    collect_limit: int,
+    max_depth: int,
+    sub_buckets: int = 16,
+) -> tuple[dict, dict]:
+    """ONE whole-stage-codegen hash aggregate over
+    ``(name, _log_bucket(v))`` yields, per key, exact moments (count / sum
+    / sum² / min / max folded from the cells on the driver) AND a
+    histogram whose cells carry their exact value spans — so the
+    moments pass and the first histogram pass of the old design collapse
+    into a single job, and the common case (every rank cell under
+    ``collect_limit``) finishes in ONE more job (``_refine_ranks``' final
+    collect). Cells with min == max (duplicate spikes) resolve with no
+    second job at all.
+
+    Driver state is one row per (key, active bucket) — ≤ ~2k buckets per
+    key for doubles spanning a typical data range (the bucketing is
+    log-spaced: exponents × ``sub_buckets``), so the caller's contract is
+    bounded key cardinality, value rows unbounded. Returns
+    ``(stats, resolve)`` where ``stats[key] = (n, sum, sum2, min, max)``
+    and ``resolve(ranks_by_key)`` resolves the requested 0-based global
+    ranks (keys are the melted frame's ``name`` values).
+    """
+    # materialize the bucket code as a column ONCE: the refinement/final
+    # pass re-selects bracket rows by `b isin codes` — recomputing the
+    # log2/pow chain inside every bracket's when-branch was measured at
+    # ~10x the cost of the comparison on the precomputed long
+    bucketed = melted.select(
+        "name", F.col("v"), _log_bucket(F.col("v"), sub_buckets).alias("b")
+    )
+    rows = (
+        bucketed
+        .groupBy("name", "b")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    cells: dict = {}
+    stats: dict = {}
+    for r in rows:
+        k = r["name"]
+        zn, zs, zs2, zmn, zmx = stats.get(k, (0, 0.0, 0.0, None, None))
+        if r["n"]:
+            zn += r["n"]
+            zs += r["s"]
+            zs2 += r["s2"]
+            zmn = r["mn"] if zmn is None else min(zmn, r["mn"])
+            zmx = r["mx"] if zmx is None else max(zmx, r["mx"])
+            cells.setdefault(k, []).append((r["b"], r["n"], r["mn"], r["mx"]))
+        stats[k] = (zn, zs, zs2, zmn, zmx)
+
+    def resolve(ranks_by_key: dict) -> dict:
+        resolved: dict = {k: {} for k in ranks_by_key}
+        pending: list[dict] = []
+        for k, ranks in ranks_by_key.items():
+            kranks = sorted(ranks)
+            ki = 0
+            # order and merge cells by their EXACT value spans (code order
+            # is only approximate near power-of-two boundaries)
+            merged: list[list] = []  # [n, mn, mx]
+            for _code, n, mn, mx in sorted(
+                cells.get(k, []), key=lambda c: (c[2], c[3])
+            ):
+                if merged and mn <= merged[-1][2]:
+                    merged[-1][0] += n
+                    merged[-1][2] = max(merged[-1][2], mx)
+                else:
+                    merged.append([n, mn, mx])
+            cum = 0
+            for n, mn, mx in merged:
+                take: set[int] = set()
+                while ki < len(kranks) and cum <= kranks[ki] < cum + n:
+                    take.add(kranks[ki])
+                    ki += 1
+                if take:
+                    if mn == mx:
+                        for rk in take:
+                            resolved[k][rk] = mn
+                    else:
+                        # membership by VALUE SPAN, not bucket codes: after
+                        # merging, no other cell's span overlaps [mn, mx],
+                        # so `name matches AND v between mn and mx` selects
+                        # exactly this group's rows
+                        pending.append(
+                            {
+                                "key": k,
+                                "lo": mn,
+                                "hi": mx,
+                                "below": cum,
+                                "count": n,
+                                "ranks": take,
+                            }
+                        )
+                cum += n
+            if ki != len(kranks):
+                raise RuntimeError(
+                    f"bucket scan lost ranks for {k}: {kranks[ki:]} (n={cum})"
+                )
+
+        # membership predicates are plain comparisons — a broadcast-join
+        # lookup-table form (plan-stable, codegen-cached) was built and
+        # measured too: the broadcast build job cost more than the ~0.4 s
+        # of literal-when-chain recompilation it saved
+        for b in pending:
+            b["cond"] = (
+                (
+                    F.col("name").isNull()
+                    if b["key"] is None
+                    else F.col("name") == F.lit(b["key"])
+                )
+                & (F.col("v") >= F.lit(float(b["lo"])))
+                & (F.col("v") <= F.lit(float(b["hi"])))
+            )
+        for k, d in _refine_ranks(
+            melted, pending, bins, collect_limit, max_depth
+        ).items():
+            resolved[k].update(d)
+        return resolved
+
+    return stats, resolve
 
 
 def exact_quantiles(
@@ -168,28 +329,32 @@ def exact_quantiles_multi(
     bins: int = 1024,
     collect_limit: int = 65536,
     max_depth: int = 6,
+    sub_buckets: int = 16,
 ):
-    """Exact quantiles for SEVERAL columns by iterative histogram
-    refinement — never shuffles or caches the data rows.
+    """Exact quantiles for SEVERAL columns, never shuffling or caching the
+    data rows — typically TWO jobs total regardless of column count.
 
-    1. ONE whole-stage-codegen wide aggregate computes count / sum / sum² /
-       min / max for every column (no melt, no shuffle).
-    2. Target ranks ``floor/ceil((n-1)·p)`` are bracketed by histogram
-       passes: the columns are melted with ``stack`` (a projection, not a
-       shuffle), each active bracket buckets its value range into ``bins``
-       uniform cells, and ``groupBy(bracket, bucket).count()`` — map-side
-       combined, ≤ brackets·bins result rows — tells the driver which cell
-       each rank falls in. A cell with more than ``collect_limit`` rows
-       becomes the next round's bracket (depth ≤ ``max_depth``; each round
-       divides the bracket population by up to ``bins``, so even 10^12-row
-       columns resolve in 2-3 rounds).
-    3. A final pass collects ``(value, count)`` for the surviving bracket
-       cells only and reads the exact rank values off the sorted runs.
+    1. The columns are melted with ``stack`` (a projection, not a shuffle)
+       and ONE whole-stage-codegen hash aggregate over
+       ``(column, _log_bucket(v))`` computes count / sum / sum² / min /
+       max per magnitude cell. The driver folds the cells into exact
+       per-column moments AND already knows which cell every target rank
+       ``floor/ceil((n-1)·p)`` falls in — the separate moments pass and
+       first histogram pass of the earlier design were fused away (a
+       ``percentile_approx`` rider was measured first and REJECTED: the
+       ObjectHashAggregate it forces evicts the moments from codegen and
+       costs more than the job it saves).
+    2. Rank cells with min == max (duplicate spikes) resolve immediately.
+       The rest go to ``_refine_ranks`` with their exact (min, max) spans:
+       a final ``(value, count)`` collect when the cell holds ≤
+       ``collect_limit`` rows (the common case — log-bucketing keeps cells
+       ~n/(active buckets)), else uniform ``bins``-way subdivision rounds
+       (each round divides the population by up to ``bins``, so even
+       10^12-row columns resolve in 2-3 extra rounds).
 
     Bucket membership is re-derived from the same deterministic value
     expression in every pass, so no persist() is needed for cross-job
-    consistency (unlike range-partitioning, whose sampled boundaries are
-    per-execution). NaNs are excluded (count, mean, quantiles) — matching
+    consistency. NaNs are excluded (count, mean, quantiles) — matching
     SQL ``quantile_cont`` semantics.
 
     With ``return_stats=True`` also returns per-column
@@ -198,28 +363,18 @@ def exact_quantiles_multi(
     ``quantiles`` or ``(quantiles, stats)``. ``n_ranges`` is accepted for
     API compatibility and ignored.
     """
-    aggs = []
-    for c in columns:
-        vc = F.col(c).cast("double")
-        vc = F.when(~F.isnan(vc), vc)
-        aggs.extend(
-            [
-                F.count(vc).alias(f"{c}__n"),
-                F.sum(vc).alias(f"{c}__s"),
-                F.sum(vc * vc).alias(f"{c}__s2"),
-                F.min(vc).alias(f"{c}__mn"),
-                F.max(vc).alias(f"{c}__mx"),
-            ]
-        )
-    wide = df.agg(*aggs).collect()[0]
-    totals = {c: wide[f"{c}__n"] for c in columns}
-    moments = {
-        c: (wide[f"{c}__s"], wide[f"{c}__s2"], wide[f"{c}__mn"], wide[f"{c}__mx"])
-        for c in columns
-    }
+    stack_expr = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+    melted = df.selectExpr(
+        f"stack({len(columns)}, {stack_expr}) as (name, raw)"
+    ).select("name", F.when(~F.isnan("raw"), F.col("raw")).alias("v"))
+
+    cell_stats, resolve = _grouped_quantile_scan(
+        melted, bins, collect_limit, max_depth, sub_buckets
+    )
+    totals = {c: cell_stats.get(c, (0,))[0] for c in columns}
 
     resolved: dict[str, dict[int, float]] = {c: {} for c in columns}
-    pending: list[dict] = []
+    ranks_by_key: dict = {}
     for c in columns:
         n = totals[c]
         if n == 0:
@@ -229,31 +384,9 @@ def exact_quantiles_multi(
             r = (n - 1) * p
             ranks.add(math.floor(r))
             ranks.add(math.ceil(r))
-        mn, mx = moments[c][2], moments[c][3]
-        if mn == mx:
-            for r in ranks:
-                resolved[c][r] = mn
-            continue
-        pending.append(
-            {
-                "key": c,
-                "cond": F.col("name") == c,
-                "lo": mn,
-                "hi": mx,
-                "below": 0,
-                "count": n,
-                "ranks": ranks,
-            }
-        )
-
-    stack_expr = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
-    melted = df.selectExpr(
-        f"stack({len(columns)}, {stack_expr}) as (name, v)"
-    ).where(F.col("v").isNotNull() & ~F.isnan("v"))
-
-    resolved.update(
-        _refine_ranks(melted, pending, bins, collect_limit, max_depth)
-    )
+        ranks_by_key[c] = ranks
+    for k, d in resolve(ranks_by_key).items():
+        resolved[k].update(d)
 
     def assemble_stats() -> dict[str, tuple]:
         stats: dict[str, tuple] = {}
@@ -262,7 +395,7 @@ def exact_quantiles_multi(
             if n == 0:
                 stats[c] = (0, None, None, None, None)
                 continue
-            s, s2, mn, mx = moments[c]
+            _, s, s2, mn, mx = cell_stats[c]
             mean = s / n
             # sample stddev from raw moments; the tiny catastrophic-
             # cancellation risk is irrelevant at the 4dp describe rounds
@@ -381,41 +514,37 @@ def group_quartiles(
     bins: int = 1024,
     collect_limit: int = 65536,
     max_depth: int = 6,
+    sub_buckets: int = 16,
 ) -> DataFrame:
     """A9: per-group five-number summary (the stats behind the reference's
     seaborn boxplots, ``Scripts/eda.py:103-146``), exact interpolated
-    quartiles via the shared histogram-refinement engine.
+    quartiles via the shared log-bucket scan + refinement engine
+    (``_grouped_quantile_scan`` — see ``exact_quantiles_multi``): ONE
+    codegen hash aggregate replaces the old separate per-group meta job
+    and first histogram pass, so the common case is two jobs total.
 
-    The earlier form used the builtin ``percentile`` aggregate — per-GROUP
-    buffers of every distinct value, i.e. the same GC bomb as the global
-    case whenever one group is large (and at 100 TB some group always is).
-    Here per-group memory is bounded by ``bins`` histogram cells per
-    refinement round regardless of group size. Driver state is one
-    (count, min, max) row per GROUP, so this operator's contract is
-    bounded group cardinality (boxplot/EDA scale — thousands, not
-    millions, of groups); value rows per group are unbounded.
+    The earliest form used the builtin ``percentile`` aggregate — per-GROUP
+    buffers of every distinct value, i.e. a GC bomb whenever one group is
+    large (and at 100 TB some group always is). Here per-group executor
+    memory is bounded by the log-bucket cell count (exponents ×
+    ``sub_buckets``) and, in refinement rounds, ``bins`` cells. Driver
+    state is one row per (group, active magnitude cell), so this
+    operator's contract is bounded group cardinality (boxplot/EDA scale —
+    thousands, not millions, of groups); value rows per group are
+    unbounded. Null values keep their group visible (n=0 cells), so empty
+    groups still emit a null row.
     """
     v = F.col(value_col).cast("double")
     v = F.when(~F.isnan(v), v)
-    meta_rows = (
-        df.groupBy(group_col)
-        .agg(
-            F.count(v).alias("n"),
-            F.min(v).alias("mn"),
-            F.max(v).alias("mx"),
-        )
-        .collect()
-    )
-    melted = df.select(
-        F.col(group_col).alias("name"), v.alias("v")
-    ).where(F.col("v").isNotNull())
+    melted = df.select(F.col(group_col).alias("name"), v.alias("v"))
 
     probs = [0.25, 0.5, 0.75]
-    pending: list[dict] = []
-    resolved: dict = {}
+    cell_stats, resolve = _grouped_quantile_scan(
+        melted, bins, collect_limit, max_depth, sub_buckets
+    )
+    ranks_by_key: dict = {}
     metas: list[tuple] = []
-    for r in meta_rows:
-        g, n, mn, mx = r[0], r["n"], r["mn"], r["mx"]
+    for g, (n, _, _, mn, mx) in cell_stats.items():
         metas.append((g, n, mn, mx))
         if n == 0:
             continue
@@ -424,14 +553,8 @@ def group_quartiles(
             rk = (n - 1) * p
             ranks.add(math.floor(rk))
             ranks.add(math.ceil(rk))
-        if mn == mx:
-            resolved[g] = {rk: mn for rk in ranks}
-            continue
-        cond = F.col("name").isNull() if g is None else F.col("name") == F.lit(g)
-        pending.append(
-            {"key": g, "cond": cond, "lo": mn, "hi": mx, "below": 0, "count": n, "ranks": ranks}
-        )
-    resolved.update(_refine_ranks(melted, pending, bins, collect_limit, max_depth))
+        ranks_by_key[g] = ranks
+    resolved = resolve(ranks_by_key)
 
     out_rows = []
     for g, n, mn, mx in metas:
@@ -447,8 +570,6 @@ def group_quartiles(
             qs.append(vlo + (vhi - vlo) * frac)
         out_rows.append((g, mn, qs[0], qs[1], qs[2], mx))
     gtype = df.schema[group_col].dataType
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
     schema = StructType(
         [StructField(group_col, gtype, True)]
         + [StructField(c, DoubleType(), True) for c in ("min", "q1", "median", "q3", "max")]

@@ -112,20 +112,23 @@ def test_approx_distinct_within_rsd(spark):
 
 
 def test_exact_quantiles_skewed_multi_round(spark):
-    """Force the histogram-refinement recursion: a tiny collect_limit makes
-    every root bracket overflow, and a 90%-duplicate spike exercises the
-    zero-span (all-one-value cell) exit alongside the normal subdivide."""
+    """Force the histogram-refinement recursion: ``sub_buckets=1`` collapses
+    every same-exponent value into one log-bucket cell, and a tiny
+    collect_limit makes the [1,2) cell (160 rows, 60 of them a duplicate
+    spike) overflow — so subdivision rounds, the duplicate-run depth exit,
+    and the instant min==max resolution (the 42.0 mass) all run."""
     import math
 
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
         exact_quantiles_multi,
     )
 
-    xs = [42.0] * 900 + [i / 7.0 for i in range(100)]
+    xs = [1 + i / 101.0 for i in range(100)] + [1.5] * 60 + [42.0] * 900
     df = spark.createDataFrame([(x,) for x in xs], "x double")
-    probs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    probs = [0.02, 0.05, 0.1, 0.5, 0.9]
     got, stats = exact_quantiles_multi(
-        df, ["x"], probs, return_stats=True, bins=8, collect_limit=50, max_depth=6
+        df, ["x"], probs, return_stats=True, bins=8, collect_limit=50, max_depth=6,
+        sub_buckets=1,
     )
     s = sorted(xs)
     for g, p in zip(got["x"], probs):
@@ -136,6 +139,65 @@ def test_exact_quantiles_skewed_multi_round(spark):
     n, mean, stddev, mn, mx = stats["x"]
     assert n == len(xs) and mn == min(xs) and mx == max(xs)
     assert abs(mean - sum(xs) / len(xs)) < 1e-9
+
+
+def test_exact_quantiles_bucket_order_independence(spark):
+    """The log-bucket scan may NOT rely on bucket-code order matching value
+    order (a faithfully-rounded log2 can slip one code at powers of two).
+    Monkeypatch the bucketing to a hash — maximally non-monotone, every
+    cell's value span overlapping — and the span-merge discipline must
+    still produce exact answers via the refinement fallback."""
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        analytics as A,
+    )
+
+    xs = [42.0] * 900 + [i / 7.0 for i in range(100)]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    probs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    s = sorted(xs)
+
+    def want(p):
+        r = (len(s) - 1) * p
+        lo, hi = math.floor(r), math.ceil(r)
+        return s[lo] + (s[hi] - s[lo]) * (r - lo)
+
+    normal = A.exact_quantiles_multi(df, ["x"], probs)["x"]
+    for g, p in zip(normal, probs):
+        assert abs(g - want(p)) <= 1e-9, (p, g, want(p))
+
+    from pyspark.sql import functions as F
+
+    orig = A._log_bucket
+    try:
+        A._log_bucket = lambda v, k: F.pmod(F.hash(v), F.lit(7)).cast("long")
+        hashed = A.exact_quantiles_multi(df, ["x"], probs)["x"]
+    finally:
+        A._log_bucket = orig
+    assert hashed == normal
+
+
+def test_group_quartiles_null_and_empty_groups(spark):
+    """group_quartiles on the shared scan: a NULL group key, a constant
+    group, and a group whose values are ALL null (must still emit its
+    all-null row) alongside a normal group."""
+    rows = [(None, float(i)) for i in range(11)] + [("c", 7.0)] * 5
+    rows += [("a", float((i * 13) % 29)) for i in range(40)]
+    rows += [("empty", None)] * 3
+    df = spark.createDataFrame(rows, "g string, x double")
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quartiles,
+    )
+
+    got = {r["g"]: tuple(r)[1:] for r in group_quartiles(df, "g", "x").collect()}
+    assert got[None][2] == 5.0  # median of 0..10
+    assert got["c"] == (7.0, 7.0, 7.0, 7.0, 7.0)
+    assert got["empty"] == (None, None, None, None, None)
+    import statistics
+
+    a_vals = sorted(float((i * 13) % 29) for i in range(40))
+    assert abs(got["a"][2] - statistics.median(a_vals)) <= 1e-9
 
 
 def test_group_quartiles_match_python(spark):
