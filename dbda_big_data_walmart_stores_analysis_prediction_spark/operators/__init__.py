@@ -62,6 +62,10 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches i
     kmv_group_sketches,
     kmv_overlap_matrix,
 )
+from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_pairs,
+)
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.wordpiece import (
     train_wordpiece,
     wordpiece_encode,
@@ -75,6 +79,8 @@ __all__ = [
     "load_kmeans_artifact",
     "save_kmeans_artifact",
     "semdedup",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "null_counts",
     "impute_median",
     "impute_mode",

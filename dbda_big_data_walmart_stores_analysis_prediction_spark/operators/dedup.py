@@ -1735,3 +1735,116 @@ def top_duplicated_grams(
         .orderBy(F.col("n_docs").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints: per doc, hash every word k-gram
+    (``md5_int64`` — the module's shared 60-bit fingerprint hash), slide a
+    ``window``-gram window, and select each window's minimum hash
+    (rightmost position on ties, per the paper); the distinct selections
+    are the doc's fingerprint set. Output ``(doc, fp, pos)``.
+
+    The paper's guarantee carries over: any word run of at least
+    ``window + k - 1`` words shared by two documents yields at least one
+    shared fingerprint, while only ~2/(window+1) of gram hashes are kept
+    — the local, position-aware fingerprint the MinHash family (a global
+    set sketch) cannot provide. Docs shorter than ``window`` grams keep
+    their single global minimum (one fingerprint), so no non-empty doc
+    fingerprints to nothing.
+
+    100 TB shape: one projection chain (normalize → split → gram explode
+    → hash, all codegen) feeds ONE doc-keyed window — per-doc state, no
+    global sort, skew bounded by document length — then a distinct on
+    8-byte fingerprints. The rightmost-min tiebreak is a struct-min
+    ``(h, -pos)``, not a second window pass.
+    """
+    from pyspark.sql.window import Window
+
+    base = _fan_out_small_scan(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+        )
+    ).select("doc", F.split(_norm_text("__t"), r"\s+").alias("__w"))
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(F.size("__w") - k, F.lit(0))))
+    gram = F.concat_ws(" ", F.slice("__w", F.col("__i") + 1, k))
+    grams = base.select(
+        "doc",
+        (F.greatest(F.size("__w") - k, F.lit(0)) + 1).alias("__n"),
+        idx.alias("__i"),
+        F.col("__w"),
+    ).select(
+        "doc", "__n", F.col("__i").alias("pos"), md5_int64(gram).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w)
+    return (
+        grams.select("doc", "__n", "pos", sel.alias("__sel"))
+        # only full windows select (tail windows are suffixes of an
+        # earlier full window); a doc with fewer grams than the window
+        # keeps its single truncated window at pos 0
+        .where(F.col("pos") <= F.greatest(F.col("__n") - window, F.lit(0)))
+        .select(
+            "doc",
+            F.col("__sel.h").alias("fp"),
+            (-F.col("__sel.np")).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup/plagiarism pairs by shared winnowing
+    fingerprints: inverted-index self-join on the fingerprint (shuffle
+    key = 8-byte fp, never a cross join), count distinct shared
+    fingerprints per pair, keep pairs with ≥ ``min_shared``. Output
+    ``(doc_a, doc_b, n_shared)``.
+
+    ``max_doc_freq`` drops boilerplate fingerprints (those appearing in
+    more than that many docs) before the self-join — the same fan-out
+    cap discipline as ``jaccard_pairs``; set it for any at-scale run.
+    Winnowing keeps ~2/(window+1) of the gram table, so the join input
+    is ~3x smaller than the same-k Jaccard index before the cap.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, window).select(
+        "doc", "fp"
+    ).distinct()
+    if max_doc_freq is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.countDistinct("doc").alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp", "left_semi")
+    fp = fp.localCheckpoint(eager=False)
+    a = fp.alias("a")
+    b = fp.hint("shuffle_hash").alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -6567,3 +6567,71 @@ def q150_drift_gated_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.withColumn(
         "triggered", F.col("value") > F.col("threshold")
     ).orderBy("monitor")
+
+
+# q151: winnowing fingerprints (Schleimer/Wilkerson/Aiken) — the local,
+# position-aware document fingerprint the MinHash family (a global set
+# sketch) cannot provide: any shared word run of >= window + k - 1 words
+# is GUARANTEED a shared fingerprint, at ~2/(window+1) the gram table.
+# The oracle re-implements the selection independently: same md5-int64
+# gram hash as every fingerprint oracle, struct-min window for the
+# rightmost-min tiebreak (both engines order structs lexicographically —
+# verified on a forced tie in the unit twin).
+_Q151_K, _Q151_W, _Q151_MIN, _Q151_CAP = 5, 4, 2, 64
+_Q151_SQL = f"""
+    WITH wnorm AS (
+        SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    wg AS (
+        SELECT doc_id AS doc,
+               greatest(len(w) - {_Q151_K}, 0) + 1 AS n_grams,
+               i::BIGINT AS pos,
+               ('0x' || substring(md5(array_to_string(
+                   w[i+1:i+{_Q151_K}], ' ')), 1, 15))::BIGINT AS h
+        FROM wnorm,
+             unnest(range(0, greatest(len(w) - {_Q151_K}, 0) + 1)) AS u(i)
+    ),
+    wsel AS (
+        SELECT doc, pos, n_grams,
+               min({{'h': h, 'np': -pos}}) OVER (
+                   PARTITION BY doc ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_Q151_W - 1} FOLLOWING
+               ) AS s
+        FROM wg
+    ),
+    wfp AS (
+        SELECT DISTINCT doc, s.h AS fp FROM wsel
+        WHERE pos <= greatest(n_grams - {_Q151_W}, 0)
+    ),
+    wkept AS (
+        SELECT doc, fp FROM wfp
+        WHERE fp IN (SELECT fp FROM wfp GROUP BY fp
+                     HAVING count(DISTINCT doc) <= {_Q151_CAP})
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS n_shared
+    FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY a.doc, b.doc HAVING count(*) >= {_Q151_MIN}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@_register("q151_winnow_pairs", _Q151_SQL)
+def q151_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (operators/dedup.py::
+    winnow_pairs): word-5-gram md5 hashes -> 4-gram window minima
+    (rightmost on ties) -> inverted-index self-join on the ~2/(w+1)-
+    density fingerprint table, boilerplate fingerprints capped at
+    doc-freq 64, pairs sharing >= 2 fingerprints. The position-aware
+    sibling of q26 (Jaccard) / q27 (MinHash-LSH): local match guarantee
+    instead of global-set similarity."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.winnow_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=_Q151_K,
+        window=_Q151_W,
+        min_shared=_Q151_MIN,
+        max_doc_freq=_Q151_CAP,
+    ).orderBy("doc_a", "doc_b")

@@ -4429,3 +4429,89 @@ def test_top_duplicated_grams_pinned_and_consistent_with_report(spark):
         dd.top_duplicated_grams(df, min_docs=1)
     with pytest.raises(ValueError, match="k must"):
         dd.top_duplicated_grams(df, k=0)
+
+
+def test_winnow_fingerprints_python_twin(spark):
+    """Winnowing selection == a from-scratch Python implementation on
+    crafted docs, including a FORCED TIE (the same gram twice inside one
+    window) to pin the rightmost-min tiebreak, and a doc shorter than
+    the window (keeps its single global min)."""
+    import hashlib
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    k, w = 2, 3
+    docs = {
+        # "a b" appears at gram positions 0 and 2 -> identical hashes in
+        # one window when it is the window min -> rightmost must win
+        1: "a b a b c d e",
+        2: "x y",          # 1 word-gram after k=2 split -> shorter than window
+        3: "p q r s",
+    }
+
+    def grams(text):
+        ws = text.split()
+        n = max(len(ws) - k, 0) + 1
+        return [" ".join(ws[i : i + k]) for i in range(n)]
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for d, text in docs.items():
+        hs = [h(g) for g in grams(text)]
+        n = len(hs)
+        for start in range(max(n - w, 0) + 1):
+            win = hs[start : start + w]
+            m = min(win)
+            # rightmost occurrence of the min
+            pos = start + max(i for i, x in enumerate(win) if x == m)
+            want.add((d, m, pos))
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    got = {
+        (r["doc"], r["fp"], r["pos"])
+        for r in winnow_fingerprints(df, "doc_id", "text", k=k, window=w).collect()
+    }
+    assert got == want
+
+
+def test_winnow_pairs_guarantee_and_cap(spark):
+    """The paper guarantee: two docs sharing a run of >= window + k - 1
+    words share >= 1 fingerprint; and max_doc_freq drops a boilerplate
+    fingerprint shared by every doc."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    k, w = 3, 4
+    run = "the quick brown fox jumps over"  # 6 words = w + k - 1
+    rows = [
+        (1, f"alpha beta {run} gamma delta epsilon zeta"),
+        (2, f"one two three four {run} five six seven"),
+        (3, "totally unrelated words in this document here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = winnow_fingerprints(df, "doc_id", "text", k=k, window=w)
+    by_doc = {
+        d: {r["fp"] for r in fp.where(fp.doc == d).collect()} for d in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+
+    pairs = winnow_pairs(
+        df, "doc_id", "text", k=k, window=w, min_shared=1
+    ).collect()
+    assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in pairs)
+
+    # boilerplate cap: a fingerprint in all 3 docs is dropped at
+    # max_doc_freq=2, so a pair that relied on it alone disappears
+    rows_bp = [(i, f"shared boiler plate line {i}") for i in range(1, 4)]
+    dfb = spark.createDataFrame(rows_bp, "doc_id int, text string")
+    uncapped = winnow_pairs(dfb, "doc_id", "text", k=2, window=2, min_shared=1)
+    capped = winnow_pairs(
+        dfb, "doc_id", "text", k=2, window=2, min_shared=1, max_doc_freq=2
+    )
+    assert uncapped.count() > capped.count()
