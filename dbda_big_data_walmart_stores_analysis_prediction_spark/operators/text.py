@@ -832,3 +832,105 @@ def calibrate_scores(
         )
     )
     return df.select("*", pct.alias(out_col))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a (small) query
+    table — the retrieval scorer behind RAG passage prep and query-driven
+    curation. Output ``(query_id, doc, score)`` (score rounded 6 dp),
+    every (query, candidate-doc) pair that shares ≥ 1 term.
+
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the non-negative Robertson
+    form), ``score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``
+    over the query's DISTINCT terms. Tokenization is `tfidf_scores`'
+    regex-dialect-portable form (lower + split on non-alphanumerics), so
+    the whole scorer is DuckDB oracle-comparable. N/avgdl count docs with
+    ≥ 1 token.
+
+    Plan shape at scale: the corpus pays ONE explode + one (doc, term)
+    hash aggregate; doc lengths reuse that aggregate (sum of tf per doc),
+    df is a |vocab|-row aggregate over it. The query-term table is tiny
+    and broadcast, so scoring joins touch only matching rows; the 1-row
+    (N, avgdl) aggregate broadcasts via crossJoin. No UDFs, no shuffle of
+    anything doc-sized beyond the tf aggregate.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    terms = docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    ).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("dfreq"))
+
+    qtoks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(qtext_col)), "[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+    )
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"), F.explode(qtoks).alias("term")
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+    )
+    norm = F.col("tf") * (F.lit(k1) + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc")
+        .agg(F.round(F.sum(idf * norm), 6).alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 retrieval per query: rank on the ROUNDED score (6 dp)
+    with doc-id ascending as the tiebreak, so exact-duplicate documents
+    (equal scores by construction) and near-ties order identically in
+    any engine. One WindowGroupLimit pass over the (small) scored
+    table — the candidate set is only docs sharing a term with a query."""
+    from pyspark.sql.window import Window
+
+    scored = bm25_scores(docs, queries, id_col, text_col, qid_col, qtext_col, k1, b)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc", "score")
+    )

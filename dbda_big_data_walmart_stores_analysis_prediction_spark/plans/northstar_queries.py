@@ -6635,3 +6635,90 @@ def q151_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=_Q151_MIN,
         max_doc_freq=_Q151_CAP,
     ).orderBy("doc_a", "doc_b")
+
+
+# q152: Okapi BM25 top-k retrieval — the IR scorer behind RAG passage
+# prep and query-driven curation; q50's tokenization (shared idiom), a
+# deterministic query set derived from the corpus (the 3 lowest doc_ids'
+# first-8-token prefixes), ranking on the ROUNDED score with doc-id
+# tiebreak so exact-duplicate docs order identically in both engines.
+_Q152_TOK = "list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), x -> x <> '')"
+_Q152_K, _Q152_K1, _Q152_B = 10, 1.2, 0.75
+_Q152_SQL = f"""
+    WITH bmq AS (
+        SELECT doc_id AS query_id,
+               array_to_string(({_Q152_TOK.format(t='text')})[1:8], ' ')
+                   AS qtext
+        FROM documents ORDER BY doc_id LIMIT 3
+    ),
+    bmterms AS (
+        SELECT doc_id AS doc, unnest({_Q152_TOK.format(t='text')}) AS term
+        FROM documents
+    ),
+    bmtf AS (SELECT doc, term, count(*)::DOUBLE AS tf
+             FROM bmterms GROUP BY doc, term),
+    bmdl AS (SELECT doc, sum(tf) AS dl FROM bmtf GROUP BY doc),
+    bmstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+                FROM bmdl),
+    bmdf AS (SELECT term, count(*)::DOUBLE AS dfreq
+             FROM bmtf GROUP BY term),
+    bmqt AS (
+        SELECT query_id,
+               unnest(list_distinct({_Q152_TOK.format(t='qtext')})) AS term
+        FROM bmq
+    ),
+    bmscored AS (
+        SELECT q.query_id, t.doc,
+               round(sum(
+                   ln(1 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                   * t.tf * ({_Q152_K1} + 1.0)
+                   / (t.tf + {_Q152_K1} * (1.0 - {_Q152_B}
+                      + {_Q152_B} * l.dl / s.avgdl))
+               ), 6) AS score
+        FROM bmtf t
+        JOIN bmqt q USING (term)
+        JOIN bmdf d USING (term)
+        JOIN bmdl l ON t.doc = l.doc, bmstats s
+        GROUP BY q.query_id, t.doc
+    )
+    SELECT query_id, rank, doc, score FROM (
+        SELECT query_id, doc, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc) AS rank
+        FROM bmscored
+    ) WHERE rank <= {_Q152_K}
+    ORDER BY query_id, rank
+"""
+
+
+@_register("q152_bm25_topk", _Q152_SQL)
+def q152_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/text.py::bm25_topk): Okapi scoring
+    of the corpus against 3 corpus-derived queries, rank on the rounded
+    score with doc-asc tiebreak. One corpus explode + (doc, term)
+    aggregate feeds tf/dl/df; query terms broadcast so scoring touches
+    only matching rows; WindowGroupLimit takes the top 10 per query."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks8 = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != "",
+        ),
+        1,
+        8,
+    )
+    queries = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", toks8).alias("qtext"),
+        )
+    )
+    return bm25_topk(
+        docs, queries, k=_Q152_K, k1=_Q152_K1, b=_Q152_B
+    ).orderBy("query_id", "rank")

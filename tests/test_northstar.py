@@ -4515,3 +4515,58 @@ def test_winnow_pairs_guarantee_and_cap(spark):
         dfb, "doc_id", "text", k=2, window=2, min_shared=1, max_doc_freq=2
     )
     assert uncapped.count() > capped.count()
+
+
+def test_bm25_python_twin(spark):
+    """BM25 formula pinned by a from-scratch Python computation on a tiny
+    corpus (duplicate docs score exactly equal; doc-asc tiebreak)."""
+    import math
+    import re
+    from collections import Counter
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        bm25_topk,
+    )
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "the cat sat on the mat",  # exact dup of 1
+        4: "quantum flux capacitors require plutonium",
+    }
+    qs = {(100, "cat mat"), (200, "dog"), (300, "plutonium flux")}
+    k1, b = 1.2, 0.75
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    tf = {d: Counter(toks(t)) for d, t in corpus.items()}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    df = Counter(t for c in tf.values() for t in c)
+
+    want = {}
+    for qid, qt in qs:
+        for d in corpus:
+            s = 0.0
+            for t in set(toks(qt)):
+                if tf[d].get(t):
+                    idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    f = tf[d][t]
+                    s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl[d] / avgdl))
+            if s > 0:
+                want[(qid, d)] = round(s, 6)
+
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id int, text string")
+    queries = spark.createDataFrame(list(qs), "query_id int, qtext string")
+    got = bm25_topk(docs, queries, k=10).collect()
+    got_scores = {(r["query_id"], r["doc"]): r["score"] for r in got}
+    assert got_scores.keys() == want.keys()
+    for key, w in want.items():
+        assert abs(got_scores[key] - w) <= 2e-6, (key, got_scores[key], w)
+    # dup docs tie exactly; doc-asc breaks it
+    r100 = sorted(
+        (r["rank"], r["doc"]) for r in got if r["query_id"] == 100
+    )
+    assert r100[0] == (1, 1) and r100[1] == (2, 3)
