@@ -584,3 +584,54 @@ def outlier_bounds(df: DataFrame, col: str, k: float = 1.5) -> tuple[float, floa
     q1, q3 = exact_quantiles(df, col, [0.25, 0.75])
     iqr = q3 - q1
     return q1 - k * iqr, q3 + k * iqr
+
+
+def mad_outlier_bounds(
+    df: DataFrame, col: str, k: float = 3.0
+) -> tuple[float, float, float, float]:
+    """Robust (median ± k·1.4826·MAD) outlier fence — the IQR fence's
+    (``outlier_bounds``) heavier-tailed sibling: MAD = median(|x −
+    median|) resists up to 50% contamination where quartiles break at
+    25%. 1.4826 rescales MAD to σ under normality, so ``k`` reads in
+    sigma units.
+
+    Two calls into the shared exact-quantile engine (4 driver rounds
+    total, no value ever buffered): the median, then the median of the
+    derived absolute deviations — the deviation column is a projection,
+    so the second call scans once more but still never shuffles data
+    rows. Returns ``(lo, hi, median, mad)``.
+    """
+    med = exact_quantiles(df, col, [0.5])[0]
+    dev = df.select(
+        F.abs(F.col(col).cast("double") - F.lit(float(med))).alias("__dev")
+    )
+    mad = exact_quantiles(dev, "__dev", [0.5])[0]
+    half = k * 1.4826 * mad
+    return med - half, med + half, med, mad
+
+
+def quantile_bins(
+    df: DataFrame, col: str, n_bins: int = 4
+) -> tuple[DataFrame, list[float]]:
+    """Quantile discretization WITHOUT a global sort: exact interior
+    quantile boundaries from the shared engine, then bin assignment is a
+    pure comparison projection (``bin = 1 + Σ_i [v > bound_i]``,
+    codegen, pushdown-friendly) — the scale-correct replacement for
+    ``ntile``, whose single global sort is the one shape that cannot
+    parallelize. Semantics are VALUE-based: ties share a bin (ntile
+    splits equal values by row position — nondeterministic under
+    parallel scan, so ntile on data columns is banned here anyway).
+
+    Returns ``(df_with_bin, boundaries)`` where ``bin`` is 1-based and
+    null/NaN values get a null bin."""
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = exact_quantiles(df, col, probs)
+    v = F.col(col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    bin_expr = F.lit(1)
+    for bnd in bounds:
+        bin_expr = bin_expr + F.when(v > F.lit(float(bnd)), 1).otherwise(0)
+    return (
+        df.withColumn("bin", F.when(v.isNotNull(), bin_expr)),
+        bounds,
+    )

@@ -6722,3 +6722,91 @@ def q152_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, queries, k=_Q152_K, k1=_Q152_K1, b=_Q152_B
     ).orderBy("query_id", "rank")
+
+
+# q153: the robust (MAD) outlier fence — q19's IQR fence breaks down at
+# 25% contamination, median ± k·1.4826·MAD holds to 50%; two passes of
+# the shared exact-quantile engine, fence applied as a pushed-down range
+# filter.
+_Q153_K = 1.2
+_Q153_SQL = f"""
+    WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+    d AS (SELECT quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+          FROM orders, m)
+    SELECT (SELECT count(*) FROM orders, m, d
+            WHERE o_totalprice < med - {_Q153_K} * 1.4826 * mad
+               OR o_totalprice > med + {_Q153_K} * 1.4826 * mad
+           )::BIGINT AS n_outliers,
+           round(med, 6) AS median, round(mad, 6) AS mad
+    FROM m, d
+"""
+
+
+@_register("q153_mad_outliers", _Q153_SQL)
+def q153_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier count (operators/analytics.py::mad_outlier_bounds):
+    median ± 1.2·σ-equivalent MAD fence on o_totalprice, fence computed by
+    the exact-quantile engine (never buffering values), then one
+    pushed-down range-filter count."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        mad_outlier_bounds,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lo, hi, med, mad = mad_outlier_bounds(orders, "o_totalprice", k=_Q153_K)
+    return orders.where(
+        (F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi)
+    ).agg(
+        F.count("*").cast("bigint").alias("n_outliers"),
+        F.round(F.lit(med), 6).alias("median"),
+        F.round(F.lit(mad), 6).alias("mad"),
+    )
+
+
+# q154: quantile discretization without a global sort — exact decile
+# boundaries from the quantile engine, assignment as a comparison
+# projection; the scale-correct ntile replacement (value-based ties,
+# deterministic under parallel scan). Oracle derives the SAME boundaries
+# via quantile_cont and the SAME comparison rule — NOT ntile, whose
+# row-position tie splits are scan-order-dependent.
+_Q154_BINS = 10
+_Q154_SQL = f"""
+    WITH qb AS (
+        SELECT quantile_cont(l_extendedprice,
+                   [x / {_Q154_BINS}.0 FOR x IN range(1, {_Q154_BINS})]) AS bs
+        FROM lineitem
+    ),
+    assigned AS (
+        SELECT l_extendedprice AS v,
+               1 + len(list_filter(bs, b -> l_extendedprice > b)) AS bin
+        FROM lineitem, qb
+        WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT bin, count(*)::BIGINT AS n,
+           round(min(v), 6) AS lo, round(max(v), 6) AS hi
+    FROM assigned GROUP BY bin ORDER BY bin
+"""
+
+
+@_register("q154_quantile_binning", _Q154_SQL)
+def q154_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning (operators/analytics.py::quantile_bins): exact
+    decile boundaries (shared engine, no global sort, no ntile), bin
+    assignment as a codegen comparison chain, then per-bin count/min/max
+    — the feature-discretization recipe at 100 TB."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        quantile_bins,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    binned, _bounds = quantile_bins(li, "l_extendedprice", n_bins=_Q154_BINS)
+    return (
+        binned.where(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+        )
+        .orderBy("bin")
+    )

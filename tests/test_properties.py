@@ -940,3 +940,46 @@ def test_ann_recall_bounds_and_self_identity(spark, pairs):
     for r in ann_recall(other, df).collect():
         assert 0 <= r["n_hit"] <= r["n_exact"]
         assert r["recall"] == round(r["n_hit"] / r["n_exact"], 6)
+
+
+def test_mad_outlier_bounds_python_twin(spark):
+    import statistics
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        mad_outlier_bounds,
+    )
+
+    xs = [float((i * 17) % 101) for i in range(200)] + [5000.0, -4000.0]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    lo, hi, med, mad = mad_outlier_bounds(df, "x", k=3.0)
+    pmed = statistics.median(xs)
+    pmad = statistics.median(abs(x - pmed) for x in xs)
+    assert med == pmed and mad == pmad
+    assert lo == pmed - 3.0 * 1.4826 * pmad and hi == pmed + 3.0 * 1.4826 * pmad
+    n_out = df.where((df.x < lo) | (df.x > hi)).count()
+    assert n_out == sum(1 for x in xs if x < lo or x > hi) == 2
+
+
+def test_quantile_bins_value_ties_share_a_bin(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        quantile_bins,
+    )
+
+    # 40% duplicate mass straddling a boundary: every 7.0 must land in
+    # ONE bin (value semantics), unlike ntile's row-position split
+    xs = [7.0] * 40 + [float(i) for i in range(60)] + [None]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    binned, bounds = quantile_bins(df, "x", n_bins=4)
+    assert len(bounds) == 3 and bounds == sorted(bounds)
+    rows = binned.collect()
+    bins_of_7 = {r["bin"] for r in rows if r["x"] == 7.0}
+    assert len(bins_of_7) == 1
+    assert all(r["bin"] is None for r in rows if r["x"] is None)
+    # bin is monotone in value
+    by_bin = {}
+    for r in rows:
+        if r["bin"] is not None:
+            by_bin.setdefault(r["bin"], []).append(r["x"])
+    ordered = sorted(by_bin)
+    for a, b in zip(ordered, ordered[1:]):
+        assert max(by_bin[a]) <= min(by_bin[b])
