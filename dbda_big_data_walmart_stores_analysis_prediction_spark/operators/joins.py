@@ -225,3 +225,41 @@ def asof_join(
         F.col("__carried.__asof_ts").alias(f"asof_{right_ts}"),
         *[F.col(f"__carried.{c}").alias(c) for c in right_cols],
     )
+
+
+def skew_report(
+    df: DataFrame, keys: list[str] | str, top: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnostics — the number an engineer reads BEFORE
+    choosing broadcast / AQE / ``salted_join`` for a 100 TB join or
+    aggregation: the ``top`` heaviest key values with their share of all
+    rows, the skew factor (key count / mean key count — how many
+    straggler-tasks' worth of work the hot key is), and the salt bucket
+    count that would level it (``ceil(skew_factor)``, capped at 256).
+
+    ONE hash aggregate over the keys (map-side combined) + a 1-row
+    broadcast of the totals + a heap take — no sort of the key table.
+    NULL keys are reported like any other value (they hash to one
+    partition too).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*key_list).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("total_rows"),
+        F.count("*").cast("double").alias("n_keys"),
+    )
+    skew = F.col("n") / (F.col("total_rows") / F.col("n_keys"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_list,
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total_rows"), 6).alias("row_share"),
+            F.round(skew, 6).alias("skew_factor"),
+            F.least(F.ceil(skew), F.lit(256)).cast("int").alias(
+                "suggested_salt"
+            ),
+        )
+        .orderBy(F.col("n").desc(), *key_list)
+        .limit(top)
+    )

@@ -6810,3 +6810,46 @@ def q154_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# q155: shuffle-key skew diagnostics — the table an engineer reads before
+# choosing broadcast / AQE / salted_join; run against a derived hot-key
+# fixture (half of events collapse onto key -1) so the report's skew
+# factor and suggested salt are non-trivial. The remedy it recommends is
+# `operators/joins.py::salted_join` (output-equivalence pinned in
+# tests/test_joins.py).
+_Q155_SQL = """
+    WITH sk AS (
+        SELECT CASE WHEN user_id % 10 < 5 THEN -1 ELSE user_id END AS k
+        FROM events
+    ),
+    c AS (SELECT k, count(*)::BIGINT AS n FROM sk GROUP BY k),
+    t AS (SELECT sum(n)::DOUBLE AS total_rows, count(*)::DOUBLE AS n_keys
+          FROM c)
+    SELECT k, n,
+           round(n / total_rows, 6) AS row_share,
+           round(n / (total_rows / n_keys), 6) AS skew_factor,
+           least(ceil(n / (total_rows / n_keys)), 256)::INT
+               AS suggested_salt
+    FROM c, t
+    ORDER BY n DESC, k LIMIT 10
+"""
+
+
+@_register("q155_skew_report", _Q155_SQL)
+def q155_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics (operators/joins.py::skew_report): top hot keys
+    with row share, skew factor (hot-key count over mean key count), and
+    the salt bucket count that would level the hot key — one map-side-
+    combined aggregate + a 1-row broadcast + a heap take, never a sort
+    of the key table."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        skew_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 5, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    )
+    return skew_report(ev, "k", top=10)

@@ -158,3 +158,19 @@ def test_asof_equal_ts_right_rows_deterministic(spark):
         ).collect()
         assert len(out) == 1
         assert out[0]["rv"] == 9.0, f"attempt {attempt}: {out}"
+
+
+def test_skew_report_math(spark):
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        skew_report,
+    )
+
+    rows = [(0,)] * 90 + [(1,)] * 5 + [(2,)] * 5 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "k int")
+    got = {r["k"]: r for r in skew_report(df, "k", top=10).collect()}
+    # 4 keys, 110 rows, mean 27.5
+    assert got[0]["n"] == 90 and got[0]["row_share"] == round(90 / 110, 6)
+    assert got[0]["skew_factor"] == round(90 / 27.5, 6)
+    assert got[0]["suggested_salt"] == 4  # ceil(3.27...)
+    assert got[None]["n"] == 10  # null keys reported too
+    assert got[1]["suggested_salt"] == 1
