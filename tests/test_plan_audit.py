@@ -737,3 +737,45 @@ def test_q147_boilerplate_heap_take_not_full_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q151_winnow_no_cartesian_single_doc_window(spark):
+    plan = _plan(spark, "q151_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join is the hinted shuffle-hash join on the fingerprint
+    assert "ShuffledHashJoin" in plan
+    # the selection window (hidden behind the pair stage's checkpoint in
+    # the executed q151 plan) partitions by doc: per-doc state, no
+    # global sort
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    fplan = (
+        winnow_fingerprints(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"Window .*windowspecdefinition\(doc", fplan), fplan
+    assert "Exchange rangepartitioning" not in fplan
+
+
+def test_q152_bm25_topk_group_limit_and_broadcasts(spark):
+    plan = _plan(spark, "q152_bm25_topk")
+    # top-k per query compiles to WindowGroupLimit, not a global sort
+    assert "WindowGroupLimit" in plan
+    # query terms and the 1-row stats reach the scoring join as broadcasts
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q154_binning_assignment_is_projection(spark):
+    plan = _plan(spark, "q154_quantile_binning")
+    # no ntile / no global sort: assignment is a comparison projection
+    # feeding one hash aggregate
+    assert "ntile" not in plan.lower()
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) <= 1  # only the final orderBy
+    assert "HashAggregate" in plan
