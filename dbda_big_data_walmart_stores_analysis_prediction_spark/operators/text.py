@@ -934,3 +934,67 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc", "score")
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Lexical near-duplicate pairs by TF-IDF cosine — the sparse-vector
+    sibling of the embedding cosine path (`similarity.near_dup_pairs`)
+    and the weighted refinement of `dedup.jaccard_pairs`: candidate pairs
+    share ≥ 1 term, similarity is Σ w_a·w_b / (‖a‖·‖b‖) over
+    `tfidf_scores` weights. Output ``(doc_a, doc_b, cosine)`` rounded
+    6 dp, filtered ≥ ``threshold``.
+
+    ``max_doc_freq`` drops stop-terms (doc frequency above the cap)
+    BEFORE norms and the self-join — the jaccard-family discipline:
+    weights, norms, and cosine all live in the capped vocabulary space
+    (self-consistent semantics, bounded join fan-out; an uncapped run's
+    fan-out is the hottest term's doc-frequency squared).
+
+    Plan: tfidf weights (one explode + two aggregates), per-doc norms
+    (one more doc-keyed aggregate, joined back so both self-join sides
+    carry their norm through the shuffle — the `shingle_sets` carry
+    trick), one checkpointed weight table feeding an inverted-index
+    shuffle-hash self-join on the term, one pair aggregate. Nothing
+    doc-sized is ever collected or broadcast.
+    """
+    w = tfidf_scores(docs, id_col, text_col)
+    if max_doc_freq is not None:
+        keep = (
+            w.groupBy("term")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("term")
+        )
+        w = w.join(keep, "term", "left_semi")
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("nrm")
+    )
+    wn = (
+        w.join(norms, id_col)
+        .select(F.col(id_col).alias("doc"), "term", "tfidf", "nrm")
+        .localCheckpoint(eager=False)
+    )
+    a = wn.alias("a")
+    b = wn.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(
+            F.round(
+                F.sum(F.col("a.tfidf") * F.col("b.tfidf"))
+                / (F.first(F.col("a.nrm")) * F.first(F.col("b.nrm"))),
+                6,
+            ).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

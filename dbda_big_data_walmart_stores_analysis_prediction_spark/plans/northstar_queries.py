@@ -6853,3 +6853,56 @@ def q155_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     )
     return skew_report(ev, "k", top=10)
+
+
+# q156: TF-IDF cosine pairs — the weighted-lexical member of the pair
+# family (q26 set Jaccard, q27 MinHash, q31 embedding cosine): rare-term
+# agreement counts more than stop-word agreement. Oracle recomputes the
+# q50 weights verbatim and the same capped-space norms/dot.
+_Q156_TAU, _Q156_CAP = 0.9, 500
+_Q156_SQL = f"""
+    WITH cterms AS (
+      SELECT doc_id, t AS term
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS u(t)
+    ),
+    ctf AS (SELECT doc_id, term, count(*) AS tf FROM cterms GROUP BY 1, 2),
+    cdf AS (SELECT term, count(*) AS dfreq FROM ctf GROUP BY 1),
+    cn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    cw AS (
+      SELECT ctf.doc_id AS doc, ctf.term,
+             round(ctf.tf * (ln((cn.n_docs + 1.0) / (cdf.dfreq + 1.0)) + 1.0),
+                   6) AS w
+      FROM ctf, cdf, cn
+      WHERE ctf.term = cdf.term AND cdf.dfreq <= {_Q156_CAP}
+    ),
+    cnorm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM cw GROUP BY doc)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           round(sum(a.w * b.w) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+               AS cosine
+    FROM cw a
+    JOIN cw b ON a.term = b.term AND a.doc < b.doc
+    JOIN cnorm na ON na.doc = a.doc
+    JOIN cnorm nb ON nb.doc = b.doc
+    GROUP BY a.doc, b.doc
+    HAVING round(sum(a.w * b.w) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+           >= {_Q156_TAU}
+"""
+
+
+@_register("q156_tfidf_cosine_pairs", _Q156_SQL)
+def q156_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs (operators/text.py::
+    tfidf_cosine_pairs): q50's weights, stop-terms capped at doc-freq
+    500, per-doc norms carried through the inverted-index shuffle-hash
+    self-join, cosine >= 0.9. The weighted-lexical similarity the
+    jaccard/minhash family can't express (rare terms dominate)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=_Q156_TAU, max_doc_freq=_Q156_CAP
+    ).orderBy("doc_a", "doc_b")

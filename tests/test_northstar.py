@@ -4570,3 +4570,61 @@ def test_bm25_python_twin(spark):
         (r["rank"], r["doc"]) for r in got if r["query_id"] == 100
     )
     assert r100[0] == (1, 1) and r100[1] == (2, 3)
+
+
+def test_tfidf_cosine_python_twin(spark):
+    """Cosine pinned by a from-scratch Python computation (rounded q50
+    weights, capped-space norms), including a stop-term cap that removes
+    a term shared by all docs."""
+    import math
+    import re
+    from collections import Counter
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    corpus = {
+        1: "zeta common alpha beta alpha",
+        2: "zeta common alpha beta gamma",
+        3: "zeta common delta epsilon unrelated",
+    }
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    tf = {d: Counter(toks(t)) for d, t in corpus.items()}
+    n = len(tf)
+    df = Counter(t for c in tf.values() for t in c)
+    cap = 2  # drops 'zeta' and 'common' (df=3)
+    w = {
+        d: {
+            t: round(f * (math.log((n + 1) / (df[t] + 1)) + 1), 6)
+            for t, f in c.items()
+            if df[t] <= cap
+        }
+        for d, c in tf.items()
+    }
+    nrm = {d: math.sqrt(sum(x * x for x in ws.values())) for d, ws in w.items()}
+    want = {}
+    for a in corpus:
+        for b in corpus:
+            if a < b:
+                dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+                if nrm[a] and nrm[b]:
+                    c = round(dot / (nrm[a] * nrm[b]), 6)
+                    if c >= 0.1:
+                        want[(a, b)] = c
+
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id int, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            docs, threshold=0.1, max_doc_freq=cap
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) <= 2e-6, (k, got[k], want[k])
+    # docs 1 and 2 share alpha+beta -> high; 3 shares nothing after cap
+    assert (1, 2) in got and all(3 not in k for k in got)
