@@ -998,3 +998,72 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def term_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The BM25/idf statistics table a retrieval index maintains:
+    ``(term, dfreq, n_docs, total_tokens)`` — per-term document frequency
+    plus the corpus scalars (docs with ≥ 1 token, total token count; the
+    scalars repeat on every row so the table is self-contained and
+    additive). Tokenization is the `tfidf_scores`/`bm25_scores` portable
+    form. One explode + two map-side-combined aggregates + a 1-row
+    broadcast."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    terms = docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("dfreq"))
+    meta = tf.groupBy("doc").agg(F.sum("tf").alias("dl")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    return dfreq.crossJoin(F.broadcast(meta))
+
+
+def merge_term_stats(old_stats: DataFrame, batch_docs: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Incremental maintenance of `term_stats`: fold a NEW document batch
+    into an existing statistics table WITHOUT rescanning the indexed
+    corpus — dfreq, n_docs, and total_tokens are all additive, so the
+    merge is a full-outer sum on the term plus scalar addition.
+    Contract (pinned by the q157 oracle, which recomputes from the
+    union): ``merge_term_stats(term_stats(corpus), batch) ==
+    term_stats(corpus ∪ batch)`` whenever batch doc ids are disjoint
+    from the corpus — which the exactly-once ingest upstream
+    (`dedup_incremental` / the streaming anti-join) guarantees.
+
+    At 100 TB this is the difference between a batch-sized job per
+    refresh and a corpus-sized one: the corpus contributes only its
+    (bounded-vocabulary) stats table."""
+    b = term_stats(batch_docs, id_col, text_col)
+    old_meta = old_stats.agg(
+        F.coalesce(F.max("n_docs"), F.lit(0)).alias("n_old"),
+        F.coalesce(F.max("total_tokens"), F.lit(0)).alias("t_old"),
+    )
+    new_meta = b.agg(
+        F.coalesce(F.max("n_docs"), F.lit(0)).alias("n_new"),
+        F.coalesce(F.max("total_tokens"), F.lit(0)).alias("t_new"),
+    )
+    meta = (
+        old_meta.crossJoin(F.broadcast(new_meta))
+        .select(
+            (F.col("n_old") + F.col("n_new")).cast("bigint").alias("n_docs"),
+            (F.col("t_old") + F.col("t_new")).cast("bigint").alias("total_tokens"),
+        )
+    )
+    merged = (
+        old_stats.select("term", F.col("dfreq").alias("__da"))
+        .join(b.select("term", F.col("dfreq").alias("__db")), "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("__da"), F.lit(0))
+                + F.coalesce(F.col("__db"), F.lit(0))
+            ).cast("bigint").alias("dfreq"),
+        )
+    )
+    return merged.crossJoin(F.broadcast(meta))

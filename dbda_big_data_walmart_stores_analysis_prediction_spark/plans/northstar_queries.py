@@ -6906,3 +6906,48 @@ def q156_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(
         docs, "doc_id", "text", threshold=_Q156_TAU, max_doc_freq=_Q156_CAP
     ).orderBy("doc_a", "doc_b")
+
+
+# q157: incremental retrieval-index statistics — the maintenance-family
+# argument applied to BM25's (df, N, avgdl) table: the Spark side MERGES
+# a batch into the standing corpus stats (batch-sized work), the oracle
+# RECOMPUTES from the union (corpus ∪ batch == documents by
+# construction) — so a green hash proves incremental == recompute, the
+# q60/q119 discipline.
+_Q157_SQL = """
+    WITH iterms AS (
+      SELECT doc_id AS doc, t AS term
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS u(t)
+    ),
+    itf AS (SELECT doc, term, count(*) AS tf FROM iterms GROUP BY 1, 2),
+    idf AS (SELECT term, count(*)::BIGINT AS dfreq FROM itf GROUP BY 1),
+    imeta AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens
+      FROM (SELECT doc, sum(tf) AS dl FROM itf GROUP BY doc)
+    )
+    SELECT term, dfreq, n_docs, total_tokens
+    FROM idf, imeta
+    ORDER BY dfreq DESC, term LIMIT 100
+"""
+
+
+@_register("q157_incremental_term_stats", _Q157_SQL)
+def q157_incremental_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 statistics (operators/text.py::merge_term_stats):
+    fold the q150 batch fixture (doc_id % 5 == 0) into the standing
+    corpus stats table — dfreq/N/total_tokens are additive, so the
+    refresh is batch-sized, never corpus-sized. The oracle recomputes
+    from the full table; a green hash IS the incremental == recompute
+    proof. Output: top-100 terms with the carried scalars."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        merge_term_stats,
+        term_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    merged = merge_term_stats(term_stats(corpus), batch)
+    return merged.orderBy(F.col("dfreq").desc(), "term").limit(100)

@@ -4628,3 +4628,38 @@ def test_tfidf_cosine_python_twin(spark):
         assert abs(got[k] - want[k]) <= 2e-6, (k, got[k], want[k])
     # docs 1 and 2 share alpha+beta -> high; 3 shares nothing after cap
     assert (1, 2) in got and all(3 not in k for k in got)
+
+
+def test_merge_term_stats_equals_recompute(spark):
+    """merge(term_stats(corpus), batch) == term_stats(corpus ∪ batch),
+    row for row — plus the empty-batch and bootstrap-from-empty edges."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        merge_term_stats,
+        term_stats,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma"), (3, None)],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha delta"), (11, "delta delta epsilon")],
+        "doc_id int, text string",
+    )
+    both = corpus.unionByName(batch)
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert snap(merge_term_stats(term_stats(corpus), batch)) == snap(
+        term_stats(both)
+    )
+    # empty batch: identity
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert snap(merge_term_stats(term_stats(corpus), empty)) == snap(
+        term_stats(corpus)
+    )
+    # bootstrap from an empty stats table
+    assert snap(merge_term_stats(term_stats(empty), batch)) == snap(
+        term_stats(batch)
+    )
