@@ -717,3 +717,60 @@ def test_streaming_index_ingest_bloom_prefilter_equivalent(spark, tmp_path):
     ids = spark.read.parquet(str(tmp_path / "idx_bloom")).select("vec_id")
     probed = bloom_probe(ids, words, "vec_id", "vec_id").collect()
     assert len(probed) == 50 and all(r["bloom_hit"] for r in probed)
+
+
+def test_streaming_term_stats_replay_equals_batch(spark, tmp_path):
+    """Streaming stats fold == one batch term_stats over all input; a
+    restart continues from the checkpoint; a FULL replay (lost
+    checkpoint) changes nothing — the version guard skips committed
+    batch ids; intra-batch duplicate ids collapse."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        term_stats,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        load_term_stats,
+        streaming_term_stats_ingest,
+    )
+
+    inp = tmp_path / "in"
+    stats = tmp_path / "stats"
+    ckpt = tmp_path / "ckpt"
+
+    def mkstream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inp}/*")
+        )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    b1 = [(1, "alpha beta beta"), (2, "beta gamma"), (2, "beta gamma"), (3, None)]
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+    q = streaming_term_stats_ingest(mkstream(), str(stats), checkpoint_dir=str(ckpt))
+    q.awaitTermination(120)
+
+    b2 = [(10, "alpha delta"), (11, "delta delta epsilon")]
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(inp / "b2")
+    )
+    q = streaming_term_stats_ingest(mkstream(), str(stats), checkpoint_dir=str(ckpt))
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma"), (3, None)] + b2,
+        "doc_id long, text string",
+    )
+    want = snap(term_stats(all_docs))
+    assert snap(load_term_stats(spark, str(stats))) == want
+
+    # full replay: lost checkpoint, every file re-delivered — the version
+    # guard must skip both batches (no double counting)
+    q = streaming_term_stats_ingest(
+        mkstream(), str(stats), checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    assert snap(load_term_stats(spark, str(stats))) == want
