@@ -6951,3 +6951,62 @@ def q157_incremental_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 5 == 0)
     merged = merge_term_stats(term_stats(corpus), batch)
     return merged.orderBy(F.col("dfreq").desc(), "term").limit(100)
+
+
+# q158: the winnowing survivor composition — q151's fingerprint pairs
+# feeding the shared cluster + keep-longest machinery (q66's policy), so
+# the NEW pair source runs the whole dedup-collapse path end to end. The
+# oracle splices the registered q151 SQL verbatim (import-time guard) and
+# closes components with the same recursive CTE as q55/q66.
+assert ORACLE_SQL["q151_winnow_pairs"].lstrip().startswith("WITH") and (
+    "wkept" in ORACLE_SQL["q151_winnow_pairs"]
+), "q151 oracle shape changed — re-derive the q158 splice"
+_Q158_SQL = f"""
+    WITH RECURSIVE wp AS (
+        {ORACLE_SQL["q151_winnow_pairs"]}
+    ),
+    wedges AS (
+        SELECT doc_a AS u, doc_b AS v FROM wp
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM wp
+    ),
+    wreach(u, v) AS (
+        SELECT u, v FROM wedges
+        UNION
+        SELECT r.u, e.v FROM wreach r JOIN wedges e ON r.v = e.u
+    ),
+    wcomp AS (SELECT u AS id, least(u, min(v)) AS component
+              FROM wreach GROUP BY u),
+    wranked AS (
+        SELECT d.doc_id,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM documents d JOIN wcomp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM wcomp)
+    UNION ALL
+    SELECT d.doc_id, d.n_chars FROM documents d
+    JOIN wranked r ON r.doc_id = d.doc_id AND r.rn = 1
+"""
+
+
+@_register("q158_winnow_keep_longest", _Q158_SQL)
+def q158_winnow_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup collapse: q151's fingerprint pairs →
+    connected components → keep the LONGEST member per cluster (q66's
+    survivor policy) — the local-match pair source driving the full
+    collapse path. Docs in no pair bypass the window via anti-join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    pairs = dd.winnow_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=_Q151_K,
+        window=_Q151_W,
+        min_shared=_Q151_MIN,
+        max_doc_freq=_Q151_CAP,
+    ).select("doc_a", "doc_b")
+    return dd.dedup_near_by(docs, pairs, "n_chars").select(
+        "doc_id", "n_chars"
+    )
