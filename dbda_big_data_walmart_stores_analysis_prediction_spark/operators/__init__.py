@@ -4,6 +4,7 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.cleaning i
     null_counts,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+    skew_report,
     star_join,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
@@ -16,7 +17,9 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics 
     describe_plus,
     group_quartiles,
     histogram,
+    mad_outlier_bounds,
     outlier_bounds,
+    quantile_bins,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.clustering import (
     KMeansModel,
@@ -56,7 +59,12 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.similarity
     random_projection,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+    bm25_scores,
+    bm25_topk,
     calibrate_scores,
+    merge_term_stats,
+    term_stats,
+    tfidf_cosine_pairs,
 )
 from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
     kmv_group_sketches,
@@ -79,6 +87,14 @@ __all__ = [
     "load_kmeans_artifact",
     "save_kmeans_artifact",
     "semdedup",
+    "bm25_scores",
+    "bm25_topk",
+    "term_stats",
+    "merge_term_stats",
+    "tfidf_cosine_pairs",
+    "mad_outlier_bounds",
+    "quantile_bins",
+    "skew_report",
     "winnow_fingerprints",
     "winnow_pairs",
     "null_counts",

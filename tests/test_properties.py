@@ -983,3 +983,32 @@ def test_quantile_bins_value_ties_share_a_bin(spark):
     ordered = sorted(by_bin)
     for a, b in zip(ordered, ordered[1:]):
         assert max(by_bin[a]) <= min(by_bin[b])
+
+
+@given(
+    xs=st.lists(
+        st.floats(-1e300, 1e300, allow_nan=False, allow_subnormal=True),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_exact_quantiles_full_magnitude_range(spark, xs):
+    """The log-bucket scan across signs, subnormals, and huge exponents:
+    exact interpolated quantiles must match Python on any finite input."""
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = exact_quantiles(df, "x", [0.1, 0.5, 0.9])
+    s = sorted(xs)
+    for g, p in zip(got, [0.1, 0.5, 0.9]):
+        r = (len(s) - 1) * p
+        lo, hi = math.floor(r), math.ceil(r)
+        want = s[lo] + (s[hi] - s[lo]) * (r - lo)
+        assert g == want or abs(g - want) <= 1e-9 * max(1.0, abs(want)), (
+            p, g, want,
+        )
