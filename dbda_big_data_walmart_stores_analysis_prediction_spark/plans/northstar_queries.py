@@ -7010,3 +7010,102 @@ def q158_winnow_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_near_by(docs, pairs, "n_chars").select(
         "doc_id", "n_chars"
     )
+
+
+# q159: the vector-side re-fit gate — q150's twin for embeddings: q145's
+# per-label drift monitors folded into the (monitor, value, threshold,
+# triggered) decision table that schedules k-means re-fit (q111) /
+# re-quantization (q138). Oracle splices the registered q145 SQL
+# verbatim (import-time guard).
+assert ORACLE_SQL["q145_embedding_drift"].lstrip().startswith("WITH") and (
+    "centroid_cos" in ORACLE_SQL["q145_embedding_drift"]
+), "q145 oracle shape changed — re-derive the q159 splice"
+_Q159_DRIFT_T, _Q159_NORM_T, _Q159_GAP_T = 0.02, 0.05, 0.2
+_Q159_SQL = f"""
+    WITH vdrift AS (
+        {ORACLE_SQL["q145_embedding_drift"]}
+    ),
+    vgate AS (
+        SELECT coalesce(round(1.0 - min(centroid_cos), 6), 1.0) AS v_drift,
+               coalesce(round(max(greatest(norm_ratio, 1.0 / norm_ratio))
+                              - 1.0, 6), 0.0) AS v_norm,
+               round(count(*) FILTER (centroid_cos IS NULL)::DOUBLE
+                     / count(*), 6) AS v_gap
+        FROM vdrift
+    )
+    SELECT * FROM (
+        SELECT 'incomparable_label_frac' AS monitor, v_gap AS value,
+               {_Q159_GAP_T}::DOUBLE AS threshold,
+               v_gap > {_Q159_GAP_T} AS triggered FROM vgate
+        UNION ALL
+        SELECT 'max_centroid_drift', v_drift, {_Q159_DRIFT_T}::DOUBLE,
+               v_drift > {_Q159_DRIFT_T} FROM vgate
+        UNION ALL
+        SELECT 'max_norm_shift', v_norm, {_Q159_NORM_T}::DOUBLE,
+               v_norm > {_Q159_NORM_T} FROM vgate
+    ) ORDER BY monitor
+"""
+
+
+@_register("q159_vector_drift_gate", _Q159_SQL)
+def q159_vector_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector re-fit gate: q145's embedding-drift monitors aggregated to
+    the decision table that schedules index maintenance — max centroid
+    drift (1 − min cosine), max norm shift (max of ratio-or-inverse − 1),
+    and the fraction of labels with no comparable centroid (gone/new/
+    zero-norm). Same (monitor, value, threshold, triggered) contract as
+    q150's corpus gate."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        embedding_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    drift = embedding_drift(
+        emb, emb.where(F.col("vec_id") % 3 != 0), by_col="label"
+    )
+    gate = drift.agg(
+        F.coalesce(
+            F.round(F.lit(1.0) - F.min("centroid_cos"), 6), F.lit(1.0)
+        ).alias("v_drift"),
+        F.coalesce(
+            F.round(
+                F.max(
+                    F.greatest(
+                        F.col("norm_ratio"), F.lit(1.0) / F.col("norm_ratio")
+                    )
+                )
+                - F.lit(1.0),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("v_norm"),
+        F.round(
+            F.count(F.when(F.col("centroid_cos").isNull(), 1))
+            / F.count("*"),
+            6,
+        ).alias("v_gap"),
+    ).localCheckpoint(eager=False)
+    rows = (
+        gate.select(
+            F.lit("incomparable_label_frac").alias("monitor"),
+            F.col("v_gap").alias("value"),
+            F.lit(_Q159_GAP_T).alias("threshold"),
+        )
+        .unionByName(
+            gate.select(
+                F.lit("max_centroid_drift").alias("monitor"),
+                F.col("v_drift").alias("value"),
+                F.lit(_Q159_DRIFT_T).alias("threshold"),
+            )
+        )
+        .unionByName(
+            gate.select(
+                F.lit("max_norm_shift").alias("monitor"),
+                F.col("v_norm").alias("value"),
+                F.lit(_Q159_NORM_T).alias("threshold"),
+            )
+        )
+    )
+    return rows.withColumn(
+        "triggered", F.col("value") > F.col("threshold")
+    ).orderBy("monitor")
