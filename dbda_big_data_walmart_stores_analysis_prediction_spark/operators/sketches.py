@@ -291,13 +291,22 @@ def hll_distinct(
     Returns one row ``(hll_estimate double)``. Build shape: one scan →
     hash projection → (bucket, max rank) aggregate (≤ 2^p rows, map-side
     combinable) → one scalar aggregate. The register table is the
-    mergeable state: max per bucket across batches = the union's sketch.
+    mergeable state: max per bucket across batches = the union's sketch
+    (`hll_registers` exposes it; `hll_estimate` reads it back — the
+    split the streaming fold uses).
     Standard error ≈ 1.04/√m (~1.6% at p=12)."""
+    return hll_estimate(hll_registers(df, key_col, p), p)
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
+    """The HLL (bucket, max-rank) register table — `hll_distinct`'s
+    mergeable state: registers of two batches merge by per-bucket MAX,
+    and max-merge of disjoint batches == the union's registers. ≤ 2^p
+    rows, map-side combinable."""
     m = 1 << p
     maxrank = 61 - p
-    alpha = 0.7213 / (1 + 1.079 / m)
     h = md5_int64(F.col(key_col).cast("string"))
-    regs = (
+    return (
         df.where(F.col(key_col).isNotNull())
         .select(h.alias("__h"))
         .select(
@@ -313,6 +322,14 @@ def hll_distinct(
         .groupBy("bucket")
         .agg(F.max("r").alias("r"))
     )
+
+
+def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
+    """The estimate read off a `hll_registers` table (one row,
+    ``hll_estimate double``) — see `hll_distinct` for the numerics."""
+    m = 1 << p
+    maxrank = 61 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
     # S coalesces to 0 on an empty register table (sum over zero rows is
     # NULL): used == 0 then routes to the linear-counting branch, whose
     # m·ln(m/m) = 0.0 is the right answer for an empty/all-null input —

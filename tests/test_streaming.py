@@ -774,3 +774,72 @@ def test_streaming_term_stats_replay_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert snap(load_term_stats(spark, str(stats))) == want
+
+
+def test_streaming_sketch_ingests_replay_equals_batch(spark, tmp_path):
+    """CMS cells and the HLL estimate folded over the stream equal the
+    one-shot batch sketches over all input; a full replay (lost
+    checkpoint) changes neither — duplicate EVENTS still count twice in
+    CMS (they are the signal), replayed BATCHES never do."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        count_min_table,
+        hll_distinct,
+        hll_estimate,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        load_term_stats,  # noqa: F401  (module import sanity)
+        stats_versions,
+        streaming_cms_ingest,
+        streaming_hll_ingest,
+    )
+    import os
+
+    inp = tmp_path / "in"
+    b1 = [("a",), ("a",), ("b",), (None,)]
+    b2 = [("a",), ("c",), ("c",), ("d",)]
+    spark.createDataFrame(b1, "k string").coalesce(1).write.parquet(str(inp / "b1"))
+    spark.createDataFrame(b2, "k string").coalesce(1).write.parquet(str(inp / "b2"))
+
+    def mkstream():
+        return (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inp}/*")
+        )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    cms_dir, hll_dir = tmp_path / "cms", tmp_path / "hll"
+    q = streaming_cms_ingest(
+        mkstream(), str(cms_dir), "k", w=64, d=3,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    q = streaming_hll_ingest(
+        mkstream(), str(hll_dir), "k", p=6,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(b1 + b2, "k string")
+    vs_cms = stats_versions(str(cms_dir))
+    got_cms = spark.read.parquet(os.path.join(str(cms_dir), f"v{vs_cms[-1]}"))
+    assert snap(got_cms) == snap(count_min_table(all_rows, "k", w=64, d=3))
+
+    vs_hll = stats_versions(str(hll_dir))
+    got_est = hll_estimate(
+        spark.read.parquet(os.path.join(str(hll_dir), f"v{vs_hll[-1]}")), p=6
+    ).first()[0]
+    assert got_est == hll_distinct(all_rows, "k", p=6).first()[0]
+
+    # full replay with a lost checkpoint: version guard skips both batches
+    q = streaming_cms_ingest(
+        mkstream(), str(cms_dir), "k", w=64, d=3,
+        checkpoint_dir=str(tmp_path / "ck3"),
+    )
+    q.awaitTermination(120)
+    got_cms2 = spark.read.parquet(
+        os.path.join(str(cms_dir), f"v{stats_versions(str(cms_dir))[-1]}")
+    )
+    assert snap(got_cms2) == snap(got_cms)
