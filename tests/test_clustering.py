@@ -265,31 +265,32 @@ def test_streaming_assignment_matches_batch(spark, sf_dir, tmp_path):
 
 ADVERSARIAL_EMBEDDINGS = [
     # ordinary vectors forming two loose bundles
-    (1, [1.0, 0.05, 0.0, 0.0]),
-    (2, [0.95, 0.1, 0.0, 0.0]),
-    (3, [0.0, 0.0, 1.0, 0.02]),
-    (4, [0.0, 0.0, 0.98, 0.05]),
+    (1, [1.0, 0.05, 0.0, 0.0], "a"),
+    (2, [0.95, 0.1, 0.0, 0.0], "a"),
+    (3, [0.0, 0.0, 1.0, 0.02], "b"),
+    (4, [0.0, 0.0, 0.98, 0.05], "b"),
     # exact duplicates (must land in one group)
-    (5, [0.5, 0.5, 0.0, 0.0]),
-    (6, [0.5, 0.5, 0.0, 0.0]),
+    (5, [0.5, 0.5, 0.0, 0.0], "a"),
+    (6, [0.5, 0.5, 0.0, 0.0], None),
     # antipodal pair (cosine -1; never a near-dup pair)
-    (7, [0.0, 1.0, 0.0, 0.0]),
-    (8, [0.0, -1.0, 0.0, 0.0]),
+    (7, [0.0, 1.0, 0.0, 0.0], "b"),
+    (8, [0.0, -1.0, 0.0, 0.0], "b"),
     # malformed: zero norm, NaN element, Inf element — all dropped
-    (9, [0.0, 0.0, 0.0, 0.0]),
-    (10, [float("nan"), 1.0, 0.0, 0.0]),
-    (11, [float("inf"), 1.0, 0.0, 0.0]),
+    (9, [0.0, 0.0, 0.0, 0.0], "a"),
+    (10, [float("nan"), 1.0, 0.0, 0.0], "a"),
+    (11, [float("inf"), 1.0, 0.0, 0.0], "b"),
     # tiny-magnitude vector (normalizes fine, tests float head-room)
-    (12, [1e-4, 0.0, 0.0, 1e-5]),
+    (12, [1e-4, 0.0, 0.0, 1e-5], None),
     # null id with a valid vector — dropped on both engines
-    (None, [0.2, 0.9, 0.1, 0.0]),
+    (None, [0.2, 0.9, 0.1, 0.0], "a"),
     # null embedding
-    (13, None),
+    (13, None, "c"),
 ]
 
 
 @pytest.mark.parametrize(
-    "name", ["q111_kmeans_clusters", "q112_semdedup_kmeans"]
+    "name",
+    ["q111_kmeans_clusters", "q112_semdedup_kmeans", "q159_vector_drift_gate"],
 )
 def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
     """Cross-engine parity on malformed embeddings: NaN orders above all
@@ -300,7 +301,8 @@ def test_oracle_parity_on_adversarial_embeddings(spark, tmp_path, name):
     from tests.test_oracle_parity import _assert_adversarial_parity
 
     df = spark.createDataFrame(
-        ADVERSARIAL_EMBEDDINGS, "vec_id long, embedding array<float>"
+        ADVERSARIAL_EMBEDDINGS,
+        "vec_id long, embedding array<float>, label string",
     )
     _assert_adversarial_parity(spark, tmp_path, name, "embeddings", df)
 

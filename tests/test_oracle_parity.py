@@ -231,6 +231,12 @@ DOC_QUERY_NAMES = [
     "q144_tokenizer_ab_report",
     "q146_corpus_refresh_capstone",
     "q147_top_duplicated_grams",
+    "q150_drift_gated_refresh",
+    "q151_winnow_pairs",
+    "q152_bm25_topk",
+    "q156_tfidf_cosine_pairs",
+    "q157_incremental_term_stats",
+    "q158_winnow_keep_longest",
 ]
 
 
@@ -357,6 +363,7 @@ def _adversarial_events():
         "q38_sliding_windows",
         "q45_asof_click_purchase",
         "q51_range_join_sessions",
+        "q155_skew_report",
         "q54_attribution_join",
         "q59_event_dedup",
         "q93_hll_distinct",
