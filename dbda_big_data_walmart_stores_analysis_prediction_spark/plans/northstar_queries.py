@@ -7109,3 +7109,118 @@ def q159_vector_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.withColumn(
         "triggered", F.col("value") > F.col("threshold")
     ).orderBy("monitor")
+
+
+# q160: the retrieval-prep capstone — the round's lexical family end to
+# end: winnowing near-dup collapse (q158) feeding BM25 retrieval (q152)
+# over the SURVIVOR corpus, queries derived from the survivors
+# themselves. The seams only the composition exercises: dedup changes N,
+# df, and avgdl, so every BM25 score differs from the raw-corpus q152
+# run; a dropped duplicate must not appear in any top-k. Oracle splices
+# the registered q158 survivor SQL verbatim (import-time guard) under
+# q152's scoring chain.
+assert ORACLE_SQL["q158_winnow_keep_longest"].lstrip().startswith(
+    "WITH RECURSIVE"
+), "q158 oracle shape changed — re-derive the q160 splice"
+_Q160_K = 5
+_Q160_SQL = f"""
+    WITH rsurv AS (
+        SELECT doc_id FROM ({ORACLE_SQL["q158_winnow_keep_longest"]})
+    ),
+    rdocs AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN rsurv s ON s.doc_id = d.doc_id
+    ),
+    rq AS (
+        SELECT doc_id AS query_id,
+               array_to_string(({_Q152_TOK.format(t='text')})[1:8], ' ')
+                   AS qtext
+        FROM rdocs ORDER BY doc_id LIMIT 3
+    ),
+    rterms AS (
+        SELECT doc_id AS doc, unnest({_Q152_TOK.format(t='text')}) AS term
+        FROM rdocs
+    ),
+    rtf AS (SELECT doc, term, count(*)::DOUBLE AS tf
+            FROM rterms GROUP BY doc, term),
+    rdl AS (SELECT doc, sum(tf) AS dl FROM rtf GROUP BY doc),
+    rstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+               FROM rdl),
+    rdf AS (SELECT term, count(*)::DOUBLE AS dfreq FROM rtf GROUP BY term),
+    rqt AS (
+        SELECT query_id,
+               unnest(list_distinct({_Q152_TOK.format(t='qtext')})) AS term
+        FROM rq
+    ),
+    rscored AS (
+        SELECT q.query_id, t.doc,
+               round(sum(
+                   ln(1 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                   * t.tf * ({_Q152_K1} + 1.0)
+                   / (t.tf + {_Q152_K1} * (1.0 - {_Q152_B}
+                      + {_Q152_B} * l.dl / s.avgdl))
+               ), 6) AS score
+        FROM rtf t
+        JOIN rqt q USING (term)
+        JOIN rdf d USING (term)
+        JOIN rdl l ON t.doc = l.doc, rstats s
+        GROUP BY q.query_id, t.doc
+    )
+    SELECT query_id, rank, doc, score FROM (
+        SELECT query_id, doc, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc) AS rank
+        FROM rscored
+    ) WHERE rank <= {_Q160_K}
+    ORDER BY query_id, rank
+"""
+
+
+@_register("q160_retrieval_prep_capstone", _Q160_SQL)
+def q160_retrieval_prep_capstone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval-prep capstone: winnowing near-dup collapse (q158's
+    survivor policy) feeding BM25 top-k (q152's scorer) over the deduped
+    corpus — dedup changes N/df/avgdl, so every score reflects the
+    survivor statistics, and collapsed duplicates can never crowd a
+    top-k. The survivor sliver is checkpointed (the q113/q136
+    discipline): queries, stats, and scoring all consume it."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    pairs = dd.winnow_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=_Q151_K,
+        window=_Q151_W,
+        min_shared=_Q151_MIN,
+        max_doc_freq=_Q151_CAP,
+    ).select("doc_a", "doc_b")
+    survivors = (
+        dd.dedup_near_by(docs, pairs, "n_chars")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    toks8 = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != "",
+        ),
+        1,
+        8,
+    )
+    queries = (
+        survivors.orderBy("doc_id")
+        .limit(3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", toks8).alias("qtext"),
+        )
+    )
+    return bm25_topk(
+        survivors, queries, k=_Q160_K, k1=_Q152_K1, b=_Q152_B
+    ).orderBy("query_id", "rank")

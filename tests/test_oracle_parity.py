@@ -237,6 +237,7 @@ DOC_QUERY_NAMES = [
     "q156_tfidf_cosine_pairs",
     "q157_incremental_term_stats",
     "q158_winnow_keep_longest",
+    "q160_retrieval_prep_capstone",
 ]
 
 
