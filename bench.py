@@ -295,6 +295,19 @@ LONGTAIL = [
     # round-12: the trained BPE extension configuration (q140's oracled
     # point moved to the zero-base single-merge identity)
     "q149_bpe_extension_trained",
+    # round-12 additions: maintenance gates, the winnowing family, the
+    # lexical retrieval family, and the quantile-engine consumers
+    "q150_drift_gated_refresh",
+    "q151_winnow_pairs",
+    "q152_bm25_topk",
+    "q153_mad_outliers",
+    "q154_quantile_binning",
+    "q155_skew_report",
+    "q156_tfidf_cosine_pairs",
+    "q157_incremental_term_stats",
+    "q158_winnow_keep_longest",
+    "q159_vector_drift_gate",
+    "q160_retrieval_prep_capstone",
 ]
 
 _TABLES = (
