@@ -779,3 +779,18 @@ def test_q154_binning_assignment_is_projection(spark):
     assert "ntile" not in plan.lower()
     assert len(re.findall(r"Exchange rangepartitioning", plan)) <= 1  # only the final orderBy
     assert "HashAggregate" in plan
+
+
+def test_bench_covers_every_registered_query():
+    """Every registered query must have a bench row (the r11 verdict's
+    'unbenched registry tail' gap, made structural): a new @_register
+    without a bench.py entry fails here, not in next round's audit."""
+    import re
+
+    listed = set(
+        re.findall(r'"(q\d+_[a-z0-9_]+)"', open("bench.py").read())
+    )
+    missing = sorted(n for n in QUERIES if n not in listed)
+    bogus = sorted(n for n in listed if n not in QUERIES)
+    assert not missing, f"registered but unbenched: {missing}"
+    assert not bogus, f"benched but unregistered: {bogus}"
