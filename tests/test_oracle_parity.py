@@ -595,3 +595,55 @@ def test_q87_oracle_fragment_pins(fragment):
             f"{fragment}: q87 copy lost pinned idiom {q87_pin!r} — "
             "the capstone oracle drifted from the fragment"
         )
+
+
+ADVERSARIAL_ORDERS = [
+    # (o_orderkey, o_orderpriority, o_totalprice)
+    # extreme magnitudes straddling many binary exponents, exact
+    # duplicates, negative zero, subnormal, nulls, single-value and
+    # null-key groups — the quantile engine's log-bucket scan must agree
+    # with quantile_cont exactly on all of them
+    (1, "1-URGENT", 1.0e300),
+    (2, "1-URGENT", -1.0e300),
+    (3, "1-URGENT", 5e-324),
+    (4, "1-URGENT", -0.0),
+    (5, "1-URGENT", 0.0),
+    (6, "2-HIGH", 42.0),
+    (7, "2-HIGH", 42.0),
+    (8, "2-HIGH", 42.0),
+    (9, "3-MEDIUM", None),
+    (10, "3-MEDIUM", 7.25),
+    (11, None, 13.5),
+    (12, None, -13.5),
+    (13, "4-LOW", 1.0000000000000002),  # one ulp above 1.0
+    (14, "4-LOW", 1.0),
+    (15, "4-LOW", 0.9999999999999999),
+    (16, "5-NONE", None),
+] + [(100 + i, "5-NONE", float((i * 37) % 101) - 50.0) for i in range(60)]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q17_quartiles_by_priority", "q19_outlier_count", "q153_mad_outliers"],
+)
+def test_oracle_parity_on_adversarial_orders(spark, tmp_path, name):
+    """The round-12 quantile engine (log-bucket scan + span-merge) against
+    quantile_cont on hostile doubles: ±1e300 spans, subnormals, ±0.0,
+    one-ulp neighbors, duplicate spikes, all-null and null-key groups."""
+    orders = spark.createDataFrame(
+        ADVERSARIAL_ORDERS,
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    _assert_adversarial_parity(spark, tmp_path, name, "orders", orders)
+
+
+def test_oracle_parity_on_adversarial_lineitem_binning(spark, tmp_path):
+    """q154's decile boundaries + comparison-chain assignment on the same
+    hostile value set (single-column lineitem)."""
+    li = spark.createDataFrame(
+        [(v,) for (_, _, v) in ADVERSARIAL_ORDERS],
+        "l_extendedprice double",
+    )
+    _assert_adversarial_parity(
+        spark, tmp_path, "q154_quantile_binning", "lineitem", li
+    )
