@@ -1828,9 +1828,15 @@ def winnow_pairs(
     Winnowing keeps ~2/(window+1) of the gram table, so the join input
     is ~3x smaller than the same-k Jaccard index before the cap.
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k, window).select(
-        "doc", "fp"
-    ).distinct()
+    # checkpoint before the cap: the doc-freq aggregate AND the semi-join
+    # input both consume the fingerprint table — without the boundary the
+    # gram + window selection chain re-derives per consumer
+    fp = (
+        winnow_fingerprints(df, id_col, text_col, k, window)
+        .select("doc", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_doc_freq is not None:
         keep = (
             fp.groupBy("fp")

@@ -243,7 +243,14 @@ def skew_report(
     partition too).
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
-    counts = df.groupBy(*key_list).agg(F.count("*").alias("n"))
+    # checkpoint: the totals aggregate AND the report projection both
+    # consume the key counts — without the boundary the corpus-scale
+    # groupBy runs twice
+    counts = (
+        df.groupBy(*key_list)
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     totals = counts.agg(
         F.sum("n").cast("double").alias("total_rows"),
         F.count("*").cast("double").alias("n_keys"),

@@ -963,7 +963,10 @@ def tfidf_cosine_pairs(
     shuffle-hash self-join on the term, one pair aggregate. Nothing
     doc-sized is ever collected or broadcast.
     """
-    w = tfidf_scores(docs, id_col, text_col)
+    # checkpoint: the doc-freq cap, the norms aggregate, and the weight
+    # table all consume the tfidf frame — without the boundary the
+    # explode + two-aggregate chain re-derives per consumer
+    w = tfidf_scores(docs, id_col, text_col).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         keep = (
             w.groupBy("term")
@@ -1038,8 +1041,10 @@ def merge_term_stats(old_stats: DataFrame, batch_docs: DataFrame,
 
     At 100 TB this is the difference between a batch-sized job per
     refresh and a corpus-sized one: the corpus contributes only its
-    (bounded-vocabulary) stats table."""
-    b = term_stats(batch_docs, id_col, text_col)
+    (bounded-vocabulary) stats table. The batch stats are checkpointed:
+    two consumers (the scalar meta and the term merge) would otherwise
+    re-run the batch tokenize."""
+    b = term_stats(batch_docs, id_col, text_col).localCheckpoint(eager=False)
     old_meta = old_stats.agg(
         F.coalesce(F.max("n_docs"), F.lit(0)).alias("n_old"),
         F.coalesce(F.max("total_tokens"), F.lit(0)).alias("t_old"),
