@@ -202,18 +202,23 @@ def _grouped_quantile_scan(
     bucketed = melted.select(
         "name", F.col("v"), _log_bucket(F.col("v"), sub_buckets).alias("b")
     )
-    rows = (
-        bucketed
-        .groupBy("name", "b")
-        .agg(
-            F.count("v").alias("n"),
-            F.sum("v").alias("s"),
-            F.sum(F.col("v") * F.col("v")).alias("s2"),
-            F.min("v").alias("mn"),
-            F.max("v").alias("mx"),
-        )
-        .collect()
+    cell_df = bucketed.groupBy("name", "b").agg(
+        F.count("v").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
     )
+    # toArrow, not collect(): group_quartiles can produce (groups x active
+    # cells) result rows, and Row materialization runs ~30k rows/s.
+    # toArrow (not toPandas) because pandas floats nullable int columns —
+    # group KEYS must come back type-exact. Arrow may be unavailable for
+    # exotic key types; Rows and to_pylist dicts share the r["col"] access
+    # pattern, so the fallback is drop-in.
+    try:
+        rows = cell_df.toArrow().to_pylist()
+    except Exception:
+        rows = cell_df.collect()
     cells: dict = {}
     stats: dict = {}
     for r in rows:
