@@ -308,6 +308,7 @@ LONGTAIL = [
     "q158_winnow_keep_longest",
     "q159_vector_drift_gate",
     "q160_retrieval_prep_capstone",
+    "q161_group_quantile_bins",
 ]
 
 _TABLES = (

@@ -17,6 +17,7 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics 
     describe_plus,
     group_quartiles,
     histogram,
+    group_quantile_bins,
     mad_outlier_bounds,
     outlier_bounds,
     quantile_bins,
@@ -94,6 +95,7 @@ __all__ = [
     "tfidf_cosine_pairs",
     "mad_outlier_bounds",
     "quantile_bins",
+    "group_quantile_bins",
     "skew_report",
     "winnow_fingerprints",
     "winnow_pairs",

@@ -13,7 +13,7 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 
 def _refine_ranks(
@@ -639,4 +639,84 @@ def quantile_bins(
     return (
         df.withColumn("bin", F.when(v.isNotNull(), bin_expr)),
         bounds,
+    )
+
+
+def group_quantile_bins(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 4,
+    bins: int = 1024,
+    collect_limit: int = 65536,
+    max_depth: int = 6,
+) -> DataFrame:
+    """PER-GROUP quantile discretization (``quantile_bins`` within each
+    group): exact per-group interior boundaries from the shared log-bucket
+    scan, then assignment as a broadcast join on the group plus an array
+    comparison (``bin = 1 + size(filter(bounds, b -> v > b))``) — no
+    ntile, no per-group sort, one corpus scan for the boundaries and one
+    for the assignment. The per-domain length-stratification recipe a
+    curriculum mix runs at 100 TB.
+
+    Same bounded-group-cardinality contract as ``group_quartiles``
+    (driver state is one row per (group, active magnitude cell)). Rows
+    with null/NaN values — and rows of groups with no non-null values —
+    get a null bin. Value ties share a bin (deterministic under parallel
+    scan; see ``quantile_bins`` on why ntile is banned here).
+    """
+    v = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    melted = df.select(F.col(group_col).alias("name"), v.alias("v"))
+    cell_stats, resolve = _grouped_quantile_scan(
+        melted, bins, collect_limit, max_depth
+    )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    ranks_by_key: dict = {}
+    for g, (n, _, _, _mn, _mx) in cell_stats.items():
+        if n == 0:
+            continue
+        ranks: set[int] = set()
+        for p in probs:
+            rk = (n - 1) * p
+            ranks.add(math.floor(rk))
+            ranks.add(math.ceil(rk))
+        ranks_by_key[g] = ranks
+    resolved = resolve(ranks_by_key)
+
+    gtype = df.schema[group_col].dataType
+    btab_rows = []
+    for g, (n, _, _, _mn, _mx) in cell_stats.items():
+        if n == 0:
+            continue
+        bounds = []
+        for p in probs:
+            rk = (n - 1) * p
+            lo, hi = math.floor(rk), math.ceil(rk)
+            frac = rk - lo
+            vlo, vhi = resolved[g][lo], resolved[g][hi]
+            bounds.append(vlo + (vhi - vlo) * frac)
+        btab_rows.append((g, bounds))
+    btab = df.sparkSession.createDataFrame(
+        btab_rows,
+        StructType(
+            [
+                StructField("__g", gtype, True),
+                StructField("__bounds", ArrayType(DoubleType(), False), False),
+            ]
+        ),
+    )
+    joined = df.join(
+        F.broadcast(btab), df[group_col].eqNullSafe(btab["__g"]), "left"
+    )
+    vv = F.col(value_col).cast("double")
+    vv = F.when(~F.isnan(vv), vv)
+    bin_expr = F.lit(1) + F.size(
+        F.filter(F.col("__bounds"), lambda b: vv > b)
+    )
+    return joined.select(
+        *[df[c] for c in df.columns],
+        F.when(
+            vv.isNotNull() & F.col("__bounds").isNotNull(), bin_expr
+        ).alias("bin"),
     )

@@ -7224,3 +7224,57 @@ def q160_retrieval_prep_capstone(
     return bm25_topk(
         survivors, queries, k=_Q160_K, k1=_Q152_K1, b=_Q152_B
     ).orderBy("query_id", "rank")
+
+
+# q161: per-source length stratification — group_quantile_bins over the
+# documents' n_chars: exact per-source quartile boundaries (shared
+# log-bucket scan, no ntile, no per-group sort) + comparison-rule
+# assignment, summarized per (source, bin). The per-domain curriculum
+# stratifier at 100 TB. Oracle derives the SAME boundaries via grouped
+# quantile_cont and the SAME value-comparison rule.
+_Q161_BINS = 4
+_Q161_SQL = f"""
+    WITH gq AS (
+        SELECT source,
+               quantile_cont(n_chars,
+                   [x / {_Q161_BINS}.0 FOR x IN range(1, {_Q161_BINS})])
+                   AS bs
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY source
+    ),
+    ga AS (
+        SELECT d.source, d.n_chars::DOUBLE AS v,
+               1 + len(list_filter(g.bs, b -> d.n_chars > b)) AS bin
+        FROM documents d
+        JOIN gq g ON d.source IS NOT DISTINCT FROM g.source
+        WHERE d.n_chars IS NOT NULL
+    )
+    SELECT source, bin, count(*)::BIGINT AS n,
+           round(min(v), 6) AS lo, round(max(v), 6) AS hi
+    FROM ga GROUP BY source, bin
+    ORDER BY source, bin
+"""
+
+
+@_register("q161_group_quantile_bins", _Q161_SQL)
+def q161_group_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length stratification (operators/analytics.py::
+    group_quantile_bins): exact per-group quartile boundaries from ONE
+    log-bucket scan, assignment as a broadcast boundary-array join +
+    comparison (value ties share a bin; no ntile, no per-group sort),
+    then per-(source, bin) count/min/max."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quantile_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    binned = group_quantile_bins(docs, "source", "n_chars", n_bins=_Q161_BINS)
+    return (
+        binned.where(F.col("bin").isNotNull())
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min(F.col("n_chars").cast("double")), 6).alias("lo"),
+            F.round(F.max(F.col("n_chars").cast("double")), 6).alias("hi"),
+        )
+        .orderBy("source", "bin")
+    )

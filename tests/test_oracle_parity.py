@@ -238,6 +238,7 @@ DOC_QUERY_NAMES = [
     "q157_incremental_term_stats",
     "q158_winnow_keep_longest",
     "q160_retrieval_prep_capstone",
+    "q161_group_quantile_bins",
 ]
 
 

@@ -1012,3 +1012,44 @@ def test_exact_quantiles_full_magnitude_range(spark, xs):
         assert g == want or abs(g - want) <= 1e-9 * max(1.0, abs(want)), (
             p, g, want,
         )
+
+
+def test_group_quantile_bins_python_twin(spark):
+    """Per-group quantile binning: boundaries and assignment match a
+    from-scratch Python computation per group, incl. a NULL group, a
+    constant group (all one bin span), null values, and tie sharing."""
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quantile_bins,
+    )
+
+    data = {
+        "a": [float((i * 13) % 29) for i in range(40)],
+        None: [float(i) for i in range(11)],
+        "c": [7.0] * 6,
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    rows += [("a", None), ("empty", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = group_quantile_bins(df, "g", "x", n_bins=4).collect()
+
+    def bounds_of(xs):
+        s = sorted(xs)
+        out = []
+        for p in (0.25, 0.5, 0.75):
+            r = (len(s) - 1) * p
+            lo, hi = math.floor(r), math.ceil(r)
+            out.append(s[lo] + (s[hi] - s[lo]) * (r - lo))
+        return out
+
+    wants = {g: bounds_of(xs) for g, xs in data.items()}
+    for r in got:
+        if r["x"] is None:
+            assert r["bin"] is None
+            continue
+        b = wants[r["g"]]
+        want_bin = 1 + sum(1 for bd in b if r["x"] > bd)
+        assert r["bin"] == want_bin, (r["g"], r["x"], r["bin"], want_bin)
+    # constant group: every member in bin 1 (all boundaries equal 7.0)
+    assert {r["bin"] for r in got if r["g"] == "c"} == {1}
