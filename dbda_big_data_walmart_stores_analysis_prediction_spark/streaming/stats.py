@@ -4,12 +4,30 @@ table maintained live as document batches stream in.
 `operators/text.py::merge_term_stats` makes each refresh batch-sized; the
 streaming problem is exactly-once application under replays. Per-operator
 streaming state can't hold an unbounded vocabulary anyway, so the state
-IS the stats parquet — committed as monotone versions ``v{batch_id}``
-(a parquet dir with its ``_SUCCESS`` marker), which makes replay
-idempotence structural: a re-delivered batch sees its own (or a newer)
-version already committed and skips, so a batch can never be folded in
-twice. There is deliberately only ONE write per batch — no side table of
+IS the stats parquet — committed as monotone versions ``v{n}`` (a parquet
+dir with its ``_SUCCESS`` marker). There is deliberately only ONE commit
+point per batch — the version dir's ``_SUCCESS`` — no side table of
 ingested ids whose commit could tear away from the stats commit.
+
+Idempotence is keyed on CONTENT, not on Structured Streaming's
+``batch_id``: every committed version ``v{n}`` carries a manifest ``m{n}``
+(parquet, one ``src`` row per source file ever folded, cumulative), and a
+micro-batch folds only the files the manifest has not seen. ``batch_id``
+alone is not an identity — it restarts at 0 under a new or lost
+checkpoint, and a replay that ALSO contains new files would be skipped
+wholesale by a version-number guard while the fresh checkpoint marks
+those files consumed, silently dropping the new data forever. With the
+manifest, a pure replay is a no-op, a mixed replay folds exactly the
+unseen files, and the ``batch_id`` never decides what data is applied.
+The manifest is written BEFORE the version it describes, so a crash
+between the two leaves only a harmless orphan ``m{n}`` that the retry
+overwrites; a committed version always has its manifest in place.
+
+Sources with no file lineage (rate/memory/socket — ``input_file_name()``
+is empty) have no content identity to reconcile, so they keep the
+version-number guard for the one case it is sound (re-delivery of the
+last batch under the SAME checkpoint) and FAIL LOUDLY on a batch-id
+regression instead of silently dropping a fresh-checkpoint batch.
 
 Contract: the input stream delivers each doc id at most once across
 batches (the corpus ingest's survivor stream guarantees this); ids
@@ -23,14 +41,15 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 STATS_SCHEMA = "term string, dfreq bigint, n_docs bigint, total_tokens bigint"
 
 
 def stats_versions(stats_dir: str) -> list[int]:
-    """Committed stats versions (``v{batch_id}`` dirs with a _SUCCESS
-    marker), ascending."""
+    """Committed stats versions (``v{n}`` dirs with a _SUCCESS marker),
+    ascending."""
     if not os.path.isdir(stats_dir):
         return []
     out = []
@@ -49,6 +68,15 @@ def load_term_stats(spark, stats_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(stats_dir, f"v{vs[-1]}"))
 
 
+def _applied_manifest(spark, state_dir: str, version: int) -> DataFrame | None:
+    """The cumulative applied-file manifest committed alongside
+    ``v{version}`` (None for legacy state written before manifests)."""
+    p = os.path.join(state_dir, f"m{version}")
+    if os.path.exists(os.path.join(p, "_SUCCESS")):
+        return spark.read.parquet(p)
+    return None
+
+
 def versioned_fold_ingest(
     stream: DataFrame,
     state_dir: str,
@@ -57,36 +85,105 @@ def versioned_fold_ingest(
     checkpoint_dir: str | None = None,
     keep_versions: int = 3,
 ):
-    """The generic versioned-commit fold: per micro-batch, skip if a
-    version >= this ``batch_id`` is already committed (replay / restart
-    after a torn checkpoint), else commit ``fold(standing, batch)`` as
-    ``v{batch_id}`` and prune versions older than the newest
-    ``keep_versions``. ``fold`` receives the latest committed state (an
-    empty ``state_schema`` frame on bootstrap) and the raw micro-batch;
-    it must be ADDITIVE-merge semantics — fold(fold(s, a), b) ==
-    fold(s, a ∪ b) for disjoint batches — which is exactly what makes
-    the single-write version guard an exactly-once mechanism.
+    """The generic versioned-commit fold (see module docstring for the
+    exactly-once mechanism): per micro-batch, fold exactly the source
+    files the standing manifest has not seen into the latest committed
+    state and commit the result as the next version. ``fold`` receives
+    the latest committed state (an empty ``state_schema`` frame on
+    bootstrap) and the unseen slice of the micro-batch; it must be
+    ADDITIVE-merge semantics — fold(fold(s, a), b) == fold(s, a ∪ b) for
+    disjoint batches — which is what makes file-granular application
+    exact (a source file is atomically inside one micro-batch).
 
     Returns the ``StreamingQuery``.
     """
     spark = stream.sparkSession
 
-    def _apply(batch: DataFrame, batch_id: int) -> None:
-        vs = stats_versions(state_dir)
-        if vs and vs[-1] >= batch_id:
-            return  # already applied (replayed batch) — idempotent skip
-        if vs:
-            standing = spark.read.parquet(
-                os.path.join(state_dir, f"v{vs[-1]}")
+    def _commit(standing, fresh, applied_union, next_v: int) -> None:
+        # manifest FIRST: an orphan m{n} without its v{n} is overwritten
+        # on retry; a committed v{n} (its _SUCCESS is the single commit
+        # point) always finds its manifest already in place
+        if applied_union is not None:
+            applied_union.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"m{next_v}")
             )
-        else:
-            standing = spark.createDataFrame([], state_schema)
-        fold(standing, batch).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id}")
+        fold(standing, fresh).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{next_v}")
         )
         stale = stats_versions(state_dir)[:-keep_versions]
         for v in stale:
             shutil.rmtree(os.path.join(state_dir, f"v{v}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(state_dir, f"m{v}"), ignore_errors=True)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        vs = stats_versions(state_dir)
+        # one materialization of the batch's file set (file-count-sized,
+        # never data-sized); "" = a row from a non-file source
+        src = (
+            batch.select(F.input_file_name().alias("src"))
+            .where(F.col("src") != "")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        has_lineage = src.limit(1).count() > 0
+
+        if not has_lineage:
+            # no content identity (rate/memory source or empty batch):
+            # the version guard is sound only for same-checkpoint
+            # re-delivery of the last batch — a REGRESSION means a fresh
+            # checkpoint whose batch contents we cannot reconcile
+            if vs and vs[-1] > batch_id:
+                raise RuntimeError(
+                    "versioned_fold_ingest: committed version "
+                    f"v{vs[-1]} in {state_dir} exceeds streaming batch "
+                    f"{batch_id} and the batch has no file lineage to "
+                    "reconcile — a fresh checkpoint over a non-file "
+                    "source cannot be applied exactly-once. Restore the "
+                    "original checkpoint or clear the state directory."
+                )
+            if vs and vs[-1] == batch_id:
+                return  # re-delivered last batch under the same checkpoint
+            standing = (
+                spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+                if vs
+                else spark.createDataFrame([], state_schema)
+            )
+            _commit(standing, batch, None, batch_id)
+            return
+
+        applied = _applied_manifest(spark, state_dir, vs[-1]) if vs else None
+        if vs and applied is None:
+            # legacy state (pre-manifest layout): the old guard is the
+            # only identity available; manifests begin with the first
+            # batch folded from here on
+            if vs[-1] >= batch_id:
+                return
+            applied = src.limit(0)
+        if applied is None:
+            applied = src.limit(0)
+
+        new_files = src.join(applied, "src", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new_files.limit(1).count() == 0:
+            return  # pure replay — every file already folded
+        if vs:
+            standing = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+            # mixed replay: keep only rows from unseen files
+            fresh = (
+                batch.withColumn("__vfold_src", F.input_file_name())
+                .join(
+                    F.broadcast(new_files.withColumnRenamed("src", "__vfold_src")),
+                    "__vfold_src",
+                    "left_semi",
+                )
+                .drop("__vfold_src")
+            )
+        else:
+            standing = spark.createDataFrame([], state_schema)
+            fresh = batch
+        next_v = batch_id if (not vs or batch_id > vs[-1]) else vs[-1] + 1
+        _commit(standing, fresh, applied.unionByName(src).distinct(), next_v)
 
     writer = stream.writeStream.foreachBatch(_apply)
     if checkpoint_dir:
@@ -130,17 +227,16 @@ def streaming_cms_ingest(
 ):
     """Live Count-Min frequency state: each micro-batch's
     `count_min_table` merges into the standing sketch by CELLWISE SUM
-    (the documented CMS rebuild property) under the versioned-commit
-    guard — bounded d*w state no matter how many keys stream past, the
-    heavy-hitter memory a 100 TB event stream can actually afford.
-    Unlike the doc-keyed folds, duplicate EVENTS are the signal here, so
-    nothing is deduped; exactly-once application of each batch is the
-    version guard's job. Read with `operators.sketches.count_min_lookup`
-    against the latest version."""
+    (the documented CMS rebuild property) under the manifest-keyed
+    versioned commit — bounded d*w state no matter how many keys stream
+    past, the heavy-hitter memory a 100 TB event stream can actually
+    afford. Unlike the doc-keyed folds, duplicate EVENTS are the signal
+    here, so nothing is deduped; exactly-once application of each source
+    FILE is the manifest guard's job. Read with
+    `operators.sketches.count_min_lookup` against the latest version."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
         count_min_table,
     )
-    from pyspark.sql import functions as F
 
     def fold(standing: DataFrame, batch: DataFrame) -> DataFrame:
         fresh = count_min_table(batch, key_col, w=w, d=d)
@@ -170,14 +266,13 @@ def streaming_hll_ingest(
 ):
     """Live distinct-count state: each micro-batch's `hll_registers`
     merges into the standing registers by per-bucket MAX (max-merge of
-    disjoint batches == the union's sketch) under the versioned-commit
-    guard — 2^p rows of state for an unbounded key stream. Read the
-    estimate with `operators.sketches.hll_estimate` on the latest
-    version."""
+    disjoint batches == the union's sketch) under the manifest-keyed
+    versioned commit — 2^p rows of state for an unbounded key stream.
+    Read the estimate with `operators.sketches.hll_estimate` on the
+    latest version."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
         hll_registers,
     )
-    from pyspark.sql import functions as F
 
     def fold(standing: DataFrame, batch: DataFrame) -> DataFrame:
         return (

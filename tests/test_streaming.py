@@ -843,3 +843,116 @@ def test_streaming_sketch_ingests_replay_equals_batch(spark, tmp_path):
         os.path.join(str(cms_dir), f"v{stats_versions(str(cms_dir))[-1]}")
     )
     assert snap(got_cms2) == snap(got_cms)
+
+
+def test_streaming_fold_fresh_checkpoint_folds_only_new_files(spark, tmp_path):
+    """The ADVICE-flagged hole: a LOST checkpoint restarts batch ids at 0,
+    and a replay batch that ALSO contains new files must fold exactly the
+    new files — a version-number guard would skip the whole batch and the
+    fresh checkpoint would mark the new files consumed, silently dropping
+    them forever. The manifest keys idempotence on content:
+    1) pure replay under a fresh checkpoint stays a no-op,
+    2) a single mixed batch (old + new files, batch_id 0) folds only the
+       unseen file, and the result equals one batch fold over all input."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        term_stats,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        load_term_stats,
+        streaming_term_stats_ingest,
+    )
+
+    inp = tmp_path / "in"
+    stats = tmp_path / "stats"
+
+    def mkstream(**opts):
+        s = spark.readStream.schema("doc_id long, text string")
+        for k, v in opts.items():
+            s = s.option(k, v)
+        return s.parquet(f"{inp}/*")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    b1 = [(1, "alpha beta beta"), (2, "beta gamma")]
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+    q = streaming_term_stats_ingest(
+        mkstream(), str(stats), checkpoint_dir=str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+    assert snap(load_term_stats(spark, str(stats))) == snap(
+        term_stats(spark.createDataFrame(b1, "doc_id long, text string"))
+    )
+
+    # checkpoint "lost" (never reused); new file arrives; the fresh run's
+    # FIRST batch (batch_id 0) contains BOTH files — the mixed-batch case
+    b2 = [(10, "alpha delta"), (11, "delta delta epsilon")]
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(inp / "b2")
+    )
+    q = streaming_term_stats_ingest(
+        mkstream(), str(stats), checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    want = snap(
+        term_stats(spark.createDataFrame(b1 + b2, "doc_id long, text string"))
+    )
+    assert snap(load_term_stats(spark, str(stats))) == want
+
+    # pure replay under yet another fresh checkpoint: no new files → no-op,
+    # including with per-file batches (batch ids 0,1 both below committed)
+    q = streaming_term_stats_ingest(
+        mkstream(maxFilesPerTrigger=1),
+        str(stats),
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    q.awaitTermination(120)
+    assert snap(load_term_stats(spark, str(stats))) == want
+
+
+def test_streaming_cms_fresh_checkpoint_counts_new_events_once(spark, tmp_path):
+    """Same hole for the sketch folds, where rows are EVENTS (duplicates
+    are the signal): a fresh checkpoint over old+new files must add the
+    new file's events exactly once and never re-add the old file's."""
+    import os
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        count_min_table,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        stats_versions,
+        streaming_cms_ingest,
+    )
+
+    inp = tmp_path / "in"
+    b1 = [("a",), ("a",), ("b",)]
+    b2 = [("a",), ("c",), ("c",)]
+    spark.createDataFrame(b1, "k string").coalesce(1).write.parquet(str(inp / "b1"))
+
+    def mkstream():
+        return spark.readStream.schema("k string").parquet(f"{inp}/*")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    cms_dir = tmp_path / "cms"
+    q = streaming_cms_ingest(
+        mkstream(), str(cms_dir), "k", w=64, d=3,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(b2, "k string").coalesce(1).write.parquet(str(inp / "b2"))
+    q = streaming_cms_ingest(
+        mkstream(), str(cms_dir), "k", w=64, d=3,
+        checkpoint_dir=str(tmp_path / "ck2"),  # fresh: batch 0 = b1 + b2
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(
+        os.path.join(str(cms_dir), f"v{stats_versions(str(cms_dir))[-1]}")
+    )
+    want = count_min_table(spark.createDataFrame(b1 + b2, "k string"), "k", w=64, d=3)
+    assert snap(got) == snap(want)
