@@ -857,11 +857,16 @@ def bm25_scores(
     ≥ 1 token.
 
     Plan shape at scale: the corpus pays ONE explode + one (doc, term)
-    hash aggregate; doc lengths reuse that aggregate (sum of tf per doc),
-    df is a |vocab|-row aggregate over it. The query-term table is tiny
-    and broadcast, so scoring joins touch only matching rows; the 1-row
-    (N, avgdl) aggregate broadcasts via crossJoin. No UDFs, no shuffle of
-    anything doc-sized beyond the tf aggregate.
+    hash aggregate; doc lengths reuse that aggregate (sum of tf per doc).
+    Everything term-keyed after that is QUERY-TERM-sized, not
+    vocab-sized: the tf table is broadcast-semi-filtered on the distinct
+    query terms BEFORE the document-frequency aggregate (only query
+    terms' df values are ever read, and the filtered counts are
+    identical for them), so df is a |query terms|-row aggregate instead
+    of a 10^8-row vocabulary exchange per scoring run. The query-term
+    table is tiny and broadcast; the 1-row (N, avgdl) aggregate
+    broadcasts via crossJoin. No UDFs, no shuffle of anything doc-sized
+    beyond the tf aggregate.
     """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
@@ -876,7 +881,6 @@ def bm25_scores(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("dfreq"))
 
     qtoks = F.array_distinct(
         F.filter(
@@ -886,6 +890,16 @@ def bm25_scores(
     )
     qterms = queries.select(
         F.col(qid_col).alias("query_id"), F.explode(qtoks).alias("term")
+    )
+    # query-term prefilter: df and the scoring join only ever consume
+    # query terms, so drop every other term map-side BEFORE aggregating
+    # document frequencies — the df aggregate and both term joins become
+    # query-term-sized instead of vocabulary-sized
+    tf_q = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    dfreq = tf_q.groupBy("term").agg(
+        F.count("*").cast("double").alias("dfreq")
     )
 
     idf = F.log(
@@ -898,8 +912,8 @@ def bm25_scores(
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     return (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
+        tf_q.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
         .join(dl, "doc")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc")

@@ -770,6 +770,16 @@ def test_q152_bm25_topk_group_limit_and_broadcasts(spark):
     # query terms and the 1-row stats reach the scoring join as broadcasts
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+    # no full-vocabulary exchange: the document-frequency aggregate sits
+    # ABOVE a broadcast semi join on the distinct query terms, so every
+    # term-keyed aggregate/join after tf is query-term-sized
+    assert re.search(r"BroadcastHashJoin .*\bLeftSemi\b", plan), plan
+    # structurally: the df partial aggregate's direct child IS the semi
+    # join (filter applied map-side, before any term exchange)
+    assert re.search(
+        r"partial_count\(1\)[^\n]*\n[^\n]*BroadcastHashJoin [^\n]*LeftSemi",
+        plan,
+    ), plan
 
 
 def test_q154_binning_assignment_is_projection(spark):
