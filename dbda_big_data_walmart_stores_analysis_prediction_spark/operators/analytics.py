@@ -195,10 +195,13 @@ def _grouped_quantile_scan(
     and ``resolve(ranks_by_key)`` resolves the requested 0-based global
     ranks (keys are the melted frame's ``name`` values).
     """
-    # materialize the bucket code as a column ONCE: the refinement/final
-    # pass re-selects bracket rows by `b isin codes` — recomputing the
-    # log2/pow chain inside every bracket's when-branch was measured at
-    # ~10x the cost of the comparison on the precomputed long
+    # the bucket code feeds ONLY this one aggregate: the refinement/final
+    # pass re-selects bracket rows on the UN-bucketed melted frame by
+    # name + exact value span (resolve() below), so the code is never
+    # recomputed downstream — and keeping the span predicates off the
+    # computed column avoids Catalyst's project-collapse inlining the
+    # log2/pow chain into every bracket branch (measured ~10x the cost
+    # of the plain value comparisons)
     bucketed = melted.select(
         "name", F.col("v"), _log_bucket(F.col("v"), sub_buckets).alias("b")
     )
@@ -582,11 +585,25 @@ def group_quartiles(
     return df.sparkSession.createDataFrame(out_rows, schema)
 
 
+def _require_values(col: str, op: str, qs: list) -> None:
+    """Contract guard shared by the quantile-engine consumers: the engine
+    returns ``None`` quantiles for an empty/all-null column, and every
+    downstream formula would otherwise die on ``float(None)`` — raise the
+    eager, named error instead."""
+    if any(q is None for q in qs):
+        raise ValueError(
+            f"{op}: column '{col}' has no non-null (non-NaN) values — "
+            "a quantile-based fence/binning is undefined on empty input"
+        )
+
+
 def outlier_bounds(df: DataFrame, col: str, k: float = 1.5) -> tuple[float, float]:
     """A6/P10: IQR outlier fence (reference computes it on the pandas sample,
     ``Scripts/eda.py:77-84``). Returns (lo, hi); filter Spark-side with
     ``df.where((c < lo) | (c > hi))``."""
-    q1, q3 = exact_quantiles(df, col, [0.25, 0.75])
+    qs = exact_quantiles(df, col, [0.25, 0.75])
+    _require_values(col, "outlier_bounds", qs)
+    q1, q3 = qs
     iqr = q3 - q1
     return q1 - k * iqr, q3 + k * iqr
 
@@ -607,6 +624,7 @@ def mad_outlier_bounds(
     rows. Returns ``(lo, hi, median, mad)``.
     """
     med = exact_quantiles(df, col, [0.5])[0]
+    _require_values(col, "mad_outlier_bounds", [med])
     dev = df.select(
         F.abs(F.col(col).cast("double") - F.lit(float(med))).alias("__dev")
     )
@@ -616,7 +634,7 @@ def mad_outlier_bounds(
 
 
 def quantile_bins(
-    df: DataFrame, col: str, n_bins: int = 4
+    df: DataFrame, col: str, n_bins: int = 4, out_col: str = "bin"
 ) -> tuple[DataFrame, list[float]]:
     """Quantile discretization WITHOUT a global sort: exact interior
     quantile boundaries from the shared engine, then bin assignment is a
@@ -627,17 +645,25 @@ def quantile_bins(
     splits equal values by row position — nondeterministic under
     parallel scan, so ntile on data columns is banned here anyway).
 
-    Returns ``(df_with_bin, boundaries)`` where ``bin`` is 1-based and
-    null/NaN values get a null bin."""
+    Returns ``(df_with_bin, boundaries)`` where ``out_col`` (default
+    ``bin``, 1-based) is APPENDED — a pre-existing column of that name is
+    a caller error (silently overwriting a feature column corrupts it),
+    so it raises."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"quantile_bins: output column '{out_col}' already exists in "
+            f"the frame ({df.columns}); pass a different out_col"
+        )
     probs = [i / n_bins for i in range(1, n_bins)]
     bounds = exact_quantiles(df, col, probs)
+    _require_values(col, "quantile_bins", bounds)
     v = F.col(col).cast("double")
     v = F.when(~F.isnan(v), v)
     bin_expr = F.lit(1)
     for bnd in bounds:
         bin_expr = bin_expr + F.when(v > F.lit(float(bnd)), 1).otherwise(0)
     return (
-        df.withColumn("bin", F.when(v.isNotNull(), bin_expr)),
+        df.withColumn(out_col, F.when(v.isNotNull(), bin_expr)),
         bounds,
     )
 
@@ -650,6 +676,7 @@ def group_quantile_bins(
     bins: int = 1024,
     collect_limit: int = 65536,
     max_depth: int = 6,
+    out_col: str = "bin",
 ) -> DataFrame:
     """PER-GROUP quantile discretization (``quantile_bins`` within each
     group): exact per-group interior boundaries from the shared log-bucket
@@ -662,9 +689,16 @@ def group_quantile_bins(
     Same bounded-group-cardinality contract as ``group_quartiles``
     (driver state is one row per (group, active magnitude cell)). Rows
     with null/NaN values — and rows of groups with no non-null values —
-    get a null bin. Value ties share a bin (deterministic under parallel
-    scan; see ``quantile_bins`` on why ntile is banned here).
+    get a null ``out_col`` (default ``bin``; a pre-existing column of
+    that name raises, matching ``quantile_bins``). Value ties share a
+    bin (deterministic under parallel scan; see ``quantile_bins`` on why
+    ntile is banned here).
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"group_quantile_bins: output column '{out_col}' already "
+            f"exists in the frame ({df.columns}); pass a different out_col"
+        )
     v = F.col(value_col).cast("double")
     v = F.when(~F.isnan(v), v)
     melted = df.select(F.col(group_col).alias("name"), v.alias("v"))
@@ -718,5 +752,5 @@ def group_quantile_bins(
         *[df[c] for c in df.columns],
         F.when(
             vv.isNotNull() & F.col("__bounds").isNotNull(), bin_expr
-        ).alias("bin"),
+        ).alias(out_col),
     )

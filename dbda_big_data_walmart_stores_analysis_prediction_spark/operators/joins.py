@@ -267,6 +267,12 @@ def skew_report(
                 "suggested_salt"
             ),
         )
-        .orderBy(F.col("n").desc(), *key_list)
+        # asc_nulls_last on the key tiebreak: Spark defaults to nulls
+        # FIRST on ascending while SQL engines (the DuckDB oracle
+        # included) default to nulls LAST — a count tie involving a null
+        # key at the top-N boundary must pick the same rows everywhere
+        .orderBy(
+            F.col("n").desc(), *[F.col(k).asc_nulls_last() for k in key_list]
+        )
         .limit(top)
     )

@@ -174,3 +174,19 @@ def test_skew_report_math(spark):
     assert got[0]["suggested_salt"] == 4  # ceil(3.27...)
     assert got[None]["n"] == 10  # null keys reported too
     assert got[1]["suggested_salt"] == 1
+
+
+def test_skew_report_null_key_tie_sorts_last(spark):
+    """A count tie between a NULL key and a real key at the top-N
+    boundary must resolve identically to the SQL oracles (nulls LAST on
+    the ascending tiebreak — Spark's bare asc would put them first)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        skew_report,
+    )
+
+    rows = [(0,)] * 10 + [(None,)] * 5 + [(7,)] * 5 + [(9,)] * 5
+    df = spark.createDataFrame(rows, "k int")
+    got = [r["k"] for r in skew_report(df, "k", top=3).collect()]
+    assert got == [0, 7, 9]  # null loses every tie, so it misses top-3
+    got_all = [r["k"] for r in skew_report(df, "k", top=4).collect()]
+    assert got_all == [0, 7, 9, None]

@@ -1053,3 +1053,59 @@ def test_group_quantile_bins_python_twin(spark):
         assert r["bin"] == want_bin, (r["g"], r["x"], r["bin"], want_bin)
     # constant group: every member in bin 1 (all boundaries equal 7.0)
     assert {r["bin"] for r in got if r["g"] == "c"} == {1}
+
+
+def test_quantile_consumers_raise_on_empty_or_all_null(spark):
+    """Contract guard (eager-validation discipline): the engine returns
+    None quantiles for n=0, and every consumer formula would otherwise
+    die on float(None) — each must raise a named error instead."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        mad_outlier_bounds,
+        outlier_bounds,
+        quantile_bins,
+    )
+
+    empty = spark.createDataFrame([], "x double")
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    nans = spark.createDataFrame([(float("nan"),)], "x double")
+    for frame in (empty, nulls):
+        with pytest.raises(ValueError, match="mad_outlier_bounds: column 'x'"):
+            mad_outlier_bounds(frame, "x")
+        with pytest.raises(ValueError, match="outlier_bounds: column 'x'"):
+            outlier_bounds(frame, "x")
+        with pytest.raises(ValueError, match="quantile_bins: column 'x'"):
+            quantile_bins(frame, "x")
+    # NaN-only is the same hole through the NaN firewall
+    with pytest.raises(ValueError, match="column 'x'"):
+        quantile_bins(nans, "x")
+
+
+def test_quantile_bins_out_col_contract(spark):
+    """out_col: a pre-existing 'bin' column raises (never silently
+    overwritten / duplicated); a custom name lands the assignment there
+    for both the global and per-group binners."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quantile_bins,
+        quantile_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(i), i) for i, g in enumerate("aabbccdd")],
+        "g string, x double, bin int",
+    )
+    with pytest.raises(ValueError, match="'bin' already exists"):
+        quantile_bins(df, "x")
+    with pytest.raises(ValueError, match="'bin' already exists"):
+        group_quantile_bins(df, "g", "x")
+
+    binned, _ = quantile_bins(df, "x", n_bins=2, out_col="xbin")
+    assert "xbin" in binned.columns and binned.columns.count("bin") == 1
+    assert all(r["xbin"] in (1, 2) for r in binned.collect())
+
+    gb = group_quantile_bins(df, "g", "x", n_bins=2, out_col="gbin")
+    assert "gbin" in gb.columns and gb.columns.count("bin") == 1
+    assert all(r["gbin"] in (1, 2) for r in gb.collect())
