@@ -67,6 +67,32 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
     return hist
 
 
+def _latest_row_rows_only() -> set[str]:
+    """Queries whose LATEST driver row was taken WITHOUT an oracle
+    (``err == "no_oracle"``). If such a query is in ``ORACLE_SQL`` now,
+    its hash check has NEVER run on the driver — the oracle landed after
+    the row — so the rotation must treat it as never-verified at its
+    current check strength. Round 13 is why this exists: q140/q142
+    gained oracles in r12 with r11 rows-only rows, and 61 strictly
+    staler entries would otherwise hold every r13 slot, parking the
+    brand-new oracles unverified until r14."""
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for k, row in rows.items():
+            err = row.get("err") if isinstance(row, dict) else None
+            prev = latest.get(k)
+            if prev is None or rnd > prev[0]:
+                latest[k] = (rnd, err == "no_oracle")
+    return {k for k, (_, rows_only) in latest.items() if rows_only}
+
+
 def _last_verified_round() -> dict[str, int]:
     """Latest round in which each query received a driver CORRECTNESS row
     (any outcome — a crash row is still driver contact worth rotating on).
@@ -167,7 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. the latest round the query received ANY driver row (ascending;
        never-verified sorts first — a check that has never run is the
        weakest link, and a crash like round 1's q53 must surface the next
-       round, not three rounds later);
+       round, not three rounds later). A query whose oracle landed AFTER
+       its latest driver row (that row says ``no_oracle``) counts as
+       never-verified: its hash check has never run, and round 13 showed
+       61 staler entries would otherwise park a fresh oracle two full
+       rounds (q140/q142);
     2. crashed-at-latest-row before clean on ties — round 7 proved the
        hole: q85's r6 crash row counted as driver contact, the
        oracled-first tie-break pushed it past the cap, and its fix went a
@@ -186,17 +216,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     last = {k: rnd for k, (rnd, _) in hist.items()}
     crashed = {k for k, (_, c) in hist.items() if c}
     oracled = set(ORACLE_SQL)
+    # a query oracled AFTER its latest driver row has never had its hash
+    # checked — never-verified at its current check strength, so its
+    # effective round is 0 (see _latest_row_rows_only)
+    unchecked_oracle = _latest_row_rows_only() & oracled
+    eff_last = {
+        k: (0 if k in unchecked_oracle else v) for k, v in last.items()
+    }
     reg_index = {k: i for i, k in enumerate(QUERIES)}
     ordered_keys = sorted(
         QUERIES,
         key=lambda k: (
-            last.get(k, 0),
+            eff_last.get(k, 0),
             0 if k in crashed else 1,
             0 if k in oracled else 1,
             reg_index[k],
         ),
     )
-    _check_rotation(ordered_keys, last, crashed)
+    _check_rotation(ordered_keys, eff_last, crashed)
     return {k: QUERIES[k] for k in ordered_keys}
 
 

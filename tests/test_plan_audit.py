@@ -207,6 +207,10 @@ def test_driver_rotation_least_recently_verified_first():
     ordering must cycle every entry through within two rounds (round 3
     showed a static ordering permanently starves 9 of them)."""
     last = entry_mod._last_verified_round()
+    # the rotation compares EFFECTIVE rounds: an oracled query whose
+    # latest row predates its oracle counts as never-verified (round 0)
+    for k in entry_mod._latest_row_rows_only() & set(entry_mod.oracle_sql()):
+        last[k] = 0
     ordered = list(entry_mod.queries())
     cap = entry_mod.DRIVER_QUERY_CAP
     oracled = set(entry_mod.oracle_sql())
@@ -257,6 +261,10 @@ def test_driver_rotation_crashed_latest_outranks_green_ties(monkeypatch):
     # simulate: everyone green at round 6, the rows-only victim crashed
     fake = {k: (6, k == victim) for k in registry}
     monkeypatch.setattr(entry_mod, "_driver_history", lambda: fake)
+    # the fake history has every hash check run at round 6 — silence the
+    # real files' fresh-oracle refronting so the crash tie-break is what
+    # this test isolates
+    monkeypatch.setattr(entry_mod, "_latest_row_rows_only", lambda: set())
     ordered = list(entry_mod.queries())
     # the crashed rows-only entry fronts ahead of every green oracled tie
     assert ordered[0] == victim, ordered[:3]
@@ -804,3 +812,34 @@ def test_bench_covers_every_registered_query():
     bogus = sorted(n for n in listed if n not in QUERIES)
     assert not missing, f"registered but unbenched: {missing}"
     assert not bogus, f"benched but unregistered: {bogus}"
+
+
+def test_driver_rotation_fresh_oracle_counts_as_never_verified():
+    """A query whose oracle landed AFTER its latest driver row (that row
+    says no_oracle) has never had its hash checked — it must front like
+    a never-verified entry instead of waiting out its last-verified
+    round (the q140/q142 r13 case: 61 strictly staler entries would
+    otherwise hold every slot)."""
+    cap = entry_mod.DRIVER_QUERY_CAP
+    ordered = list(entry_mod.queries())
+    unchecked = entry_mod._latest_row_rows_only() & set(entry_mod.oracle_sql())
+    for k in unchecked:
+        assert ordered.index(k) < cap, (k, ordered.index(k))
+    # synthetic: with a full history at round 6 and ONE oracled victim
+    # whose latest row was rows-only, the victim fronts ahead of every
+    # green tie
+    import pytest  # noqa: F811
+
+    registry = list(entry_mod.queries())
+    victim = next(k for k in registry if k in set(entry_mod.oracle_sql()))
+    fake_hist = {k: (6, False) for k in registry}
+    orig_hist = entry_mod._driver_history
+    orig_ro = entry_mod._latest_row_rows_only
+    entry_mod._driver_history = lambda: fake_hist
+    entry_mod._latest_row_rows_only = lambda: {victim}
+    try:
+        reordered = list(entry_mod.queries())
+        assert reordered[0] == victim
+    finally:
+        entry_mod._driver_history = orig_hist
+        entry_mod._latest_row_rows_only = orig_ro
