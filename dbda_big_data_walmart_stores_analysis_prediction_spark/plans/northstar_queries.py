@@ -7278,3 +7278,62 @@ def q161_group_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# q162: the skew loop closed — q155's skew_report emits a suggested_salt
+# that (until now) nothing consumed; diagnose_and_salt_join reads the
+# top hot key's recommendation and EXECUTES the salted join it names.
+# Fixture: half of all events collapse onto customer key 1 (a real
+# dimension key, unlike q155's -1 probe), joined against the customer
+# segment dim — the fact x medium-dim hot-key case salting exists for.
+# Oracle is the PLAIN join + aggregate: salt values never escape, so
+# salted results must be bit-identical (the
+# test_salted_join_matches_plain argument made driver-visible).
+_Q162_SQL = """
+    WITH sk AS (
+        SELECT CASE WHEN user_id % 10 < 5 THEN 1 ELSE user_id END AS k,
+               value
+        FROM events
+    ),
+    j AS (
+        SELECT c.c_mktsegment AS segment, s.value
+        FROM sk s JOIN customer c ON s.k = c.c_custkey
+    )
+    SELECT segment, count(*)::BIGINT AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM j GROUP BY segment ORDER BY segment
+"""
+
+
+@_register("q162_adaptive_salted_join", _Q162_SQL)
+def q162_adaptive_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive salted join (operators/joins.py::diagnose_and_salt_join):
+    skew_report diagnoses the hot key (one map-side-combined aggregate +
+    a 1-row driver read), and the join runs with the bucket count the
+    report recommends — the hot key's rows spread across that many
+    tasks instead of pinning one straggler, and the dim replicates once
+    per bucket through a shuffle-hash join (never a sort of the skewed
+    fact). Results are identical to the plain join; only the physical
+    distribution changes."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        diagnose_and_salt_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 5, F.lit(1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = diagnose_and_salt_join(ev, cust, "k")
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("segment")
+    )

@@ -65,6 +65,27 @@ def main() -> None:
         edest = f"{OUT}/{name}/embeddings.parquet"
         eout.repartition(8).write.mode("overwrite").parquet(edest)
         print(name, spark.read.parquet(edest).count(), "vecs ->", edest)
+        # events replicate with re-keyed event ids but the SAME user ids:
+        # every key's load grows x copies uniformly, so skew FACTOR holds
+        # while the hot key's absolute row count scales — the stress
+        # instance for the skew/salting family (q155/q162) and the
+        # windowed-aggregate events queries. The customer dim passes
+        # through verbatim: a 100 TB fact scales, its dims don't.
+        evs = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        vparts = [
+            evs.select(
+                (F.col("event_id") + i * 100_000_000).alias("event_id"),
+                *[c for c in evs.columns if c != "event_id"],
+            )
+            for i in range(copies)
+        ]
+        vout = functools.reduce(lambda a, b: a.unionAll(b), vparts)
+        vdest = f"{OUT}/{name}/events.parquet"
+        vout.repartition(8).write.mode("overwrite").parquet(vdest)
+        print(name, spark.read.parquet(vdest).count(), "events ->", vdest)
+        spark.read.parquet("/root/testdata/sf0.1/customer.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{name}/customer.parquet")
 
 
 if __name__ == "__main__":

@@ -190,3 +190,36 @@ def test_skew_report_null_key_tie_sorts_last(spark):
     assert got == [0, 7, 9]  # null loses every tie, so it misses top-3
     got_all = [r["k"] for r in skew_report(df, "k", top=4).collect()]
     assert got_all == [0, 7, 9, None]
+
+
+def test_diagnose_and_salt_join_adaptive(spark):
+    """diagnose_and_salt_join consumes skew_report's suggested_salt:
+    skewed input -> salted plan (join keys include __salt), identical
+    results to the plain join; uniform input -> plain join, no salt."""
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        diagnose_and_salt_join,
+    )
+
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    right = spark.range(0, 250).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+    )
+    out = diagnose_and_salt_join(left, right, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, plan
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert sorted(tuple(r) for r in out.collect()) == want
+
+    uniform = spark.range(0, 2000).select(
+        (F.col("id") % 200).alias("k"), F.col("id").alias("v")
+    )
+    out2 = diagnose_and_salt_join(uniform, right, "k")
+    assert "__salt" not in out2._jdf.queryExecution().executedPlan().toString()
+    assert sorted(tuple(r) for r in out2.collect()) == sorted(
+        tuple(r) for r in uniform.join(right, "k").collect()
+    )

@@ -843,3 +843,15 @@ def test_driver_rotation_fresh_oracle_counts_as_never_verified():
     finally:
         entry_mod._driver_history = orig_hist
         entry_mod._latest_row_rows_only = orig_ro
+
+
+def test_q162_salted_join_executes_salt_exchange(spark):
+    """The diagnose->execute loop must actually run the salted shape:
+    the join keys include __salt (hot-key rows spread across buckets),
+    the exchange partitions on it, and the skewed fact side is never
+    sorted (shuffle-hash, not sort-merge)."""
+    plan = _plan(spark, "q162_adaptive_salted_join")
+    assert re.search(r"ShuffledHashJoin \[[^\]]*__salt", plan), plan
+    assert re.search(r"Exchange hashpartitioning\([^)]*__salt", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
