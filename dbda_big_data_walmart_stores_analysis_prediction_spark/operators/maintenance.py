@@ -35,6 +35,76 @@ def merge_upsert(
     return updates.unionByName(survivors)
 
 
+def merge_upsert_partitioned(
+    spark,
+    snapshot_dir: str,
+    updates: DataFrame,
+    keys: list[str] | str,
+    partition_col: str,
+    max_touched_partitions: int = 4096,
+) -> list:
+    """``merge_upsert`` with partition-pruned IO — the 100 TB refresh
+    shape: only the partitions the update batch touches are read, merged,
+    and rewritten; every other partition's files are never opened and
+    survive byte-identical. A full-snapshot rewrite per refresh (the
+    plain ``merge_upsert`` + overwrite path, still the right default for
+    small snapshots) is corpus-sized work for a batch-sized change.
+
+    Contract: ``partition_col`` must be STABLE per key — a key never
+    moves between partitions (the date/source-partitioned lake norm). A
+    refresh that relocates keys would need its old partitions rewritten
+    too; use the full-rewrite path for that. ``updates`` must carry
+    ``partition_col`` and the full snapshot schema.
+
+    Mechanics: the touched partition values (bounded driver list, capped
+    at ``max_touched_partitions``) prune the snapshot scan STATICALLY
+    (an ``isin`` on the partition column — visible as PartitionFilters
+    in the plan); the merged slice is materialized (eager checkpoint —
+    you cannot lazily read the very files you are about to replace),
+    then written with dynamic partition overwrite so ONLY the touched
+    directories commit. Returns the sorted touched partition values.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if partition_col not in updates.columns:
+        raise ValueError(
+            f"merge_upsert_partitioned: updates are missing the partition "
+            f"column '{partition_col}' (has {updates.columns})"
+        )
+    touched_rows = (
+        updates.select(partition_col).distinct().limit(
+            max_touched_partitions + 1
+        ).collect()
+    )
+    if len(touched_rows) > max_touched_partitions:
+        raise ValueError(
+            "merge_upsert_partitioned: update batch touches more than "
+            f"max_touched_partitions={max_touched_partitions} partitions — "
+            "at that width a full rewrite is cheaper; use merge_upsert"
+        )
+    touched = [r[0] for r in touched_rows]
+    if not touched:
+        return []
+    if any(v is None for v in touched):
+        raise ValueError(
+            "merge_upsert_partitioned: updates carry a NULL partition "
+            f"value in '{partition_col}' — null partitions "
+            "(__HIVE_DEFAULT_PARTITION__) are not safely overwritable; "
+            "route null-partition rows through the full-rewrite path"
+        )
+    current = spark.read.parquet(snapshot_dir)
+    cur_touched = current.where(F.col(partition_col).isin(touched))
+    merged = merge_upsert(
+        cur_touched, updates.select(*current.columns), key_list
+    ).localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(snapshot_dir)
+    )
+    return sorted(touched)
+
+
 def delete_keys(
     current: DataFrame, tombstones: DataFrame, keys: list[str] | str
 ) -> DataFrame:

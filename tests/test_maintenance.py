@@ -128,3 +128,91 @@ def test_snapshot_diff_fingerprint_injection_proof(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_merge_upsert_partitioned_prunes_and_preserves(spark, tmp_path):
+    """The 100 TB refresh shape: only touched partitions are read and
+    rewritten. Pins (1) pruned result == full-rewrite merge_upsert,
+    (2) untouched partitions' files survive BYTE-identical, (3) the
+    snapshot scan feeding the merge reads only touched partitions,
+    (4) the contract errors (missing partition col, null partition,
+    too-wide batch)."""
+    import glob
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        merge_upsert,
+        merge_upsert_partitioned,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 3}", f"body-{i}") for i in range(30)],
+        "doc_id long, part string, body string",
+    )
+    base.repartition(2).write.partitionBy("part").parquet(snap)
+
+    def file_digests(part):
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in sorted(glob.glob(f"{snap}/part={part}/*.parquet"))
+        }
+
+    untouched_before = {p: file_digests(p) for p in ("p1", "p2")}
+
+    updates = spark.createDataFrame(
+        [(0, "p0", "EDITED"), (99, "p0", "NEW")],
+        "doc_id long, part string, body string",
+    )
+    cols = ["doc_id", "part", "body"]
+    want = sorted(
+        tuple(r)
+        for r in merge_upsert(
+            spark.read.parquet(snap), updates, "doc_id"
+        ).select(*cols).collect()
+    )
+
+    touched = merge_upsert_partitioned(spark, snap, updates, "doc_id", "part")
+    assert touched == ["p0"]
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(snap).select(*cols).collect()
+    )
+    assert got == want
+    # untouched partitions: same files, same bytes
+    assert {p: file_digests(p) for p in ("p1", "p2")} == untouched_before
+
+    # the scan the merge consumed is partition-pruned (static isin
+    # reaches the FileScan as a PartitionFilter)
+    import re
+
+    pruned = spark.read.parquet(snap).where(F.col("part").isin(["p0"]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*part", plan), plan
+
+    with pytest.raises(ValueError, match="missing the partition column"):
+        merge_upsert_partitioned(
+            spark, snap, updates.drop("part"), "doc_id", "part"
+        )
+    with pytest.raises(ValueError, match="NULL partition"):
+        merge_upsert_partitioned(
+            spark,
+            snap,
+            spark.createDataFrame(
+                [(1, None, "x")], "doc_id long, part string, body string"
+            ),
+            "doc_id",
+            "part",
+        )
+    with pytest.raises(ValueError, match="more than max_touched"):
+        merge_upsert_partitioned(
+            spark, snap, updates, "doc_id", "part", max_touched_partitions=0
+        )
+    # idempotent second apply: same updates, same result, p1/p2 untouched
+    merge_upsert_partitioned(spark, snap, updates, "doc_id", "part")
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(snap).select(*cols).collect()
+    ) == want
+    assert {p: file_digests(p) for p in ("p1", "p2")} == untouched_before
