@@ -311,6 +311,8 @@ LONGTAIL = [
     "q161_group_quantile_bins",
     # round-13: the skew loop closed (q155's suggested_salt consumed)
     "q162_adaptive_salted_join",
+    # round-13: true-binary byte features (q39 hardened past ASCII)
+    "q163_binary_blob_features",
 ]
 
 _TABLES = (

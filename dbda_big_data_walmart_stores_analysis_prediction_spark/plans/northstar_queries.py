@@ -7337,3 +7337,67 @@ def q162_adaptive_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# q163: q39's byte-feature path hardened beyond the ASCII fixture — the
+# payload here is GENUINE binary (64 md5-derived bytes per doc spanning
+# the full 0-255 range, not utf-8 text), so the mapInPandas feature
+# stage is exercised on bytes that have no string interpretation. The
+# oracle reproduces the byte math from the md5 HEX form (2-char slices
+# -> ::INT), byte-for-byte the same values Spark's unhex() hands the
+# Arrow batch. PIL/cv2 remain absent in this container (standing
+# re-check: round 13 still no), so the decode stub stays; this pins the
+# plumbing one level deeper than q39.
+_Q163_SQL = """
+    WITH h AS (
+      SELECT doc_id,
+             md5(text) || md5(text || '1') || md5(text || '2')
+                       || md5(text || '3') AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ('0x' || substring(hx, 2 * i + 1, 2))::INT // 16 AS bin
+      FROM h, unnest(range(0, 64)) AS u(i)
+      WHERE hx IS NOT NULL
+    ),
+    c AS (SELECT doc_id, bin, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2),
+    e AS (
+      SELECT doc_id, -sum((c / 64.0) * log2(c / 64.0)) AS ent
+      FROM c GROUP BY doc_id
+    )
+    SELECT h.doc_id AS media_id,
+           'application/octet-stream' AS media_type,
+           (CASE WHEN h.hx IS NULL THEN NULL ELSE 64 END)::BIGINT AS n_bytes,
+           CASE WHEN h.hx IS NULL THEN 0.0 ELSE round(e.ent, 6) END
+               AS byte_entropy
+    FROM h LEFT JOIN e ON e.doc_id = h.doc_id
+"""
+
+
+@_register("q163_binary_blob_features", _Q163_SQL)
+def q163_binary_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary byte features (operators/multimodal.py::extract_features
+    over attach_blob): a true-binary payload (unhex of 4 chained md5
+    digests — 64 bytes spanning 0-255) through the Arrow-batched
+    mapInPandas histogram/entropy stage. Same plumbing as q39 but with
+    no ASCII escape hatch: the bytes the Python batch loop sees exist
+    only as binary."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.multimodal import (
+        attach_blob,
+        extract_features,
+    )
+
+    t = F.col("text")
+    hx = F.concat(
+        F.md5(t),
+        F.md5(F.concat(t, F.lit("1"))),
+        F.md5(F.concat(t, F.lit("2"))),
+        F.md5(F.concat(t, F.lit("3"))),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(hx).alias("blob")
+    )
+    media = attach_blob(
+        docs, "doc_id", "blob", media_type="application/octet-stream"
+    )
+    return extract_features(media).drop("byte_histogram")

@@ -91,3 +91,41 @@ def test_frame_sample_counts(media):
 def test_decode_image_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_binary_blob_features_use_full_byte_range(spark):
+    """q163's point: the md5-derived payload is GENUINE binary — its
+    histogram mass must land in high bins (>= 8) that no ASCII text
+    payload can reach (ASCII <= 0x7f => bins 0-7 only), and entropy on
+    64 near-uniform bytes must approach log2(16)."""
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.multimodal import (
+        attach_blob,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, text string"
+    )
+    t = F.col("text")
+    hx = F.concat(
+        F.md5(t),
+        F.md5(F.concat(t, F.lit("1"))),
+        F.md5(F.concat(t, F.lit("2"))),
+        F.md5(F.concat(t, F.lit("3"))),
+    )
+    media = attach_blob(
+        docs.select("doc_id", F.unhex(hx).alias("blob")),
+        "doc_id",
+        "blob",
+        media_type="application/octet-stream",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    for mid in (1, 2):
+        r = rows[mid]
+        assert r["n_bytes"] == 64
+        hi_mass = sum(r["byte_histogram"][8:])
+        assert hi_mass > 0.2, r["byte_histogram"]  # ASCII would be 0.0
+        assert r["byte_entropy"] > 3.0  # near-uniform over 16 bins
+    assert rows[3]["n_bytes"] is None and rows[3]["byte_entropy"] == 0.0
