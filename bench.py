@@ -313,6 +313,8 @@ LONGTAIL = [
     "q162_adaptive_salted_join",
     # round-13: true-binary byte features (q39 hardened past ASCII)
     "q163_binary_blob_features",
+    # round-13: per-group HLL distinct (register-table price per segment)
+    "q164_hll_distinct_by",
 ]
 
 _TABLES = (

@@ -324,17 +324,28 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
     )
 
 
-def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
-    """The estimate read off a `hll_registers` table (one row,
-    ``hll_estimate double``) — see `hll_distinct` for the numerics."""
+def _hll_estimate_col(used: Column, S: Column, p: int) -> Column:
+    """The HLL estimate as a column over (used registers, scaled register
+    sum) — shared verbatim by the global and per-group readers so both
+    stay bit-identical to the q93 oracle numerics."""
     m = 1 << p
     maxrank = 61 - p
     alpha = 0.7213 / (1 + 1.079 / m)
-    # S coalesces to 0 on an empty register table (sum over zero rows is
-    # NULL): used == 0 then routes to the linear-counting branch, whose
-    # m·ln(m/m) = 0.0 is the right answer for an empty/all-null input —
-    # without the coalesce a composed crossJoin consumer silently carries
-    # a NULL estimate.
+    two_pow = float(1 << maxrank)
+    raw = F.lit(alpha * m * m) / (S / F.lit(two_pow) + (F.lit(m) - used))
+    return F.round(
+        F.when(
+            (F.lit(m) - used > 0) & (raw <= F.lit(2.5 * m)),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - used)),
+        ).otherwise(raw),
+        4,
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
+    """The estimate read off a `hll_registers` table (one row,
+    ``hll_estimate double``) — see `hll_distinct` for the numerics."""
+    maxrank = 61 - p
     agg = regs.agg(
         F.count("*").alias("used"),
         F.coalesce(
@@ -346,23 +357,67 @@ def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("S"),
     )
-    two_pow = float(1 << maxrank)
     return agg.select(
-        F.round(
-            F.when(
-                (F.lit(m) - F.col("used") > 0)
-                & (
-                    F.lit(alpha * m * m)
-                    / (F.col("S") / F.lit(two_pow) + (F.lit(m) - F.col("used")))
-                    <= F.lit(2.5 * m)
-                ),
-                F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("used"))),
-            ).otherwise(
-                F.lit(alpha * m * m)
-                / (F.col("S") / F.lit(two_pow) + (F.lit(m) - F.col("used")))
+        _hll_estimate_col(F.col("used"), F.col("S"), p).alias("hll_estimate")
+    )
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    key_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """PER-GROUP HyperLogLog distinct estimate — `hll_distinct` keyed:
+    one row ``(*group_cols, hll_estimate)`` per group, same
+    oracle-portable numerics (the estimate itself hash-checks, q93's
+    argument). The 100 TB shape for "distinct users per segment":
+    exact ``count(DISTINCT)`` per group shuffles every (group, key)
+    pair; this shuffles at most ``groups × 2^p`` register rows, all
+    map-side combinable, and the per-group state is mergeable across
+    batches by the same bucket-max rule the streaming fold uses.
+
+    Groups whose keys are all null vanish (no registers — the same
+    rule as the global form's null filter); callers wanting them report
+    an explicit 0 via a left join."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    m = 1 << p
+    maxrank = 61 - p
+    h = md5_int64(F.col(key_col).cast("string"))
+    regs = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*groups, h.alias("__h"))
+        .select(
+            *groups,
+            F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+        .select(
+            *groups,
+            "bucket",
+            F.when(F.col("__w") == 0, F.lit(maxrank))
+            .otherwise(F.lit(maxrank) - F.length(F.bin("__w")))
+            .alias("r"),
+        )
+        .groupBy(*groups, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    agg = regs.groupBy(*groups).agg(
+        F.count("*").alias("__used"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({maxrank} - r AS INT))"
+                )
             ),
-            4,
-        ).alias("hll_estimate")
+            F.lit(0).cast("bigint"),
+        ).alias("__S"),
+    )
+    return agg.select(
+        *groups,
+        _hll_estimate_col(F.col("__used"), F.col("__S"), p).alias(
+            "hll_estimate"
+        ),
     )
 
 

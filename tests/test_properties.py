@@ -1109,3 +1109,33 @@ def test_quantile_bins_out_col_contract(spark):
     gb = group_quantile_bins(df, "g", "x", n_bins=2, out_col="gbin")
     assert "gbin" in gb.columns and gb.columns.count("bin") == 1
     assert all(r["gbin"] in (1, 2) for r in gb.collect())
+
+
+def test_hll_distinct_by_matches_global_per_slice(spark):
+    """The keyed HLL must be the global sketch applied per group — same
+    registers, same estimate numerics (the shared-expression refactor's
+    pin): for every group, hll_distinct_by's row equals hll_distinct on
+    that group's slice; an all-null-key group vanishes."""
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_by,
+    )
+
+    rows = [("a", i % 37) for i in range(500)]
+    rows += [("b", i) for i in range(200)]
+    rows += [("c", None)] * 5 + [(None, i % 11) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, k int")
+    got = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_distinct_by(df, "g", "k", p=8).collect()
+    }
+    assert set(got) == {"a", "b", None}  # 'c' has only null keys
+    for g in ("a", "b", None):
+        cond = F.col("g").isNull() if g is None else (F.col("g") == g)
+        want = hll_distinct(df.where(cond), "k", p=8).first()[0]
+        assert got[g] == want, (g, got[g], want)
+    # sanity: estimates are near the true cardinalities
+    assert abs(got["a"] - 37) / 37 < 0.25
+    assert abs(got["b"] - 200) / 200 < 0.25
