@@ -121,12 +121,17 @@ def _run_oracle(sf_dir, name, dir_tables=()):
     return duck_cols, duck_rows
 
 
-def _assert_adversarial_parity(spark, tmp_path, name, table, df):
+def _assert_adversarial_parity(spark, tmp_path, name, table, df, copy_tables=()):
     """Shared battery body: write the adversarial frame as the named table,
     run the registered Spark query and its DuckDB oracle against it, and
-    compare."""
+    compare. ``copy_tables`` brings benign sf0.001 dims along for queries
+    that join the adversarial fact against a dimension (e.g. q162)."""
+    import shutil
+
     sf_dir = str(tmp_path)
     df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+    for t in copy_tables:
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
     sdf = QUERIES[name](spark, sf_dir)
     duck_cols, duck_rows = _run_oracle(sf_dir, name, dir_tables=(table,))
     _compare_engines(name, sdf.columns, sdf.collect(), duck_cols, duck_rows)
@@ -239,6 +244,7 @@ DOC_QUERY_NAMES = [
     "q158_winnow_keep_longest",
     "q160_retrieval_prep_capstone",
     "q161_group_quantile_bins",
+    "q163_binary_blob_features",
 ]
 
 
@@ -369,6 +375,7 @@ def _adversarial_events():
         "q54_attribution_join",
         "q59_event_dedup",
         "q93_hll_distinct",
+        "q164_hll_distinct_by",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):
@@ -381,6 +388,25 @@ def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):
         "value double, props string",
     )
     _assert_adversarial_parity(spark, tmp_path, name, "events", ev)
+
+
+def test_oracle_parity_q162_adversarial_events(spark, tmp_path):
+    """q162 joins the adversarial events against the benign customer dim:
+    null user ids, extreme values, and count ties must salt and
+    aggregate identically in both engines."""
+    ev = spark.createDataFrame(
+        _adversarial_events(),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _assert_adversarial_parity(
+        spark,
+        tmp_path,
+        "q162_adaptive_salted_join",
+        "events",
+        ev,
+        copy_tables=("customer",),
+    )
 
 
 @pytest.fixture(scope="module")
