@@ -362,6 +362,39 @@ def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
     )
 
 
+def hll_registers_by(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    key_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """`hll_registers` keyed: the per-group (bucket, max-rank) table —
+    ≤ groups × 2^p rows, map-side combinable, and mergeable across
+    batches by per-(group, bucket) MAX (the streaming fold's state)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    m = 1 << p
+    maxrank = 61 - p
+    h = md5_int64(F.col(key_col).cast("string"))
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(*groups, h.alias("__h"))
+        .select(
+            *groups,
+            F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+        .select(
+            *groups,
+            "bucket",
+            F.when(F.col("__w") == 0, F.lit(maxrank))
+            .otherwise(F.lit(maxrank) - F.length(F.bin("__w")))
+            .alias("r"),
+        )
+        .groupBy(*groups, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
 def hll_distinct_by(
     df: DataFrame,
     group_cols: list[str] | str,
@@ -383,25 +416,7 @@ def hll_distinct_by(
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     m = 1 << p
     maxrank = 61 - p
-    h = md5_int64(F.col(key_col).cast("string"))
-    regs = (
-        df.where(F.col(key_col).isNotNull())
-        .select(*groups, h.alias("__h"))
-        .select(
-            *groups,
-            F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
-            F.expr(f"__h div {m}").alias("__w"),
-        )
-        .select(
-            *groups,
-            "bucket",
-            F.when(F.col("__w") == 0, F.lit(maxrank))
-            .otherwise(F.lit(maxrank) - F.length(F.bin("__w")))
-            .alias("r"),
-        )
-        .groupBy(*groups, "bucket")
-        .agg(F.max("r").alias("r"))
-    )
+    regs = hll_registers_by(df, groups, key_col, p)
     agg = regs.groupBy(*groups).agg(
         F.count("*").alias("__used"),
         F.coalesce(

@@ -289,3 +289,43 @@ def streaming_hll_ingest(
         checkpoint_dir,
         keep_versions,
     )
+
+
+def streaming_hll_by_ingest(
+    stream: DataFrame,
+    sketch_dir: str,
+    group_cols: list[str] | str,
+    key_col: str,
+    p: int = 12,
+    checkpoint_dir: str | None = None,
+    keep_versions: int = 3,
+):
+    """`streaming_hll_ingest` keyed: live per-group distinct state
+    (groups × 2^p register rows) maintained by per-(group, bucket) MAX
+    under the manifest-keyed versioned commit — the "distinct users per
+    segment, continuously" number. Read estimates off the latest version
+    with `operators.sketches.hll_distinct_by`'s estimate shape (the
+    registers ARE `hll_distinct_by`'s intermediate; see the test's
+    fold == batch pin)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        hll_registers_by,
+    )
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def fold(standing: DataFrame, batch: DataFrame) -> DataFrame:
+        return (
+            standing.unionByName(hll_registers_by(batch, groups, key_col, p))
+            .groupBy(*groups, "bucket")
+            .agg(F.max("r").alias("r"))
+        )
+
+    group_schema = ", ".join(f"{g} string" for g in groups)
+    return versioned_fold_ingest(
+        stream,
+        sketch_dir,
+        fold,
+        f"{group_schema}, bucket bigint, r int",
+        checkpoint_dir,
+        keep_versions,
+    )

@@ -956,3 +956,73 @@ def test_streaming_cms_fresh_checkpoint_counts_new_events_once(spark, tmp_path):
     )
     want = count_min_table(spark.createDataFrame(b1 + b2, "k string"), "k", w=64, d=3)
     assert snap(got) == snap(want)
+
+
+def test_streaming_hll_by_ingest_fold_equals_batch(spark, tmp_path):
+    """Keyed HLL fold == the batch hll_distinct_by over all input, and a
+    fresh-checkpoint mixed replay (old + new file in one batch) folds
+    the new file exactly once — the per-group register state is
+    max-mergeable like the global one."""
+    import os
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.sketches import (
+        _hll_estimate_col,
+        hll_distinct_by,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        stats_versions,
+        streaming_hll_by_ingest,
+    )
+    from pyspark.sql import functions as F
+
+    inp = tmp_path / "in"
+    b1 = [("a", i % 17) for i in range(120)] + [("b", 1), (None, 2)]
+    b2 = [("a", i % 29) for i in range(60)] + [("b", None)]
+    spark.createDataFrame(b1, "g string, k int").coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+
+    def mkstream():
+        return spark.readStream.schema("g string, k int").parquet(f"{inp}/*")
+
+    hdir = tmp_path / "hll"
+    q = streaming_hll_by_ingest(
+        mkstream(), str(hdir), "g", "k", p=8,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(b2, "g string, k int").coalesce(1).write.parquet(
+        str(inp / "b2")
+    )
+    # fresh checkpoint: batch 0 = b1 (already folded) + b2 (new)
+    q = streaming_hll_by_ingest(
+        mkstream(), str(hdir), "g", "k", p=8,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+
+    regs = spark.read.parquet(
+        os.path.join(str(hdir), f"v{stats_versions(str(hdir))[-1]}")
+    )
+    maxrank = 61 - 8
+    got = {
+        r["g"]: r["est"]
+        for r in regs.groupBy("g")
+        .agg(
+            F.count("*").alias("u"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({maxrank} - r AS INT))"
+                )
+            ).alias("s"),
+        )
+        .select("g", _hll_estimate_col(F.col("u"), F.col("s"), 8).alias("est"))
+        .collect()
+    }
+    all_rows = spark.createDataFrame(b1 + b2, "g string, k int")
+    want = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_distinct_by(all_rows, "g", "k", p=8).collect()
+    }
+    assert got == want
