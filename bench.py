@@ -315,6 +315,8 @@ LONGTAIL = [
     "q163_binary_blob_features",
     # round-13: per-group HLL distinct (register-table price per segment)
     "q164_hll_distinct_by",
+    # round-13: per-source robust (MAD) outlier fences
+    "q165_group_mad_outliers",
 ]
 
 _TABLES = (

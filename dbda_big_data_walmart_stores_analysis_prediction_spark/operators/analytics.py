@@ -585,6 +585,111 @@ def group_quartiles(
     return df.sparkSession.createDataFrame(out_rows, schema)
 
 
+def _group_medians(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int,
+    collect_limit: int,
+    max_depth: int,
+) -> dict:
+    """Exact per-group medians off ONE grouped log-bucket scan (the
+    shared engine; same bounded-group contract as ``group_quartiles``).
+    Groups with no non-null values are absent from the result."""
+    v = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    melted = df.select(F.col(group_col).alias("name"), v.alias("v"))
+    cell_stats, resolve = _grouped_quantile_scan(
+        melted, bins, collect_limit, max_depth
+    )
+    ranks_by_key: dict = {}
+    for g, (n, _, _, _mn, _mx) in cell_stats.items():
+        if n == 0:
+            continue
+        rk = (n - 1) * 0.5
+        ranks_by_key[g] = {math.floor(rk), math.ceil(rk)}
+    resolved = resolve(ranks_by_key)
+    meds: dict = {}
+    for g, (n, _, _, _mn, _mx) in cell_stats.items():
+        if n == 0:
+            continue
+        rk = (n - 1) * 0.5
+        lo, hi = math.floor(rk), math.ceil(rk)
+        vlo, vhi = resolved[g][lo], resolved[g][hi]
+        meds[g] = vlo + (vhi - vlo) * (rk - lo)
+    return meds
+
+
+def group_mad_outlier_bounds(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    bins: int = 1024,
+    collect_limit: int = 65536,
+    max_depth: int = 6,
+) -> DataFrame:
+    """PER-GROUP robust (median ± k·1.4826·MAD) outlier fences —
+    ``mad_outlier_bounds`` keyed, the per-domain cleaning rule a mixed
+    corpus actually needs (one global fence lets a long-document domain
+    define "outlier" for a short-document one).
+
+    Two grouped passes of the shared exact-quantile engine (per-group
+    medians, then per-group medians of |x − med_g| with the median
+    table broadcast into the deviation projection — the data rows never
+    shuffle). Same bounded-group-cardinality contract as
+    ``group_quartiles``. Returns ``(group, lo, hi, median, mad)`` as
+    exact doubles; groups with no non-null values are absent (left-join
+    to reattach them as nulls).
+    """
+    meds = _group_medians(df, group_col, value_col, bins, collect_limit, max_depth)
+    gtype = df.schema[group_col].dataType
+    if not meds:
+        return df.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [StructField(group_col, gtype, True)]
+                + [
+                    StructField(c, DoubleType(), True)
+                    for c in ("lo", "hi", "median", "mad")
+                ]
+            ),
+        )
+    med_tab = df.sparkSession.createDataFrame(
+        [(g, float(m)) for g, m in meds.items()],
+        StructType(
+            [StructField("__g", gtype, True), StructField("__med", DoubleType(), False)]
+        ),
+    )
+    dev = (
+        df.join(
+            F.broadcast(med_tab), df[group_col].eqNullSafe(med_tab["__g"])
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.abs(F.col(value_col).cast("double") - F.col("__med")).alias(
+                "__dev"
+            ),
+        )
+    )
+    mads = _group_medians(dev, group_col, "__dev", bins, collect_limit, max_depth)
+    rows = []
+    for g, med in meds.items():
+        mad = mads[g]
+        half = k * 1.4826 * mad
+        rows.append((g, med - half, med + half, med, mad))
+    return df.sparkSession.createDataFrame(
+        rows,
+        StructType(
+            [StructField(group_col, gtype, True)]
+            + [
+                StructField(c, DoubleType(), True)
+                for c in ("lo", "hi", "median", "mad")
+            ]
+        ),
+    )
+
+
 def _require_values(col: str, op: str, qs: list) -> None:
     """Contract guard shared by the quantile-engine consumers: the engine
     returns ``None`` quantiles for an empty/all-null column, and every

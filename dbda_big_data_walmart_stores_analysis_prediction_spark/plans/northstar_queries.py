@@ -7474,3 +7474,74 @@ def q164_hll_distinct_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
     )
     return exact.join(est, "event_type").orderBy("event_type")
+
+
+# q165: per-source robust outlier fences — group_mad_outlier_bounds
+# (q153's MAD fence keyed, q161's per-domain discipline): one global
+# fence lets a long-document domain define "outlier" for a short-
+# document one, so the cleaning rule a mixed corpus ships is per-group.
+# Oracle derives the SAME per-group medians/MADs via grouped
+# quantile_cont and applies the SAME raw-double fence arithmetic
+# (q153's literal forms), comparing outlier counts + rounded stats.
+_Q165_K = 3.0
+_Q165_SQL = f"""
+    WITH m AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY source
+    ),
+    dv AS (
+      SELECT d.source, abs(d.n_chars - m.med) AS dev
+      FROM documents d JOIN m ON d.source IS NOT DISTINCT FROM m.source
+      WHERE d.n_chars IS NOT NULL
+    ),
+    md AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY source),
+    f AS (
+      SELECT m.source, m.med, md.mad,
+             m.med - {_Q165_K} * 1.4826 * md.mad AS lo,
+             m.med + {_Q165_K} * 1.4826 * md.mad AS hi
+      FROM m JOIN md ON m.source IS NOT DISTINCT FROM md.source
+    )
+    SELECT f.source,
+           sum(CASE WHEN d.n_chars < f.lo OR d.n_chars > f.hi
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(any_value(f.med), 6) AS median,
+           round(any_value(f.mad), 6) AS mad
+    FROM documents d
+    JOIN f ON d.source IS NOT DISTINCT FROM f.source
+    WHERE d.n_chars IS NOT NULL
+    GROUP BY f.source ORDER BY f.source
+"""
+
+
+@_register("q165_group_mad_outliers", _Q165_SQL)
+def q165_group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier fences (operators/analytics.py::
+    group_mad_outlier_bounds): per-group median ± 3·1.4826·MAD from two
+    grouped passes of the exact-quantile engine (median table broadcast
+    into the deviation projection — data rows never shuffle), then one
+    pushed-down per-group outlier count against the raw-double fence."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_mad_outlier_bounds,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    fences = group_mad_outlier_bounds(docs, "source", "n_chars", k=_Q165_K)
+    v = F.col("n_chars").cast("double")
+    joined = docs.where(F.col("n_chars").isNotNull()).join(
+        F.broadcast(fences.withColumnRenamed("source", "__g")),
+        F.col("source").eqNullSafe(F.col("__g")),
+    )
+    return (
+        joined.groupBy("__g")
+        .agg(
+            F.sum(
+                F.when((v < F.col("lo")) | (v > F.col("hi")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.first("median"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+        .withColumnRenamed("__g", "source")
+        .orderBy("source")
+    )

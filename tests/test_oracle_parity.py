@@ -245,6 +245,7 @@ DOC_QUERY_NAMES = [
     "q160_retrieval_prep_capstone",
     "q161_group_quantile_bins",
     "q163_binary_blob_features",
+    "q165_group_mad_outliers",
 ]
 
 

@@ -1139,3 +1139,39 @@ def test_hll_distinct_by_matches_global_per_slice(spark):
     # sanity: estimates are near the true cardinalities
     assert abs(got["a"] - 37) / 37 < 0.25
     assert abs(got["b"] - 200) / 200 < 0.25
+
+
+def test_group_mad_outlier_bounds_python_twin(spark):
+    """Per-group MAD fences match from-scratch Python per group — incl.
+    a NULL group, a constant group (mad 0 => fence collapses to the
+    median), and null values excluded; all-null groups are absent."""
+    import statistics
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_mad_outlier_bounds,
+    )
+
+    data = {
+        "a": [float((i * 17) % 101) for i in range(80)] + [5000.0],
+        None: [float(i) for i in range(21)] + [-900.0],
+        "c": [7.0] * 9,
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    rows += [("a", None), ("empty", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in group_mad_outlier_bounds(df, "g", "x", k=3.0).collect()}
+    assert set(got) == {"a", None, "c"}  # 'empty' absent
+    for g, xs in data.items():
+        med = statistics.median(xs)
+        mad = statistics.median(abs(x - med) for x in xs)
+        half = 3.0 * 1.4826 * mad
+        r = got[g]
+        assert r["median"] == med and r["mad"] == mad, (g, r)
+        assert r["lo"] == med - half and r["hi"] == med + half
+    assert got["c"]["mad"] == 0.0 and got["c"]["lo"] == got["c"]["hi"] == 7.0
+    # the fences actually classify: exactly the planted extremes fall out
+    n_out = {
+        g: sum(1 for x in xs if x < got[g]["lo"] or x > got[g]["hi"])
+        for g, xs in data.items()
+    }
+    assert n_out["a"] == 1 and n_out[None] == 1 and n_out["c"] == 0
