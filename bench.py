@@ -317,6 +317,8 @@ LONGTAIL = [
     "q164_hll_distinct_by",
     # round-13: per-source robust (MAD) outlier fences
     "q165_group_mad_outliers",
+    # round-13: high-cardinality grouped median (one exchange, one sort)
+    "q166_group_median_highcard",
 ]
 
 _TABLES = (

@@ -11,7 +11,7 @@ from __future__ import annotations
 import math
 from itertools import combinations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
@@ -687,6 +687,52 @@ def group_mad_outlier_bounds(
                 for c in ("lo", "hi", "median", "mad")
             ]
         ),
+    )
+
+
+def group_median_highcard(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact per-group median for UNBOUNDED group cardinality — the
+    complement of the log-bucket engine's shapes. ``group_quartiles`` /
+    ``group_mad_outlier_bounds`` hold one driver row per (group, active
+    cell), so their contract is thousands of groups; per-user / per-URL
+    medians at 100 TB have millions, and the right plan flips: ONE
+    shuffle on the group key + ONE within-partition sort, rank
+    arithmetic over ``row_number`` (the two middle ranks average to
+    ``quantile_cont(0.5)``), nothing buffered per group and no driver
+    state at all. The group-keyed aggregate after the window reuses the
+    window's hash partitioning, so the whole plan carries exactly one
+    exchange (plan-audited).
+
+    Returns ``(group, n, median)`` — ``n`` the non-null (non-NaN) value
+    count; groups with no such values are absent. Null groups are a
+    group like any other.
+    """
+    v = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    base = df.select(F.col(group_col).alias("__g"), v.alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    w = Window.partitionBy("__g").orderBy("__v")
+    wp = Window.partitionBy("__g")
+    ranked = base.select(
+        "__g",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wp).alias("__n"),
+    )
+    mid = ranked.where(
+        (F.col("__rn") == F.expr("(__n + 1) div 2"))
+        | (F.col("__rn") == F.expr("__n div 2 + 1"))
+    )
+    return (
+        mid.groupBy("__g")
+        .agg(
+            F.first("__n").alias("n"),
+            F.avg("__v").alias("median"),
+        )
+        .select(F.col("__g").alias(group_col), "n", "median")
     )
 
 

@@ -7545,3 +7545,40 @@ def q165_group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("__g", "source")
         .orderBy("source")
     )
+
+
+# q166: per-user median event value — the HIGH-CARDINALITY grouped
+# median (group_median_highcard): per-user/per-URL medians at 100 TB
+# have millions of groups, where the log-bucket engine's per-(group,
+# cell) driver state is the wrong contract; the right plan is one
+# shuffle + one within-partition sort + rank arithmetic, no driver
+# state. Oracle: grouped quantile_cont(0.5) — the two-middle-ranks
+# average is exactly its even-n interpolation.
+_Q166_SQL = """
+    SELECT user_id,
+           count(value)::BIGINT AS n,
+           round(quantile_cont(value, 0.5), 6) AS median
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@_register("q166_group_median_highcard", _Q166_SQL)
+def q166_group_median_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality grouped median (operators/analytics.py::
+    group_median_highcard): exact per-user median event value via ONE
+    group-keyed exchange + ONE within-partition sort + row_number rank
+    arithmetic — the shape that survives millions of groups, where the
+    bounded-group log-bucket engine cannot (one driver row per (group,
+    cell)). Null users are a group like any other."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_median_highcard,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    out = group_median_highcard(ev, "user_id", "value")
+    return out.select(
+        "user_id", "n", F.round("median", 6).alias("median")
+    ).orderBy("user_id")

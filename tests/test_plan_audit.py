@@ -855,3 +855,27 @@ def test_q162_salted_join_executes_salt_exchange(spark):
     assert re.search(r"Exchange hashpartitioning\([^)]*__salt", plan), plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_group_median_highcard_single_exchange_single_sort(spark):
+    """The high-cardinality grouped median's whole point: ONE exchange
+    on the group key, ONE within-partition sort (both windows share
+    it), and the final aggregate reuses the window's partitioning —
+    audited on the raw operator (the registered q166 adds a display
+    orderBy)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_median_highcard,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "value"
+    )
+    plan = (
+        group_median_highcard(ev, "user_id", "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+    assert "Exchange rangepartitioning" not in plan

@@ -1175,3 +1175,31 @@ def test_group_mad_outlier_bounds_python_twin(spark):
         for g, xs in data.items()
     }
     assert n_out["a"] == 1 and n_out[None] == 1 and n_out["c"] == 0
+
+
+def test_group_median_highcard_python_twin(spark):
+    """Rank-arithmetic median == statistics.median per group (odd and
+    even n, duplicate values, null group, NaN/null values excluded;
+    all-null groups absent)."""
+    import statistics
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_median_highcard,
+    )
+
+    data = {
+        "odd": [5.0, 1.0, 9.0],
+        "even": [4.0, 2.0, 8.0, 6.0],
+        "dups": [7.0] * 5 + [1.0],
+        None: [3.0, 3.0, 10.0, -2.0],
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    rows += [("odd", None), ("odd", float("nan")), ("gone", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: (r["n"], r["median"])
+        for r in group_median_highcard(df, "g", "x").collect()
+    }
+    assert set(got) == {"odd", "even", "dups", None}
+    for g, xs in data.items():
+        assert got[g] == (len(xs), statistics.median(xs)), (g, got[g])
