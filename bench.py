@@ -319,6 +319,7 @@ LONGTAIL = [
     "q165_group_mad_outliers",
     # round-13: high-cardinality grouped median (one exchange, one sort)
     "q166_group_median_highcard",
+    "q167_group_quantiles_highcard",
 ]
 
 _TABLES = (

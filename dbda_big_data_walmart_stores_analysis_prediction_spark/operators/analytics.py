@@ -736,6 +736,68 @@ def group_median_highcard(
     )
 
 
+def group_quantiles_highcard(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """``group_median_highcard`` generalized: exact linear-interpolated
+    quantiles (``quantile_cont`` semantics) at UNBOUNDED group
+    cardinality, still ONE exchange + ONE shared sort. Every target's
+    floor/ceil rank rows survive one filter, and a single conditional
+    aggregate picks all of them per group (``min(when(rn == lo_i, v))``
+    — at most 2·len(probs) surviving rows per group, so the aggregate
+    is tiny); interpolation is a projection.
+
+    Output: ``(group, n, p<percent>...)`` — e.g. ``probs=[0.25, 0.5]``
+    → columns ``p25, p50``. Dyadic probs (quarters, eighths) are
+    recommended for cross-engine oracle exactness of the rank
+    arithmetic; groups with no non-null (non-NaN) values are absent.
+    """
+    if not probs:
+        raise ValueError("group_quantiles_highcard: probs must be non-empty")
+    names = [f"p{round(p * 100)}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"group_quantiles_highcard: probs {probs} collide after "
+            f"percent naming ({names}); use more-separated probs"
+        )
+    v = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    base = df.select(F.col(group_col).alias("__g"), v.alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    w = Window.partitionBy("__g").orderBy("__v")
+    wp = Window.partitionBy("__g")
+    ranked = base.select(
+        "__g",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wp).alias("__n"),
+    )
+    rk = [F.lit(float(p)) * (F.col("__n") - 1) for p in probs]
+    lo = [(F.floor(r) + 1).cast("long") for r in rk]
+    hi = [(F.ceil(r) + 1).cast("long") for r in rk]
+    keep = None
+    for l, h in zip(lo, hi):
+        cond = (F.col("__rn") == l) | (F.col("__rn") == h)
+        keep = cond if keep is None else (keep | cond)
+    aggs = [F.first("__n").alias("n")]
+    for i, (l, h) in enumerate(zip(lo, hi)):
+        aggs.append(F.min(F.when(F.col("__rn") == l, F.col("__v"))).alias(f"__lo{i}"))
+        aggs.append(F.min(F.when(F.col("__rn") == h, F.col("__v"))).alias(f"__hi{i}"))
+    agg = ranked.where(keep).groupBy("__g").agg(*aggs)
+    outs = []
+    for i, (p, name) in enumerate(zip(probs, names)):
+        r = F.lit(float(p)) * (F.col("n") - 1)
+        frac = r - F.floor(r)
+        outs.append(
+            (F.col(f"__lo{i}") + (F.col(f"__hi{i}") - F.col(f"__lo{i}")) * frac).alias(name)
+        )
+    return agg.select(F.col("__g").alias(group_col), "n", *outs)
+
+
 def _require_values(col: str, op: str, qs: list) -> None:
     """Contract guard shared by the quantile-engine consumers: the engine
     returns ``None`` quantiles for an empty/all-null column, and every

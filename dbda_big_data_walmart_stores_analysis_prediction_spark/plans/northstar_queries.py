@@ -7582,3 +7582,46 @@ def q166_group_median_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n", F.round("median", 6).alias("median")
     ).orderBy("user_id")
+
+
+# q167: per-user event-value quartiles at high cardinality —
+# group_quantiles_highcard (q166's shape generalized): all six target
+# ranks (floor/ceil per quartile) survive one filter and resolve in one
+# conditional aggregate, still one exchange + one shared sort, no
+# driver state. Oracle: grouped quantile_cont at the same dyadic probs
+# (exact rank arithmetic in both engines).
+_Q167_SQL = """
+    SELECT user_id,
+           count(value)::BIGINT AS n,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@_register("q167_group_quantiles_highcard", _Q167_SQL)
+def q167_group_quantiles_highcard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user quartiles at unbounded group cardinality
+    (operators/analytics.py::group_quantiles_highcard): one group-keyed
+    exchange, one shared within-partition sort, one conditional
+    aggregate over the six surviving rank rows per group, interpolation
+    as a projection."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quantiles_highcard,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    out = group_quantiles_highcard(ev, "user_id", "value", [0.25, 0.5, 0.75])
+    return out.select(
+        "user_id",
+        "n",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    ).orderBy("user_id")

@@ -378,6 +378,7 @@ def _adversarial_events():
         "q93_hll_distinct",
         "q164_hll_distinct_by",
         "q166_group_median_highcard",
+        "q167_group_quantiles_highcard",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):

@@ -879,3 +879,24 @@ def test_group_median_highcard_single_exchange_single_sort(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert len(re.findall(r"\bSort \[", plan)) == 1, plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_group_quantiles_highcard_single_exchange_single_sort(spark):
+    """The generalized high-cardinality quantiles keep q166's shape:
+    one exchange, one shared sort, all rank targets resolved by one
+    conditional aggregate that reuses the window's partitioning."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quantiles_highcard,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "value"
+    )
+    plan = (
+        group_quantiles_highcard(ev, "user_id", "value", [0.25, 0.5, 0.75])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan

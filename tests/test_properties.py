@@ -1203,3 +1203,49 @@ def test_group_median_highcard_python_twin(spark):
     assert set(got) == {"odd", "even", "dups", None}
     for g, xs in data.items():
         assert got[g] == (len(xs), statistics.median(xs)), (g, got[g])
+
+
+def test_group_quantiles_highcard_python_twin(spark):
+    """Interpolated rank arithmetic == Python quantile_cont per group
+    at dyadic probs (odd/even n, dup values, singleton group, null
+    group; NaN/null excluded; empty probs and name-colliding probs
+    raise)."""
+    import math
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quantiles_highcard,
+    )
+
+    data = {
+        "a": [9.0, 1.0, 5.0, 3.0, 7.0],
+        "b": [4.0, 2.0, 8.0, 6.0],
+        "one": [42.0],
+        None: [7.0] * 4 + [1.0, 2.0],
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    rows += [("a", None), ("a", float("nan"))]
+    df = spark.createDataFrame(rows, "g string, x double")
+    probs = [0.25, 0.5, 0.75]
+    got = {
+        r["g"]: r
+        for r in group_quantiles_highcard(df, "g", "x", probs).collect()
+    }
+
+    def qcont(xs, p):
+        s = sorted(xs)
+        r = (len(s) - 1) * p
+        lo, hi = math.floor(r), math.ceil(r)
+        return s[lo] + (s[hi] - s[lo]) * (r - lo)
+
+    for g, xs in data.items():
+        r = got[g]
+        assert r["n"] == len(xs)
+        for p, name in zip(probs, ("p25", "p50", "p75")):
+            assert r[name] == qcont(xs, p), (g, name, r[name], qcont(xs, p))
+
+    with pytest.raises(ValueError, match="non-empty"):
+        group_quantiles_highcard(df, "g", "x", [])
+    with pytest.raises(ValueError, match="collide"):
+        group_quantiles_highcard(df, "g", "x", [0.501, 0.502])
