@@ -320,6 +320,8 @@ LONGTAIL = [
     # round-13: high-cardinality grouped median (one exchange, one sort)
     "q166_group_median_highcard",
     "q167_group_quantiles_highcard",
+    # round-13: time-series gap fill (dense spine + one-window fills)
+    "q168_gap_fill_series",
 ]
 
 _TABLES = (

@@ -89,3 +89,87 @@ def top_k_per_group(
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     out = df.withColumn(rank_col, fn().over(w)).where(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    fill: str = "ffill",
+) -> DataFrame:
+    """Time-series regularization: densify each key's (already bucketed)
+    series onto a regular ``step_seconds`` spine from its own min to max
+    timestamp and fill the holes — the step every per-key model input
+    (forecasting features, rate limits, drift monitors) needs before a
+    lag/rolling window is meaningful.
+
+    ``fill``:
+    * ``"ffill"`` — carry the last observed value forward (gauge
+      semantics); leading holes stay null.
+    * ``"zero"``  — missing means zero (count/sum semantics).
+    * ``"linear"`` — linear interpolation between the surrounding
+      observations (sensor semantics); leading/trailing holes stay null.
+
+    Output: ``(key, ts, <value_col>, observed)`` — ``observed`` false on
+    spine rows the input didn't cover (a covered row with a NULL value
+    is observed: coverage and value-presence are different facts, and
+    the fills treat its value as a hole). Scale shape: the spine explodes
+    per key (rows = key's span / step — the caller owns step choice),
+    the join is key+ts co-partitioned, and every fill is ONE window over
+    the (key, ts) sort; nothing driver-side, no per-key state. Rows with
+    a null key or null timestamp are dropped (a spine for "no key" is
+    undefined).
+    """
+    if fill not in ("ffill", "zero", "linear"):
+        raise ValueError(f"gap_fill: unknown fill '{fill}'")
+    step = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(True).alias("__obs"),
+    ).where(F.col("__k").isNotNull() & F.col("__t").isNotNull())
+    bounds = base.groupBy("__k").agg(
+        F.min("__t").alias("__lo"), F.max("__t").alias("__hi")
+    )
+    spine = bounds.select(
+        "__k",
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("__t"),
+    )
+    joined = spine.join(base, ["__k", "__t"], "left")
+    w = Window.partitionBy("__k").orderBy("__t")
+    if fill == "zero":
+        filled = F.coalesce(F.col("__v"), F.lit(0.0))
+    elif fill == "ffill":
+        filled = F.last("__v", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:  # linear
+        prev_v = F.last("__v", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        prev_t = F.last(
+            F.when(F.col("__v").isNotNull(), F.col("__t")), ignorenulls=True
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        next_v = F.first("__v", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+        next_t = F.first(
+            F.when(F.col("__v").isNotNull(), F.col("__t")), ignorenulls=True
+        ).over(w.rowsBetween(0, Window.unboundedFollowing))
+        span = F.unix_micros(next_t) - F.unix_micros(prev_t)
+        frac = (
+            (F.unix_micros(F.col("__t")) - F.unix_micros(prev_t))
+            / F.when(span != 0, span)
+        )
+        filled = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+            prev_v + (next_v - prev_v) * frac
+        )
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias(ts_col),
+        filled.alias(value_col),
+        F.coalesce(F.col("__obs"), F.lit(False)).alias("observed"),
+    )

@@ -7625,3 +7625,61 @@ def q167_group_quantiles_highcard(
         F.round("p50", 6).alias("p50"),
         F.round("p75", 6).alias("p75"),
     ).orderBy("user_id")
+
+
+# q168: time-series gap fill — densify each sampled user's hourly
+# value series onto a regular spine (min..max per user) and carry the
+# last observation forward; the regularization step every per-key
+# model input needs before lag/rolling features mean anything. Oracle:
+# generate_series spine + LEFT JOIN + last_value IGNORE NULLS window
+# (the same one-window fill).
+_Q168_SQL = """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             round(sum(value), 6) AS v, true AS present
+      FROM events
+      WHERE user_id % 50 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM e GROUP BY 1),
+    s AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ),
+    j AS (
+      SELECT s.user_id, s.hour, e.v, e.present
+      FROM s LEFT JOIN e USING (user_id, hour)
+    )
+    SELECT user_id, hour,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS UNBOUNDED PRECEDING), 6) AS v,
+           coalesce(present, false) AS observed
+    FROM j
+    ORDER BY user_id, hour
+"""
+
+
+@_register("q168_gap_fill_series", _Q168_SQL)
+def q168_gap_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly series regularization (operators/windows.py::
+    gap_fill): hourly sums densified onto each user's min..max spine
+    (sequence explode, key+ts co-partitioned join) with forward fill as
+    ONE window over the (key, ts) sort — no driver state, no per-key
+    loops."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        gap_fill,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("user_id") % 50 == 0) & F.col("user_id").isNotNull()
+    )
+    hourly = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    out = gap_fill(hourly, "user_id", "hour", "v", 3600, fill="ffill")
+    return out.select(
+        "user_id", "hour", F.round("v", 6).alias("v"), "observed"
+    ).orderBy("user_id", "hour")

@@ -1249,3 +1249,58 @@ def test_group_quantiles_highcard_python_twin(spark):
         group_quantiles_highcard(df, "g", "x", [])
     with pytest.raises(ValueError, match="collide"):
         group_quantiles_highcard(df, "g", "x", [0.501, 0.502])
+
+
+def test_gap_fill_policies_python_twin(spark):
+    """gap_fill's three policies against a hand-computed series: dense
+    spine per key (min..max, step), zero/ffill/linear hole values,
+    leading/trailing hole rules, observed flags, null key/ts dropped."""
+    import datetime as dt
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        gap_fill,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        ("a", ts(0), 10.0),
+        ("a", ts(3), 40.0),   # holes at 1, 2
+        ("a", ts(4), None),   # observed row with null value
+        ("b", ts(5), 7.0),    # singleton
+        (None, ts(0), 1.0),   # dropped
+        ("c", None, 1.0),     # dropped
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+
+    def snap(fill):
+        out = gap_fill(df, "k", "t", "v", 3600, fill=fill)
+        return {
+            (r["k"], r["t"]): (r["v"], r["observed"]) for r in out.collect()
+        }
+
+    z = snap("zero")
+    assert set(k for k, _ in z) == {"a", "b"}
+    assert z[("a", ts(1))] == (0.0, False) and z[("a", ts(2))] == (0.0, False)
+    assert z[("a", ts(4))] == (0.0, True)  # null value, observed row
+    assert z[("b", ts(5))] == (7.0, True)
+    assert len([1 for (k, _) in z if k == "a"]) == 5  # dense 0..4
+
+    f = snap("ffill")
+    assert f[("a", ts(1))] == (10.0, False)
+    assert f[("a", ts(2))] == (10.0, False)
+    assert f[("a", ts(4))] == (40.0, True)  # null value carries forward
+
+    l = snap("linear")
+    assert l[("a", ts(1))] == (20.0, False)
+    assert l[("a", ts(2))] == (30.0, False)
+    assert l[("a", ts(3))] == (40.0, True)
+    assert l[("a", ts(4))][0] is None  # trailing hole: no next observation
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown fill"):
+        gap_fill(df, "k", "t", "v", 3600, fill="nope")
