@@ -322,6 +322,8 @@ LONGTAIL = [
     "q167_group_quantiles_highcard",
     # round-13: time-series gap fill (dense spine + one-window fills)
     "q168_gap_fill_series",
+    # round-13: interval x interval overlap join (canonical-bin dedup)
+    "q169_session_incident_overlap",
 ]
 
 _TABLES = (

@@ -147,6 +147,76 @@ def range_join_binned(
     return joined.where(in_range)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    keys: list[str] | None = None,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join (inclusive ends) that scales
+    when BOTH sides are big — `range_join_binned`'s two-sided sibling.
+    The naive ``ON l_lo <= r_hi AND r_lo <= l_hi`` has no equi-key
+    (BroadcastNestedLoopJoin); here both sides explode to the bins they
+    span and meet in an ordinary equi-join on (keys..., bin).
+
+    A pair overlapping several shared bins would duplicate once per
+    bin; the dedup costs NO distinct: every overlapping pair is emitted
+    only in its CANONICAL bin — ``floor(max(l_lo, r_lo) / width)``, the
+    bin where the later interval starts. Overlap guarantees
+    ``max(l_lo, r_lo) <= min(l_hi, r_hi)``, so both sides generated
+    that bin, and it is unique per pair.
+
+    Rows with null bounds or inverted intervals (hi < lo — Spark's
+    ``sequence`` would silently DESCEND) are dropped. Non-key column
+    names must be disjoint (alias before joining). Pick ``bin_seconds``
+    near the typical interval length, exactly as in
+    ``range_join_binned``.
+    """
+    from pyspark.sql.types import TimestampType
+
+    key_list = list(keys or [])
+    clash = (set(left.columns) & set(right.columns)) - set(key_list)
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join: columns {sorted(clash)} exist on both "
+            "sides; alias one side before joining"
+        )
+
+    def _num(df: DataFrame, c: str) -> Column:
+        if isinstance(df.schema[c].dataType, TimestampType):
+            return F.unix_micros(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
+    is_ts = isinstance(left.schema[l_lo].dataType, TimestampType)
+    width = float(bin_seconds) * (1_000_000.0 if is_ts else 1.0)
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.where(
+            F.col(lo).isNotNull() & F.col(hi).isNotNull() & (F.col(lo) <= F.col(hi))
+        ).withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(_num(df, lo) / width), F.floor(_num(df, hi) / width)
+                )
+            ),
+        )
+
+    j = binned(left, l_lo, l_hi).join(
+        binned(right, r_lo, r_hi), key_list + ["__bin"]
+    )
+    overlap = (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+    lo_num = F.unix_micros(F.greatest(F.col(l_lo), F.col(r_lo))).cast(
+        "double"
+    ) if is_ts else F.greatest(F.col(l_lo), F.col(r_lo)).cast("double")
+    canonical = F.col("__bin") == F.floor(lo_num / width)
+    return j.where(overlap & canonical).drop("__bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

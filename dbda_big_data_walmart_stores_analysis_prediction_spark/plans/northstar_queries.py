@@ -7683,3 +7683,107 @@ def q168_gap_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "hour", F.round("v", 6).alias("v"), "observed"
     ).orderBy("user_id", "hour")
+
+
+# q169: sessions x incident windows — the interval-overlap capstone:
+# q37's 30-min sessions overlap-joined (binned equi-join, canonical-bin
+# dedup, no nested loop) against per-type "hot hour" windows (hours
+# whose event count exceeds that type's mean hourly count). Oracle
+# splices the registered q37 SQL verbatim (import-time guard) and runs
+# the plain inequality join over the same windows.
+assert ORACLE_SQL["q37_sessionization"].lstrip().startswith("WITH o AS"), (
+    "q37 oracle shape changed — re-derive the q169 splice"
+)
+_Q169_SQL = f"""
+    WITH sess AS (
+        SELECT * FROM ({ORACLE_SQL["q37_sessionization"]})
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*)::DOUBLE AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    mean_h AS (
+        SELECT event_type, avg(n) AS mean_n FROM hourly GROUP BY 1
+    ),
+    inc AS (
+        SELECT h.event_type, h.hour AS win_start,
+               h.hour + INTERVAL 1 HOUR AS win_end
+        FROM hourly h
+        JOIN mean_h m ON h.event_type IS NOT DISTINCT FROM m.event_type
+        WHERE h.n > m.mean_n
+    )
+    SELECT i.event_type,
+           count(*)::BIGINT AS n_overlaps,
+           count(DISTINCT (s.user_id, s.session_id))::BIGINT AS n_sessions
+    FROM sess s
+    JOIN inc i ON s.session_start <= i.win_end
+              AND i.win_start <= s.session_end
+    GROUP BY i.event_type
+    ORDER BY i.event_type
+"""
+
+
+@_register("q169_session_incident_overlap", _Q169_SQL)
+def q169_session_incident_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-overlap capstone (operators/joins.py::
+    interval_overlap_join): q37's sessions against per-type hot-hour
+    windows — both sides explode to hour bins, meet in an equi-join,
+    and each overlapping pair survives exactly once via its canonical
+    bin (no distinct, no nested loop). Aggregates overlap pairs and
+    distinct overlapping sessions per event type."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        interval_overlap_join,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.events import (
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    hourly = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    mean_h = hourly.groupBy("event_type").agg(F.avg("n").alias("mean_n"))
+    inc = (
+        hourly.join(
+            mean_h.withColumnRenamed("event_type", "__et"),
+            F.col("event_type").eqNullSafe(F.col("__et")),
+        )
+        .where(F.col("n") > F.col("mean_n"))
+        .select(
+            "event_type",
+            F.col("hour").alias("win_start"),
+            (F.col("hour") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        )
+    )
+    pairs = interval_overlap_join(
+        sessions,
+        inc,
+        "session_start",
+        "session_end",
+        "win_start",
+        "win_end",
+        bin_seconds=3600,
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            # struct, not bare columns: multi-arg countDistinct drops any
+            # row with a NULL argument (a null-user session would
+            # vanish), while the composite row-value counts in both
+            # engines — grouping equality treats NULL members as equal
+            F.countDistinct(F.struct("user_id", "session_id"))
+            .cast("bigint")
+            .alias("n_sessions"),
+        )
+        .orderBy("event_type")
+    )

@@ -223,3 +223,61 @@ def test_diagnose_and_salt_join_adaptive(spark):
     assert sorted(tuple(r) for r in out2.collect()) == sorted(
         tuple(r) for r in uniform.join(right, "k").collect()
     )
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Binned overlap join == the naive inequality join on intervals
+    that span MANY bins (the canonical-bin rule must emit each pair
+    exactly once, no distinct), incl. touching endpoints (inclusive),
+    null bounds and inverted intervals dropped, and the column-clash
+    contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 0.0, 10000.0),    # spans ~3 bins at width 3600
+            (2, 500.0, 600.0),
+            (3, 7200.0, 7200.0),  # degenerate point interval
+            (4, None, 100.0),     # dropped
+            (5, 100.0, 50.0),     # inverted: dropped
+        ],
+        "lid int, lo double, hi double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 9000.0, 20000.0),   # overlaps 1
+            (11, 600.0, 700.0),      # touches 2 at exactly 600 (inclusive)
+            (12, 6000.0, 8000.0),    # overlaps 1 and 3
+            (13, 50000.0, 60000.0),  # overlaps nothing
+        ],
+        "rid int, rlo double, rhi double",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "lo", "hi", "rlo", "rhi", bin_seconds=3600
+        ).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right, (F.col("lo") <= F.col("rhi")) & (F.col("rlo") <= F.col("hi"))
+        )
+        .where(F.col("lo") <= F.col("hi"))
+        .collect()
+    )
+    assert got == naive == [(1, 10), (1, 11), (1, 12), (2, 11), (3, 12)]
+    # exactly-once even though (1, 12) shares multiple bins
+    assert len(got) == len(set(got))
+
+    with pytest.raises(ValueError, match="both\nsides|both sides"):
+        interval_overlap_join(
+            left.withColumnRenamed("lo", "x"),
+            right.withColumnRenamed("rlo", "x"),
+            "x", "hi", "x", "rhi",
+        )

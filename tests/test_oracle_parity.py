@@ -379,6 +379,7 @@ def _adversarial_events():
         "q164_hll_distinct_by",
         "q166_group_median_highcard",
         "q167_group_quantiles_highcard",
+        "q169_session_incident_overlap",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):

@@ -900,3 +900,9 @@ def test_group_quantiles_highcard_single_exchange_single_sort(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+
+
+def test_q169_interval_overlap_no_nested_loop(spark):
+    plan = _plan(spark, "q169_session_incident_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
