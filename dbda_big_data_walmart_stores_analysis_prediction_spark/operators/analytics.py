@@ -690,6 +690,76 @@ def group_mad_outlier_bounds(
     )
 
 
+def quantile_cells(
+    df: DataFrame, col: str, sub_buckets: int = 16
+) -> DataFrame:
+    """The log-bucket engine's cell table as a VALUE: one codegen hash
+    aggregate over ``_log_bucket(v)`` → ``(b, n, s, s2, mn, mx)`` rows
+    (≤ ~2k active cells for doubles spanning a typical range). The cell
+    table is a MERGEABLE quantile/moments sketch: cells of two disjoint
+    batches merge cellwise (sum n/s/s2, min mn, max mx), and the merge
+    of batch cells equals the one-shot cells over the union — the
+    streaming fold's state (see ``streaming/stats.py::
+    streaming_quantile_ingest``). Read estimates with
+    ``cells_quantile_estimate``; NaN/null values are excluded, exactly
+    like ``exact_quantiles``."""
+    v = F.col(col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    return (
+        df.select(v.alias("v"))
+        .where(F.col("v").isNotNull())
+        .select("v", _log_bucket(F.col("v"), sub_buckets).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+
+
+def cells_quantile_estimate(
+    cells: DataFrame, probs: list[float]
+) -> list[tuple[float, float, float]]:
+    """Bounded-error quantiles off a ``quantile_cells`` table (or any
+    cellwise merge of them): for each prob, the rank's cell is located
+    by cumulative count and the estimate interpolates inside the cell's
+    exact (mn, mx) span — so every answer carries its own guarantee,
+    ``lo <= true quantile <= hi`` with lo/hi the cell span (cells are
+    merged by span before ranking, the engine's code-order-independence
+    rule). Returns ``[(estimate, lo, hi), ...]``; empty state → all
+    ``(None, None, None)``. Driver cost: one bounded collect (the cell
+    table), never the values."""
+    rows = [tuple(r) for r in cells.select("b", "n", "mn", "mx").collect()]
+    merged: list[list] = []
+    for _b, n, mn, mx in sorted(rows, key=lambda c: (c[2], c[3])):
+        if merged and mn <= merged[-1][2]:
+            merged[-1][0] += n
+            merged[-1][2] = max(merged[-1][2], mx)
+        else:
+            merged.append([n, mn, mx])
+    total = sum(m[0] for m in merged)
+    out: list[tuple] = []
+    for p in probs:
+        if total == 0:
+            out.append((None, None, None))
+            continue
+        rk = (total - 1) * p
+        cum = 0
+        for n, mn, mx in merged:
+            if cum <= rk < cum + n:
+                frac = (rk - cum) / n
+                out.append((mn + (mx - mn) * frac, mn, mx))
+                break
+            cum += n
+        else:  # rk == total-1 edge lands in the last cell
+            n, mn, mx = merged[-1]
+            out.append((mx, mn, mx))
+    return out
+
+
 def group_median_highcard(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

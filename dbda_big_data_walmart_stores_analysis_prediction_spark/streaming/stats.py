@@ -291,6 +291,53 @@ def streaming_hll_ingest(
     )
 
 
+def streaming_quantile_ingest(
+    stream: DataFrame,
+    state_dir: str,
+    value_col: str,
+    sub_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    keep_versions: int = 3,
+):
+    """Live quantile/moments state for an unbounded value stream: each
+    micro-batch's `quantile_cells` table (the log-bucket engine's cell
+    histogram — count/sum/sum²/min/max per magnitude cell) merges
+    CELLWISE into the standing state under the manifest-keyed versioned
+    commit. Cellwise merge of disjoint batches == the one-shot cells
+    over the union (the bucket code is a pure function of the value),
+    so the fold is exact, and state stays ≤ ~2k rows no matter how many
+    values stream past. Read bounded-error quantiles with
+    `operators.analytics.cells_quantile_estimate` (each answer carries
+    its own cell-span guarantee) and exact count/mean/stddev/min/max
+    from the folded moments."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        quantile_cells,
+    )
+
+    def fold(standing: DataFrame, batch: DataFrame) -> DataFrame:
+        fresh = quantile_cells(batch, value_col, sub_buckets)
+        return (
+            standing.unionByName(fresh)
+            .groupBy("b")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("s2").alias("s2"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+
+    return versioned_fold_ingest(
+        stream,
+        state_dir,
+        fold,
+        "b bigint, n bigint, s double, s2 double, mn double, mx double",
+        checkpoint_dir,
+        keep_versions,
+    )
+
+
 def streaming_hll_by_ingest(
     stream: DataFrame,
     sketch_dir: str,

@@ -1026,3 +1026,62 @@ def test_streaming_hll_by_ingest_fold_equals_batch(spark, tmp_path):
         for r in hll_distinct_by(all_rows, "g", "k", p=8).collect()
     }
     assert got == want
+
+
+def test_streaming_quantile_ingest_fold_equals_batch_and_bounds(spark, tmp_path):
+    """The log-bucket cell table is a mergeable quantile sketch: the
+    streamed cellwise fold equals the one-shot quantile_cells over all
+    input (exact — the bucket code is a pure value function), a fresh-
+    checkpoint mixed replay folds only the new file, and the estimates
+    read off the folded state honor their own cell-span bounds around
+    the exact quantiles."""
+    import os
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        cells_quantile_estimate,
+        exact_quantiles,
+        quantile_cells,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        stats_versions,
+        streaming_quantile_ingest,
+    )
+
+    inp = tmp_path / "in"
+    b1 = [(float((i * 37) % 1009),) for i in range(400)] + [(None,)]
+    b2 = [(float(i) * -3.5,) for i in range(200)] + [(float("nan"),), (1e9,)]
+    spark.createDataFrame(b1, "x double").coalesce(1).write.parquet(str(inp / "b1"))
+
+    def mkstream():
+        return spark.readStream.schema("x double").parquet(f"{inp}/*")
+
+    qdir = tmp_path / "qcells"
+    q = streaming_quantile_ingest(
+        mkstream(), str(qdir), "x", checkpoint_dir=str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(b2, "x double").coalesce(1).write.parquet(str(inp / "b2"))
+    # fresh checkpoint: batch 0 = b1 (folded) + b2 (new)
+    q = streaming_quantile_ingest(
+        mkstream(), str(qdir), "x", checkpoint_dir=str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(
+        os.path.join(str(qdir), f"v{stats_versions(str(qdir))[-1]}")
+    )
+    all_rows = spark.createDataFrame(b1 + b2, "x double")
+    want_cells = sorted(tuple(r) for r in quantile_cells(all_rows, "x").collect())
+    assert sorted(tuple(r) for r in state.collect()) == want_cells
+
+    probs = [0.1, 0.5, 0.9]
+    est = cells_quantile_estimate(state, probs)
+    exact = exact_quantiles(all_rows, "x", probs)
+    for (e, lo, hi), want in zip(est, exact):
+        assert lo <= want <= hi, (want, lo, hi)
+        assert lo <= e <= hi
+
+    # empty state -> None triple
+    empty = spark.createDataFrame([], "b bigint, n bigint, s double, s2 double, mn double, mx double")
+    assert cells_quantile_estimate(empty, [0.5]) == [(None, None, None)]
