@@ -37,46 +37,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 DRIVER_QUERY_CAP = 50
 
 
-def _driver_history() -> dict[str, tuple[int, bool]]:
-    """Per query: ``(latest round with a driver CORRECTNESS row, crashed
-    at that latest row)``. A row crashed if its ``err`` is a real
-    traceback (``no_oracle`` is the deliberate rows-only marker, not a
-    failure). Queries absent from every file have no entry (round 0).
-
-    The crash flag exists because round 7 proved a hole in the rotation:
-    q85 crashed in r6, its fix landed in r7, but the r6 crash row counted
-    as "driver contact" and the oracled-before-rows-only tie-break pushed
-    it past the 50-slot cap — so the fix went a full round unverified. A
-    crash row is the WEAKEST signal in the registry and must re-run the
-    very next round, ahead of same-round green entries."""
-    hist: dict[str, tuple[int, bool]] = {}
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except Exception:
-            continue
-        for k, row in rows.items():
-            err = row.get("err") if isinstance(row, dict) else None
-            crashed = err is not None and err != "no_oracle"
-            prev = hist.get(k)
-            if prev is None or rnd > prev[0]:
-                hist[k] = (rnd, crashed)
-    return hist
-
-
-def _latest_row_rows_only() -> set[str]:
-    """Queries whose LATEST driver row was taken WITHOUT an oracle
-    (``err == "no_oracle"``). If such a query is in ``ORACLE_SQL`` now,
-    its hash check has NEVER run on the driver — the oracle landed after
-    the row — so the rotation must treat it as never-verified at its
-    current check strength. Round 13 is why this exists: q140/q142
-    gained oracles in r12 with r11 rows-only rows, and 61 strictly
-    staler entries would otherwise hold every r13 slot, parking the
-    brand-new oracles unverified until r14."""
-    latest: dict[str, tuple[int, bool]] = {}
+def _scan_history() -> dict[str, tuple[int, object]]:
+    """ONE pass over the CORRECTNESS_r*.json files: per query, the
+    latest round with a driver row and that row's raw ``err``. Both
+    rotation views below derive from this — duplicated parse loops
+    desynchronize silently when the row shape changes."""
+    latest: dict[str, tuple[int, object]] = {}
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -89,8 +55,40 @@ def _latest_row_rows_only() -> set[str]:
             err = row.get("err") if isinstance(row, dict) else None
             prev = latest.get(k)
             if prev is None or rnd > prev[0]:
-                latest[k] = (rnd, err == "no_oracle")
-    return {k for k, (_, rows_only) in latest.items() if rows_only}
+                latest[k] = (rnd, err)
+    return latest
+
+
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """Per query: ``(latest round with a driver CORRECTNESS row, crashed
+    at that latest row)``. A row crashed if its ``err`` is a real
+    traceback (``no_oracle`` is the deliberate rows-only marker, not a
+    failure). Queries absent from every file have no entry (round 0).
+
+    The crash flag exists because round 7 proved a hole in the rotation:
+    q85 crashed in r6, its fix landed in r7, but the r6 crash row counted
+    as "driver contact" and the oracled-before-rows-only tie-break pushed
+    it past the 50-slot cap — so the fix went a full round unverified. A
+    crash row is the WEAKEST signal in the registry and must re-run the
+    very next round, ahead of same-round green entries."""
+    return {
+        k: (rnd, err is not None and err != "no_oracle")
+        for k, (rnd, err) in _scan_history().items()
+    }
+
+
+def _latest_row_rows_only() -> set[str]:
+    """Queries whose LATEST driver row was taken WITHOUT an oracle
+    (``err == "no_oracle"``). If such a query is in ``ORACLE_SQL`` now,
+    its hash check has NEVER run on the driver — the oracle landed after
+    the row — so the rotation must treat it as never-verified at its
+    current check strength. Round 13 is why this exists: q140/q142
+    gained oracles in r12 with r11 rows-only rows, and 61 strictly
+    staler entries would otherwise hold every r13 slot, parking the
+    brand-new oracles unverified until r14."""
+    return {
+        k for k, (_, err) in _scan_history().items() if err == "no_oracle"
+    }
 
 
 def _last_verified_round() -> dict[str, int]:

@@ -727,9 +727,13 @@ def cells_quantile_estimate(
     cellwise merge of them): for each prob, the rank's cell is located
     by cumulative count and the estimate interpolates inside the cell's
     exact (mn, mx) span — so every answer carries its own guarantee,
-    ``lo <= true quantile <= hi`` with lo/hi the cell span (cells are
-    merged by span before ranking, the engine's code-order-independence
-    rule). Returns ``[(estimate, lo, hi), ...]``; empty state → all
+    ``lo <= true quantile <= hi``. A fractional rank interpolates the
+    FLOOR and CEIL integer ranks separately (they can land in different
+    cells — a bimodal gap between them would otherwise put the true
+    ``quantile_cont`` value outside a single cell's span), and the
+    bounds interpolate the two cells' spans with the same weights, so
+    the guarantee holds for any distribution. Returns
+    ``[(estimate, lo, hi), ...]``; empty state → all
     ``(None, None, None)``. Driver cost: one bounded collect (the cell
     table), never the values."""
     rows = [tuple(r) for r in cells.select("b", "n", "mn", "mx").collect()]
@@ -741,22 +745,36 @@ def cells_quantile_estimate(
         else:
             merged.append([n, mn, mx])
     total = sum(m[0] for m in merged)
+
+    def locate(rank: int) -> tuple[float, float, float]:
+        """(estimate, lo, hi) for one INTEGER rank: its cell's span is
+        the bound; the estimate places the rank uniformly inside."""
+        cum = 0
+        for n, mn, mx in merged:
+            if cum <= rank < cum + n:
+                frac_in = (rank - cum) / n
+                return (mn + (mx - mn) * frac_in, mn, mx)
+            cum += n
+        n, mn, mx = merged[-1]
+        return (mx, mn, mx)
+
     out: list[tuple] = []
     for p in probs:
         if total == 0:
             out.append((None, None, None))
             continue
         rk = (total - 1) * p
-        cum = 0
-        for n, mn, mx in merged:
-            if cum <= rk < cum + n:
-                frac = (rk - cum) / n
-                out.append((mn + (mx - mn) * frac, mn, mx))
-                break
-            cum += n
-        else:  # rk == total-1 edge lands in the last cell
-            n, mn, mx = merged[-1]
-            out.append((mx, mn, mx))
+        lo_r, hi_r = math.floor(rk), math.ceil(rk)
+        frac = rk - lo_r
+        e1, l1, h1 = locate(lo_r)
+        e2, l2, h2 = locate(hi_r)
+        out.append(
+            (
+                e1 + (e2 - e1) * frac,
+                l1 + (l2 - l1) * frac,
+                h1 + (h2 - h1) * frac,
+            )
+        )
     return out
 
 
@@ -792,17 +810,27 @@ def group_median_highcard(
         F.row_number().over(w).alias("__rn"),
         F.count("*").over(wp).alias("__n"),
     )
-    mid = ranked.where(
-        (F.col("__rn") == F.expr("(__n + 1) div 2"))
-        | (F.col("__rn") == F.expr("__n div 2 + 1"))
-    )
+    lo_rn = F.expr("(__n + 1) div 2")
+    hi_rn = F.expr("__n div 2 + 1")
+    mid = ranked.where((F.col("__rn") == lo_rn) | (F.col("__rn") == hi_rn))
+    # interpolation form, NOT avg: (lo+hi)/2 overflows to inf on two
+    # near-max doubles and can differ from quantile_cont's
+    # lo + (hi-lo)*0.5 in the last ulp — both engines (and the
+    # group_quantiles_highcard sibling) use the interpolation form
     return (
         mid.groupBy("__g")
         .agg(
             F.first("__n").alias("n"),
-            F.avg("__v").alias("median"),
+            F.min(F.when(F.col("__rn") == lo_rn, F.col("__v"))).alias("__vlo"),
+            F.min(F.when(F.col("__rn") == hi_rn, F.col("__v"))).alias("__vhi"),
         )
-        .select(F.col("__g").alias(group_col), "n", "median")
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            (
+                F.col("__vlo") + (F.col("__vhi") - F.col("__vlo")) * F.lit(0.5)
+            ).alias("median"),
+        )
     )
 
 

@@ -176,7 +176,7 @@ def interval_overlap_join(
     near the typical interval length, exactly as in
     ``range_join_binned``.
     """
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import NumericType, TimestampType
 
     key_list = list(keys or [])
     clash = (set(left.columns) & set(right.columns)) - set(key_list)
@@ -185,13 +185,33 @@ def interval_overlap_join(
             f"interval_overlap_join: columns {sorted(clash)} exist on both "
             "sides; alias one side before joining"
         )
+    # all four bounds must share a supported type family: a DateType (or
+    # mixed) bound would cast to NULL / bin in a different unit space and
+    # silently return zero overlaps instead of failing loudly
+    bound_types = {
+        name: frame.schema[c].dataType
+        for name, (frame, c) in {
+            "l_lo": (left, l_lo),
+            "l_hi": (left, l_hi),
+            "r_lo": (right, r_lo),
+            "r_hi": (right, r_hi),
+        }.items()
+    }
+    all_ts = all(isinstance(t, TimestampType) for t in bound_types.values())
+    all_num = all(isinstance(t, NumericType) for t in bound_types.values())
+    if not (all_ts or all_num):
+        raise ValueError(
+            "interval_overlap_join: bound columns must all be timestamps "
+            "or all be numeric, got "
+            + ", ".join(f"{k}={v.simpleString()}" for k, v in bound_types.items())
+        )
 
     def _num(df: DataFrame, c: str) -> Column:
         if isinstance(df.schema[c].dataType, TimestampType):
             return F.unix_micros(F.col(c)).cast("double")
         return F.col(c).cast("double")
 
-    is_ts = isinstance(left.schema[l_lo].dataType, TimestampType)
+    is_ts = all_ts
     width = float(bin_seconds) * (1_000_000.0 if is_ts else 1.0)
 
     def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:

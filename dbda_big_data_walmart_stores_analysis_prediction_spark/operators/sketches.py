@@ -302,26 +302,10 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
     """The HLL (bucket, max-rank) register table — `hll_distinct`'s
     mergeable state: registers of two batches merge by per-bucket MAX,
     and max-merge of disjoint batches == the union's registers. ≤ 2^p
-    rows, map-side combinable."""
-    m = 1 << p
-    maxrank = 61 - p
-    h = md5_int64(F.col(key_col).cast("string"))
-    return (
-        df.where(F.col(key_col).isNotNull())
-        .select(h.alias("__h"))
-        .select(
-            F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
-            F.expr(f"__h div {m}").alias("__w"),
-        )
-        .select(
-            "bucket",
-            F.when(F.col("__w") == 0, F.lit(maxrank))
-            .otherwise(F.lit(maxrank) - F.length(F.bin("__w")))
-            .alias("r"),
-        )
-        .groupBy("bucket")
-        .agg(F.max("r").alias("r"))
-    )
+    rows, map-side combinable. The zero-group case of
+    `hll_registers_by` — ONE copy of the oracle-critical register
+    numerics keeps the q93/q164 hash checks from ever diverging."""
+    return hll_registers_by(df, [], key_col, p)
 
 
 def _hll_estimate_col(used: Column, S: Column, p: int) -> Column:

@@ -124,6 +124,13 @@ def gap_fill(
     """
     if fill not in ("ffill", "zero", "linear"):
         raise ValueError(f"gap_fill: unknown fill '{fill}'")
+    from pyspark.sql.types import TimestampType
+
+    if not isinstance(df.schema[ts_col].dataType, TimestampType):
+        raise ValueError(
+            f"gap_fill: '{ts_col}' must be a timestamp column, got "
+            f"{df.schema[ts_col].dataType.simpleString()}"
+        )
     step = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
     base = df.select(
         F.col(key_col).alias("__k"),
@@ -131,14 +138,46 @@ def gap_fill(
         F.col(value_col).cast("double").alias("__v"),
         F.lit(True).alias("__obs"),
     ).where(F.col("__k").isNotNull() & F.col("__t").isNotNull())
+    # two consumers below (spine + the alignment check)
     bounds = base.groupBy("__k").agg(
         F.min("__t").alias("__lo"), F.max("__t").alias("__hi")
+    ).localCheckpoint(eager=False)
+    # loud contract: every observation must sit on its key's
+    # min-anchored step grid — the spine's left join would otherwise
+    # silently DELETE an off-grid row (its value never even feeds the
+    # fills). assert_true rides the value column so pruning can't drop
+    # the check.
+    step_us = int(step_seconds) * 1_000_000
+    on_grid = (
+        (F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__lo")))
+        % F.lit(step_us)
+    ) == 0
+    checked = base.join(bounds, "__k").select(
+        "__k",
+        "__t",
+        F.when(
+            F.assert_true(
+                on_grid,
+                F.concat(
+                    F.lit(
+                        "gap_fill: observation off the "
+                        f"{int(step_seconds)}s step grid (key "
+                    ),
+                    F.col("__k").cast("string"),
+                    F.lit(", ts "),
+                    F.col("__t").cast("string"),
+                    F.lit(") — bucket the series to the step first"),
+                ),
+            ).isNull(),
+            F.col("__v"),
+        ).alias("__v"),
+        "__obs",
     )
     spine = bounds.select(
         "__k",
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("__t"),
     )
-    joined = spine.join(base, ["__k", "__t"], "left")
+    joined = spine.join(checked, ["__k", "__t"], "left")
     w = Window.partitionBy("__k").orderBy("__t")
     if fill == "zero":
         filled = F.coalesce(F.col("__v"), F.lit(0.0))

@@ -116,6 +116,13 @@ def versioned_fold_ingest(
             shutil.rmtree(os.path.join(state_dir, f"m{v}"), ignore_errors=True)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        # a zero-row batch is a no-op by additivity — committing it
+        # would write a MANIFEST-LESS version (the empty batch has no
+        # lineage), truncating the cumulative applied-file record so a
+        # later fresh-checkpoint replay re-folds old files; and under a
+        # fresh checkpoint it would trip the no-lineage regression error
+        if batch.limit(1).count() == 0:
+            return
         vs = stats_versions(state_dir)
         # one materialization of the batch's file set (file-count-sized,
         # never data-sized); "" = a row from a non-file source
@@ -367,7 +374,13 @@ def streaming_hll_by_ingest(
             .agg(F.max("r").alias("r"))
         )
 
-    group_schema = ", ".join(f"{g} string" for g in groups)
+    # group columns keep the STREAM's actual types — a hardcoded string
+    # schema would widen int group keys to '1', '2', ... through the
+    # bootstrap union, persisting state that no longer joins back
+    # against the source's keys
+    group_schema = ", ".join(
+        f"{g} {stream.schema[g].dataType.simpleString()}" for g in groups
+    )
     return versioned_fold_ingest(
         stream,
         sketch_dir,

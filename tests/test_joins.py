@@ -281,3 +281,26 @@ def test_interval_overlap_join_matches_naive(spark):
             right.withColumnRenamed("rlo", "x"),
             "x", "hi", "x", "rhi",
         )
+
+
+def test_interval_overlap_join_rejects_date_bounds(spark):
+    """Review-pass regression: date-typed bounds would cast to NULL and
+    silently return zero overlaps — must raise instead."""
+    import datetime as dt
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), dt.date(2024, 1, 5))],
+        "lid int, lo date, hi date",
+    )
+    right = spark.createDataFrame(
+        [(2, dt.date(2024, 1, 3), dt.date(2024, 1, 9))],
+        "rid int, rlo date, rhi date",
+    )
+    with pytest.raises(ValueError, match="timestamps.*or all be numeric"):
+        interval_overlap_join(left, right, "lo", "hi", "rlo", "rhi")

@@ -1304,3 +1304,38 @@ def test_gap_fill_policies_python_twin(spark):
 
     with pytest.raises(ValueError, match="unknown fill"):
         gap_fill(df, "k", "t", "v", 3600, fill="nope")
+
+
+def test_cells_quantile_estimate_bimodal_gap_bounds(spark):
+    """Review-pass regression: a fractional rank straddling two MERGED
+    cells (bimodal gap) must still honor lo <= quantile_cont <= hi —
+    the floor-rank cell alone cannot bound an interpolation whose ceil
+    rank lives across the gap."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        cells_quantile_estimate,
+        exact_quantiles,
+        quantile_cells,
+    )
+
+    xs = [0.0, 1.0, 100.0, 101.0]  # rk(0.5)=1.5 straddles the gap
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    cells = quantile_cells(df, "x")
+    (e, lo, hi), = cells_quantile_estimate(cells, [0.5])
+    want = exact_quantiles(df, "x", [0.5])[0]
+    assert want == 50.5
+    assert lo <= want <= hi, (lo, want, hi)
+    assert lo <= e <= hi
+
+
+def test_group_median_highcard_interpolation_no_overflow(spark):
+    """Review-pass regression: the even-n median must use quantile_cont's
+    interpolation form, not (lo+hi)/2 — two near-max doubles overflow
+    the sum to inf."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_median_highcard,
+    )
+
+    big = 1.5e308
+    df = spark.createDataFrame([("a", big), ("a", big)], "g string, x double")
+    got = group_median_highcard(df, "g", "x").first()
+    assert got["median"] == big  # not inf

@@ -1085,3 +1085,89 @@ def test_streaming_quantile_ingest_fold_equals_batch_and_bounds(spark, tmp_path)
     # empty state -> None triple
     empty = spark.createDataFrame([], "b bigint, n bigint, s double, s2 double, mn double, mx double")
     assert cells_quantile_estimate(empty, [0.5]) == [(None, None, None)]
+
+
+def test_streaming_fold_empty_batch_preserves_manifest(spark, tmp_path):
+    """Review-pass regression: a ZERO-ROW micro-batch (empty parquet
+    file) must be a no-op — committing it would write a manifest-less
+    version, truncating the applied-file record so a later fresh-
+    checkpoint replay re-folds (double-counts) old files."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        term_stats,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        load_term_stats,
+        streaming_term_stats_ingest,
+    )
+
+    inp = tmp_path / "in"
+    b1 = [(1, "alpha beta"), (2, "beta gamma")]
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+
+    def mkstream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inp}/*")
+        )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    stats = tmp_path / "stats"
+    q = streaming_term_stats_ingest(
+        mkstream(), str(stats), checkpoint_dir=str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+
+    # an EMPTY file arrives and gets its own micro-batch
+    spark.createDataFrame([], "doc_id long, text string").coalesce(1).write.parquet(
+        str(inp / "b_empty")
+    )
+    q = streaming_term_stats_ingest(
+        mkstream(), str(stats), checkpoint_dir=str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+
+    # fresh checkpoint over (b1, empty, b2): b1 must NOT re-fold
+    b2 = [(10, "delta")]
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(inp / "b2")
+    )
+    q = streaming_term_stats_ingest(
+        mkstream(), str(stats), checkpoint_dir=str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+    want = snap(term_stats(spark.createDataFrame(b1 + b2, "doc_id long, text string")))
+    assert snap(load_term_stats(spark, str(stats))) == want
+
+
+def test_streaming_hll_by_ingest_keeps_int_group_type(spark, tmp_path):
+    """Review-pass regression: the keyed HLL state schema derives from
+    the stream's types — an int group key must come back as ints, not
+    widened strings."""
+    import os
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        stats_versions,
+        streaming_hll_by_ingest,
+    )
+
+    inp = tmp_path / "in"
+    rows = [(i % 3, f"k{i}") for i in range(50)]
+    spark.createDataFrame(rows, "g int, k string").coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+    stream = spark.readStream.schema("g int, k string").parquet(f"{inp}/*")
+    q = streaming_hll_by_ingest(
+        stream, str(tmp_path / "hll"), "g", "k", p=6,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    state = spark.read.parquet(
+        os.path.join(str(tmp_path / "hll"), f"v{stats_versions(str(tmp_path / 'hll'))[-1]}")
+    )
+    assert dict(state.dtypes)["g"] == "int"
+    assert {r["g"] for r in state.select("g").distinct().collect()} == {0, 1, 2}
