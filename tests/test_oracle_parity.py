@@ -246,6 +246,7 @@ DOC_QUERY_NAMES = [
     "q161_group_quantile_bins",
     "q163_binary_blob_features",
     "q165_group_mad_outliers",
+    "q170_jaccard_prefix_pairs",
 ]
 
 

@@ -906,3 +906,9 @@ def test_q169_interval_overlap_no_nested_loop(spark):
     plan = _plan(spark, "q169_session_incident_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q170_prefix_join_no_cartesian(spark):
+    plan = _plan(spark, "q170_jaccard_prefix_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
