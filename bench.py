@@ -326,6 +326,12 @@ LONGTAIL = [
     "q169_session_incident_overlap",
     # round-13: exact-threshold Jaccard via prefix filtering (PPJoin)
     "q170_jaccard_prefix_pairs",
+    # round-14: high-cardinality per-group MAD fences (stacked windows,
+    # one exchange — q166's shape extended to the robust fence)
+    "q171_group_mad_highcard",
+    # round-14: linear-interpolation gap fill (q168's sensor-semantics
+    # sibling, now DuckDB-oracled including leading/trailing holes)
+    "q172_gap_fill_linear",
 ]
 
 _TABLES = (
@@ -508,6 +514,19 @@ def main() -> None:
         line = json.dumps(
             {**slim, "queries": short}, separators=(",", ":")
         )
+    if len(line) > 1950:
+        # drop the sub-0.1s entries behind an explicit count BEFORE the
+        # slowest-kept fallback: at 1dp they all print as 0.0/0.1 — zero
+        # information per ~12 bytes — while the fallback's next victims
+        # would be real multi-second lines (bench_full.json always
+        # carries the complete dict)
+        kept01 = {n: t for n, t in short.items() if t >= 0.1}
+        n_sub01 = len(short) - len(kept01)
+        slim = {**slim, "queries_sub01_dropped": n_sub01}
+        line = json.dumps(
+            {**slim, "queries": kept01}, separators=(",", ":")
+        )
+        short = kept01
     if len(line) > 1950:
         # last resort for a registry that has outgrown the window:
         # keep the SLOWEST entries that fit and say how many dropped —

@@ -896,6 +896,93 @@ def group_quantiles_highcard(
     return agg.select(F.col("__g").alias(group_col), "n", *outs)
 
 
+def group_mad_outlier_bounds_highcard(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """``group_mad_outlier_bounds`` at UNBOUNDED group cardinality —
+    the per-domain robust fence (median ± k·1.4826·MAD) when the
+    domains are per-user/per-URL millions, where the log-bucket
+    engine's one-driver-row-per-(group, cell) contract breaks.
+
+    No joins and no driver state: STACKED windows over one group-keyed
+    exchange. Window 1 (ordered by value) ranks rows; window 2 (same
+    partitioning, unordered frame) resolves the two middle-rank values
+    into a per-row group median — so the deviation ``|x − med_g|`` is a
+    projection, not a broadcast join; window 3 (ordered by deviation)
+    ranks deviations; the final group-keyed aggregate picks the MAD's
+    middle ranks and reuses the windows' partitioning. Physical shape:
+    ONE Exchange + TWO within-partition sorts (value, deviation),
+    plan-audited. Median/MAD use the same two-middle-ranks
+    interpolation as ``group_median_highcard`` (== ``quantile_cont``'s
+    even-n form, overflow-safe).
+
+    Returns ``(group, n, lo, hi, median, mad)`` — exact doubles;
+    groups with no non-null (non-NaN) values are absent; null groups
+    are a group like any other.
+    """
+    v = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    base = df.select(F.col(group_col).alias("__g"), v.alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    w1 = Window.partitionBy("__g").orderBy("__v")
+    wp = Window.partitionBy("__g")
+    lo_rn = F.expr("(__n + 1) div 2")
+    hi_rn = F.expr("__n div 2 + 1")
+    ranked = base.select(
+        "__g",
+        "__v",
+        F.row_number().over(w1).alias("__rn"),
+        F.count("*").over(wp).alias("__n"),
+    )
+    with_med = ranked.select(
+        "__g",
+        "__v",
+        "__n",
+        F.min(F.when(F.col("__rn") == lo_rn, F.col("__v"))).over(wp).alias("__vlo"),
+        F.min(F.when(F.col("__rn") == hi_rn, F.col("__v"))).over(wp).alias("__vhi"),
+    ).select(
+        "__g",
+        "__n",
+        (F.col("__vlo") + (F.col("__vhi") - F.col("__vlo")) * F.lit(0.5)).alias(
+            "__med"
+        ),
+        "__v",
+    )
+    w2 = Window.partitionBy("__g").orderBy("__dev")
+    devs = with_med.withColumn(
+        "__dev", F.abs(F.col("__v") - F.col("__med"))
+    ).select(
+        "__g",
+        "__n",
+        "__med",
+        "__dev",
+        F.row_number().over(w2).alias("__rn2"),
+    )
+    scale = float(k) * 1.4826
+    mad = F.col("__dlo") + (F.col("__dhi") - F.col("__dlo")) * F.lit(0.5)
+    return (
+        devs.groupBy("__g")
+        .agg(
+            F.first("__n").alias("n"),
+            F.first("__med").alias("median"),
+            F.min(F.when(F.col("__rn2") == lo_rn, F.col("__dev"))).alias("__dlo"),
+            F.min(F.when(F.col("__rn2") == hi_rn, F.col("__dev"))).alias("__dhi"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            (F.col("median") - F.lit(scale) * mad).alias("lo"),
+            (F.col("median") + F.lit(scale) * mad).alias("hi"),
+            "median",
+            mad.alias("mad"),
+        )
+    )
+
+
 def _require_values(col: str, op: str, qs: list) -> None:
     """Contract guard shared by the quantile-engine consumers: the engine
     returns ``None`` quantiles for an empty/all-null column, and every

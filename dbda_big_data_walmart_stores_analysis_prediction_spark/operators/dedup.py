@@ -1937,14 +1937,22 @@ def jaccard_pairs_prefix(
         + 1
     ).cast("int")
     prefix = arrs.select(
-        "doc", F.explode(F.slice(F.col("toks"), 1, plen)).alias("tok")
+        "doc", "n", F.explode(F.slice(F.col("toks"), 1, plen)).alias("tok")
     )
+    # PPJoin length filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|)
+    # (|a∩b| ≤ min, |a∪b| ≥ max), so band the candidate join on sizes
+    # BEFORE the distinct + exact verify — same −1e-9 slack discipline as
+    # the prefix length (errs toward keeping a candidate, never drops a
+    # qualifying pair)
+    t = F.lit(float(threshold))
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.n") >= F.col("a.n") * t - F.lit(1e-9))
+            & (F.col("a.n") >= F.col("b.n") * t - F.lit(1e-9)),
         )
         .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
         .distinct()

@@ -156,6 +156,7 @@ def interval_overlap_join(
     r_hi: str,
     keys: list[str] | None = None,
     bin_seconds: int = 3600,
+    max_bins_per_interval: int = 10_000,
 ) -> DataFrame:
     """Interval × interval overlap join (inclusive ends) that scales
     when BOTH sides are big — `range_join_binned`'s two-sided sibling.
@@ -175,6 +176,15 @@ def interval_overlap_join(
     names must be disjoint (alias before joining). Pick ``bin_seconds``
     near the typical interval length, exactly as in
     ``range_join_binned``.
+
+    Fan-out guard: one interval spanning k bins explodes to k rows, so a
+    degenerate row (a year-long interval at 1-second bins = 31M rows
+    from ONE row) with a mis-sized ``bin_seconds`` would blow up an
+    executor silently. Any interval spanning more than
+    ``max_bins_per_interval`` bins raises a named executor-side error
+    (the ``assert_true`` rides the bin column so pruning can't drop the
+    check — gap_fill's fail-fast discipline); widen ``bin_seconds`` or
+    split long intervals upstream.
     """
     from pyspark.sql.types import NumericType, TimestampType
 
@@ -215,13 +225,33 @@ def interval_overlap_join(
     width = float(bin_seconds) * (1_000_000.0 if is_ts else 1.0)
 
     def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        b_lo = F.floor(_num(df, lo) / width)
+        b_hi = F.floor(_num(df, hi) / width)
         return df.where(
             F.col(lo).isNotNull() & F.col(hi).isNotNull() & (F.col(lo) <= F.col(hi))
         ).withColumn(
             "__bin",
             F.explode(
-                F.sequence(
-                    F.floor(_num(df, lo) / width), F.floor(_num(df, hi) / width)
+                F.when(
+                    F.assert_true(
+                        b_hi - b_lo < F.lit(int(max_bins_per_interval)),
+                        F.concat(
+                            F.lit(
+                                "interval_overlap_join: interval "
+                                f"[{lo}, {hi}]=["
+                            ),
+                            F.col(lo).cast("string"),
+                            F.lit(", "),
+                            F.col(hi).cast("string"),
+                            F.lit(
+                                f"] spans more than max_bins_per_interval="
+                                f"{int(max_bins_per_interval)} bins at "
+                                f"bin_seconds={bin_seconds} — widen "
+                                "bin_seconds or split long intervals"
+                            ),
+                        ),
+                    ).isNull(),
+                    F.sequence(b_lo, b_hi),
                 )
             ),
         )

@@ -59,11 +59,23 @@ def merge_upsert_partitioned(
     Mechanics: the touched partition values (bounded driver list, capped
     at ``max_touched_partitions``) prune the snapshot scan STATICALLY
     (an ``isin`` on the partition column — visible as PartitionFilters
-    in the plan); the merged slice is materialized (eager checkpoint —
-    you cannot lazily read the very files you are about to replace),
-    then written with dynamic partition overwrite so ONLY the touched
-    directories commit. Returns the sorted touched partition values.
+    in the plan); the merged slice is written COMPLETELY to a staging
+    directory first (a sibling of the snapshot — the job never deletes a
+    file it might still read), then each touched partition directory is
+    swapped in with atomic renames (old dir aside → staging dir in →
+    drop the old). Crash safety on plain files: a failure before any
+    swap leaves the snapshot untouched (the leftover staging dir is
+    overwritten by the next run); a failure mid-swap leaves every
+    partition wholly old or wholly new — never torn files — with the
+    not-yet-swapped merged slices still intact in staging for re-run.
+    (The write-staging-then-swap discipline replaces the earlier
+    in-place dynamic partition overwrite, whose mid-write crash left
+    partially rewritten partitions with no recovery copy.) Returns the
+    sorted touched partition values.
     """
+    import os
+    import shutil
+
     key_list = [keys] if isinstance(keys, str) else list(keys)
     if partition_col not in updates.columns:
         raise ValueError(
@@ -93,15 +105,32 @@ def merge_upsert_partitioned(
         )
     current = spark.read.parquet(snapshot_dir)
     cur_touched = current.where(F.col(partition_col).isin(touched))
-    merged = merge_upsert(
-        cur_touched, updates.select(*current.columns), key_list
-    ).localCheckpoint(eager=True)
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(snapshot_dir)
-    )
+    merged = merge_upsert(cur_touched, updates.select(*current.columns), key_list)
+    # stage the full merged slice BEFORE touching the snapshot — the
+    # write reads the live partition files, which is safe because no
+    # snapshot file moves until the staging write has fully committed
+    staging = snapshot_dir.rstrip("/") + ".staging-merge"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    # swap each staged partition dir in with atomic renames; reuse the
+    # writer's own directory names so partition-value path escaping
+    # never needs reimplementing
+    part_dirs = [
+        d
+        for d in os.listdir(staging)
+        if d.startswith(f"{partition_col}=")
+        and os.path.isdir(os.path.join(staging, d))
+    ]
+    for d in part_dirs:
+        dst = os.path.join(snapshot_dir, d)
+        # the old dir moves INTO staging (not renamed in place) so a
+        # mid-swap crash never leaves a bogus `<part>.old` directory for
+        # snapshot readers to discover as a partition value; worst case
+        # the partition is briefly absent with both copies in staging
+        old = os.path.join(staging, d + ".old")
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.rename(os.path.join(staging, d), dst)
+    shutil.rmtree(staging, ignore_errors=True)
     return sorted(touched)
 
 

@@ -7300,8 +7300,9 @@ _Q162_SQL = """
         FROM sk s JOIN customer c ON s.k = c.c_custkey
     )
     SELECT segment, count(*)::BIGINT AS n_events,
-           round(sum(CASE WHEN value BETWEEN -1e12 AND 1e12
-                          THEN value END), 6) AS total_value
+           round(sum((CASE WHEN value BETWEEN -1e12 AND 1e12
+                           THEN value END * 1e6)::DECIMAL(38,0))::DOUBLE
+                 / 1e6, 6) AS total_value
     FROM j GROUP BY segment ORDER BY segment
 """
 
@@ -7334,8 +7335,13 @@ def q162_adaptive_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-ORDER-dependent once magnitudes span absorption range
     # (the adversarial battery's ±1e18 pair cancels or doesn't depending
     # on reduction order) — production-grade 100 TB accounting windows
-    # its measures, and the window keeps the sum deterministic in any
-    # engine (NaN sorts above the window in both, so it's excluded too)
+    # its measures (NaN sorts above the window in both engines, so it's
+    # excluded too). The windowed values then accumulate FIXED-POINT
+    # (×1e6 → decimal): at 1e12 magnitude a double's ulp (~1.2e-4)
+    # exceeds the 6 dp rounding grain, so even windowed double sums can
+    # flip the last digit across reduction orders; the decimal sum is
+    # exact and order-independent, and the single decimal→double /1e6
+    # conversion at the end is deterministic
     bounded = F.when(
         F.col("value").between(-1e12, 1e12), F.col("value")
     )
@@ -7343,7 +7349,13 @@ def q162_adaptive_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("segment")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum(bounded), 6).alias("total_value"),
+            F.round(
+                F.sum((bounded * F.lit(1e6)).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.lit(1e6),
+                6,
+            ).alias("total_value"),
         )
         .orderBy("segment")
     )
@@ -7849,3 +7861,156 @@ def q170_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs_prefix(
         surv, "doc_id", "text", threshold=_Q170_T, k_shingle=3
     )
+
+
+# q171: per-user robust outlier fences at HIGH cardinality —
+# group_mad_outlier_bounds_highcard completes the per-domain cleaning
+# family at any group count: q165's fences carry the log-bucket
+# engine's bounded-group contract (driver rows per (group, cell));
+# this shape is q166/q167's (one exchange, shared sorts, no driver
+# state) extended to the MAD — stacked windows resolve the per-group
+# median into a projection, so the deviation pass needs NO join and NO
+# broadcast table. Oracle: the same two grouped quantile_cont passes
+# plus the same double fence arithmetic (3.0 * 1.4826 evaluated in
+# DOUBLE in both engines — a DECIMAL product would differ in the last
+# ulp from the Spark-side float scale).
+_Q171_SQL = """
+    WITH e AS (
+      SELECT user_id, value FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    m AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             quantile_cont(value, 0.5) AS med
+      FROM e GROUP BY user_id
+    ),
+    dv AS (
+      SELECT e.user_id, abs(e.value - m.med) AS dev
+      FROM e JOIN m ON e.user_id IS NOT DISTINCT FROM m.user_id
+    ),
+    md AS (
+      SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY user_id
+    )
+    SELECT m.user_id, m.n,
+           round(m.med - 3.0::DOUBLE * 1.4826::DOUBLE * md.mad, 6) AS lo,
+           round(m.med + 3.0::DOUBLE * 1.4826::DOUBLE * md.mad, 6) AS hi,
+           round(m.med, 6) AS median,
+           round(md.mad, 6) AS mad
+    FROM m JOIN md ON m.user_id IS NOT DISTINCT FROM md.user_id
+    ORDER BY m.user_id
+"""
+
+
+@_register("q171_group_mad_highcard", _Q171_SQL)
+def q171_group_mad_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality per-group MAD fences (operators/analytics.py::
+    group_mad_outlier_bounds_highcard): median ± 3·1.4826·MAD per user
+    via stacked windows over ONE group-keyed exchange — the per-group
+    median resolves inside a window (no driver table, no broadcast
+    join), the deviation is a projection, and the MAD rides a second
+    within-partition sort; the final aggregate reuses the windows'
+    partitioning. The fence shape that survives millions of groups."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_mad_outlier_bounds_highcard,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    out = group_mad_outlier_bounds_highcard(ev, "user_id", "value", k=3.0)
+    return out.select(
+        "user_id",
+        "n",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+    ).orderBy("user_id")
+
+
+# q172: gap fill with LINEAR interpolation — q168's sensor-semantics
+# sibling, previously twin-pinned only; the oracle replicates the same
+# prev/next window arithmetic (last_value/first_value IGNORE NULLS over
+# the (key, ts) sort, microsecond frac) in DuckDB. The measure is a
+# CONDITIONAL sum (non-click value) so some observed spine rows carry
+# NULL values — including first/last rows of some users — which
+# exercises the interior interpolation AND the leading/trailing-hole
+# stays-null rule (prev or next undefined → no fill), plus frac's
+# span!=0 guard.
+_Q172_SQL = """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             round(sum(CASE WHEN event_type <> 'click' THEN value END), 6)
+                 AS v,
+             true AS present
+      FROM events
+      WHERE user_id % 50 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM e GROUP BY 1),
+    s AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ),
+    j AS (
+      SELECT s.user_id, s.hour, e.v, e.present
+      FROM s LEFT JOIN e USING (user_id, hour)
+    ),
+    w AS (
+      SELECT user_id, hour, v, present,
+             last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY hour
+                 ROWS UNBOUNDED PRECEDING) AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY hour
+                       ROWS UNBOUNDED PRECEDING) AS prev_t,
+             first_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY hour
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS next_t
+      FROM j
+    )
+    SELECT user_id, hour,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE prev_v + (next_v - prev_v) *
+                           ((epoch_us(hour) - epoch_us(prev_t)) /
+                            nullif(epoch_us(next_t) - epoch_us(prev_t), 0))
+                 END, 6) AS v,
+           coalesce(present, false) AS observed
+    FROM w
+    ORDER BY user_id, hour
+"""
+
+
+@_register("q172_gap_fill_linear", _Q172_SQL)
+def q172_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (operators/windows.py::gap_fill,
+    fill='linear'): the sensor-semantics policy — holes take the value
+    the line between the surrounding observations passes through, from
+    the same ONE (key, ts)-sorted window pass as ffill (prev/next value
+    + timestamp carried by last/first IGNORE NULLS frames); leading and
+    trailing holes stay null. The conditional measure (non-click value
+    sums) plants NULL-valued observed rows, so interpolation, the
+    hole rules, and the span!=0 guard all carry driver-checked rows."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        gap_fill,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("user_id") % 50 == 0) & F.col("user_id").isNotNull()
+    )
+    hourly = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("event_type") != "click", F.col("value"))),
+                6,
+            ).alias("v")
+        )
+    )
+    out = gap_fill(hourly, "user_id", "hour", "v", 3600, fill="linear")
+    return out.select(
+        "user_id", "hour", F.round("v", 6).alias("v"), "observed"
+    ).orderBy("user_id", "hour")

@@ -10,18 +10,33 @@ point per batch — the version dir's ``_SUCCESS`` — no side table of
 ingested ids whose commit could tear away from the stats commit.
 
 Idempotence is keyed on CONTENT, not on Structured Streaming's
-``batch_id``: every committed version ``v{n}`` carries a manifest ``m{n}``
-(parquet, one ``src`` row per source file ever folded, cumulative), and a
-micro-batch folds only the files the manifest has not seen. ``batch_id``
-alone is not an identity — it restarts at 0 under a new or lost
-checkpoint, and a replay that ALSO contains new files would be skipped
-wholesale by a version-number guard while the fresh checkpoint marks
-those files consumed, silently dropping the new data forever. With the
-manifest, a pure replay is a no-op, a mixed replay folds exactly the
-unseen files, and the ``batch_id`` never decides what data is applied.
-The manifest is written BEFORE the version it describes, so a crash
-between the two leaves only a harmless orphan ``m{n}`` that the retry
-overwrites; a committed version always has its manifest in place.
+``batch_id``: every committed version ``v{n}`` carries a manifest of the
+source files ever folded, and a micro-batch folds only the files the
+manifest has not seen. ``batch_id`` alone is not an identity — it
+restarts at 0 under a new or lost checkpoint, and a replay that ALSO
+contains new files would be skipped wholesale by a version-number guard
+while the fresh checkpoint marks those files consumed, silently dropping
+the new data forever. With the manifest, a pure replay is a no-op, a
+mixed replay folds exactly the unseen files, and the ``batch_id`` never
+decides what data is applied.
+
+The manifest is stored as DELTAS with periodic compaction so per-batch
+manifest IO is batch-sized, not history-sized (a cumulative rewrite per
+commit is O(total files ever) per batch — the one cost that GROWS with
+pipeline age): version ``v{n}`` commits either a delta ``d{n}`` (parquet,
+one ``src`` row per file folded by THAT batch) or, every
+``keep_versions`` commits, a compacted base ``m{n}`` (the full cumulative
+set); the applied-file set for version ``v`` is the newest committed base
+``m{b}`` with ``b ≤ v`` unioned with every committed delta ``d{k}`` for
+``b < k ≤ v``. Legacy state (whose per-version ``m{n}`` was always
+cumulative) reads unchanged: its ``m{n}`` IS a base with no deltas after
+it. The manifest artifact is written BEFORE the version it describes, so
+a crash between the two leaves only a harmless orphan ``d{n}``/``m{n}``
+(ignored by readers — it exceeds the latest committed version — and
+overwritten by the deterministic retry); a committed version always
+finds its manifest in place. Base/delta dirs are pruned only once a
+newer committed base supersedes them — version-dir pruning
+(``keep_versions``) never truncates the applied-file record.
 
 Sources with no file lineage (rate/memory/socket — ``input_file_name()``
 is empty) have no content identity to reconcile, so they keep the
@@ -68,13 +83,41 @@ def load_term_stats(spark, stats_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(stats_dir, f"v{vs[-1]}"))
 
 
+def _manifest_parts(state_dir: str, version: int) -> tuple[int | None, list[int]]:
+    """Committed manifest artifacts covering ``v{version}``: the newest
+    base ``m{b}`` with ``b <= version`` (None if no base) and the sorted
+    committed deltas ``d{k}`` with ``b < k <= version``. Artifacts
+    numbered above ``version`` are crash orphans of an uncommitted
+    version — ignored."""
+    base = None
+    deltas = []
+    if os.path.isdir(state_dir):
+        for d in os.listdir(state_dir):
+            m = re.fullmatch(r"([md])(\d+)", d)
+            if not m or int(m.group(2)) > version:
+                continue
+            if not os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
+                continue
+            n = int(m.group(2))
+            if m.group(1) == "m":
+                base = n if base is None else max(base, n)
+            else:
+                deltas.append(n)
+    return base, sorted(k for k in deltas if base is None or k > base)
+
+
 def _applied_manifest(spark, state_dir: str, version: int) -> DataFrame | None:
-    """The cumulative applied-file manifest committed alongside
-    ``v{version}`` (None for legacy state written before manifests)."""
-    p = os.path.join(state_dir, f"m{version}")
-    if os.path.exists(os.path.join(p, "_SUCCESS")):
-        return spark.read.parquet(p)
-    return None
+    """The applied-file set as of ``v{version}``: newest committed base
+    unioned with the committed deltas after it (None for legacy state
+    written before manifests — no base, no deltas)."""
+    base, deltas = _manifest_parts(state_dir, version)
+    parts = []
+    if base is not None:
+        parts.append(os.path.join(state_dir, f"m{base}"))
+    parts.extend(os.path.join(state_dir, f"d{k}") for k in deltas)
+    if not parts:
+        return None
+    return spark.read.parquet(*parts).distinct()
 
 
 def versioned_fold_ingest(
@@ -99,21 +142,48 @@ def versioned_fold_ingest(
     """
     spark = stream.sparkSession
 
-    def _commit(standing, fresh, applied_union, next_v: int) -> None:
-        # manifest FIRST: an orphan m{n} without its v{n} is overwritten
-        # on retry; a committed v{n} (its _SUCCESS is the single commit
-        # point) always finds its manifest already in place
-        if applied_union is not None:
-            applied_union.write.mode("overwrite").parquet(
-                os.path.join(state_dir, f"m{next_v}")
-            )
+    def _commit(standing, fresh, applied, src, next_v: int) -> None:
+        # manifest FIRST: an orphan d{n}/m{n} without its v{n} is ignored
+        # by readers and overwritten by the deterministic retry; a
+        # committed v{n} (its _SUCCESS is the single commit point) always
+        # finds its manifest already in place
+        if src is not None:
+            vs = stats_versions(state_dir)
+            _, deltas = _manifest_parts(state_dir, vs[-1]) if vs else (None, [])
+            if len(deltas) + 1 >= keep_versions:
+                # compaction turn: fold the standing set + this batch's
+                # files into a fresh cumulative base (history-sized, but
+                # amortized over keep_versions batch-sized delta writes)
+                applied.unionByName(src).distinct().write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(state_dir, f"m{next_v}"))
+            else:
+                # delta turn: this batch's new files only — batch-sized
+                src.write.mode("overwrite").parquet(
+                    os.path.join(state_dir, f"d{next_v}")
+                )
         fold(standing, fresh).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{next_v}")
         )
         stale = stats_versions(state_dir)[:-keep_versions]
         for v in stale:
             shutil.rmtree(os.path.join(state_dir, f"v{v}"), ignore_errors=True)
-            shutil.rmtree(os.path.join(state_dir, f"m{v}"), ignore_errors=True)
+        # manifest artifacts prune on BASE supersession, never on version
+        # retention — the applied-file record must survive forever
+        latest = stats_versions(state_dir)[-1]
+        base, _ = _manifest_parts(state_dir, latest)
+        if base is not None:
+            for d in os.listdir(state_dir):
+                m = re.fullmatch(r"([md])(\d+)", d)
+                if not m:
+                    continue
+                n = int(m.group(2))
+                if (m.group(1) == "m" and n < base) or (
+                    m.group(1) == "d" and n <= base
+                ):
+                    shutil.rmtree(
+                        os.path.join(state_dir, d), ignore_errors=True
+                    )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         # a zero-row batch is a no-op by additivity — committing it
@@ -155,16 +225,29 @@ def versioned_fold_ingest(
                 if vs
                 else spark.createDataFrame([], state_schema)
             )
-            _commit(standing, batch, None, batch_id)
+            _commit(standing, batch, None, None, batch_id)
             return
 
         applied = _applied_manifest(spark, state_dir, vs[-1]) if vs else None
         if vs and applied is None:
-            # legacy state (pre-manifest layout): the old guard is the
-            # only identity available; manifests begin with the first
-            # batch folded from here on
+            # legacy state (pre-manifest layout): no content identity
+            # exists, and a version >= batch_id means a restarted or
+            # fresh checkpoint whose batch may MIX already-folded and new
+            # files — silently skipping would mark the new files consumed
+            # and drop them forever (the exact hole manifests close), so
+            # fail loudly like the no-lineage regression path
             if vs[-1] >= batch_id:
-                return
+                raise RuntimeError(
+                    "versioned_fold_ingest: committed version "
+                    f"v{vs[-1]} in {state_dir} predates the manifest "
+                    f"layout and streaming batch {batch_id} does not "
+                    "exceed it — pre-manifest state cannot reconcile "
+                    "which of the batch's files are already folded. "
+                    "Restore the checkpoint that wrote this state, or "
+                    "rebuild the state directory from the source files."
+                )
+            # same-checkpoint continuation (batch_id advanced past the
+            # committed version): manifests begin with this batch's files
             applied = src.limit(0)
         if applied is None:
             applied = src.limit(0)
@@ -190,7 +273,7 @@ def versioned_fold_ingest(
             standing = spark.createDataFrame([], state_schema)
             fresh = batch
         next_v = batch_id if (not vs or batch_id > vs[-1]) else vs[-1] + 1
-        _commit(standing, fresh, applied.unionByName(src).distinct(), next_v)
+        _commit(standing, fresh, applied, new_files, next_v)
 
     writer = stream.writeStream.foreachBatch(_apply)
     if checkpoint_dir:

@@ -304,3 +304,34 @@ def test_interval_overlap_join_rejects_date_bounds(spark):
     )
     with pytest.raises(ValueError, match="timestamps.*or all be numeric"):
         interval_overlap_join(left, right, "lo", "hi", "rlo", "rhi")
+
+
+def test_interval_overlap_join_fanout_guard(spark):
+    """A degenerate interval spanning more bins than
+    max_bins_per_interval must fail LOUDLY (executor-side assert riding
+    the bin column — gap_fill's discipline), not silently explode one
+    row into millions; intervals at exactly the cap still pass."""
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 99.0)], "lid int, lo double, hi double"
+    )
+    right = spark.createDataFrame(
+        [(2, 50.0, 60.0)], "rid int, rlo double, rhi double"
+    )
+    # span == cap: 100 bins at width 1 with max 100 → passes
+    ok = interval_overlap_join(
+        left, right, "lo", "hi", "rlo", "rhi",
+        bin_seconds=1, max_bins_per_interval=100,
+    ).collect()
+    assert len(ok) == 1
+    # span > cap: fails with the named error, not an OOM-shaped blowup
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        interval_overlap_join(
+            left, right, "lo", "hi", "rlo", "rhi",
+            bin_seconds=1, max_bins_per_interval=99,
+        ).collect()

@@ -4712,8 +4712,10 @@ def test_jaccard_prefix_pairs_python_twin(spark):
             ).collect()
         )
         assert got == sorted(want), (t, got, want)
-    # the exact-boundary pair is present at t=0.8
-    assert any(r[:2] == (1, 3) for r in got) or True
+        if t == 0.8:
+            # J == threshold boundary: the pair at exactly 0.8 survives
+            # (the prefix-length and length-filter slacks err inclusive)
+            assert (1, 3, 0.8) in got, got
     with pytest.raises(ValueError, match="threshold"):
         jaccard_pairs_prefix(df, threshold=0.0)
     # shingle mode (the default): exact dups pair at J=1.0, and the

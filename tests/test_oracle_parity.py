@@ -381,6 +381,7 @@ def _adversarial_events():
         "q166_group_median_highcard",
         "q167_group_quantiles_highcard",
         "q169_session_incident_overlap",
+        "q171_group_mad_highcard",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):

@@ -902,6 +902,32 @@ def test_group_quantiles_highcard_single_exchange_single_sort(spark):
     assert len(re.findall(r"\bSort \[", plan)) == 1, plan
 
 
+def test_group_mad_highcard_single_exchange_no_join(spark):
+    """The high-cardinality MAD fences must keep q166's contract with a
+    second sort and NOTHING else: one exchange on the group key, two
+    within-partition sorts (value, deviation), the per-group median
+    resolved by stacked windows — no join, no broadcast, no driver-side
+    median table (no LocalTableScan/Exchange beyond the one)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_mad_outlier_bounds_highcard,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "value"
+    )
+    plan = (
+        group_mad_outlier_bounds_highcard(ev, "user_id", "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 2, plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan, plan
+    assert "LocalTableScan" not in plan, plan
+
+
 def test_q169_interval_overlap_no_nested_loop(spark):
     plan = _plan(spark, "q169_session_incident_overlap")
     assert "CartesianProduct" not in plan, plan

@@ -1251,6 +1251,51 @@ def test_group_quantiles_highcard_python_twin(spark):
         group_quantiles_highcard(df, "g", "x", [0.501, 0.502])
 
 
+def test_group_mad_highcard_python_twin(spark):
+    """Stacked-window MAD fences == the bounded-group
+    group_mad_outlier_bounds semantics computed in pure Python: same
+    median/MAD interpolation, same k·1.4826 fence arithmetic, n counts
+    non-null non-NaN values, null group is a group, all-null groups
+    absent, and a constant group collapses to mad=0 with lo==hi."""
+    import statistics
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_mad_outlier_bounds_highcard,
+    )
+
+    data = {
+        "a": [1.0, 2.0, 3.0, 4.0, 100.0],
+        "even": [4.0, 2.0, 8.0, 6.0],
+        "const": [7.0] * 4,
+        "one": [42.0],
+        None: [3.0, 3.0, 10.0, -200.0],
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    rows += [("a", None), ("a", float("nan")), ("gone", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: r
+        for r in group_mad_outlier_bounds_highcard(df, "g", "x", k=3.0).collect()
+    }
+    assert set(got) == set(data)
+    for g, xs in data.items():
+        med = statistics.median(xs)
+        mad = statistics.median(abs(x - med) for x in xs)
+        half = 3.0 * 1.4826 * mad
+        r = got[g]
+        assert r["n"] == len(xs), (g, r)
+        assert r["median"] == med and r["mad"] == mad, (g, r)
+        assert r["lo"] == med - half and r["hi"] == med + half, (g, r)
+    assert got["const"]["mad"] == 0.0
+    assert got["const"]["lo"] == got["const"]["hi"] == 7.0
+    # the planted extremes are exactly what the fences classify out
+    for g, want in (("a", 1), (None, 1), ("even", 0)):
+        n_out = sum(
+            1 for x in data[g] if x < got[g]["lo"] or x > got[g]["hi"]
+        )
+        assert n_out == want, (g, n_out)
+
+
 def test_gap_fill_policies_python_twin(spark):
     """gap_fill's three policies against a hand-computed series: dense
     spine per key (min..max, step), zero/ffill/linear hole values,
