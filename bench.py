@@ -332,6 +332,11 @@ LONGTAIL = [
     # round-14: linear-interpolation gap fill (q168's sensor-semantics
     # sibling, now DuckDB-oracled including leading/trailing holes)
     "q172_gap_fill_linear",
+    # round-14: event-sequence analytics — ordered conversion funnel
+    # (stacked windows, one exchange) and the weekly cohort retention
+    # matrix (window cohort + partition-reusing dedup)
+    "q173_conversion_funnel",
+    "q174_cohort_retention",
 ]
 
 _TABLES = (

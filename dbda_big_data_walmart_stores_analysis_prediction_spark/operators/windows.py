@@ -212,3 +212,108 @@ def gap_fill(
         filled.alias(value_col),
         F.coalesce(F.col("__obs"), F.lit(False)).alias("observed"),
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-sequence funnel per key — "reached step i" means an
+    occurrence of ``steps[i]`` at-or-after the key's step-(i−1) reach
+    time (inclusive ties count, the standard funnel convention), with
+    step 0 anchored at the key's FIRST occurrence of ``steps[0]``.
+    The per-key conversion primitive behind every activation / checkout
+    / signup report.
+
+    No self-joins and no per-key loops: one exchange on the key, then
+    one STACKED unordered window per step (each step's reach time is
+    ``min(ts where step matches and ts >= previous reach)`` over the
+    key partition — the previous reach is itself a window result, so
+    the chain stays inside the same partitioning; no sort is even
+    needed, min over an unbounded frame is order-free). The per-key
+    collapse reuses the windows' partitioning: at N steps the whole
+    funnel is ONE exchange end to end.
+
+    Returns one row per key with a non-null, non-null-ts event:
+    ``(key, step_1_ts, ..., step_N_ts)`` (named after the step values,
+    lowercased) — a null step_i_ts means the key never completed step
+    i in order. Rows with null key or null ts are dropped.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_steps: need at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel_steps: steps must be distinct, got {steps}")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__t"),
+        F.col(step_col).alias("__s"),
+    ).where(F.col("__k").isNotNull() & F.col("__t").isNotNull())
+    wp = Window.partitionBy("__k")
+    cur = base
+    names: list[str] = []
+    prev: str | None = None
+    for i, s in enumerate(steps):
+        name = f"step_{i + 1}_{s.lower()}_ts"
+        cond = F.col("__s") == F.lit(s)
+        if prev is not None:
+            cond = cond & (F.col("__t") >= F.col(prev))
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col("__t"))).over(wp))
+        names.append(name)
+        prev = name
+    return (
+        cur.groupBy("__k")
+        .agg(*[F.first(n).alias(n) for n in names])
+        .withColumnRenamed("__k", key_col)
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — keys bucketed by their FIRST-activity
+    period, counted in every later period they return: the
+    ``(cohort, period_offset) → n_active`` table behind every retention
+    curve, at any key cardinality.
+
+    Shape: one exchange on the key (a window min resolves each key's
+    cohort period), the per-(key, period) dedup reuses that
+    partitioning (key is a prefix of the distinct keys), and the final
+    ``(cohort, offset)`` aggregate is period-cardinality-sized — two
+    exchanges total, no driver state. Offsets are integer periods
+    (``datediff / days-per-period`` on the truncated dates — exact,
+    DST-free). Rows with null key or null ts are dropped.
+
+    Returns ``(cohort, period_offset, n_active)``: ``n_active`` = keys
+    from that cohort active ``period_offset`` periods after their first
+    one (offset 0 = the cohort size itself).
+    """
+    days = {"week": 7, "day": 1}.get(period)
+    if days is None:
+        raise ValueError(
+            f"cohort_retention: period must be 'week' or 'day', got {period!r}"
+        )
+    wp = Window.partitionBy("__k")
+    per = df.select(
+        F.col(key_col).alias("__k"),
+        F.date_trunc(period, F.col(ts_col)).alias("__p"),
+    ).where(F.col("__k").isNotNull() & F.col("__p").isNotNull())
+    with_cohort = per.withColumn("__c", F.min("__p").over(wp))
+    active = with_cohort.select("__k", "__p", "__c").distinct()
+    return (
+        active.groupBy(
+            F.col("__c").alias("cohort"),
+            (
+                F.datediff(F.col("__p").cast("date"), F.col("__c").cast("date"))
+                / days
+            )
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )

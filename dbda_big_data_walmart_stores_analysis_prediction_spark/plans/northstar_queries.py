@@ -8014,3 +8014,134 @@ def q172_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "hour", F.round("v", 6).alias("v"), "observed"
     ).orderBy("user_id", "hour")
+
+
+# q173: conversion funnel — ordered click -> view -> purchase per user
+# (step i counts only at-or-after step i-1's reach time), rolled up by
+# first-click week cohort. The classic product-analytics sequence
+# query; the naive formulation self-joins events once per step, the
+# engine's funnel_steps resolves every step with stacked unordered
+# windows inside ONE user-keyed exchange. Oracle: the same chained
+# min(CASE ...) reach-time construction as grouped subqueries. The
+# conversion-lag average divides an exact bigint microsecond sum, so
+# it is reduction-order-independent in both engines.
+_Q173_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    s1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1
+      FROM e GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'view' AND e.ts >= s1.t1
+                      THEN e.ts END) AS t2
+      FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+                      THEN e.ts END) AS t3
+      FROM e JOIN s2 USING (user_id) GROUP BY e.user_id
+    ),
+    u AS (
+      SELECT s1.user_id, t1, t2, t3
+      FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+    )
+    SELECT date_trunc('week', t1)::DATE AS cohort_week,
+           count(t1)::BIGINT AS n_clicked,
+           count(t2)::BIGINT AS n_viewed,
+           count(t3)::BIGINT AS n_purchased,
+           round((sum(epoch_us(t3) - epoch_us(t1)) / count(t3))
+                 / 3600000000.0, 6) AS avg_hours_to_purchase
+    FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+@_register("q173_conversion_funnel", _Q173_SQL)
+def q173_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (operators/windows.py::funnel_steps): per-user
+    ordered click→view→purchase reach times from stacked unordered
+    windows — one user-keyed exchange for the whole chain, no
+    per-step self-joins — rolled up by first-click week with counts
+    and the mean click→purchase lag (exact integer microsecond sum
+    divided once)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        funnel_steps,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    f = funnel_steps(ev, "user_id", "ts", "event_type",
+                     ["click", "view", "purchase"])
+    s1, s2, s3 = (
+        F.col("step_1_click_ts"),
+        F.col("step_2_view_ts"),
+        F.col("step_3_purchase_ts"),
+    )
+    return (
+        f.groupBy(
+            F.date_trunc("week", s1).cast("date").alias("cohort_week")
+        )
+        .agg(
+            F.count(s1).cast("bigint").alias("n_clicked"),
+            F.count(s2).cast("bigint").alias("n_viewed"),
+            F.count(s3).cast("bigint").alias("n_purchased"),
+            F.round(
+                (
+                    F.sum(F.unix_micros(s3) - F.unix_micros(s1))
+                    / F.count(s3)
+                )
+                / F.lit(3600000000.0),
+                6,
+            ).alias("avg_hours_to_purchase"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+# q174: cohort retention matrix — users bucketed by first-activity
+# day, counted in every day they return; the (cohort, offset) curve
+# every growth dashboard draws, at unbounded user cardinality. Shape:
+# the cohort resolves as a window min inside one user-keyed exchange,
+# the per-(user, week) dedup reuses that partitioning (the key is a
+# prefix of the distinct columns — no extra shuffle), and only the
+# tiny (cohort, offset) aggregate exchanges again. Offsets are exact
+# integer day arithmetic on the truncated dates (DST-free).
+_Q174_SQL = """
+    WITH a AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY user_id)
+    SELECT c.cohort::DATE AS cohort,
+           (a.d::DATE - c.cohort::DATE)::INT AS period_offset,
+           count(*)::BIGINT AS n_active
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_register("q174_cohort_retention", _Q174_SQL)
+def q174_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (operators/windows.py::cohort_retention):
+    first-activity day per user via a window min, per-(user, day) dedup
+    riding the same user-keyed partitioning, then the period-
+    cardinality-sized (cohort, offset) count — two exchanges total, no
+    driver state, any user cardinality. Day grain because the events
+    fixture spans ~30 days: a dense matrix makes the hash check strong
+    (week grain collapses it to a handful of rows)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = cohort_retention(ev, "user_id", "ts", "day")
+    # DuckDB date_trunc(week) yields DATE; align the cohort type
+    return out.select(
+        F.col("cohort").cast("date").alias("cohort"),
+        "period_offset",
+        "n_active",
+    ).orderBy("cohort", "period_offset")

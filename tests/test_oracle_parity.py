@@ -382,6 +382,8 @@ def _adversarial_events():
         "q167_group_quantiles_highcard",
         "q169_session_incident_overlap",
         "q171_group_mad_highcard",
+        "q173_conversion_funnel",
+        "q174_cohort_retention",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):

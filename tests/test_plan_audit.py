@@ -938,3 +938,49 @@ def test_q170_prefix_join_no_cartesian(spark):
     plan = _plan(spark, "q170_jaccard_prefix_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_funnel_steps_single_exchange(spark):
+    """The funnel's whole point vs the naive per-step self-join: every
+    step's reach time resolves inside ONE user-keyed exchange (stacked
+    unordered windows + a partition-reusing collapse) — no joins at any
+    step count, no sort (min over unbounded frames is order-free)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        funnel_steps,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    plan = (
+        funnel_steps(ev, "user_id", "ts", "event_type",
+                     ["click", "view", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_cohort_retention_two_exchanges_no_join(spark):
+    """Retention: the per-(user, week) dedup must REUSE the window's
+    user partitioning (user is a prefix of the distinct keys — no
+    third exchange), leaving exactly the window exchange plus the tiny
+    (cohort, offset) aggregate exchange, and no join anywhere."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        cohort_retention,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "ts"
+    )
+    plan = (
+        cohort_retention(ev, "user_id", "ts", "week")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "Join" not in plan, plan

@@ -1384,3 +1384,99 @@ def test_group_median_highcard_interpolation_no_overflow(spark):
     df = spark.createDataFrame([("a", big), ("a", big)], "g string, x double")
     got = group_median_highcard(df, "g", "x").first()
     assert got["median"] == big  # not inf
+
+
+def test_funnel_steps_python_twin(spark):
+    """Funnel reach times vs a hand-walked per-key simulation: in-order
+    sequences complete, out-of-order ones stop at the violated step,
+    same-timestamp ties count (inclusive >=), a repeated first step
+    anchors at its MIN, keys missing step 1 report all-null, and null
+    key/ts rows are dropped. Contract errors: <2 steps, dup steps."""
+    import datetime as dt
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        funnel_steps,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: clean in-order funnel (and a later, ignored second click)
+        (1, ts(0), "a"), (1, ts(5), "b"), (1, ts(9), "c"), (1, ts(20), "a"),
+        # u2: b BEFORE the first a -> never reaches b
+        (2, ts(10), "a"), (2, ts(3), "b"), (2, ts(15), "c"),
+        # u3: exact tie a and b at the same ts -> inclusive, b reached
+        (3, ts(7), "a"), (3, ts(7), "b"),
+        # u4: no 'a' at all -> all steps null
+        (4, ts(1), "b"), (4, ts(2), "c"),
+        # dropped rows
+        (None, ts(0), "a"), (5, None, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, s string")
+    got = {
+        r["u"]: (r["step_1_a_ts"], r["step_2_b_ts"], r["step_3_c_ts"])
+        for r in funnel_steps(df, "u", "ts", "s", ["a", "b", "c"]).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (ts(0), ts(5), ts(9))
+    assert got[2] == (ts(10), None, None)
+    assert got[3] == (ts(7), ts(7), None)
+    assert got[4] == (None, None, None)
+
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_steps(df, "u", "ts", "s", ["a"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_steps(df, "u", "ts", "s", ["a", "a"])
+
+
+def test_cohort_retention_python_twin(spark):
+    """Retention matrix vs a hand-built cohort table: offset 0 equals
+    the cohort size, each later offset counts exactly the keys active
+    that many weeks after their first week, multiple events inside one
+    week dedup to one active mark, and day-period granularity works."""
+    import datetime as dt
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        cohort_retention,
+    )
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+
+    def wk(i, d=0):
+        return mon + dt.timedelta(weeks=i, days=d)
+
+    rows = [
+        # cohort week 0: u1 active weeks 0,1,3; u2 active week 0 only
+        (1, wk(0)), (1, wk(0, 2)), (1, wk(1)), (1, wk(3)),
+        (2, wk(0, 4)),
+        # cohort week 2: u3 active weeks 2,3
+        (3, wk(2)), (3, wk(3, 6)),
+        (None, wk(0)), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_active"]
+        for r in cohort_retention(df, "u", "ts", "week").collect()
+    }
+    assert got == {
+        (wk(0), 0): 2, (wk(0), 1): 1, (wk(0), 3): 1,
+        (wk(2), 0): 1, (wk(2), 1): 1,
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, "u", "ts", "month")
+    # day granularity: u1's distinct active days map to day offsets
+    day = {
+        (r["cohort"], r["period_offset"]): r["n_active"]
+        for r in cohort_retention(
+            df.where(F.col("u") == 1), "u", "ts", "day"
+        ).collect()
+    }
+    assert day == {(wk(0), 0): 1, (wk(0), 2): 1, (wk(0), 7): 1, (wk(0), 21): 1}
