@@ -720,6 +720,148 @@ def quantile_cells(
     )
 
 
+def quantile_cells_by(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """``quantile_cells`` KEYED: one codegen hash aggregate over
+    ``(groups..., _log_bucket(v))`` → per-group mergeable quantile/
+    moments state at groups × ≤~2k rows — per-segment latency
+    quantiles for an unbounded value stream, the keyed complement of
+    the global cell sketch exactly as ``hll_registers_by`` keys
+    ``hll_registers``. Cells of disjoint batches merge per (group,
+    cell) (sum n/s/s2, min mn, max mx) == the one-shot cells over the
+    union; fold it live with ``streaming/stats.py::
+    streaming_quantile_by_ingest`` and read per-group bounded-error
+    estimates with ``cells_quantile_estimate_by``. NaN/null values are
+    excluded; null group keys are a group like any other."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    return (
+        df.select(*groups, v.alias("v"))
+        .where(F.col("v").isNotNull())
+        .select(*groups, "v", _log_bucket(F.col("v"), sub_buckets).alias("b"))
+        .groupBy(*groups, "b")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+
+
+def cells_quantile_estimate_by(
+    cells: DataFrame,
+    group_cols: list[str] | str,
+    probs: list[float],
+) -> DataFrame:
+    """``cells_quantile_estimate`` DISTRIBUTED over unbounded group
+    cardinality: per-group bounded-error quantiles read off a
+    ``quantile_cells_by`` table (or any cellwise merge of them) with NO
+    driver state — the global reader collects its ≤~2k cells; a
+    per-segment table at millions of groups cannot.
+
+    Same algorithm, window form: per group the cells sort by their
+    exact value spans and overlapping spans merge into ISLANDS (a
+    running max of span ends over the sort; an island starts where a
+    span's mn exceeds it — identical to the driver reader's span-merge,
+    so correctness never assumes bucket-code order matches value
+    order), a cumulative count locates each target rank's island, and
+    the estimate interpolates inside the island's exact (mn, mx) span.
+    Fractional ranks interpolate FLOOR and CEIL ranks separately
+    (bimodal-gap rule, same as the driver reader). One exchange on the
+    group key; everything after reuses its partitioning.
+
+    Output: ``(groups..., n, p<pct>, p<pct>_lo, p<pct>_hi, ...)`` with
+    the per-answer guarantee ``p<pct>_lo <= true quantile_cont <=
+    p<pct>_hi``; groups with no cells are absent (they had no values).
+    """
+    if not probs:
+        raise ValueError("cells_quantile_estimate_by: probs must be non-empty")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    names = [f"p{round(p * 100)}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"cells_quantile_estimate_by: probs {probs} collide after "
+            f"percent naming ({names}); use more-separated probs"
+        )
+    w_ord = Window.partitionBy(*groups).orderBy("mn", "mx", "b")
+    prev_end = F.max("mx").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = cells.select(
+        *groups,
+        "b",
+        "n",
+        "mn",
+        "mx",
+        F.when(prev_end.isNull() | (F.col("mn") > prev_end), 1)
+        .otherwise(0)
+        .alias("__new"),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy(*groups, "__island").agg(
+        F.sum("n").alias("__n"),
+        F.min("mn").alias("__mn"),
+        F.max("mx").alias("__mx"),
+    )
+    w2 = Window.partitionBy(*groups).orderBy("__mn")
+    wp = Window.partitionBy(*groups)
+    loc = islands.select(
+        *groups,
+        "__n",
+        "__mn",
+        "__mx",
+        F.coalesce(
+            F.sum("__n").over(w2.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__cum"),
+        F.sum("__n").over(wp).alias("__tot"),
+    )
+
+    def pick(rank):
+        """Per-island conditional (est, lo, hi) for one integer rank
+        column; exactly one island satisfies the containment, so the
+        group-level min() collapses to it."""
+        contains = (F.col("__cum") <= rank) & (rank < F.col("__cum") + F.col("__n"))
+        est = F.col("__mn") + (F.col("__mx") - F.col("__mn")) * (
+            (rank - F.col("__cum")) / F.col("__n")
+        )
+        return (
+            F.min(F.when(contains, est)),
+            F.min(F.when(contains, F.col("__mn"))),
+            F.min(F.when(contains, F.col("__mx"))),
+        )
+
+    aggs = [F.max("__tot").alias("n")]
+    for i, p in enumerate(probs):
+        rk = F.lit(float(p)) * (F.col("__tot") - 1)
+        lo_r, hi_r = F.floor(rk), F.ceil(rk)
+        for tag, r in (("lo", lo_r), ("hi", hi_r)):
+            e, l, h = pick(r)
+            aggs += [
+                e.alias(f"__e_{tag}{i}"),
+                l.alias(f"__l_{tag}{i}"),
+                h.alias(f"__h_{tag}{i}"),
+            ]
+    agg = loc.groupBy(*groups).agg(*aggs)
+    outs = []
+    for i, (p, name) in enumerate(zip(probs, names)):
+        rk = F.lit(float(p)) * (F.col("n") - 1)
+        frac = rk - F.floor(rk)
+        for part, col in (("", "__e"), ("_lo", "__l"), ("_hi", "__h")):
+            a, b2 = F.col(f"{col}_lo{i}"), F.col(f"{col}_hi{i}")
+            outs.append((a + (b2 - a) * frac).alias(f"{name}{part}"))
+    return agg.select(*groups, F.col("n").cast("bigint").alias("n"), *outs)
+
+
 def cells_quantile_estimate(
     cells: DataFrame, probs: list[float]
 ) -> list[tuple[float, float, float]]:

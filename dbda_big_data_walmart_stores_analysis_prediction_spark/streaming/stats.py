@@ -472,3 +472,59 @@ def streaming_hll_by_ingest(
         checkpoint_dir,
         keep_versions,
     )
+
+
+def streaming_quantile_by_ingest(
+    stream: DataFrame,
+    state_dir: str,
+    group_cols: list[str] | str,
+    value_col: str,
+    sub_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    keep_versions: int = 3,
+):
+    """``streaming_quantile_ingest`` KEYED: live per-group quantile/
+    moments state (groups × ≤~2k cell rows) maintained by per-(group,
+    cell) merge under the manifest-keyed versioned commit — "p99
+    latency per segment, continuously" at unbounded group cardinality.
+    The cellwise merge of disjoint batches equals the one-shot
+    ``quantile_cells_by`` over the union (the bucket code is a pure
+    value function), so the fold is exact; read per-group bounded-error
+    estimates DISTRIBUTED (no driver state) with
+    ``operators.analytics.cells_quantile_estimate_by`` on the latest
+    version."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        quantile_cells_by,
+    )
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def fold(standing: DataFrame, batch: DataFrame) -> DataFrame:
+        fresh = quantile_cells_by(batch, groups, value_col, sub_buckets)
+        return (
+            standing.unionByName(fresh)
+            .groupBy(*groups, "b")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("s2").alias("s2"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+
+    # group columns keep the STREAM's actual types (the q-hll_by lesson:
+    # a hardcoded string schema widens int keys through the bootstrap
+    # union into state that no longer joins back)
+    group_schema = ", ".join(
+        f"{g} {stream.schema[g].dataType.simpleString()}" for g in groups
+    )
+    return versioned_fold_ingest(
+        stream,
+        state_dir,
+        fold,
+        f"{group_schema}, b bigint, n bigint, s double, s2 double, "
+        "mn double, mx double",
+        checkpoint_dir,
+        keep_versions,
+    )

@@ -1480,3 +1480,69 @@ def test_cohort_retention_python_twin(spark):
         ).collect()
     }
     assert day == {(wk(0), 0): 1, (wk(0), 2): 1, (wk(0), 7): 1, (wk(0), 21): 1}
+
+
+def test_cells_quantile_estimate_by_matches_driver_reader(spark):
+    """The distributed per-group estimator must agree with the driver
+    reader (same span-merge + rank arithmetic) group by group, and its
+    island merge may NOT rely on bucket-code order — monkeypatching the
+    bucketing to a hash must leave every bound containing the exact
+    quantile."""
+    import math
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        analytics as A,
+    )
+
+    data = {
+        "a": [float((i * 13) % 97) for i in range(200)] + [42.0] * 50,
+        "b": [-5.0, 0.0, 0.0, 7.5, 1e8],
+        None: [3.0],
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    probs = [0.1, 0.5, 0.9]
+    cells = A.quantile_cells_by(df, "g", "x")
+    got = {
+        r["g"]: r for r in A.cells_quantile_estimate_by(cells, "g", probs).collect()
+    }
+    for g, xs in data.items():
+        single = spark.createDataFrame([(x,) for x in xs], "x double")
+        driver = A.cells_quantile_estimate(A.quantile_cells(single, "x"), probs)
+        assert got[g]["n"] == len(xs)
+        for (e, lo, hi), name in zip(driver, ("p10", "p50", "p90")):
+            r = got[g]
+            for a, b in ((r[name], e), (r[f"{name}_lo"], lo), (r[f"{name}_hi"], hi)):
+                assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12), (
+                    g, name, a, b,
+                )
+
+    def qcont(xs, p):
+        s = sorted(xs)
+        r = (len(s) - 1) * p
+        lo, hi = math.floor(r), math.ceil(r)
+        return s[lo] + (s[hi] - s[lo]) * (r - lo)
+
+    orig = A._log_bucket
+    try:
+        A._log_bucket = lambda v, k: F.pmod(F.hash(v), F.lit(5)).cast("long")
+        hashed = {
+            r["g"]: r
+            for r in A.cells_quantile_estimate_by(
+                A.quantile_cells_by(df, "g", "x"), "g", probs
+            ).collect()
+        }
+    finally:
+        A._log_bucket = orig
+    for g, xs in data.items():
+        for p, name in zip(probs, ("p10", "p50", "p90")):
+            want = qcont(xs, p)
+            r = hashed[g]
+            assert r[f"{name}_lo"] <= want <= r[f"{name}_hi"], (g, name)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        A.cells_quantile_estimate_by(cells, "g", [])
+    with pytest.raises(ValueError, match="collide"):
+        A.cells_quantile_estimate_by(cells, "g", [0.501, 0.502])

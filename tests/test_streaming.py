@@ -1355,3 +1355,88 @@ def test_streaming_fold_pre_manifest_state_raises_on_fresh_checkpoint(
     )
 
     assert stats_versions(state) == [0]
+
+
+def test_streaming_quantile_by_ingest_fold_equals_batch(spark, tmp_path):
+    """Keyed quantile-cell fold == the batch quantile_cells_by over all
+    input, through a fresh-checkpoint mixed replay (old + new file in
+    one batch), with int group keys keeping their type through the
+    bootstrap union. n/mn/mx compare exactly; the double s/s2 sums are
+    fold-order-dependent in the last ulp, so they compare isclose (the
+    ADVICE rule the global test already follows)."""
+    import math
+    import os
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        cells_quantile_estimate_by,
+        group_quantiles_highcard,
+        quantile_cells_by,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        stats_versions,
+        streaming_quantile_by_ingest,
+    )
+
+    inp = tmp_path / "in"
+    b1 = [("a", float((i * 37) % 211)) for i in range(150)] + [
+        ("b", 5.0), (None, 2.0), ("a", None)
+    ]
+    b2 = [("a", float(i) * -2.5) for i in range(80)] + [
+        ("b", float("nan")), ("b", 1e9)
+    ]
+    spark.createDataFrame(b1, "g string, x double").coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+
+    def mkstream():
+        return spark.readStream.schema("g string, x double").parquet(f"{inp}/*")
+
+    qdir = tmp_path / "qc"
+    q = streaming_quantile_by_ingest(
+        mkstream(), str(qdir), "g", "x", checkpoint_dir=str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, "g string, x double").coalesce(1).write.parquet(
+        str(inp / "b2")
+    )
+    # fresh checkpoint: batch 0 = b1 (folded) + b2 (new)
+    q = streaming_quantile_by_ingest(
+        mkstream(), str(qdir), "g", "x", checkpoint_dir=str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(
+        os.path.join(str(qdir), f"v{stats_versions(str(qdir))[-1]}")
+    )
+    all_rows = spark.createDataFrame(b1 + b2, "g string, x double")
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    want = sorted(
+        (tuple(r) for r in quantile_cells_by(all_rows, "g", "x").collect()),
+        key=key,
+    )
+    got = sorted((tuple(r) for r in state.collect()), key=key)
+    assert len(got) == len(want)
+    for g_row, w_row in zip(got, want):
+        assert g_row[:3] == w_row[:3], (g_row, w_row)  # g, b, n
+        assert g_row[5:] == w_row[5:], (g_row, w_row)  # mn, mx
+        for a, b in zip(g_row[3:5], w_row[3:5]):  # s, s2
+            assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-9), (g_row, w_row)
+
+    # the per-group estimates read off the FOLDED state honor their own
+    # bounds around the exact per-group quantiles
+    probs = [0.25, 0.5, 0.75]
+    est = {
+        r["g"]: r
+        for r in cells_quantile_estimate_by(state, "g", probs).collect()
+    }
+    exact = {
+        r["g"]: r
+        for r in group_quantiles_highcard(all_rows, "g", "x", probs).collect()
+    }
+    assert set(est) == set(exact)
+    for g, ex in exact.items():
+        for name in ("p25", "p50", "p75"):
+            lo, hi = est[g][f"{name}_lo"], est[g][f"{name}_hi"]
+            assert lo <= ex[name] <= hi, (g, name, lo, ex[name], hi)
+            assert lo <= est[g][name] <= hi, (g, name)
+        assert est[g]["n"] == ex["n"]
