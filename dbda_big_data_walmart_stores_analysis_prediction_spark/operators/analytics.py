@@ -738,21 +738,37 @@ def quantile_cells_by(
     estimates with ``cells_quantile_estimate_by``. NaN/null values are
     excluded; null group keys are a group like any other."""
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    _check_cell_group_names(groups, "quantile_cells_by")
     v = F.col(value_col).cast("double")
     v = F.when(~F.isnan(v), v)
     return (
-        df.select(*groups, v.alias("v"))
-        .where(F.col("v").isNotNull())
-        .select(*groups, "v", _log_bucket(F.col("v"), sub_buckets).alias("b"))
+        df.select(*groups, v.alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select(
+            *groups, "__v", _log_bucket(F.col("__v"), sub_buckets).alias("b")
+        )
         .groupBy(*groups, "b")
         .agg(
-            F.count("v").alias("n"),
-            F.sum("v").alias("s"),
-            F.sum(F.col("v") * F.col("v")).alias("s2"),
-            F.min("v").alias("mn"),
-            F.max("v").alias("mx"),
+            F.count("__v").alias("n"),
+            F.sum("__v").alias("s"),
+            F.sum(F.col("__v") * F.col("__v")).alias("s2"),
+            F.min("__v").alias("mn"),
+            F.max("__v").alias("mx"),
         )
     )
+
+
+def _check_cell_group_names(groups: list[str], op: str) -> None:
+    """The keyed cell tables' OUTPUT schema owns the cell column names —
+    a group column sharing one is inherently ambiguous (the global
+    operators had no group columns, so the names were safe there)."""
+    reserved = {"b", "n", "s", "s2", "mn", "mx"} & set(groups)
+    if reserved:
+        raise ValueError(
+            f"{op}: group column(s) {sorted(reserved)} collide with the "
+            "cell-table schema (b, n, s, s2, mn, mx) — rename them before "
+            "keying the sketch"
+        )
 
 
 def cells_quantile_estimate_by(
@@ -784,6 +800,7 @@ def cells_quantile_estimate_by(
     if not probs:
         raise ValueError("cells_quantile_estimate_by: probs must be non-empty")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    _check_cell_group_names(groups, "cells_quantile_estimate_by")
     names = [f"p{round(p * 100)}" for p in probs]
     if len(set(names)) != len(names):
         raise ValueError(

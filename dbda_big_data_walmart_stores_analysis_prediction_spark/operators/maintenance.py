@@ -103,13 +103,35 @@ def merge_upsert_partitioned(
             "(__HIVE_DEFAULT_PARTITION__) are not safely overwritable; "
             "route null-partition rows through the full-rewrite path"
         )
+    if "://" in snapshot_dir:
+        raise ValueError(
+            "merge_upsert_partitioned: the staging-swap commit uses local "
+            f"filesystem renames; '{snapshot_dir}' has a URI scheme. For "
+            "object stores / HDFS use the full-rewrite merge_upsert path "
+            "or a table format with transactional partition overwrite."
+        )
+    staging = snapshot_dir.rstrip("/") + ".staging-merge"
+    # crash repair BEFORE any read or overwrite: a previous run that died
+    # mid-swap left some partition absent from the snapshot with its
+    # copies in staging — restore the merged slice (preferred; sorted()
+    # puts `<part>` before `<part>.old`) or the old dir, or the staging
+    # overwrite below would destroy the only remaining copies and the
+    # merge would then run against an empty slice, silently dropping the
+    # partition's non-updated rows
+    if os.path.isdir(staging):
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith(f"{partition_col}="):
+                continue
+            name = d[: -len(".old")] if d.endswith(".old") else d
+            dst = os.path.join(snapshot_dir, name)
+            if not os.path.isdir(dst):
+                os.rename(os.path.join(staging, d), dst)
     current = spark.read.parquet(snapshot_dir)
     cur_touched = current.where(F.col(partition_col).isin(touched))
     merged = merge_upsert(cur_touched, updates.select(*current.columns), key_list)
     # stage the full merged slice BEFORE touching the snapshot — the
     # write reads the live partition files, which is safe because no
     # snapshot file moves until the staging write has fully committed
-    staging = snapshot_dir.rstrip("/") + ".staging-merge"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     # swap each staged partition dir in with atomic renames; reuse the
     # writer's own directory names so partition-value path escaping

@@ -149,6 +149,21 @@ def versioned_fold_ingest(
         # finds its manifest already in place
         if src is not None:
             vs = stats_versions(state_dir)
+            # clear crash orphans ABOVE the latest committed version
+            # FIRST: an orphan base m{k} (k > vs[-1], its v{k} never
+            # committed — e.g. a compaction turn that crashed before its
+            # version write, with batch ids ahead of the version counter)
+            # would otherwise sit dormant until the version sequence
+            # catches up to k and then SHADOW the true applied-file
+            # record as a stale base, re-folding everything applied since
+            # it was written. Artifacts <= vs[-1] are live record parts
+            # (deltas outlive their pruned versions) and are never
+            # touched here.
+            latest_committed = vs[-1] if vs else -1
+            for d in os.listdir(state_dir) if os.path.isdir(state_dir) else []:
+                m = re.fullmatch(r"[md](\d+)", d)
+                if m and int(m.group(1)) > latest_committed:
+                    shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
             _, deltas = _manifest_parts(state_dir, vs[-1]) if vs else (None, [])
             if len(deltas) + 1 >= keep_versions:
                 # compaction turn: fold the standing set + this batch's
@@ -231,21 +246,32 @@ def versioned_fold_ingest(
         applied = _applied_manifest(spark, state_dir, vs[-1]) if vs else None
         if vs and applied is None:
             # legacy state (pre-manifest layout): no content identity
-            # exists, and a version >= batch_id means a restarted or
-            # fresh checkpoint whose batch may MIX already-folded and new
-            # files — silently skipping would mark the new files consumed
-            # and drop them forever (the exact hole manifests close), so
-            # fail loudly like the no-lineage regression path
-            if vs[-1] >= batch_id:
+            # exists. A version STRICTLY above batch_id means a fresh or
+            # rolled-back checkpoint whose batch may MIX already-folded
+            # and new files — silently skipping would mark the new files
+            # consumed and drop them forever (the exact hole manifests
+            # close), so fail loudly like the no-lineage regression path.
+            # EQUALITY is the same checkpoint crash-replaying its last
+            # batch (the offset log fixed that batch's file set, so it
+            # cannot carry new files) — raising there would brick every
+            # legacy crash recovery behind advice it already satisfies;
+            # skip it like the old guard did. Residual corner: legacy
+            # v0 + a DIFFERENT checkpoint's batch 0 is indistinguishable
+            # from that replay — migrate legacy states by folding one
+            # batch (manifests begin there) before relying on
+            # fresh-checkpoint replays.
+            if vs[-1] > batch_id:
                 raise RuntimeError(
                     "versioned_fold_ingest: committed version "
                     f"v{vs[-1]} in {state_dir} predates the manifest "
-                    f"layout and streaming batch {batch_id} does not "
-                    "exceed it — pre-manifest state cannot reconcile "
-                    "which of the batch's files are already folded. "
+                    f"layout and exceeds streaming batch {batch_id} — "
+                    "pre-manifest state cannot reconcile which of a "
+                    "fresh checkpoint's files are already folded. "
                     "Restore the checkpoint that wrote this state, or "
                     "rebuild the state directory from the source files."
                 )
+            if vs[-1] == batch_id:
+                return  # same-checkpoint re-delivery of the last batch
             # same-checkpoint continuation (batch_id advanced past the
             # committed version): manifests begin with this batch's files
             applied = src.limit(0)

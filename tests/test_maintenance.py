@@ -216,3 +216,64 @@ def test_merge_upsert_partitioned_prunes_and_preserves(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(snap).select(*cols).collect()
     ) == want
     assert {p: file_digests(p) for p in ("p1", "p2")} == untouched_before
+
+
+def test_merge_upsert_partitioned_recovers_mid_swap_crash(spark, tmp_path):
+    """Review-pass regression: a crash BETWEEN the two swap renames
+    leaves a partition absent from the snapshot with both copies in
+    staging; the next run must restore it BEFORE its staging overwrite
+    (which would otherwise destroy the only copies and silently drop
+    the partition's non-updated rows). Also: URI-scheme snapshot dirs
+    are rejected up front (the swap is local-rename based)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        merge_upsert_partitioned,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 2}", f"body-{i}") for i in range(20)],
+        "doc_id long, part string, body string",
+    )
+    base.repartition(2).write.partitionBy("part").parquet(snap)
+    updates = spark.createDataFrame(
+        [(0, "p0", "EDITED-1")], "doc_id long, part string, body string"
+    )
+    merge_upsert_partitioned(spark, snap, updates, "doc_id", "part")
+
+    # simulate the mid-swap crash: partition p0 renamed ASIDE into a
+    # fresh staging dir (old copy), its merged slice staged, snapshot
+    # left with p0 missing — exactly the state after rename #1
+    staging = snap + ".staging-merge"
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(os.path.join(snap, "part=p0"), os.path.join(staging, "part=p0"))
+    want_rows = sorted(
+        tuple(r)
+        for r in spark.createDataFrame(
+            [(0, "p0", "EDITED-2")] + [(i, "p0", f"body-{i}") for i in range(2, 20, 2)]
+            + [(i, "p1", f"body-{i}") for i in range(1, 20, 2)],
+            "doc_id long, part string, body string",
+        ).collect()
+    )
+
+    updates2 = spark.createDataFrame(
+        [(0, "p0", "EDITED-2")], "doc_id long, part string, body string"
+    )
+    merge_upsert_partitioned(spark, snap, updates2, "doc_id", "part")
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(snap)
+        .select("doc_id", "part", "body")
+        .collect()
+    )
+    assert got == want_rows  # non-updated p0 rows survived the crash
+    assert not os.path.isdir(staging)
+
+    with pytest.raises(ValueError, match="URI scheme"):
+        merge_upsert_partitioned(
+            spark, "s3a://bucket/snap", updates, "doc_id", "part"
+        )

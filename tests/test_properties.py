@@ -1546,3 +1546,9 @@ def test_cells_quantile_estimate_by_matches_driver_reader(spark):
         A.cells_quantile_estimate_by(cells, "g", [])
     with pytest.raises(ValueError, match="collide"):
         A.cells_quantile_estimate_by(cells, "g", [0.501, 0.502])
+    # group names the cell-table schema owns must be rejected, not
+    # silently shadowed (review-pass finding)
+    with pytest.raises(ValueError, match="cell-table schema"):
+        A.quantile_cells_by(df.withColumnRenamed("g", "n"), "n", "x")
+    with pytest.raises(ValueError, match="cell-table schema"):
+        A.cells_quantile_estimate_by(cells.withColumnRenamed("g", "mx"), "mx", [0.5])

@@ -1320,29 +1320,42 @@ def test_streaming_fold_legacy_cumulative_manifest_still_reads(spark, tmp_path):
 def test_streaming_fold_pre_manifest_state_raises_on_fresh_checkpoint(
     spark, tmp_path
 ):
-    """ADVICE regression: PRE-manifest legacy state (a committed v{n}
-    with no manifest artifacts at all) under a fresh checkpoint used to
-    silently skip the batch — marking any NEW files in it consumed
-    forever. It must now fail loudly, like the no-lineage regression
-    path."""
+    """ADVICE regression: PRE-manifest legacy state (committed versions
+    with no manifest artifacts at all) under a FRESH checkpoint whose
+    batch id falls below the committed version used to silently skip
+    the batch — marking any NEW files in it consumed forever. It must
+    now fail loudly, like the no-lineage regression path. (Equality —
+    the same checkpoint crash-replaying its LAST batch, whose file set
+    the offset log fixed — still skips: raising there would brick
+    every legacy crash recovery.)"""
+    import glob
     import os
     import shutil
 
     inp = tmp_path / "in"
-    spark.createDataFrame([("a",)], "k string").coalesce(1).write.parquet(
-        str(inp / "b0")
-    )
+    for i, k in enumerate(("a", "b")):
+        spark.createDataFrame([(k,)], "k string").coalesce(1).write.parquet(
+            str(inp / f"b{i}")
+        )
     state = str(tmp_path / "state")
+    # two single-file batches -> v0, v1 committed
     q = _count_fold_ingest(
-        spark.readStream.schema("k string").parquet(f"{inp}/*"),
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*"),
         state, str(tmp_path / "ck1"),
     )
     q.awaitTermination(120)
-    shutil.rmtree(os.path.join(state, "d0"))  # simulate pre-manifest state
+    for d in glob.glob(os.path.join(state, "d*")) + glob.glob(
+        os.path.join(state, "m*")
+    ):
+        shutil.rmtree(d)  # simulate pre-manifest state (v0, v1, no record)
 
-    spark.createDataFrame([("b",)], "k string").coalesce(1).write.parquet(
-        str(inp / "b1")
+    spark.createDataFrame([("c",)], "k string").coalesce(1).write.parquet(
+        str(inp / "b2")
     )
+    # fresh checkpoint: batch 0 mixes two folded files with a new one,
+    # and vs[-1]=1 > batch_id=0
     q = _count_fold_ingest(
         spark.readStream.schema("k string").parquet(f"{inp}/*"),
         state, str(tmp_path / "ck_fresh"),
@@ -1354,7 +1367,7 @@ def test_streaming_fold_pre_manifest_state_raises_on_fresh_checkpoint(
         stats_versions,
     )
 
-    assert stats_versions(state) == [0]
+    assert stats_versions(state) == [0, 1]
 
 
 def test_streaming_quantile_by_ingest_fold_equals_batch(spark, tmp_path):
@@ -1440,3 +1453,64 @@ def test_streaming_quantile_by_ingest_fold_equals_batch(spark, tmp_path):
             assert lo <= ex[name] <= hi, (g, name, lo, ex[name], hi)
             assert lo <= est[g][name] <= hi, (g, name)
         assert est[g]["n"] == ex["n"]
+
+
+def test_streaming_fold_orphan_base_cleared_at_commit(spark, tmp_path):
+    """Review-pass regression: a crash-orphaned compaction base m{k}
+    with k ABOVE the committed version sequence (batch ids run ahead of
+    versions whenever empty/pure-replay batches return early) must be
+    cleared by the next commit — left in place it would lie dormant
+    until the version counter reaches k and then shadow the true
+    applied-file record as a stale base, re-folding old files."""
+    import os
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        stats_versions,
+    )
+
+    inp = tmp_path / "in"
+    spark.createDataFrame([("a",)] * 2, "k string").coalesce(1).write.parquet(
+        str(inp / "b0")
+    )
+    state = str(tmp_path / "state")
+    q = _count_fold_ingest(
+        spark.readStream.schema("k string").parquet(f"{inp}/*"),
+        state, str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    # plant the orphan: a STALE cumulative base numbered ahead of the
+    # version sequence (as if a compaction turn crashed before its v{k})
+    spark.read.parquet(os.path.join(state, "d0")).limit(0).write.parquet(
+        os.path.join(state, "m7")
+    )
+
+    spark.createDataFrame([("b",)] * 3, "k string").coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+    q = _count_fold_ingest(
+        spark.readStream.schema("k string").parquet(f"{inp}/*"),
+        state, str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    assert not os.path.isdir(os.path.join(state, "m7"))  # orphan cleared
+
+    # and a fresh-checkpoint pure replay stays a no-op (the applied-file
+    # record was never shadowed by the stale base)
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(state, f"v{stats_versions(state)[-1]}")
+        ).collect()
+    )
+    q = _count_fold_ingest(
+        spark.readStream.schema("k string").parquet(f"{inp}/*"),
+        state, str(tmp_path / "ck_fresh"),
+    )
+    q.awaitTermination(120)
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(state, f"v{stats_versions(state)[-1]}")
+        ).collect()
+    )
+    assert after == before == [("a", 2), ("b", 3)]
