@@ -337,6 +337,11 @@ LONGTAIL = [
     # matrix (window cohort + partition-reusing dedup)
     "q173_conversion_funnel",
     "q174_cohort_retention",
+    # round-14: RFM segmentation (one shared quantile scan resolves all
+    # nine boundaries; fixed-point monetary) and the session-gapped
+    # event transition matrix (one lead window + tiny aggregate)
+    "q175_rfm_segments",
+    "q176_event_transitions",
 ]
 
 _TABLES = (

@@ -317,3 +317,49 @@ def cohort_retention(
         )
         .agg(F.count("*").cast("bigint").alias("n_active"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    max_gap_seconds: int | None = 1800,
+) -> DataFrame:
+    """Markov transition counts between consecutive events per key —
+    the (from_type, to_type, n) matrix behind next-action prediction
+    and path analysis. Consecutive = adjacent in the key's
+    ``(ts, tiebreak)`` order with a gap of at most ``max_gap_seconds``
+    (None = unbounded; the gap rule is what keeps a user's Monday
+    logout from "transitioning into" their Friday login).
+
+    ONE key-partitioned window (lead over the (ts, tiebreak) sort —
+    the tiebreak makes same-timestamp adjacency deterministic) + a
+    transition-cardinality-sized aggregate. Null types are a state
+    like any other; rows with null key/ts are dropped; each key's last
+    event emits nothing.
+
+    Returns ``(from_type, to_type, n_transitions)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__t"),
+        F.col(type_col).alias("__s"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).where(F.col("__k").isNotNull() & F.col("__t").isNotNull())
+    w = Window.partitionBy("__k").orderBy("__t", "__tb")
+    nxt = base.select(
+        "__s",
+        "__t",
+        F.lead("__s").over(w).alias("__ns"),
+        F.lead("__t").over(w).alias("__nt"),
+    ).where(F.col("__nt").isNotNull())
+    if max_gap_seconds is not None:
+        nxt = nxt.where(
+            F.unix_micros(F.col("__nt")) - F.unix_micros(F.col("__t"))
+            <= int(max_gap_seconds) * 1_000_000
+        )
+    return nxt.groupBy(
+        F.col("__s").alias("from_type"), F.col("__ns").alias("to_type")
+    ).agg(F.count("*").cast("bigint").alias("n_transitions"))

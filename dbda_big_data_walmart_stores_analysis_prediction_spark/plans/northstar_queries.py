@@ -8145,3 +8145,152 @@ def q174_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "period_offset",
         "n_active",
     ).orderBy("cohort", "period_offset")
+
+
+# q175: RFM segmentation — recency / frequency / monetary per user,
+# each quartile-bucketed with the engine's exact-quantile boundaries
+# (q154's value-comparison rule: deterministic under parallel scan, no
+# ntile, no global sort), rolled up to segment counts. Monetary sums
+# accumulate FIXED-POINT (the q162 decimal rule — order-independent);
+# recency is exact integer day arithmetic against the corpus max.
+# Oracle: the same per-user table + quantile_cont boundaries + the
+# same comparison chain.
+_Q175_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, value FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id, max(ts) AS last_ts, count(*)::BIGINT AS freq,
+             sum((CASE WHEN value BETWEEN -1e12 AND 1e12
+                       THEN value END * 1e6)::DECIMAL(38,0))::DOUBLE
+                 / 1e6 AS mon
+      FROM e GROUP BY user_id
+    ),
+    r AS (
+      SELECT u.*,
+             ((SELECT max(ts) FROM e)::DATE - last_ts::DATE)::INT AS rec
+      FROM u
+    ),
+    b AS (
+      SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2,
+             quantile_cont(rec, 0.75) AS r3,
+             quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+             quantile_cont(freq, 0.75) AS f3,
+             quantile_cont(mon, 0.25) AS m1, quantile_cont(mon, 0.5) AS m2,
+             quantile_cont(mon, 0.75) AS m3
+      FROM r
+    )
+    SELECT 1 + (rec > r1)::INT + (rec > r2)::INT + (rec > r3)::INT
+               AS r_bucket,
+           1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT
+               AS f_bucket,
+           1 + (mon > m1)::INT + (mon > m2)::INT + (mon > m3)::INT
+               AS m_bucket,
+           count(*)::BIGINT AS n_users
+    FROM r, b
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+@_register("q175_rfm_segments", _Q175_SQL)
+def q175_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (exact_quantiles_multi + the q154 bucketing
+    rule composed): per-user recency (exact days vs corpus max),
+    frequency, and monetary (fixed-point decimal sum — reduction-order
+    independent), each bucketed at the engine's exact quartile
+    boundaries (ONE shared quantile scan resolves all nine: three
+    columns melt into one log-bucket aggregate), then one
+    segment-cardinality-sized rollup. The boundary comparison is a
+    codegen when-chain — no ntile, no global sort, no row shuffle
+    beyond the per-user aggregate."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        exact_quantiles_multi,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    bounded = F.when(F.col("value").between(-1e12, 1e12), F.col("value"))
+    per = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("bigint").alias("freq"),
+        (
+            F.sum((bounded * F.lit(1e6)).cast("decimal(38,0)")).cast("double")
+            / F.lit(1e6)
+        ).alias("mon"),
+    )
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    per = per.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        "freq",
+        "mon",
+        F.datediff(F.col("__ref").cast("date"), F.col("last_ts").cast("date"))
+        .cast("int")
+        .alias("rec"),
+    )
+    per = per.localCheckpoint(eager=False)  # boundary scan + bucket rollup
+    qs = exact_quantiles_multi(per, ["rec", "freq", "mon"], [0.25, 0.5, 0.75])
+
+    def bucket(col: str, bs: list[float]):
+        e = F.lit(1)
+        for b in bs:
+            e = e + (F.col(col) > F.lit(float(b))).cast("int")
+        return e
+
+    return (
+        per.groupBy(
+            bucket("rec", qs["rec"]).alias("r_bucket"),
+            bucket("freq", qs["freq"]).alias("f_bucket"),
+            bucket("mon", qs["mon"]).alias("m_bucket"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+# q176: event transition matrix — consecutive-event (from_type ->
+# to_type) counts per user under a 30-minute session gap; the Markov
+# table behind next-action analysis. One key-partitioned lead window
+# over the (ts, event_id) sort (the tiebreak makes same-timestamp
+# adjacency deterministic — the adversarial battery's tied timestamps
+# would otherwise flip transitions between engines), then a
+# transition-cardinality-sized aggregate. Oracle: the same lead window
+# + gap rule.
+_Q176_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    n AS (
+      SELECT event_type AS from_type, ts,
+             lead(event_type) OVER w AS to_type,
+             lead(ts) OVER w AS nt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+    FROM n
+    WHERE nt IS NOT NULL AND epoch_us(nt) - epoch_us(ts) <= 1800000000
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_register("q176_event_transitions", _Q176_SQL)
+def q176_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gapped event transition matrix (operators/windows.py::
+    event_transitions): one lead window per user over the
+    (ts, event_id) sort + one tiny aggregate — null types are a state,
+    each user's last event emits nothing, and gaps over 30 minutes
+    break the chain."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        event_transitions,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return event_transitions(
+        ev, "user_id", "ts", "event_type", "event_id", max_gap_seconds=1800
+    ).orderBy("from_type", "to_type")

@@ -384,6 +384,8 @@ def _adversarial_events():
         "q171_group_mad_highcard",
         "q173_conversion_funnel",
         "q174_cohort_retention",
+        "q175_rfm_segments",
+        "q176_event_transitions",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):

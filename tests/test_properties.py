@@ -1552,3 +1552,54 @@ def test_cells_quantile_estimate_by_matches_driver_reader(spark):
         A.quantile_cells_by(df.withColumnRenamed("g", "n"), "n", "x")
     with pytest.raises(ValueError, match="cell-table schema"):
         A.cells_quantile_estimate_by(cells.withColumnRenamed("g", "mx"), "mx", [0.5])
+
+
+def test_event_transitions_python_twin(spark):
+    """Transition matrix vs a hand-walked chain: deterministic tie-break
+    at equal timestamps, the session gap breaks chains, null types are a
+    state, each key's last event emits nothing, null key/ts dropped,
+    and max_gap_seconds=None counts every adjacency."""
+    import datetime as dt
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1: a->b (10s), b->c (exactly at the 60s gap, inclusive), then
+        # a 61s gap BREAKS, then c->a
+        (1, ts(0), "a", 1), (1, ts(10), "b", 2), (1, ts(70), "c", 3),
+        (1, ts(131), "c", 4), (1, ts(140), "a", 5),
+        # u2: same-timestamp tie resolved by event_id: x(6)->y(7)->z(8)
+        (2, ts(0), "x", 6), (2, ts(0), "y", 7), (2, ts(0), "z", 8),
+        # u3: null type is a state both ways
+        (3, ts(0), None, 9), (3, ts(5), "a", 10),
+        # dropped
+        (None, ts(0), "a", 11), (4, None, "a", 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, s string, event_id long"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(
+            df, "u", "ts", "s", "event_id", max_gap_seconds=60
+        ).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1,
+        ("x", "y"): 1, ("y", "z"): 1,
+        (None, "a"): 1,
+    }
+    unbounded = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(
+            df, "u", "ts", "s", "event_id", max_gap_seconds=None
+        ).collect()
+    }
+    assert unbounded[("c", "c")] == 1  # the broken 61s chain now counts
