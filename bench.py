@@ -342,6 +342,9 @@ LONGTAIL = [
     # event transition matrix (one lead window + tiny aggregate)
     "q175_rfm_segments",
     "q176_event_transitions",
+    # round-14: exact fixed-point spike detection over the zero-filled
+    # spine (the anomaly DECISION is hash-checkable, not just a score)
+    "q177_series_spike_detection",
 ]
 
 _TABLES = (
@@ -525,18 +528,27 @@ def main() -> None:
             {**slim, "queries": short}, separators=(",", ":")
         )
     if len(line) > 1950:
-        # drop the sub-0.1s entries behind an explicit count BEFORE the
-        # slowest-kept fallback: at 1dp they all print as 0.0/0.1 — zero
-        # information per ~12 bytes — while the fallback's next victims
-        # would be real multi-second lines (bench_full.json always
-        # carries the complete dict)
-        kept01 = {n: t for n, t in short.items() if t >= 0.1}
-        n_sub01 = len(short) - len(kept01)
-        slim = {**slim, "queries_sub01_dropped": n_sub01}
-        line = json.dumps(
-            {**slim, "queries": kept01}, separators=(",", ":")
-        )
-        short = kept01
+        # shed the FASTEST entries behind an explicit (count, threshold)
+        # marker BEFORE the slowest-kept fallback: sub-threshold values
+        # all print as ~0.1-0.3 at 1dp — near-zero information per ~10
+        # bytes — while the fallback's eventual victims would be real
+        # multi-second lines. Thresholds are tried on the PRE-1dp
+        # timings (rounding first would hide everything behind 0.1) and
+        # stop at the first that fits; bench_full.json always carries
+        # the complete dict.
+        raw = {n.split("_")[0]: t for n, t in timings.items()}
+        for thr in (0.1, 0.15, 0.2, 0.25, 0.3, 0.5):
+            kept = {n: t for n, t in short.items() if raw[n] >= thr}
+            slim2 = {
+                **slim,
+                "queries_dropped_below_sec": thr,
+                "queries_dropped": len(short) - len(kept),
+            }
+            line = json.dumps({**slim2, "queries": kept}, separators=(",", ":"))
+            if len(line) <= 1950:
+                break
+        slim = slim2
+        short = kept
     if len(line) > 1950:
         # last resort for a registry that has outgrown the window:
         # keep the SLOWEST entries that fit and say how many dropped —

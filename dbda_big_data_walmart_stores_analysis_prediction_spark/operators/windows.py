@@ -363,3 +363,63 @@ def event_transitions(
     return nxt.groupBy(
         F.col("__s").alias("from_type"), F.col("__ns").alias("to_type")
     ).agg(F.count("*").cast("bigint").alias("n_transitions"))
+
+
+def detect_spikes(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    trailing: int = 24,
+    factor: int = 3,
+    min_window: int = 12,
+) -> DataFrame:
+    """Spike detection on a regularized series — flag steps whose value
+    exceeds ``factor ×`` the trailing-``trailing``-step mean, the
+    ops/drift monitor a metrics pipeline runs after `gap_fill` (which
+    this composes with ``fill='zero'``: a missing step is zero
+    activity, and WITHOUT the dense spine a quiet key's sparse
+    observations would compare against a mean of its loud ones only).
+
+    The comparison is EXACT integer arithmetic end to end: values scale
+    to fixed-point (×1e6, decimal round-to-nearest — the same
+    order-independent accumulation rule as the engine's windowed
+    sums), and ``v > factor × mean`` evaluates as
+    ``v_fp · n > factor · Σv_fp`` — no doubles, no division, no
+    engine-specific float reassociation anywhere, so the flag is
+    bit-stable across engines and partitionings. The trailing frame
+    EXCLUDES the current row; steps with fewer than ``min_window``
+    predecessors never flag (cold start); non-positive values never
+    flag.
+
+    One (key, ts) window over the spine (gap_fill's own sort order —
+    Catalyst collapses the fill window and this frame into one
+    exchange), then a key-sized rollup. Returns
+    ``(key, n_steps, n_spikes, first_spike)`` per key (``first_spike``
+    null when none).
+    """
+    filled = gap_fill(df, key_col, ts_col, value_col, step_seconds, fill="zero")
+    v_fp = (F.col(value_col) * F.lit(1e6)).cast("decimal(38,0)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(-int(trailing), -1)
+    )
+    scored = filled.select(
+        key_col,
+        ts_col,
+        v_fp.alias("__v"),
+        F.sum(v_fp).over(w).alias("__s"),
+        F.count(v_fp).over(w).alias("__n"),
+    )
+    spike = (
+        (F.col("__n") >= int(min_window))
+        & (F.col("__v") > 0)
+        & (F.col("__v") * F.col("__n") > F.lit(int(factor)) * F.col("__s"))
+    )
+    return scored.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_steps"),
+        F.sum(spike.cast("int")).cast("bigint").alias("n_spikes"),
+        F.min(F.when(spike, F.col(ts_col))).alias("first_spike"),
+    )

@@ -8294,3 +8294,71 @@ def q176_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(
         ev, "user_id", "ts", "event_type", "event_id", max_gap_seconds=1800
     ).orderBy("from_type", "to_type")
+
+
+# q177: spike detection on the regularized series — q168's spine with
+# zero fill (missing hour = zero activity; without the dense spine a
+# quiet user's sparse hours would compare only against their loud
+# ones) + an EXACT integer anomaly rule: flag hours where
+# v_fp·n > factor·Σv_fp over the trailing-24 frame (fixed-point ×1e6
+# decimals — no doubles, no division, no float reassociation: the flag
+# is bit-stable across engines and partitionings, so the oracle can
+# hash-check an ANOMALY DECISION, not just a score). Cold starts
+# (< 12 predecessors) and non-positive values never flag.
+_Q177_SQL = """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             round(sum(value), 6) AS v
+      FROM events
+      WHERE user_id % 50 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM e GROUP BY 1),
+    s AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ),
+    j AS (
+      SELECT s.user_id, s.hour, coalesce(e.v, 0.0) AS v
+      FROM s LEFT JOIN e USING (user_id, hour)
+    ),
+    f AS (
+      SELECT user_id, hour, (v * 1e6)::DECIMAL(38,0) AS vfp,
+             sum((v * 1e6)::DECIMAL(38,0)) OVER w AS sfp,
+             count(*) OVER w AS n
+      FROM j
+      WINDOW w AS (PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, count(*)::BIGINT AS n_steps,
+           sum(CASE WHEN n >= 12 AND vfp > 0 AND vfp * n > 3 * sfp
+                    THEN 1 ELSE 0 END)::BIGINT AS n_spikes,
+           min(CASE WHEN n >= 12 AND vfp > 0 AND vfp * n > 3 * sfp
+                    THEN hour END) AS first_spike
+    FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+@_register("q177_series_spike_detection", _Q177_SQL)
+def q177_series_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly spike monitor (operators/windows.py::
+    detect_spikes over gap_fill's zero-filled spine): exact fixed-point
+    trailing-mean rule — v_fp·n > 3·Σv_fp over 24 trailing hours, ≥12
+    predecessors required — one (key, ts) window sharing the fill's
+    exchange, then a key-sized rollup."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        detect_spikes,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("user_id") % 50 == 0) & F.col("user_id").isNotNull()
+    )
+    hourly = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    return detect_spikes(
+        hourly, "user_id", "hour", "v", 3600,
+        trailing=24, factor=3, min_window=12,
+    ).orderBy("user_id")

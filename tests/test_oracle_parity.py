@@ -386,6 +386,7 @@ def _adversarial_events():
         "q174_cohort_retention",
         "q175_rfm_segments",
         "q176_event_transitions",
+        "q177_series_spike_detection",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):

@@ -1603,3 +1603,47 @@ def test_event_transitions_python_twin(spark):
         ).collect()
     }
     assert unbounded[("c", "c")] == 1  # the broken 61s chain now counts
+
+
+def test_detect_spikes_python_twin(spark):
+    """Spike flags vs a hand-walked fixed-point simulation over the
+    zero-filled spine: cold start never flags (< min_window
+    predecessors), a genuine spike after quiet hours flags once with
+    the right first_spike, zero-filled holes count as zeros in the
+    trailing mean, non-positive values never flag, and the trailing
+    frame excludes the current row."""
+    import datetime as dt
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        detect_spikes,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    # u1: 1.0 at hours 0..9 except holes at 3,4 (zero-filled), then a
+    # 50.0 spike at hour 10
+    rows = [(1, ts(h), 1.0) for h in range(10) if h not in (3, 4)]
+    rows += [(1, ts(10), 50.0)]
+    # u2: big NEGATIVE excursion never flags; series too short anyway
+    rows += [(2, ts(0), 1.0), (2, ts(1), -99.0)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    got = {
+        r["u"]: (r["n_steps"], r["n_spikes"], r["first_spike"])
+        for r in detect_spikes(
+            df, "u", "ts", "v", 3600, trailing=4, factor=3, min_window=4
+        ).collect()
+    }
+    # hand-walk u1 (trailing=4 excl current, min_window=4, factor=3):
+    # hour h flags iff v_fp*4 > 3*sum(prev 4). values:
+    # h: 0 1 2 3 4 5 6 7 8 9 10
+    # v: 1 1 1 0 0 1 1 1 1 1 50
+    # h<4: cold start. h=4: prev=[1,1,1,0] s=3, v=0 -> no (v<=0).
+    # h=5: prev=[1,1,0,0] s=2, 1*4=4 > 6? no. h=6: prev=[1,0,0,1] s=2,
+    # 4>6 no. h=7: prev=[0,0,1,1] s=2 no. h=8: prev=[0,1,1,1] s=3,
+    # 4>9 no. h=9: prev=[1,1,1,1] s=4, 4>12 no. h=10: prev=[1,1,1,1]
+    # s=4, 50*4=200 > 12 -> SPIKE.
+    assert got[1] == (11, 1, ts(10))
+    assert got[2] == (2, 0, None)
