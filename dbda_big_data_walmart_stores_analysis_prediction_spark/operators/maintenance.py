@@ -118,14 +118,23 @@ def merge_upsert_partitioned(
     # overwrite below would destroy the only remaining copies and the
     # merge would then run against an empty slice, silently dropping the
     # partition's non-updated rows
+    # old copies live under a NAMESPACE directory (staging/.merge-old/<d>),
+    # never as a suffix on the partition dir name — a partition VALUE that
+    # itself ends in '.old' must not be mistaken for a recovery copy of a
+    # different partition
     if os.path.isdir(staging):
-        for d in sorted(os.listdir(staging)):
-            if not d.startswith(f"{partition_col}="):
-                continue
-            name = d[: -len(".old")] if d.endswith(".old") else d
-            dst = os.path.join(snapshot_dir, name)
-            if not os.path.isdir(dst):
-                os.rename(os.path.join(staging, d), dst)
+        for d in os.listdir(staging):  # merged slices first — preferred
+            if d.startswith(f"{partition_col}=") and not os.path.isdir(
+                os.path.join(snapshot_dir, d)
+            ):
+                os.rename(os.path.join(staging, d), os.path.join(snapshot_dir, d))
+        old_ns = os.path.join(staging, ".merge-old")
+        if os.path.isdir(old_ns):
+            for d in os.listdir(old_ns):
+                if d.startswith(f"{partition_col}=") and not os.path.isdir(
+                    os.path.join(snapshot_dir, d)
+                ):
+                    os.rename(os.path.join(old_ns, d), os.path.join(snapshot_dir, d))
     current = spark.read.parquet(snapshot_dir)
     cur_touched = current.where(F.col(partition_col).isin(touched))
     merged = merge_upsert(cur_touched, updates.select(*current.columns), key_list)
@@ -142,15 +151,17 @@ def merge_upsert_partitioned(
         if d.startswith(f"{partition_col}=")
         and os.path.isdir(os.path.join(staging, d))
     ]
+    old_ns = os.path.join(staging, ".merge-old")
+    os.makedirs(old_ns, exist_ok=True)
     for d in part_dirs:
         dst = os.path.join(snapshot_dir, d)
-        # the old dir moves INTO staging (not renamed in place) so a
-        # mid-swap crash never leaves a bogus `<part>.old` directory for
-        # snapshot readers to discover as a partition value; worst case
-        # the partition is briefly absent with both copies in staging
-        old = os.path.join(staging, d + ".old")
+        # the old dir moves INTO staging's .merge-old namespace (not
+        # renamed in place) so a mid-swap crash never leaves a bogus
+        # directory for snapshot readers to discover as a partition
+        # value; worst case the partition is briefly absent with both
+        # copies in staging, which the repair pass above restores
         if os.path.isdir(dst):
-            os.rename(dst, old)
+            os.rename(dst, os.path.join(old_ns, d))
         os.rename(os.path.join(staging, d), dst)
     shutil.rmtree(staging, ignore_errors=True)
     return sorted(touched)

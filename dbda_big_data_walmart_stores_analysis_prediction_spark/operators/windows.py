@@ -348,7 +348,13 @@ def event_transitions(
         F.col(type_col).alias("__s"),
         F.col(tiebreak_col).alias("__tb"),
     ).where(F.col("__k").isNotNull() & F.col("__t").isNotNull())
-    w = Window.partitionBy("__k").orderBy("__t", "__tb")
+    # NULLS LAST on the tiebreak: Spark's default ASC puts nulls FIRST
+    # where the SQL-standard engines an oracle runs default to LAST — a
+    # null tiebreak on tied timestamps would silently order adjacency
+    # differently across engines
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__t"), F.col("__tb").asc_nulls_last()
+    )
     nxt = base.select(
         "__s",
         "__t",
@@ -382,13 +388,15 @@ def detect_spikes(
     activity, and WITHOUT the dense spine a quiet key's sparse
     observations would compare against a mean of its loud ones only).
 
-    The comparison is EXACT integer arithmetic end to end: values scale
-    to fixed-point (×1e6, decimal round-to-nearest — the same
-    order-independent accumulation rule as the engine's windowed
-    sums), and ``v > factor × mean`` evaluates as
-    ``v_fp · n > factor · Σv_fp`` — no doubles, no division, no
-    engine-specific float reassociation anywhere, so the flag is
-    bit-stable across engines and partitionings. The trailing frame
+    The comparison is EXACT integer arithmetic: values scale to
+    fixed-point (×1e6, decimal round-to-nearest), and
+    ``v > factor × mean`` evaluates as ``v_fp · n > factor · Σv_fp`` —
+    no division and no float reassociation in the RULE, so given a
+    deterministic value column the flag is bit-stable across engines
+    and partitionings. (Input determinism is the caller's job: a
+    pre-aggregated measure should itself accumulate fixed-point — the
+    q177 registration does — or an order-dependent double sum upstream
+    can flip a value's 6th decimal and with it a flag.) The trailing frame
     EXCLUDES the current row; steps with fewer than ``min_window``
     predecessors never flag (cold start); non-positive values never
     flag.

@@ -8235,6 +8235,11 @@ def q175_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = exact_quantiles_multi(per, ["rec", "freq", "mon"], [0.25, 0.5, 0.75])
 
     def bucket(col: str, bs: list[float]):
+        # zero non-null rows → boundaries resolve to None → every row's
+        # bucket is NULL (matching the oracle's 1 + NULL arithmetic),
+        # not a float(None) crash at plan-build time
+        if any(b is None for b in bs):
+            return F.lit(None).cast("int")
         e = F.lit(1)
         for b in bs:
             e = e + (F.col(col) > F.lit(float(b))).cast("int")
@@ -8296,7 +8301,8 @@ def q176_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("from_type", "to_type")
 
 
-# q177: spike detection on the regularized series — q168's spine with
+# q177: spike detection on the regularized series — the q168 spine
+# construction (but with a FIXED-POINT hourly measure — see below) with
 # zero fill (missing hour = zero activity; without the dense spine a
 # quiet user's sparse hours would compare only against their loud
 # ones) + an EXACT integer anomaly rule: flag hours where
@@ -8308,7 +8314,9 @@ def q176_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q177_SQL = """
     WITH e AS (
       SELECT user_id, date_trunc('hour', ts) AS hour,
-             round(sum(value), 6) AS v
+             sum((CASE WHEN value BETWEEN -1e12 AND 1e12
+                       THEN value END * 1e6)::DECIMAL(38,0))::DOUBLE
+                 / 1e6 AS v
       FROM events
       WHERE user_id % 50 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY 1, 2
@@ -8353,10 +8361,22 @@ def q177_series_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(
         (F.col("user_id") % 50 == 0) & F.col("user_id").isNotNull()
     )
+    # the hourly measure itself accumulates FIXED-POINT (windowed ×1e6
+    # decimal — the q162 rule): the spike rule downstream is exact
+    # integer arithmetic, and a double pre-agg here would be the one
+    # reduction-order-dependent link in an otherwise bit-stable chain
+    bounded = F.when(F.col("value").between(-1e12, 1e12), F.col("value"))
     hourly = (
         ev.where(F.col("ts").isNotNull())
         .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(F.round(F.sum("value"), 6).alias("v"))
+        .agg(
+            (
+                F.sum((bounded * F.lit(1e6)).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.lit(1e6)
+            ).alias("v")
+        )
     )
     return detect_spikes(
         hourly, "user_id", "hour", "v", 3600,

@@ -520,10 +520,15 @@ def streaming_quantile_by_ingest(
     ``operators.analytics.cells_quantile_estimate_by`` on the latest
     version."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        _check_cell_group_names,
         quantile_cells_by,
     )
 
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    # fail fast at setup — inside foreachBatch the same error would only
+    # surface wrapped in a StreamingQueryException after the checkpoint
+    # dir exists and the first batch's offsets are written
+    _check_cell_group_names(groups, "streaming_quantile_by_ingest")
 
     def fold(standing: DataFrame, batch: DataFrame) -> DataFrame:
         fresh = quantile_cells_by(batch, groups, value_col, sub_buckets)
