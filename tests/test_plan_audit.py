@@ -984,3 +984,33 @@ def test_cohort_retention_two_exchanges_no_join(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_cells_estimate_by_single_exchange(spark):
+    """The distributed per-group quantile reader's point: everything
+    after the one group-keyed exchange (island windows, island
+    aggregate, rank windows, final aggregate) reuses its partitioning —
+    a second exchange would mean the island merge or the rollup
+    re-shuffles the cell table."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        cells_quantile_estimate_by,
+        quantile_cells_by,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "value"
+    )
+    # checkpoint the cell table: the audit is about the ESTIMATOR's own
+    # shape (a live state table arrives materialized from parquet), not
+    # the producer's (user_id, b) aggregate exchange
+    cells = quantile_cells_by(ev, "user_id", "value").localCheckpoint(
+        eager=True
+    )
+    plan = (
+        cells_quantile_estimate_by(cells, "user_id", [0.5, 0.9])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
