@@ -345,6 +345,10 @@ LONGTAIL = [
     # round-14: exact fixed-point spike detection over the zero-filled
     # spine (the anomaly DECISION is hash-checkable, not just a score)
     "q177_series_spike_detection",
+    # round-14: exact-integer least-squares volume trend (q177's trend
+    # sibling) and churn-by-cohort (q174's matrix collapsed)
+    "q178_volume_trend_slope",
+    "q179_churn_by_cohort",
 ]
 
 _TABLES = (

@@ -8382,3 +8382,165 @@ def q177_series_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, "user_id", "hour", "v", 3600,
         trailing=24, factor=3, min_window=12,
     ).orderBy("user_id")
+
+
+# q178: volume trend slope per event type over the zero-filled DAILY
+# spine — "is this stream growing?", the q177 monitor's trend sibling.
+# Least squares stays EXACT integer arithmetic until one final
+# division: y = daily counts (bigint), x = day offsets from each
+# type's first day (bigint), and the closed form
+# slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) divides two exact bigint
+# expressions — no double accumulates anywhere, so the slope is
+# bit-stable across engines/partitionings. Zero-filled days matter:
+# without the spine a dying stream's silent days vanish from the fit.
+_Q178_SQL = """
+    WITH e AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*)::BIGINT AS y
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, min(day) AS lo, max(day) AS hi FROM e GROUP BY 1
+    ),
+    s AS (
+      SELECT event_type, lo,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM b
+    ),
+    j AS (
+      SELECT s.event_type,
+             (s.day::DATE - s.lo::DATE)::BIGINT AS x,
+             coalesce(e.y, 0)::BIGINT AS y
+      FROM s LEFT JOIN e USING (event_type, day)
+    ),
+    a AS (
+      SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, n AS n_days, sy AS total_events,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+               AS slope_per_day
+    FROM a ORDER BY event_type
+"""
+
+
+@_register("q178_volume_trend_slope", _Q178_SQL)
+def q178_volume_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily volume trend (gap_fill zero spine + exact-integer
+    least squares): daily counts densified onto each type's day spine,
+    slope from the closed form over bigint sums with ONE final double
+    division — deterministic to the bit, like q177's spike rule. A
+    single-day type yields a null slope (nullif guard), not a crash."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        gap_fill,
+    )
+
+    # null event types are excluded EXPLICITLY on both sides: gap_fill
+    # drops null keys by contract (a spine for "no key" is undefined),
+    # and a silent one-sided drop would be an oracle divergence
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    from pyspark.sql import Window
+
+    filled = gap_fill(daily, "event_type", "day", "y", 86400, fill="zero")
+    w = Window.partitionBy("event_type")
+    xy = filled.select(
+        "event_type",
+        F.datediff(
+            F.col("day").cast("date"),
+            F.min(F.col("day").cast("date")).over(w),
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    a = xy.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return a.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        F.round(num / F.when(denom != 0, denom), 6).alias("slope_per_day"),
+    ).orderBy("event_type")
+
+
+# q179: churn by cohort — of each first-activity-day cohort, how many
+# users went silent at least 7 days before the corpus edge; q174's
+# retention matrix collapsed to the number a growth report leads with.
+# Exact integer/date arithmetic end to end (counts + date diffs); a
+# deterministic 1-in-20 event sample keeps the dense fixture's cohorts
+# and churn counts non-degenerate.
+_Q179_SQL = """
+    WITH e AS (
+      SELECT user_id, date_trunc('day', ts)::DATE AS day
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id % 20 = 0
+    ),
+    u AS (
+      SELECT user_id, min(day) AS cohort, max(day) AS last_day
+      FROM e GROUP BY user_id
+    ),
+    m AS (SELECT max(day) AS edge FROM e)
+    SELECT u.cohort,
+           count(*)::BIGINT AS n_users,
+           sum(CASE WHEN m.edge - u.last_day >= 7 THEN 1 ELSE 0 END)::BIGINT
+               AS n_churned
+    FROM u, m
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@_register("q179_churn_by_cohort", _Q179_SQL)
+def q179_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn counts per first-activity-day cohort: one per-user
+    aggregate (min/max day), the corpus edge broadcast from a 1-row
+    frame, and a cohort-sized rollup — two exchanges, exact date
+    arithmetic, the 7-days-silent rule evaluated in integers."""
+    # a 1-in-20 event sample (deterministic id filter, same on both
+    # sides) sparsifies the dense synthetic fixture so cohorts and the
+    # 7-days-silent rule actually discriminate — the full fixture has
+    # every user active on every day
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("event_id") % 20 == 0)
+        )
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("cohort"), F.max("day").alias("last_day")
+    )
+    edge = ev.agg(F.max("day").alias("edge"))
+    return (
+        u.crossJoin(F.broadcast(edge))
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(
+                    F.datediff(F.col("edge"), F.col("last_day")) >= 7, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+        .orderBy("cohort")
+    )

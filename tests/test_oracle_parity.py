@@ -387,6 +387,8 @@ def _adversarial_events():
         "q175_rfm_segments",
         "q176_event_transitions",
         "q177_series_spike_detection",
+        "q178_volume_trend_slope",
+        "q179_churn_by_cohort",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):
