@@ -8527,8 +8527,11 @@ def q179_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = ev.groupBy("user_id").agg(
         F.min("day").alias("cohort"), F.max("day").alias("last_day")
-    )
-    edge = ev.agg(F.max("day").alias("edge"))
+    ).localCheckpoint(eager=False)  # consumers: edge scalar + rollup
+    # the corpus edge derives from the PER-USER frame (max of last_day ==
+    # max event day, every sampled event belongs to some user), so the
+    # events table is scanned once, not twice
+    edge = u.agg(F.max("last_day").alias("edge"))
     return (
         u.crossJoin(F.broadcast(edge))
         .groupBy("cohort")
