@@ -349,6 +349,8 @@ LONGTAIL = [
     # sibling) and churn-by-cohort (q174's matrix collapsed)
     "q178_volume_trend_slope",
     "q179_churn_by_cohort",
+    # round-14: transition matrix generalized to 3-step paths
+    "q180_event_path_trigrams",
 ]
 
 _TABLES = (

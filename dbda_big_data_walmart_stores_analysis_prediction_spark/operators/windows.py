@@ -431,3 +431,59 @@ def detect_spikes(
         F.sum(spike.cast("int")).cast("bigint").alias("n_spikes"),
         F.min(F.when(spike, F.col(ts_col))).alias("first_spike"),
     )
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    n: int = 3,
+    max_gap_seconds: int | None = 1800,
+) -> DataFrame:
+    """``event_transitions`` generalized to length-``n`` paths: counts
+    of each consecutive n-step type sequence per key, every adjacent
+    hop bound by ``max_gap_seconds`` — the top-paths table behind
+    navigation/funnel-discovery analysis (the n=2 case is exactly the
+    transition matrix).
+
+    Still ONE key-partitioned window (n−1 ``lead``s over the same
+    deterministic (ts, tiebreak NULLS LAST) sort — Catalyst computes
+    them in a single Window node) + a path-cardinality-sized aggregate
+    (≤ |types|^n rows). Null types are states; sequences crossing a
+    gap break are not counted; keys shorter than ``n`` events emit
+    nothing; null key/ts rows are dropped.
+
+    Returns ``(step_1, ..., step_n, n_paths)``.
+    """
+    if n < 2:
+        raise ValueError(f"event_path_ngrams: n must be >= 2, got {n}")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__t"),
+        F.col(type_col).alias("__s"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).where(F.col("__k").isNotNull() & F.col("__t").isNotNull())
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__t"), F.col("__tb").asc_nulls_last()
+    )
+    cols = [F.col("__s").alias("step_1"), F.col("__t").alias("__t0")]
+    for i in range(1, n):
+        cols.append(F.lead("__s", i).over(w).alias(f"step_{i + 1}"))
+        cols.append(F.lead("__t", i).over(w).alias(f"__t{i}"))
+    steps = base.select(*cols)
+    keep = F.col(f"__t{n - 1}").isNotNull()
+    if max_gap_seconds is not None:
+        gap_us = int(max_gap_seconds) * 1_000_000
+        for i in range(1, n):
+            keep = keep & (
+                F.unix_micros(F.col(f"__t{i}"))
+                - F.unix_micros(F.col(f"__t{i - 1}"))
+                <= gap_us
+            )
+    return (
+        steps.where(keep)
+        .groupBy(*[f"step_{i + 1}" for i in range(n)])
+        .agg(F.count("*").cast("bigint").alias("n_paths"))
+    )

@@ -8547,3 +8547,51 @@ def q179_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# q180: top 3-step event paths — q176's transition matrix generalized
+# to path n-grams (the navigation-discovery table: "what do users DO
+# around a purchase?"). Two leads over the SAME deterministic
+# (ts, event_id NULLS LAST) window — one Window node, one exchange —
+# every adjacent hop bound by the 30-minute gap, then a
+# |types|^3-sized aggregate. Oracle: the same two leads + gap
+# conditions.
+_Q180_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type AS step_1, ts AS t0,
+             lead(event_type, 1) OVER w AS step_2,
+             lead(ts, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS step_3,
+             lead(ts, 2) OVER w AS t2
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step_1, step_2, step_3, count(*)::BIGINT AS n_paths
+    FROM p
+    WHERE t2 IS NOT NULL
+      AND epoch_us(t1) - epoch_us(t0) <= 1800000000
+      AND epoch_us(t2) - epoch_us(t1) <= 1800000000
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+@_register("q180_event_path_trigrams", _Q180_SQL)
+def q180_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gapped 3-step path counts (operators/windows.py::
+    event_path_ngrams): two leads in one user-keyed window over the
+    deterministic (ts, event_id) sort, adjacent hops gap-bound, one
+    tiny aggregate — the n=2 case is exactly q176's matrix."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        event_path_ngrams,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return event_path_ngrams(
+        ev, "user_id", "ts", "event_type", "event_id",
+        n=3, max_gap_seconds=1800,
+    ).orderBy("step_1", "step_2", "step_3")

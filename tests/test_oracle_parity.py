@@ -389,6 +389,7 @@ def _adversarial_events():
         "q177_series_spike_detection",
         "q178_volume_trend_slope",
         "q179_churn_by_cohort",
+        "q180_event_path_trigrams",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):

@@ -1647,3 +1647,59 @@ def test_detect_spikes_python_twin(spark):
     # s=4, 50*4=200 > 12 -> SPIKE.
     assert got[1] == (11, 1, ts(10))
     assert got[2] == (2, 0, None)
+
+
+def test_event_path_ngrams_python_twin(spark):
+    """Path n-gram counts vs a hand-walked chain: the n=2 case equals
+    event_transitions' matrix exactly, a 3-gram crossing a gap break is
+    not counted (even when both outer hops are close to their
+    neighbors), short keys emit nothing, and n<2 raises."""
+    import datetime as dt
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.windows import (
+        event_path_ngrams,
+        event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1: a,b,c tight; then a 100s gap; then d,e tight
+        (1, ts(0), "a", 1), (1, ts(10), "b", 2), (1, ts(20), "c", 3),
+        (1, ts(120), "d", 4), (1, ts(130), "e", 5),
+        # u2: only two events (no trigram)
+        (2, ts(0), "x", 6), (2, ts(5), "y", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, s string, event_id long"
+    )
+    tri = {
+        (r["step_1"], r["step_2"], r["step_3"]): r["n_paths"]
+        for r in event_path_ngrams(
+            df, "u", "ts", "s", "event_id", n=3, max_gap_seconds=60
+        ).collect()
+    }
+    # (b,c,d) and (c,d,e) cross the 100s gap -> only (a,b,c) counts
+    assert tri == {("a", "b", "c"): 1}
+
+    bi = {
+        (r["step_1"], r["step_2"]): r["n_paths"]
+        for r in event_path_ngrams(
+            df, "u", "ts", "s", "event_id", n=2, max_gap_seconds=60
+        ).collect()
+    }
+    matrix = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(
+            df, "u", "ts", "s", "event_id", max_gap_seconds=60
+        ).collect()
+    }
+    assert bi == matrix  # n=2 IS the transition matrix
+
+    with pytest.raises(ValueError, match="n must be"):
+        event_path_ngrams(df, "u", "ts", "s", "event_id", n=1)
