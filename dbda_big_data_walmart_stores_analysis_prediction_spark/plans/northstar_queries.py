@@ -7934,11 +7934,15 @@ def q171_group_mad_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NULL values — including first/last rows of some users — which
 # exercises the interior interpolation AND the leading/trailing-hole
 # stays-null rule (prev or next undefined → no fill), plus frac's
-# span!=0 guard.
+# span!=0 guard. The hourly measure accumulates ×1e6 fixed-point
+# decimal on BOTH engines (the q162/q175/q177 discipline) so the
+# interpolation inputs are bit-identical regardless of reduction order.
 _Q172_SQL = """
     WITH e AS (
       SELECT user_id, date_trunc('hour', ts) AS hour,
-             round(sum(CASE WHEN event_type <> 'click' THEN value END), 6)
+             sum(CASE WHEN event_type <> 'click'
+                       AND value BETWEEN -1e12 AND 1e12
+                      THEN (value * 1e6)::DECIMAL(38,0) END)::DOUBLE / 1e6
                  AS v,
              true AS present
       FROM events
@@ -8000,13 +8004,26 @@ def q172_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(
         (F.col("user_id") % 50 == 0) & F.col("user_id").isNotNull()
     )
+    # the hourly measure accumulates FIXED-POINT (×1e6 decimal — the
+    # q162/q175/q177 rule): a double sum here would be the one
+    # reduction-order-dependent link, and the interpolation downstream
+    # propagates any last-ulp divergence into every filled row. The
+    # bounded window keeps the ×1e6 product inside decimal(38,0) and
+    # drops NaN (which sorts above the window in both engines).
+    bounded = F.when(
+        (F.col("event_type") != "click")
+        & F.col("value").between(-1e12, 1e12),
+        F.col("value"),
+    )
     hourly = (
         ev.where(F.col("ts").isNotNull())
         .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("event_type") != "click", F.col("value"))),
-                6,
+            (
+                F.sum((bounded * F.lit(1e6)).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.lit(1e6)
             ).alias("v")
         )
     )

@@ -361,6 +361,28 @@ def _adversarial_events():
         (17, ts(310), 6, "view", 1.0, '{"k": 2.5}'),
         (18, ts(320), 6, "click", 1.0, '{"k": "abc"}'),
         (19, ts(330), 6, "purchase", 1.0, '{"k": null}'),
+        # multiple-of-50 users: the q168/q172/q177 sampled-series family
+        # filters user_id % 50 = 0, so without these rows those queries
+        # process ZERO battery rows and their parity entries are vacuous
+        # (r14 ADVICE). User 0: click-only hour (q172's conditional sum
+        # → NULL-valued observed row), a 2h interior hole (linear
+        # interpolation), then a 25h jump whose value exceeds 3× the
+        # trailing mean over ≥12 zero-filled steps (q177's spike fires).
+        (20, ts(0), 0, "click", 1.0, None),
+        (21, ts(30), 0, "view", 2.0, None),
+        (22, ts(7200), 0, "view", 4.0, None),
+        (23, ts(7260), 0, "click", 8.0, None),
+        (24, ts(90000), 0, "purchase", 16.0, None),
+        # User 50: ±1e18 magnitudes in hours/types where NO sum group
+        # (hour×type, user×hour) holds two extremes — absorption stays
+        # order-independent — pinning the bounded-window exclusion in
+        # q172/q177; a same-timestamp tie; leading spine hours whose
+        # conditional sum is NULL (leading-hole stays-null rule).
+        (25, ts(7300), 50, "view", 1e18, None),
+        (26, ts(3700), 50, "view", -1e18, None),
+        (27, ts(100), 50, "click", 3.0, '{"page": "tie"}'),
+        (28, ts(50000), 50, "purchase", 9.99, None),
+        (29, ts(50000), 50, "view", 0.0, None),
     ]
 
 
@@ -380,8 +402,10 @@ def _adversarial_events():
         "q164_hll_distinct_by",
         "q166_group_median_highcard",
         "q167_group_quantiles_highcard",
+        "q168_gap_fill_series",
         "q169_session_incident_overlap",
         "q171_group_mad_highcard",
+        "q172_gap_fill_linear",
         "q173_conversion_funnel",
         "q174_cohort_retention",
         "q175_rfm_segments",
