@@ -35,6 +35,221 @@ def merge_upsert(
     return updates.unionByName(survivors)
 
 
+# ---------------------------------------------------------------------------
+# Versioned-pointer partitioned snapshots
+# ---------------------------------------------------------------------------
+#
+# Layout under a snapshot root (internal names underscore-prefixed, so a
+# plain ``spark.read.parquet(root)`` still lists ONLY the legacy partition
+# directories — stale after the first pointer commit, never torn):
+#
+#   root/<part>=X/...               legacy partitions (adopted zero-copy)
+#   root/_slices/s{n}/<part>=X/...  slice n: the partitions commit n rewrote
+#   root/_manifests/m{n}.json       pointer manifest: dir name -> location
+#
+# Commit protocol — the ``streaming/stats.py::versioned_fold_ingest``
+# crash-ordering discipline applied to partition directories: data is only
+# ever CREATED (a fresh slice directory), never renamed or deleted in
+# place, and the single commit point is the manifest flip. A crash at ANY
+# point leaves the snapshot readable at the previous manifest: an
+# uncommitted slice is referenced by nothing (the next commit clears
+# artifacts numbered above the latest committed manifest, exactly like the
+# fold's orphan-base rule), and a torn manifest file fails the reader's
+# parse guard and is skipped. No rename of data ever happens, so the
+# protocol is safe on object stores, where rename is copy+delete. The
+# staging-swap predecessor additionally needed a repair pass that moved
+# staged data back into the live snapshot — the r14 _SUCCESS-gating hole
+# lived there; this design has no repair pass to gate, because
+# uncommitted data is never visible and never moved.
+#
+# Single writer assumed (the plain-files-lake norm); readers are
+# unlimited and lock-free — a reader holds one manifest for its whole
+# scan, and commits never mutate the slices that manifest references.
+
+
+def _fs_and_path(spark, path: str):
+    """Hadoop FileSystem + Path for any supported scheme (file://, hdfs://,
+    s3a://, a bare local path) — public Hadoop API via the session JVM."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _fs_child_dirs(spark, path: str) -> list[str]:
+    """Names of child DIRECTORIES of ``path`` ([] if absent)."""
+    fs, p, _ = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory()
+    ]
+
+
+def _fs_child_files(spark, path: str) -> list[str]:
+    """Names of child FILES of ``path`` ([] if absent)."""
+    fs, p, _ = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if not st.isDirectory()
+    ]
+
+
+def _fs_delete(spark, path: str) -> None:
+    fs, p, _ = _fs_and_path(spark, path)
+    fs.delete(p, True)
+
+
+def _fs_read_small(spark, path: str) -> bytes | None:
+    """Whole small file as bytes (None if absent) — manifest-sized reads
+    only, never data."""
+    fs, p, jvm = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _fs_write_small(spark, dir_path: str, name: str, data: bytes) -> None:
+    """Write a small file via create-temp-then-rename: atomic on local/
+    HDFS; on object stores the PUT itself is atomic and the reader-side
+    parse guard covers the (tiny-file) copy window."""
+    fs, d, jvm = _fs_and_path(spark, dir_path)
+    fs.mkdirs(d)
+    tmp = jvm.org.apache.hadoop.fs.Path(d, f".tmp-{name}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(d, name)
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(
+            f"failed to commit {name} under {dir_path} (rename returned "
+            "false)"
+        )
+
+
+def _read_snapshot_manifest(spark, root: str, version: int) -> dict | None:
+    """Parse manifest ``m{version}.json`` — None when absent, torn, or
+    shape-invalid (the reader-side commit guard: an unparseable manifest
+    is an uncommitted one)."""
+    import json
+
+    raw = _fs_read_small(spark, f"{root}/_manifests/m{version}.json")
+    if raw is None:
+        return None
+    try:
+        man = json.loads(raw.decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        return None
+    if (
+        isinstance(man, dict)
+        and man.get("version") == version
+        and isinstance(man.get("entries"), dict)
+        and isinstance(man.get("partition_col"), str)
+        and isinstance(man.get("partition_type"), str)
+    ):
+        return man
+    return None
+
+
+def snapshot_versions(spark, snapshot_dir: str) -> list[int]:
+    """COMMITTED manifest versions under the snapshot root, ascending —
+    committed means the manifest file parses whole (each is a few KB; the
+    parse doubles as the torn-write guard). Empty for a legacy plain
+    parquet directory."""
+    import re
+
+    root = snapshot_dir.rstrip("/")
+    out = []
+    for nm in _fs_child_files(spark, f"{root}/_manifests"):
+        m = re.fullmatch(r"m(\d+)\.json", nm)
+        if m and _read_snapshot_manifest(spark, root, int(m.group(1))):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_pointer_layout(
+    spark, root: str, man: dict
+) -> DataFrame:
+    """Union of the manifest's partition directories, one read per base
+    directory (``basePath`` keeps the partition column). Every read gets
+    the SAME explicit schema with the partition column at the manifest's
+    recorded type: per-group directory-name inference could disagree
+    across groups, and int-looking string values ('0010') would corrupt
+    under infer-then-cast."""
+    pcol = man["partition_col"]
+    entries = man["entries"]
+    if not entries:
+        raise ValueError(
+            f"read_snapshot: manifest v{man['version']} under {root} "
+            "references no partitions"
+        )
+    groups: dict[str, list[str]] = {}
+    for dirname, loc in entries.items():
+        base = root if loc == "legacy" else f"{root}/_slices/{loc}"
+        groups.setdefault(base, []).append(f"{base}/{dirname}")
+    bases = sorted(groups)
+    sample = (
+        spark.read.option("basePath", bases[0]).parquet(*sorted(groups[bases[0]]))
+    )
+    ptype = (
+        spark.createDataFrame([], f"`{pcol}` {man['partition_type']}")
+        .schema[0]
+        .dataType
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    target = StructType(
+        [
+            StructField(f.name, ptype if f.name == pcol else f.dataType, f.nullable)
+            for f in sample.schema.fields
+        ]
+    )
+    parts = [
+        spark.read.schema(target)
+        .option("basePath", base)
+        .parquet(*sorted(groups[base]))
+        for base in bases
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_snapshot(spark, snapshot_dir: str, version: int | None = None) -> DataFrame:
+    """Read a partitioned snapshot at its latest committed manifest (or a
+    pinned ``version`` — time travel across retained manifests). A root
+    with no committed manifest is a legacy plain parquet directory and
+    reads as one. Partition-value filters on the result prune to
+    PartitionFilters exactly as on a plain directory — the manifest only
+    redirects WHERE each partition's files live, never how they're read."""
+    root = snapshot_dir.rstrip("/")
+    vs = snapshot_versions(spark, root)
+    if version is None:
+        if not vs:
+            return spark.read.parquet(root)
+        version = vs[-1]
+    elif version not in vs:
+        raise ValueError(
+            f"read_snapshot: version {version} is not a committed manifest "
+            f"of {root} (committed: {vs})"
+        )
+    return _read_pointer_layout(
+        spark, root, _read_snapshot_manifest(spark, root, version)
+    )
+
+
 def merge_upsert_partitioned(
     spark,
     snapshot_dir: str,
@@ -44,37 +259,36 @@ def merge_upsert_partitioned(
     max_touched_partitions: int = 4096,
 ) -> list:
     """``merge_upsert`` with partition-pruned IO — the 100 TB refresh
-    shape: only the partitions the update batch touches are read, merged,
-    and rewritten; every other partition's files are never opened and
-    survive byte-identical. A full-snapshot rewrite per refresh (the
+    shape: only the partitions the update batch touches are read and
+    rewritten; every other partition's files are never opened and survive
+    byte-identical IN PLACE. A full-snapshot rewrite per refresh (the
     plain ``merge_upsert`` + overwrite path, still the right default for
     small snapshots) is corpus-sized work for a batch-sized change.
 
-    Contract: ``partition_col`` must be STABLE per key — a key never
-    moves between partitions (the date/source-partitioned lake norm). A
-    refresh that relocates keys would need its old partitions rewritten
-    too; use the full-rewrite path for that. ``updates`` must carry
-    ``partition_col`` and the full snapshot schema.
+    Contract: ``partition_col`` must be STABLE per key — a key never moves
+    between partitions (the date/source-partitioned lake norm); a refresh
+    that relocates keys needs the full-rewrite path. ``updates`` must
+    carry ``partition_col`` (at the type the snapshot's manifests record)
+    and the full snapshot schema. Single writer; read the result with
+    ``read_snapshot`` (plain ``spark.read.parquet(root)`` keeps working
+    but sees only the pre-pointer legacy partitions).
 
-    Mechanics: the touched partition values (bounded driver list, capped
-    at ``max_touched_partitions``) prune the snapshot scan STATICALLY
-    (an ``isin`` on the partition column — visible as PartitionFilters
-    in the plan); the merged slice is written COMPLETELY to a staging
-    directory first (a sibling of the snapshot — the job never deletes a
-    file it might still read), then each touched partition directory is
-    swapped in with atomic renames (old dir aside → staging dir in →
-    drop the old). Crash safety on plain files: a failure before any
-    swap leaves the snapshot untouched (the leftover staging dir is
-    overwritten by the next run); a failure mid-swap leaves every
-    partition wholly old or wholly new — never torn files — with the
-    not-yet-swapped merged slices still intact in staging for re-run.
-    (The write-staging-then-swap discipline replaces the earlier
-    in-place dynamic partition overwrite, whose mid-write crash left
-    partially rewritten partitions with no recovery copy.) Returns the
-    sorted touched partition values.
+    Commit (see the module-section comment for the full crash-ordering
+    argument): the merged touched slice is written to a FRESH directory
+    ``_slices/s{n}`` — partition pruning on the current read comes from a
+    static ``isin`` (PartitionFilters in the plan) — and the commit point
+    is one small-file flip, manifest ``m{n}.json`` mapping every partition
+    directory to the slice (or legacy root) that owns it. Nothing is
+    renamed or deleted under a committed manifest, so any-point crashes
+    leave the snapshot wholly at the previous version and the protocol
+    holds on object stores. A plain parquet directory is adopted
+    zero-copy on first refresh: its partition dirs become ``legacy``
+    manifest entries. Returns the sorted touched partition values.
+    Superseded slices accumulate for time travel until
+    ``vacuum_snapshot``.
     """
-    import os
-    import shutil
+    import json
+    import re
 
     key_list = [keys] if isinstance(keys, str) else list(keys)
     if partition_col not in updates.columns:
@@ -103,68 +317,133 @@ def merge_upsert_partitioned(
             "(__HIVE_DEFAULT_PARTITION__) are not safely overwritable; "
             "route null-partition rows through the full-rewrite path"
         )
-    if "://" in snapshot_dir:
-        raise ValueError(
-            "merge_upsert_partitioned: the staging-swap commit uses local "
-            f"filesystem renames; '{snapshot_dir}' has a URI scheme. For "
-            "object stores / HDFS use the full-rewrite merge_upsert path "
-            "or a table format with transactional partition overwrite."
-        )
-    staging = snapshot_dir.rstrip("/") + ".staging-merge"
-    # crash repair BEFORE any read or overwrite: a previous run that died
-    # mid-swap left some partition absent from the snapshot with its
-    # copies in staging — restore the merged slice (preferred; sorted()
-    # puts `<part>` before `<part>.old`) or the old dir, or the staging
-    # overwrite below would destroy the only remaining copies and the
-    # merge would then run against an empty slice, silently dropping the
-    # partition's non-updated rows
-    # old copies live under a NAMESPACE directory (staging/.merge-old/<d>),
-    # never as a suffix on the partition dir name — a partition VALUE that
-    # itself ends in '.old' must not be mistaken for a recovery copy of a
-    # different partition
-    if os.path.isdir(staging):
-        for d in os.listdir(staging):  # merged slices first — preferred
-            if d.startswith(f"{partition_col}=") and not os.path.isdir(
-                os.path.join(snapshot_dir, d)
-            ):
-                os.rename(os.path.join(staging, d), os.path.join(snapshot_dir, d))
-        old_ns = os.path.join(staging, ".merge-old")
-        if os.path.isdir(old_ns):
-            for d in os.listdir(old_ns):
-                if d.startswith(f"{partition_col}=") and not os.path.isdir(
-                    os.path.join(snapshot_dir, d)
-                ):
-                    os.rename(os.path.join(old_ns, d), os.path.join(snapshot_dir, d))
-    current = spark.read.parquet(snapshot_dir)
+
+    root = snapshot_dir.rstrip("/")
+    utype = updates.schema[partition_col].dataType.simpleString()
+    vs = snapshot_versions(spark, root)
+    latest = vs[-1] if vs else 0
+    # clear crash orphans ABOVE the latest committed manifest FIRST (the
+    # versioned_fold_ingest orphan rule): an uncommitted slice or torn/
+    # tmp manifest from a crashed run is invisible to every reader, and
+    # removing it keeps slice numbering aligned with manifest numbering
+    for nm in _fs_child_dirs(spark, f"{root}/_slices"):
+        m = re.fullmatch(r"s(\d+)", nm)
+        if m and int(m.group(1)) > latest:
+            _fs_delete(spark, f"{root}/_slices/{nm}")
+    for nm in _fs_child_files(spark, f"{root}/_manifests"):
+        m = re.fullmatch(r"m(\d+)\.json", nm)
+        if (m and int(m.group(1)) > latest) or nm.startswith(".tmp-"):
+            _fs_delete(spark, f"{root}/_manifests/{nm}")
+
+    if vs:
+        man = _read_snapshot_manifest(spark, root, latest)
+        if man["partition_col"] != partition_col:
+            raise ValueError(
+                f"merge_upsert_partitioned: snapshot {root} is partitioned "
+                f"by '{man['partition_col']}', not '{partition_col}'"
+            )
+        if man["partition_type"] != utype:
+            raise ValueError(
+                f"merge_upsert_partitioned: updates' '{partition_col}' is "
+                f"{utype} but the snapshot's manifests record "
+                f"{man['partition_type']} — cast the updates first"
+            )
+        entries = dict(man["entries"])
+        current = _read_pointer_layout(spark, root, man)
+    else:
+        # legacy adoption, zero-copy: the plain directory's partition
+        # dirs become 'legacy' manifest entries and never move
+        entries = {
+            nm: "legacy"
+            for nm in _fs_child_dirs(spark, root)
+            if nm.startswith(f"{partition_col}=")
+        }
+        if entries:
+            current = _read_pointer_layout(
+                spark,
+                root,
+                {
+                    "version": 0,
+                    "partition_col": partition_col,
+                    "partition_type": utype,
+                    "entries": entries,
+                },
+            )
+        else:
+            current = updates.limit(0)  # bootstrap: empty snapshot
+
     cur_touched = current.where(F.col(partition_col).isin(touched))
     merged = merge_upsert(cur_touched, updates.select(*current.columns), key_list)
-    # stage the full merged slice BEFORE touching the snapshot — the
-    # write reads the live partition files, which is safe because no
-    # snapshot file moves until the staging write has fully committed
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-    # swap each staged partition dir in with atomic renames; reuse the
-    # writer's own directory names so partition-value path escaping
-    # never needs reimplementing
-    part_dirs = [
-        d
-        for d in os.listdir(staging)
-        if d.startswith(f"{partition_col}=")
-        and os.path.isdir(os.path.join(staging, d))
+    next_n = latest + 1
+    slice_dir = f"{root}/_slices/s{next_n}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(slice_dir)
+    # reuse the writer's own directory names (never re-derive partition
+    # path escaping); every touched value carried >= 1 merged row (its
+    # update rows at minimum), so the counts must agree — checked BEFORE
+    # the flip, while the commit can still be abandoned for free
+    new_dirs = [
+        nm
+        for nm in _fs_child_dirs(spark, slice_dir)
+        if nm.startswith(f"{partition_col}=")
     ]
-    old_ns = os.path.join(staging, ".merge-old")
-    os.makedirs(old_ns, exist_ok=True)
-    for d in part_dirs:
-        dst = os.path.join(snapshot_dir, d)
-        # the old dir moves INTO staging's .merge-old namespace (not
-        # renamed in place) so a mid-swap crash never leaves a bogus
-        # directory for snapshot readers to discover as a partition
-        # value; worst case the partition is briefly absent with both
-        # copies in staging, which the repair pass above restores
-        if os.path.isdir(dst):
-            os.rename(dst, os.path.join(old_ns, d))
-        os.rename(os.path.join(staging, d), dst)
-    shutil.rmtree(staging, ignore_errors=True)
+    if len(new_dirs) != len(touched):
+        raise RuntimeError(
+            f"merge_upsert_partitioned: slice s{next_n} materialized "
+            f"{len(new_dirs)} partition dirs for {len(touched)} touched "
+            "values — aborting before the manifest flip"
+        )
+    for nm in new_dirs:
+        entries[nm] = f"s{next_n}"
+    manifest = {
+        "version": next_n,
+        "partition_col": partition_col,
+        "partition_type": utype,
+        "entries": entries,
+    }
+    _fs_write_small(
+        spark,
+        f"{root}/_manifests",
+        f"m{next_n}.json",
+        json.dumps(manifest, sort_keys=True).encode("utf-8"),
+    )
     return sorted(touched)
+
+
+def vacuum_snapshot(
+    spark, snapshot_dir: str, keep_manifests: int = 2
+) -> dict:
+    """Reclaim superseded slices: keep the newest ``keep_manifests``
+    manifests, delete older manifest files and every slice no kept
+    manifest references. Legacy partition directories are NEVER deleted
+    (plain-directory readers may still list them). Run from the single
+    writer only — never concurrently with a commit (slices numbered above
+    the latest committed manifest are an in-flight commit's and are left
+    alone) — and not while readers older than the kept manifests are
+    mid-scan. Returns ``{"manifests_deleted": n, "slices_deleted": n}``."""
+    import re
+
+    if keep_manifests < 1:
+        raise ValueError("vacuum_snapshot: keep_manifests must be >= 1")
+    root = snapshot_dir.rstrip("/")
+    vs = snapshot_versions(spark, root)
+    stats = {"manifests_deleted": 0, "slices_deleted": 0}
+    if not vs:
+        return stats
+    keep = set(vs[-keep_manifests:])
+    live = set()
+    for v in keep:
+        man = _read_snapshot_manifest(spark, root, v)
+        live |= {loc for loc in man["entries"].values() if loc != "legacy"}
+    for nm in _fs_child_dirs(spark, f"{root}/_slices"):
+        m = re.fullmatch(r"s(\d+)", nm)
+        if m and nm not in live and int(m.group(1)) <= vs[-1]:
+            _fs_delete(spark, f"{root}/_slices/{nm}")
+            stats["slices_deleted"] += 1
+    for v in vs:
+        if v not in keep:
+            _fs_delete(spark, f"{root}/_manifests/m{v}.json")
+            stats["manifests_deleted"] += 1
+    return stats
 
 
 def delete_keys(

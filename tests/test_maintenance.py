@@ -133,10 +133,11 @@ def test_snapshot_diff_fingerprint_injection_proof(spark):
 def test_merge_upsert_partitioned_prunes_and_preserves(spark, tmp_path):
     """The 100 TB refresh shape: only touched partitions are read and
     rewritten. Pins (1) pruned result == full-rewrite merge_upsert,
-    (2) untouched partitions' files survive BYTE-identical, (3) the
-    snapshot scan feeding the merge reads only touched partitions,
-    (4) the contract errors (missing partition col, null partition,
-    too-wide batch)."""
+    (2) untouched LEGACY partitions' files survive BYTE-identical IN
+    PLACE (zero-copy adoption), (3) the pointer read partition-prunes
+    (static isin reaches the FileScan as a PartitionFilter), (4) the
+    contract errors (missing partition col, null partition, too-wide
+    batch, partition-type drift)."""
     import glob
     import hashlib
 
@@ -146,6 +147,8 @@ def test_merge_upsert_partitioned_prunes_and_preserves(spark, tmp_path):
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
         merge_upsert,
         merge_upsert_partitioned,
+        read_snapshot,
+        snapshot_versions,
     )
 
     snap = str(tmp_path / "snap")
@@ -177,18 +180,24 @@ def test_merge_upsert_partitioned_prunes_and_preserves(spark, tmp_path):
 
     touched = merge_upsert_partitioned(spark, snap, updates, "doc_id", "part")
     assert touched == ["p0"]
+    assert snapshot_versions(spark, snap) == [1]
     got = sorted(
-        tuple(r) for r in spark.read.parquet(snap).select(*cols).collect()
+        tuple(r) for r in read_snapshot(spark, snap).select(*cols).collect()
     )
     assert got == want
-    # untouched partitions: same files, same bytes
+    # untouched legacy partitions: same files, same bytes, same place
     assert {p: file_digests(p) for p in ("p1", "p2")} == untouched_before
+    # a plain reader still lists ONLY legacy dirs — stale, never torn
+    legacy_view = {
+        r["part"] for r in spark.read.parquet(snap).select("part").collect()
+    }
+    assert legacy_view == {"p0", "p1", "p2"}
 
-    # the scan the merge consumed is partition-pruned (static isin
-    # reaches the FileScan as a PartitionFilter)
+    # the pointer read partition-prunes: the isin filter reaches every
+    # FileScan (legacy base and slice base) as a PartitionFilter
     import re
 
-    pruned = spark.read.parquet(snap).where(F.col("part").isin(["p0"]))
+    pruned = read_snapshot(spark, snap).where(F.col("part").isin(["p0"]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*part", plan), plan
 
@@ -210,28 +219,36 @@ def test_merge_upsert_partitioned_prunes_and_preserves(spark, tmp_path):
         merge_upsert_partitioned(
             spark, snap, updates, "doc_id", "part", max_touched_partitions=0
         )
-    # idempotent second apply: same updates, same result, p1/p2 untouched
+    with pytest.raises(ValueError, match="cast the updates first"):
+        merge_upsert_partitioned(
+            spark,
+            snap,
+            updates.withColumn("part", F.lit(7)),
+            "doc_id",
+            "part",
+        )
+    # idempotent second apply: new version, same content, legacy intact
     merge_upsert_partitioned(spark, snap, updates, "doc_id", "part")
+    assert snapshot_versions(spark, snap) == [1, 2]
     assert sorted(
-        tuple(r) for r in spark.read.parquet(snap).select(*cols).collect()
+        tuple(r) for r in read_snapshot(spark, snap).select(*cols).collect()
     ) == want
     assert {p: file_digests(p) for p in ("p1", "p2")} == untouched_before
 
 
-def test_merge_upsert_partitioned_recovers_mid_swap_crash(spark, tmp_path):
-    """Review-pass regression: a crash BETWEEN the two swap renames
-    leaves a partition absent from the snapshot with both copies in
-    staging; the next run must restore it BEFORE its staging overwrite
-    (which would otherwise destroy the only copies and silently drop
-    the partition's non-updated rows). Also: URI-scheme snapshot dirs
-    are rejected up front (the swap is local-rename based)."""
+def test_merge_upsert_partitioned_crash_orderings(spark, tmp_path):
+    """The pointer commit's crash argument, exercised at each ordering
+    point: an uncommitted slice (crash after the slice write) and a torn
+    manifest (crash mid-flip) are both invisible to readers and cleared
+    by the next run's orphan pass; a committed manifest is immutable, so
+    a reader pinned at version n sees version n's content even after
+    later commits (wholly old or wholly new — never torn)."""
     import os
-    import shutil
-
-    import pytest
 
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
         merge_upsert_partitioned,
+        read_snapshot,
+        snapshot_versions,
     )
 
     snap = str(tmp_path / "snap")
@@ -240,40 +257,138 @@ def test_merge_upsert_partitioned_recovers_mid_swap_crash(spark, tmp_path):
         "doc_id long, part string, body string",
     )
     base.repartition(2).write.partitionBy("part").parquet(snap)
-    updates = spark.createDataFrame(
+    cols = ["doc_id", "part", "body"]
+
+    def content(version=None):
+        return sorted(
+            tuple(r)
+            for r in read_snapshot(spark, snap, version).select(*cols).collect()
+        )
+
+    u1 = spark.createDataFrame(
         [(0, "p0", "EDITED-1")], "doc_id long, part string, body string"
     )
-    merge_upsert_partitioned(spark, snap, updates, "doc_id", "part")
+    merge_upsert_partitioned(spark, snap, u1, "doc_id", "part")
+    v1_content = content()
+    assert ("EDITED-1" in {t[2] for t in v1_content})
 
-    # simulate the mid-swap crash: partition p0 renamed ASIDE into a
-    # fresh staging dir (old copy), its merged slice staged, snapshot
-    # left with p0 missing — exactly the state after rename #1
-    staging = snap + ".staging-merge"
-    os.makedirs(staging, exist_ok=True)
-    shutil.move(os.path.join(snap, "part=p0"), os.path.join(staging, "part=p0"))
-    want_rows = sorted(
-        tuple(r)
-        for r in spark.createDataFrame(
-            [(0, "p0", "EDITED-2")] + [(i, "p0", f"body-{i}") for i in range(2, 20, 2)]
-            + [(i, "p1", f"body-{i}") for i in range(1, 20, 2)],
-            "doc_id long, part string, body string",
-        ).collect()
+    # crash ordering A: slice written, manifest never flipped — an
+    # orphan s2 full of would-be data is referenced by nothing
+    u2 = spark.createDataFrame(
+        [(2, "p0", "LOST-CRASH")], "doc_id long, part string, body string"
+    )
+    u2.write.partitionBy("part").parquet(f"{snap}/_slices/s2")
+    assert snapshot_versions(spark, snap) == [1]
+    assert content() == v1_content  # reader never sees the orphan
+
+    # crash ordering B: torn manifest (truncated JSON) — parse guard
+    # treats it as uncommitted
+    os.makedirs(f"{snap}/_manifests", exist_ok=True)
+    with open(f"{snap}/_manifests/m2.json", "w") as f:
+        f.write('{"version": 2, "entries": {"part=p0": "s2"')
+    assert snapshot_versions(spark, snap) == [1]
+    assert content() == v1_content
+
+    # the next run clears BOTH orphans and commits cleanly on top
+    u3 = spark.createDataFrame(
+        [(2, "p0", "EDITED-2")], "doc_id long, part string, body string"
+    )
+    merge_upsert_partitioned(spark, snap, u3, "doc_id", "part")
+    assert snapshot_versions(spark, snap) == [1, 2]
+    got = content()
+    bodies = {t[2] for t in got}
+    assert "EDITED-2" in bodies and "LOST-CRASH" not in bodies
+    assert "EDITED-1" in bodies  # v1's edit carried forward
+
+    # committed manifests are immutable: a reader pinned at v1 still
+    # sees exactly v1's content (time travel == the wholly-old half of
+    # the crash guarantee)
+    assert content(version=1) == v1_content
+
+
+def test_merge_upsert_partitioned_uri_scheme_and_bootstrap(spark, tmp_path):
+    """The commit is create-only (no data renames), so scheme'd paths
+    work — the exact case the staging-swap predecessor rejected. Runs
+    the whole flow through file:// URIs, plus the empty-root bootstrap
+    and int-looking STRING partition values ('0010' must round-trip,
+    not collapse to int 10 under directory-name inference)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        merge_upsert_partitioned,
+        read_snapshot,
+        snapshot_versions,
     )
 
-    updates2 = spark.createDataFrame(
-        [(0, "p0", "EDITED-2")], "doc_id long, part string, body string"
+    snap = "file://" + str(tmp_path / "snap")
+    u1 = spark.createDataFrame(
+        [(1, "0010", "a"), (2, "7", "b")],
+        "doc_id long, part string, body string",
     )
-    merge_upsert_partitioned(spark, snap, updates2, "doc_id", "part")
+    # bootstrap: no snapshot dir at all — first commit creates v1
+    assert merge_upsert_partitioned(spark, snap, u1, "doc_id", "part") == [
+        "0010",
+        "7",
+    ]
+    assert snapshot_versions(spark, snap) == [1]
+    u2 = spark.createDataFrame(
+        [(1, "0010", "a2"), (3, "0010", "c")],
+        "doc_id long, part string, body string",
+    )
+    merge_upsert_partitioned(spark, snap, u2, "doc_id", "part")
     got = sorted(
         tuple(r)
-        for r in spark.read.parquet(snap)
+        for r in read_snapshot(spark, snap)
         .select("doc_id", "part", "body")
         .collect()
     )
-    assert got == want_rows  # non-updated p0 rows survived the crash
-    assert not os.path.isdir(staging)
+    assert got == [(1, "0010", "a2"), (2, "7", "b"), (3, "0010", "c")]
 
-    with pytest.raises(ValueError, match="URI scheme"):
-        merge_upsert_partitioned(
-            spark, "s3a://bucket/snap", updates, "doc_id", "part"
+
+def test_vacuum_snapshot_reclaims_superseded_slices(spark, tmp_path):
+    """Vacuum keeps the newest manifests and every slice they reference,
+    deletes the rest; content at the latest version is untouched, legacy
+    partition dirs are never deleted, and time travel to a vacuumed
+    manifest now fails loudly."""
+    import os
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        merge_upsert_partitioned,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 2}", f"body-{i}") for i in range(10)],
+        "doc_id long, part string, body string",
+    )
+    base.write.partitionBy("part").parquet(snap)
+    for n in range(1, 4):
+        u = spark.createDataFrame(
+            [(0, "p0", f"EDIT-{n}")], "doc_id long, part string, body string"
         )
+        merge_upsert_partitioned(spark, snap, u, "doc_id", "part")
+    assert snapshot_versions(spark, snap) == [1, 2, 3]
+    want = sorted(
+        tuple(r)
+        for r in read_snapshot(spark, snap)
+        .select("doc_id", "part", "body")
+        .collect()
+    )
+
+    stats = vacuum_snapshot(spark, snap, keep_manifests=1)
+    # manifests m1/m2 dropped; slices s1/s2 superseded by s3 for p0
+    assert stats == {"manifests_deleted": 2, "slices_deleted": 2}
+    assert snapshot_versions(spark, snap) == [3]
+    assert sorted(
+        tuple(r)
+        for r in read_snapshot(spark, snap)
+        .select("doc_id", "part", "body")
+        .collect()
+    ) == want
+    assert os.path.isdir(f"{snap}/part=p1")  # legacy dirs never deleted
+    assert sorted(os.listdir(f"{snap}/_slices")) == ["s3"]
+    with pytest.raises(ValueError, match="not a committed manifest"):
+        read_snapshot(spark, snap, version=1)
