@@ -937,6 +937,110 @@ def cells_quantile_estimate(
     return out
 
 
+def quantile_fence_alerts(
+    cells: DataFrame,
+    batch: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    prob: float = 0.99,
+    breach_num: int = 1,
+    breach_den: int = 100,
+) -> DataFrame:
+    """The monitor composition over the streaming quantile state: classify
+    a fresh batch's per-group values against the STANDING fence a folded
+    ``quantile_cells_by`` table (``streaming/stats.py::
+    streaming_quantile_by_ingest``'s state) defines — "alert when this
+    hour's values breach the baseline p99" without ever re-scanning the
+    baseline. The fence comes from ``cells_quantile_estimate_by``, whose
+    per-answer guarantee (``fence_lo <= true quantile <= fence_hi``)
+    makes the classification sound despite the bounded error:
+
+      ``n_above_hi <= (count of batch values above the TRUE baseline
+      quantile) <= n_above_lo``
+
+    so ``status`` is ``'alert'`` only when even the DEFINITE breaches
+    (``n_above_hi``) exceed the ``breach_num/breach_den`` rate,
+    ``'clear'`` only when even the POSSIBLE breaches (``n_above_lo``)
+    don't, and ``'margin'`` when the cell span straddles the decision
+    (tighten with more ``sub_buckets`` at fold time). Batch groups with
+    no folded baseline report ``'no_baseline'`` (fences null); baseline
+    groups absent from the batch emit nothing (nothing to alert on).
+    Null/NaN batch values are excluded, like the fold itself.
+
+    Scale shape: the fence table is groups-sized (the estimator's single
+    group-keyed exchange over the cell state); the batch joins it on the
+    group key (null-safe — a null group is a group) and the rollup
+    reuses the join's partitioning — ONE exchange over the batch, no
+    driver state at any group cardinality. Rate decisions are integer
+    cross-multiplications (``n*den > num*total``), never float division.
+    """
+    if breach_num < 0 or breach_den <= 0:
+        raise ValueError(
+            "quantile_fence_alerts: breach rate must have breach_num >= 0 "
+            f"and breach_den > 0 (got {breach_num}/{breach_den})"
+        )
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    _check_cell_group_names(groups, "quantile_fence_alerts")
+    reserved = {
+        "n_baseline", "fence_lo", "fence_hi",
+        "n_batch", "n_above_hi", "n_above_lo", "status",
+    } & set(groups)
+    if reserved:
+        raise ValueError(
+            f"quantile_fence_alerts: group column(s) {sorted(reserved)} "
+            "collide with the output schema — rename them first"
+        )
+    name = f"p{round(prob * 100)}"
+    fences = cells_quantile_estimate_by(cells, groups, [prob]).select(
+        *[F.col(g).alias(f"__fg{i}") for i, g in enumerate(groups)],
+        F.col("n").alias("n_baseline"),
+        F.col(f"{name}_lo").alias("fence_lo"),
+        F.col(f"{name}_hi").alias("fence_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(v), v)
+    b = batch.select(*groups, v.alias("__v")).where(F.col("__v").isNotNull())
+    cond = None
+    for i, g in enumerate(groups):
+        c = F.col(g).eqNullSafe(F.col(f"__fg{i}"))
+        cond = c if cond is None else (cond & c)
+    j = b.join(fences, cond, "left")
+    num, den = F.lit(breach_num), F.lit(breach_den)
+    agg = j.groupBy(*groups).agg(
+        F.first("n_baseline").alias("n_baseline"),
+        F.first("fence_lo").alias("fence_lo"),
+        F.first("fence_hi").alias("fence_hi"),
+        F.count("__v").cast("bigint").alias("n_batch"),
+        F.sum(F.when(F.col("__v") > F.col("fence_hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above_hi"),
+        F.sum(F.when(F.col("__v") > F.col("fence_lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above_lo"),
+    )
+    status = (
+        F.when(F.col("fence_lo").isNull(), F.lit("no_baseline"))
+        .when(
+            F.col("n_above_hi") * den > num * F.col("n_batch"), F.lit("alert")
+        )
+        .when(
+            F.col("n_above_lo") * den <= num * F.col("n_batch"),
+            F.lit("clear"),
+        )
+        .otherwise(F.lit("margin"))
+    )
+    return agg.select(
+        *groups,
+        "n_baseline",
+        "fence_lo",
+        "fence_hi",
+        "n_batch",
+        "n_above_hi",
+        "n_above_lo",
+        status.alias("status"),
+    )
+
+
 def group_median_highcard(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

@@ -8612,3 +8612,193 @@ def q180_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type", "event_id",
         n=3, max_gap_seconds=1800,
     ).orderBy("step_1", "step_2", "step_3")
+
+
+# q181: quantile fence monitor — the batch twin of the streaming
+# composition `streaming_quantile_by_ingest` → `quantile_fence_alerts`
+# ("alert when the current window's values breach the standing
+# per-group fence"): baseline = everything before the last calendar
+# day, fence = the baseline's per-type quantile, current = the last
+# day, alert when breaches exceed the fence's own tail rate. This
+# registered form computes the fence EXACTLY via
+# group_quantiles_highcard (the q167 oracle idiom) so the decision is
+# hash-checkable; the cells-path twin — whose fence bounds are
+# engine-internal by design — is pinned against this exact fence in
+# tests/test_streaming.py (fold==batch + bracketing + classification
+# consistency). prob=0.875 is dyadic (7/8): the rank arithmetic
+# 0.875*(n-1) is exact in both engines, per group_quantiles_highcard's
+# own cross-engine recommendation. Both engines compare against the
+# 6dp-ROUNDED fence, and the alert is an integer cross-multiplication
+# (n_breach*8 > n_current — i.e. the current breach rate exceeds the
+# 1/8 tail the fence itself defines), so every decision is bit-stable.
+_Q181_SQL = """
+    WITH cut AS (
+      SELECT date_trunc('day', max(ts)) AS cutoff
+      FROM events WHERE ts IS NOT NULL
+    ),
+    v AS (
+      SELECT event_type, ts, value FROM events, cut
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+    ),
+    fences AS (
+      SELECT event_type, count(value)::BIGINT AS n_baseline,
+             round(quantile_cont(value, 0.875), 6) AS fence
+      FROM v, cut WHERE ts < cutoff
+      GROUP BY event_type
+    ),
+    cur AS (SELECT event_type, value FROM v, cut WHERE ts >= cutoff)
+    SELECT f.event_type, f.n_baseline, f.fence,
+           count(c.value)::BIGINT AS n_current,
+           sum(CASE WHEN c.value > f.fence THEN 1 ELSE 0 END)::BIGINT
+               AS n_breach,
+           (sum(CASE WHEN c.value > f.fence THEN 1 ELSE 0 END) * 8
+               > count(c.value)) AS alert
+    FROM cur c JOIN fences f
+      ON c.event_type IS NOT DISTINCT FROM f.event_type
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+"""
+
+
+@_register("q181_quantile_fence_monitor", _Q181_SQL)
+def q181_quantile_fence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type breach monitor: exact baseline fence (operators/
+    analytics.py::group_quantiles_highcard — one exchange + one shared
+    sort over the pre-cutoff prefix), then the current day's rows join
+    the groups-sized fence table null-safely and roll up in ONE
+    exchange. Types active today with no standing fence are dropped
+    (inner join — a monitor without a baseline has nothing to compare);
+    the alert rule is integer arithmetic against the 6dp-rounded fence
+    on both engines."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quantiles_highcard,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cut = ev.agg(F.date_trunc("day", F.max("ts")).alias("__cutoff"))
+    valid = ev.where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    ).crossJoin(F.broadcast(cut))
+    base = valid.where(F.col("ts") < F.col("__cutoff")).select(
+        "event_type", "value"
+    )
+    cur = valid.where(F.col("ts") >= F.col("__cutoff")).select(
+        "event_type", "value"
+    )
+    fences = group_quantiles_highcard(
+        base, "event_type", "value", [0.875]
+    ).select(
+        F.col("event_type").alias("__ft"),
+        F.col("n").alias("n_baseline"),
+        F.round(F.col("p88"), 6).alias("fence"),
+    )
+    j = cur.join(fences, F.col("event_type").eqNullSafe(F.col("__ft")))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.first("n_baseline").alias("n_baseline"),
+            F.first("fence").alias("fence"),
+            F.count("value").cast("bigint").alias("n_current"),
+            F.sum(F.when(F.col("value") > F.col("fence"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_breach"),
+        )
+        .select(
+            "event_type",
+            "n_baseline",
+            "fence",
+            "n_current",
+            "n_breach",
+            (F.col("n_breach") * 8 > F.col("n_current")).alias("alert"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# q182: the versioned-pointer partitioned refresh end to end —
+# snapshot write → merge_upsert_partitioned (slice + manifest flip,
+# only the touched partition is rewritten) → read_snapshot → audit
+# aggregate. The oracle rebuilds the same merged content relationally
+# (the q52 shape, restricted to the one touched priority), so a green
+# hash proves the pointer layout's read path returns exactly the
+# upserted table. The snapshot persists per (process, sf_dir) — q182
+# is benched with reps, and re-applying the same update batch is
+# idempotent by upsert semantics — with a keep-1 vacuum bounding slice
+# accumulation across reps.
+_Q182_SQL = """
+    WITH u AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 10 = 0 AND o_orderpriority = '1-URGENT'
+    ),
+    merged AS (
+      SELECT * FROM u
+      UNION ALL
+      SELECT c.* FROM orders c ANTI JOIN u ON c.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum((o_totalprice * 1e6)::DECIMAL(38,0))::DOUBLE / 1e6, 2)
+               AS total_price
+    FROM merged GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+_Q182_SNAPSHOTS: dict = {}
+
+
+@_register("q182_pointer_snapshot_refresh", _Q182_SQL)
+def q182_pointer_snapshot_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-pruned snapshot refresh through the versioned-pointer
+    commit (operators/maintenance.py::merge_upsert_partitioned): the
+    update batch reprices the %10 keys of ONE priority, so exactly one
+    of the five partition directories is read and rewritten (a fresh
+    slice + one manifest flip — object-store-safe, no renames of data);
+    the other four survive byte-identical and the manifest-aware
+    read_snapshot reassembles the table for the audit aggregate."""
+    import tempfile
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        merge_upsert_partitioned,
+        read_snapshot,
+        vacuum_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    snap = _Q182_SNAPSHOTS.get(sf_dir)
+    if snap is None:
+        snap = tempfile.mkdtemp(prefix="q182_ptr_") + "/orders"
+        orders.write.partitionBy("o_orderpriority").parquet(snap)
+        _Q182_SNAPSHOTS[sf_dir] = snap
+    else:
+        vacuum_snapshot(spark, snap, keep_manifests=1)
+    updates = orders.where(
+        (F.col("o_orderkey") % 10 == 0)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    touched = merge_upsert_partitioned(
+        spark, snap, updates, "o_orderkey", "o_orderpriority"
+    )
+    if touched != ["1-URGENT"]:  # not assert: must survive -O
+        raise RuntimeError(f"q182: expected one touched partition, got {touched}")
+    # fixed-point total (the q162/q175/q177 rule): the snapshot read is
+    # partition-parallel, so a double sum's reduction order differs from
+    # the oracle's serial sum — measured to flip the 2dp rounding here
+    return (
+        read_snapshot(spark, snap)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(
+                    (F.col("o_totalprice") * F.lit(1e6)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e6),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1455,6 +1455,104 @@ def test_streaming_quantile_by_ingest_fold_equals_batch(spark, tmp_path):
         assert est[g]["n"] == ex["n"]
 
 
+def test_quantile_fence_alerts_streaming_composition(spark, tmp_path):
+    """The monitor composition end to end (the q181 family's streaming
+    half): fold a baseline stream into keyed quantile-cell state, then
+    classify a fresh batch against the folded fence with
+    quantile_fence_alerts. Pins (1) alerts off the FOLDED state ==
+    alerts off the one-shot batch cells (fold==batch lifted through the
+    composition — the estimator only reads n/mn/mx, which fold exactly),
+    (2) the soundness guarantee n_above_hi <= exact breach count <=
+    n_above_lo against the exact fence (group_quantiles_highcard),
+    (3) status never contradicts the exact decision ('alert' implies
+    the exact rate alerts, 'clear' implies it doesn't), (4)
+    'no_baseline' for batch groups never folded, and (5) a null group
+    pairs with its own fence (null-safe join), never with
+    'no_baseline'."""
+    import os
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        group_quantiles_highcard,
+        quantile_cells_by,
+        quantile_fence_alerts,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        stats_versions,
+        streaming_quantile_by_ingest,
+    )
+
+    inp = tmp_path / "in"
+    b1 = [("a", float(i % 100)) for i in range(200)] + [
+        ("b", float(i % 50)) for i in range(100)
+    ] + [(None, float(i)) for i in range(40)]
+    b2 = [("a", float(i % 90)) for i in range(100)] + [("b", 200.0)]
+    spark.createDataFrame(b1, "g string, x double").coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+    spark.createDataFrame(b2, "g string, x double").coalesce(1).write.parquet(
+        str(inp / "b2")
+    )
+    qdir = str(tmp_path / "qc")
+    q = streaming_quantile_by_ingest(
+        spark.readStream.schema("g string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*"),
+        qdir, "g", "x",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    state = spark.read.parquet(
+        os.path.join(qdir, f"v{stats_versions(qdir)[-1]}")
+    )
+
+    batch = spark.createDataFrame(
+        [("a", 99.5)] * 30 + [("a", 1.0)] * 10   # 75% definite breaches
+        + [("b", -5.0)] * 20                     # none
+        + [("c", 1.0)]                           # no folded baseline
+        + [(None, 1000.0), (None, 0.5)],         # null group, 50% breach
+        "g string, x double",
+    )
+    prob, num, den = 0.75, 1, 4
+    off_fold = {
+        r["g"]: r
+        for r in quantile_fence_alerts(
+            state, batch, "g", "x", prob, num, den
+        ).collect()
+    }
+    baseline = spark.createDataFrame(b1 + b2, "g string, x double")
+    off_batch = {
+        r["g"]: r
+        for r in quantile_fence_alerts(
+            quantile_cells_by(baseline, "g", "x"), batch, "g", "x", prob, num, den
+        ).collect()
+    }
+    assert off_fold == off_batch  # (1) fold==batch through the composition
+
+    exact = {
+        r["g"]: r["p75"]
+        for r in group_quantiles_highcard(baseline, "g", "x", [prob]).collect()
+    }
+    batch_vals: dict = {}
+    for r in batch.collect():
+        batch_vals.setdefault(r["g"], []).append(r["x"])
+    for g, row in off_fold.items():
+        if g == "c":
+            assert row["status"] == "no_baseline"  # (4)
+            assert row["fence_lo"] is None and row["fence_hi"] is None
+            continue
+        n_exact = sum(1 for v in batch_vals[g] if v > exact[g])
+        assert row["fence_lo"] <= exact[g] <= row["fence_hi"], (g, row)
+        assert row["n_above_hi"] <= n_exact <= row["n_above_lo"], (g, row)  # (2)
+        exact_alert = n_exact * den > num * row["n_batch"]
+        if row["status"] == "alert":
+            assert exact_alert, (g, row, n_exact)  # (3)
+        elif row["status"] == "clear":
+            assert not exact_alert, (g, row, n_exact)
+    assert off_fold[None]["status"] != "no_baseline"  # (5)
+    assert off_fold["a"]["status"] == "alert"
+    assert off_fold["b"]["status"] == "clear"
+
+
 def test_streaming_fold_orphan_base_cleared_at_commit(spark, tmp_path):
     """Review-pass regression: a crash-orphaned compaction base m{k}
     with k ABOVE the committed version sequence (batch ids run ahead of
