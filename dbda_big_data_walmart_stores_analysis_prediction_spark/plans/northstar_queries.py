@@ -8692,7 +8692,15 @@ def q181_quantile_fence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_baseline"),
         F.round(F.col("p88"), 6).alias("fence"),
     )
-    j = cur.join(fences, F.col("event_type").eqNullSafe(F.col("__ft")))
+    # the fence table is bounded by event-type cardinality — broadcast,
+    # so the current-day side never shuffles for the join and the
+    # breach rollup's groupBy is the big side's ONLY exchange (the
+    # generic quantile_fence_alerts leaves the strategy to Catalyst
+    # because its groups can be unbounded; here the dimension is small
+    # by domain)
+    j = cur.join(
+        F.broadcast(fences), F.col("event_type").eqNullSafe(F.col("__ft"))
+    )
     return (
         j.groupBy("event_type")
         .agg(

@@ -414,6 +414,7 @@ def _adversarial_events():
         "q178_volume_trend_slope",
         "q179_churn_by_cohort",
         "q180_event_path_trigrams",
+        "q181_quantile_fence_monitor",
     ],
 )
 def test_oracle_parity_on_adversarial_events(spark, tmp_path, name):
