@@ -981,10 +981,13 @@ def quantile_fence_alerts(
         )
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     _check_cell_group_names(groups, "quantile_fence_alerts")
-    reserved = {
-        "n_baseline", "fence_lo", "fence_hi",
-        "n_batch", "n_above_hi", "n_above_lo", "status",
-    } & set(groups)
+    reserved = (
+        {
+            "n_baseline", "fence_lo", "fence_hi",
+            "n_batch", "n_above_hi", "n_above_lo", "status", "__v",
+        }
+        | {f"__fg{i}" for i in range(len(groups))}
+    ) & set(groups)
     if reserved:
         raise ValueError(
             f"quantile_fence_alerts: group column(s) {sorted(reserved)} "

@@ -162,20 +162,28 @@ def _read_snapshot_manifest(spark, root: str, version: int) -> dict | None:
     return None
 
 
-def snapshot_versions(spark, snapshot_dir: str) -> list[int]:
-    """COMMITTED manifest versions under the snapshot root, ascending —
-    committed means the manifest file parses whole (each is a few KB; the
-    parse doubles as the torn-write guard). Empty for a legacy plain
-    parquet directory."""
+def _committed_manifests(spark, root: str) -> dict[int, dict]:
+    """ONE listing + parse pass over ``_manifests/`` → every committed
+    manifest by version (each is a few KB; the parse doubles as the
+    torn-write guard). Every snapshot operation goes through this once —
+    on an object store each extra pass is a round trip per retained
+    version."""
     import re
 
-    root = snapshot_dir.rstrip("/")
-    out = []
+    out = {}
     for nm in _fs_child_files(spark, f"{root}/_manifests"):
         m = re.fullmatch(r"m(\d+)\.json", nm)
-        if m and _read_snapshot_manifest(spark, root, int(m.group(1))):
-            out.append(int(m.group(1)))
-    return sorted(out)
+        if m:
+            man = _read_snapshot_manifest(spark, root, int(m.group(1)))
+            if man:
+                out[int(m.group(1))] = man
+    return out
+
+
+def snapshot_versions(spark, snapshot_dir: str) -> list[int]:
+    """COMMITTED manifest versions under the snapshot root, ascending.
+    Empty for a legacy plain parquet directory."""
+    return sorted(_committed_manifests(spark, snapshot_dir.rstrip("/")))
 
 
 def _read_pointer_layout(
@@ -199,6 +207,8 @@ def _read_pointer_layout(
         base = root if loc == "legacy" else f"{root}/_slices/{loc}"
         groups.setdefault(base, []).append(f"{base}/{dirname}")
     bases = sorted(groups)
+    # schema-only read (footer metadata, no data scan): the explicit
+    # target schema below needs the data columns' types from somewhere
     sample = (
         spark.read.option("basePath", bases[0]).parquet(*sorted(groups[bases[0]]))
     )
@@ -235,19 +245,54 @@ def read_snapshot(spark, snapshot_dir: str, version: int | None = None) -> DataF
     PartitionFilters exactly as on a plain directory — the manifest only
     redirects WHERE each partition's files live, never how they're read."""
     root = snapshot_dir.rstrip("/")
-    vs = snapshot_versions(spark, root)
+    mans = _committed_manifests(spark, root)
     if version is None:
-        if not vs:
+        if not mans:
             return spark.read.parquet(root)
-        version = vs[-1]
-    elif version not in vs:
+        version = max(mans)
+    elif version not in mans:
         raise ValueError(
             f"read_snapshot: version {version} is not a committed manifest "
-            f"of {root} (committed: {vs})"
+            f"of {root} (committed: {sorted(mans)})"
         )
-    return _read_pointer_layout(
-        spark, root, _read_snapshot_manifest(spark, root, version)
+    return _read_pointer_layout(spark, root, mans[version])
+
+
+def _check_legacy_dir_roundtrip(
+    spark, pcol: str, ptype: str, dirnames: list[str]
+) -> None:
+    """Adoption-time type guard: every legacy dir's raw value must
+    round-trip through the recorded partition type (``cast(raw AS type)
+    AS string == raw``, Spark cast semantics — the same cast the
+    partition reader and the path writer use). One tiny driver-built
+    job over the manifest-sized dir list; manifest-backed commits don't
+    need it (their dirs were written AT the recorded type)."""
+    jvm = spark._jvm
+    unesc = (
+        jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName
     )
+    raws = [(d, unesc(d.split("=", 1)[1])) for d in dirnames]
+    df = spark.createDataFrame(raws, "d string, raw string")
+    bad = (
+        df.where(
+            ~F.col("raw")
+            .cast(ptype)
+            .cast("string")
+            .eqNullSafe(F.col("raw"))
+        )
+        .limit(3)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "merge_upsert_partitioned: legacy partition dir(s) "
+            f"{[r['d'] for r in bad]} do not round-trip at the updates' "
+            f"partition type {ptype} — adopting at this type would remap "
+            "their values to NEW directory names and duplicate the "
+            "partitions. Pass updates with the partition column typed "
+            "as the original writer produced it (often string)."
+        )
 
 
 def merge_upsert_partitioned(
@@ -310,17 +355,20 @@ def merge_upsert_partitioned(
     touched = [r[0] for r in touched_rows]
     if not touched:
         return []
-    if any(v is None for v in touched):
+    if any(v is None or v == "" for v in touched):
         raise ValueError(
-            "merge_upsert_partitioned: updates carry a NULL partition "
-            f"value in '{partition_col}' — null partitions "
-            "(__HIVE_DEFAULT_PARTITION__) are not safely overwritable; "
-            "route null-partition rows through the full-rewrite path"
+            "merge_upsert_partitioned: updates carry a NULL or "
+            f"empty-string partition value in '{partition_col}' — the "
+            "partitioned writer maps BOTH to __HIVE_DEFAULT_PARTITION__ "
+            "(an empty string comes back as NULL and its partition's "
+            "rows escape the next refresh's isin pruning); route such "
+            "rows through the full-rewrite path"
         )
 
     root = snapshot_dir.rstrip("/")
     utype = updates.schema[partition_col].dataType.simpleString()
-    vs = snapshot_versions(spark, root)
+    mans = _committed_manifests(spark, root)
+    vs = sorted(mans)
     latest = vs[-1] if vs else 0
     # clear crash orphans ABOVE the latest committed manifest FIRST (the
     # versioned_fold_ingest orphan rule): an uncommitted slice or torn/
@@ -336,7 +384,7 @@ def merge_upsert_partitioned(
             _fs_delete(spark, f"{root}/_manifests/{nm}")
 
     if vs:
-        man = _read_snapshot_manifest(spark, root, latest)
+        man = mans[latest]
         if man["partition_col"] != partition_col:
             raise ValueError(
                 f"merge_upsert_partitioned: snapshot {root} is partitioned "
@@ -359,6 +407,15 @@ def merge_upsert_partitioned(
             if nm.startswith(f"{partition_col}=")
         }
         if entries:
+            # the recorded type must REPRODUCE every legacy dir name
+            # (cast raw -> type -> string round-trip): otherwise the
+            # slice writer mints a different dirname for the same
+            # logical value ('0010' at int type rewrites as part=10)
+            # and both live in the manifest as separate partitions,
+            # resurrecting stale rows on every read
+            _check_legacy_dir_roundtrip(
+                spark, partition_col, utype, sorted(entries)
+            )
             current = _read_pointer_layout(
                 spark,
                 root,
@@ -370,6 +427,29 @@ def merge_upsert_partitioned(
                 },
             )
         else:
+            # bootstrap is legal ONLY on a truly empty/absent root: a
+            # populated snapshot with no '{partition_col}=' dirs means
+            # the wrong partition column or an unpartitioned layout,
+            # and committing over it would HIDE all existing data from
+            # read_snapshot (hidden _-prefixed names — _slices,
+            # _manifests, _SUCCESS — don't count: crash orphans and
+            # markers, invisible to data readers)
+            visible = [
+                nm
+                for nm in (
+                    _fs_child_dirs(spark, root) + _fs_child_files(spark, root)
+                )
+                if not nm.startswith(("_", "."))
+            ]
+            if visible:
+                raise ValueError(
+                    f"merge_upsert_partitioned: {root} contains data "
+                    f"({visible[:3]}...) but no '{partition_col}=' "
+                    "partition directories — wrong partition_col or an "
+                    "unpartitioned layout; committing would hide the "
+                    "existing data. Use the full-rewrite merge_upsert "
+                    "path or the correct partition column."
+                )
             current = updates.limit(0)  # bootstrap: empty snapshot
 
     cur_touched = current.where(F.col(partition_col).isin(touched))
@@ -425,15 +505,17 @@ def vacuum_snapshot(
     if keep_manifests < 1:
         raise ValueError("vacuum_snapshot: keep_manifests must be >= 1")
     root = snapshot_dir.rstrip("/")
-    vs = snapshot_versions(spark, root)
+    mans = _committed_manifests(spark, root)
+    vs = sorted(mans)
     stats = {"manifests_deleted": 0, "slices_deleted": 0}
     if not vs:
         return stats
     keep = set(vs[-keep_manifests:])
     live = set()
     for v in keep:
-        man = _read_snapshot_manifest(spark, root, v)
-        live |= {loc for loc in man["entries"].values() if loc != "legacy"}
+        live |= {
+            loc for loc in mans[v]["entries"].values() if loc != "legacy"
+        }
     for nm in _fs_child_dirs(spark, f"{root}/_slices"):
         m = re.fullmatch(r"s(\d+)", nm)
         if m and nm not in live and int(m.group(1)) <= vs[-1]:

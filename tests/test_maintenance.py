@@ -193,19 +193,23 @@ def test_merge_upsert_partitioned_prunes_and_preserves(spark, tmp_path):
     }
     assert legacy_view == {"p0", "p1", "p2"}
 
-    # the pointer read partition-prunes: the isin filter reaches every
-    # FileScan (legacy base and slice base) as a PartitionFilter
+    # the pointer read partition-prunes: the isin filter reaches EVERY
+    # FileScan (legacy base AND slice base) as a PartitionFilter — one
+    # pruned scan per base, not just any one (the q182 scale argument
+    # rests on the touched-only read holding across all bases)
     import re
 
     pruned = read_snapshot(spark, snap).where(F.col("part").isin(["p0"]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"PartitionFilters: \[[^\]]*part", plan), plan
+    n_scans = len(re.findall(r"FileScan", plan))
+    n_pruned = len(re.findall(r"PartitionFilters: \[[^\]]*part", plan))
+    assert n_scans == 2 and n_pruned == 2, (n_scans, n_pruned, plan)
 
     with pytest.raises(ValueError, match="missing the partition column"):
         merge_upsert_partitioned(
             spark, snap, updates.drop("part"), "doc_id", "part"
         )
-    with pytest.raises(ValueError, match="NULL partition"):
+    with pytest.raises(ValueError, match="NULL or empty-string partition"):
         merge_upsert_partitioned(
             spark,
             snap,
@@ -341,6 +345,70 @@ def test_merge_upsert_partitioned_uri_scheme_and_bootstrap(spark, tmp_path):
         .collect()
     )
     assert got == [(1, "0010", "a2"), (2, "7", "b"), (3, "0010", "c")]
+
+
+def test_merge_upsert_partitioned_adoption_guards(spark, tmp_path):
+    """Review-pass regressions, all silent-data-loss paths turned loud:
+    (1) a populated root with no matching partition dirs (wrong
+    partition_col / unpartitioned layout) must NOT bootstrap — the
+    manifest would hide every existing row; (2) empty-string partition
+    values write as __HIVE_DEFAULT_PARTITION__ and come back NULL,
+    escaping the next refresh's pruning; (3) adopting legacy dirs at a
+    type that doesn't reproduce their names ('0010' at int) would mint
+    duplicate partitions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        merge_upsert_partitioned,
+    )
+
+    updates = spark.createDataFrame(
+        [(1, "p0", "x")], "doc_id long, part string, body string"
+    )
+
+    # (1) wrong partition column over a populated snapshot
+    snap1 = str(tmp_path / "wrongcol")
+    spark.createDataFrame(
+        [(1, "2024", "a")], "doc_id long, year string, body string"
+    ).write.partitionBy("year").parquet(snap1)
+    with pytest.raises(ValueError, match="no 'part=' partition"):
+        merge_upsert_partitioned(spark, snap1, updates, "doc_id", "part")
+    # ... and an unpartitioned flat layout
+    snap2 = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, "p0", "a")], "doc_id long, part string, body string"
+    ).write.parquet(snap2)
+    with pytest.raises(ValueError, match="no 'part=' partition"):
+        merge_upsert_partitioned(spark, snap2, updates, "doc_id", "part")
+
+    # (2) empty-string partition value
+    snap3 = str(tmp_path / "empty")
+    with pytest.raises(ValueError, match="empty-string partition"):
+        merge_upsert_partitioned(
+            spark,
+            snap3,
+            spark.createDataFrame(
+                [(1, "", "x")], "doc_id long, part string, body string"
+            ),
+            "doc_id",
+            "part",
+        )
+
+    # (3) int-typed updates over int-looking string legacy dirs
+    snap4 = str(tmp_path / "types")
+    spark.createDataFrame(
+        [(1, "0010", "a"), (2, "7", "b")],
+        "doc_id long, part string, body string",
+    ).write.partitionBy("part").parquet(snap4)
+    with pytest.raises(ValueError, match="do not round-trip"):
+        merge_upsert_partitioned(
+            spark,
+            snap4,
+            updates.withColumn("part", F.lit(10)),
+            "doc_id",
+            "part",
+        )
 
 
 def test_vacuum_snapshot_reclaims_superseded_slices(spark, tmp_path):
