@@ -489,6 +489,126 @@ def merge_upsert_partitioned(
     return sorted(touched)
 
 
+def drop_partitions(
+    spark,
+    snapshot_dir: str,
+    values: list,
+    partition_col: str,
+    partition_type: str | None = None,
+    missing_ok: bool = True,
+) -> list:
+    """Retention drop — the weekly "expire old date partitions" operation:
+    commit a manifest WITHOUT the given partition values' entries. Pure
+    metadata: no data file is touched (dropped slices reclaim via
+    ``vacuum_snapshot``; legacy dirs are never deleted), the commit is
+    the same one-small-file flip as ``merge_upsert_partitioned``, and a
+    crash at any point leaves the snapshot wholly at the previous
+    version. A legacy plain directory is adopted zero-copy on first
+    drop — pass ``partition_type`` (the column's DDL type, usually the
+    original writer's) since there's no updates frame to read it from;
+    manifest-backed snapshots take it from the manifest. With
+    ``missing_ok`` (default) absent values are skipped — scheduled
+    retention re-runs are idempotent, and a drop that removes nothing
+    commits nothing. Returns the sorted partition values actually
+    dropped."""
+    if not values:
+        return []
+    if any(v is None or v == "" for v in values):
+        raise ValueError(
+            "drop_partitions: NULL / empty-string partition values are "
+            "never committed by merge_upsert_partitioned and cannot be "
+            "dropped by value"
+        )
+    root = snapshot_dir.rstrip("/")
+    mans = _committed_manifests(spark, root)
+    vs = sorted(mans)
+    latest = vs[-1] if vs else 0
+    if vs:
+        man = mans[latest]
+        if man["partition_col"] != partition_col:
+            raise ValueError(
+                f"drop_partitions: snapshot {root} is partitioned by "
+                f"'{man['partition_col']}', not '{partition_col}'"
+            )
+        ptype = man["partition_type"]
+        entries = dict(man["entries"])
+    else:
+        if partition_type is None:
+            raise ValueError(
+                "drop_partitions: a legacy plain directory has no "
+                "manifest to read the partition type from — pass "
+                "partition_type (the column's DDL type, e.g. 'string')"
+            )
+        ptype = partition_type
+        entries = {
+            nm: "legacy"
+            for nm in _fs_child_dirs(spark, root)
+            if nm.startswith(f"{partition_col}=")
+        }
+        if not entries:
+            raise ValueError(
+                f"drop_partitions: {root} has no '{partition_col}=' "
+                "partition directories to adopt"
+            )
+        _check_legacy_dir_roundtrip(spark, partition_col, ptype, sorted(entries))
+    # value -> dirname through the SAME cast+escape the writer uses
+    jvm = spark._jvm
+    esc = (
+        jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName
+    )
+    vdf = spark.createDataFrame([(v,) for v in values], f"v {ptype}")
+    strs = [
+        r["s"] for r in vdf.select(F.col("v").cast("string").alias("s")).collect()
+    ]
+    wanted = {f"{partition_col}={esc(s)}": v for s, v in zip(strs, values)}
+    missing = [v for d, v in wanted.items() if d not in entries]
+    if missing and not missing_ok:
+        raise ValueError(
+            f"drop_partitions: partition value(s) {missing} are not in "
+            f"the snapshot (missing_ok=False)"
+        )
+    dropped = sorted(
+        (v for d, v in wanted.items() if d in entries),
+        key=lambda v: str(v),
+    )
+    if not dropped:
+        return []
+    # orphan clearing + commit: the merge_upsert_partitioned discipline
+    import json
+    import re
+
+    for nm in _fs_child_dirs(spark, f"{root}/_slices"):
+        m = re.fullmatch(r"s(\d+)", nm)
+        if m and int(m.group(1)) > latest:
+            _fs_delete(spark, f"{root}/_slices/{nm}")
+    for nm in _fs_child_files(spark, f"{root}/_manifests"):
+        m = re.fullmatch(r"m(\d+)\.json", nm)
+        if (m and int(m.group(1)) > latest) or nm.startswith(".tmp-"):
+            _fs_delete(spark, f"{root}/_manifests/{nm}")
+    for d in wanted:
+        entries.pop(d, None)
+    if not entries:
+        raise ValueError(
+            "drop_partitions: dropping every partition would commit an "
+            "unreadable empty snapshot — delete or rebuild the directory "
+            "instead"
+        )
+    manifest = {
+        "version": latest + 1,
+        "partition_col": partition_col,
+        "partition_type": ptype,
+        "entries": entries,
+    }
+    _fs_write_small(
+        spark,
+        f"{root}/_manifests",
+        f"m{latest + 1}.json",
+        json.dumps(manifest, sort_keys=True).encode("utf-8"),
+    )
+    return dropped
+
+
 def vacuum_snapshot(
     spark, snapshot_dir: str, keep_manifests: int = 2
 ) -> dict:

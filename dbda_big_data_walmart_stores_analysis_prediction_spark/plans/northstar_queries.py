@@ -8792,9 +8792,6 @@ def q182_pointer_snapshot_refresh(
     )
     if touched != ["1-URGENT"]:  # not assert: must survive -O
         raise RuntimeError(f"q182: expected one touched partition, got {touched}")
-    # fixed-point total (the q162/q175/q177 rule): the snapshot read is
-    # partition-parallel, so a double sum's reduction order differs from
-    # the oracle's serial sum — measured to flip the 2dp rounding here
     return (
         read_snapshot(spark, snap)
         .groupBy("o_orderstatus")
@@ -8809,4 +8806,68 @@ def q182_pointer_snapshot_refresh(
             ).alias("total_price"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+# q183: partition retention on the pointer layout — "expire the old
+# partitions" as a pure metadata commit (drop_partitions: one manifest
+# flip, zero data IO; vacuum reclaims later). The oracle is the
+# relational complement (everything NOT in the dropped partition), so
+# a green hash proves the post-drop read returns exactly the retained
+# table. First invocation adopts the plain snapshot zero-copy (explicit
+# partition_type since a drop has no updates frame); re-runs are
+# idempotent no-ops by missing_ok, exactly a scheduled retention job.
+_Q183_SQL = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum((o_totalprice * 1e6)::DECIMAL(38,0))::DOUBLE / 1e6, 2)
+               AS total_price
+    FROM orders
+    WHERE o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_Q183_SNAPSHOTS: dict = {}
+
+
+@_register("q183_partition_retention", _Q183_SQL)
+def q183_partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention drop end to end (operators/maintenance.py::
+    drop_partitions): snapshot write → metadata-only drop of one
+    partition (manifest flip — no data file opened, let alone
+    rewritten) → manifest-aware read → per-priority audit aggregate
+    (fixed-point totals, the q182 rule). The dropped partition's files
+    stay on disk for time travel until vacuum."""
+    import tempfile
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        drop_partitions,
+        read_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    snap = _Q183_SNAPSHOTS.get(sf_dir)
+    if snap is None:
+        snap = tempfile.mkdtemp(prefix="q183_ret_") + "/orders"
+        orders.write.partitionBy("o_orderpriority").parquet(snap)
+        _Q183_SNAPSHOTS[sf_dir] = snap
+    drop_partitions(
+        spark, snap, ["5-LOW"], "o_orderpriority", partition_type="string"
+    )
+    # fixed-point total: q182's rule — the partition-parallel read's
+    # double-sum reduction order measurably flips 2dp rounding
+    return (
+        read_snapshot(spark, snap)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(
+                    (F.col("o_totalprice") * F.lit(1e6)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e6),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -411,6 +411,87 @@ def test_merge_upsert_partitioned_adoption_guards(spark, tmp_path):
         )
 
 
+def test_drop_partitions_retention(spark, tmp_path):
+    """Retention drop semantics on the pointer layout: the dropped
+    partition vanishes from read_snapshot but its files stay on disk
+    (time travel to the pre-drop version still shows it; vacuum
+    reclaims sliced data, never legacy dirs); re-running the same drop
+    is a no-op (missing_ok); escaped partition values (spaces, colons)
+    map to the writer's own dir names; legacy adoption needs an
+    explicit partition_type and missing_ok=False raises on absent
+    values; dropping everything raises instead of committing an
+    unreadable snapshot."""
+    import os
+
+    import pytest
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        drop_partitions,
+        merge_upsert_partitioned,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    vals = ["2024-01", "2024 02:x", "2024-03"]  # one escape-needing value
+    base = spark.createDataFrame(
+        [(i, vals[i % 3], f"body-{i}") for i in range(12)],
+        "doc_id long, month string, body string",
+    )
+    base.write.partitionBy("month").parquet(snap)
+
+    # legacy drop requires the explicit type
+    with pytest.raises(ValueError, match="pass partition_type"):
+        drop_partitions(spark, snap, ["2024-01"], "month")
+    # adopt + upsert first so the dropped partition lives in a SLICE too
+    u = spark.createDataFrame(
+        [(0, "2024-01", "EDIT")], "doc_id long, month string, body string"
+    )
+    merge_upsert_partitioned(spark, snap, u, "doc_id", "month")
+    pre_drop = snapshot_versions(spark, snap)[-1]
+
+    dropped = drop_partitions(spark, snap, ["2024-01", "ghost"], "month")
+    assert dropped == ["2024-01"]
+    left = {r["month"] for r in read_snapshot(spark, snap).collect()}
+    assert left == {"2024 02:x", "2024-03"}
+    # time travel: the pre-drop version still carries it, files intact
+    assert "2024-01" in {
+        r["month"] for r in read_snapshot(spark, snap, pre_drop).collect()
+    }
+    assert os.path.isdir(f"{snap}/month=2024-01")
+
+    # idempotent re-run: nothing dropped, no new manifest committed
+    before = snapshot_versions(spark, snap)
+    assert drop_partitions(spark, snap, ["2024-01"], "month") == []
+    assert snapshot_versions(spark, snap) == before
+    with pytest.raises(ValueError, match="missing_ok=False"):
+        drop_partitions(
+            spark, snap, ["2024-01"], "month", missing_ok=False
+        )
+
+    # escaped value drops by VALUE, through the writer's own escaping
+    assert drop_partitions(spark, snap, ["2024 02:x"], "month") == [
+        "2024 02:x"
+    ]
+    assert {r["month"] for r in read_snapshot(spark, snap).collect()} == {
+        "2024-03"
+    }
+
+    # dropping the last partition must not commit an empty manifest
+    with pytest.raises(ValueError, match="every partition"):
+        drop_partitions(spark, snap, ["2024-03"], "month")
+
+    # vacuum reclaims the dropped partition's superseded slice but
+    # leaves every legacy dir in place
+    vacuum_snapshot(spark, snap, keep_manifests=1)
+    assert os.path.isdir(f"{snap}/month=2024-01")
+    assert sorted(os.listdir(f"{snap}/_slices")) == []
+    assert {r["month"] for r in read_snapshot(spark, snap).collect()} == {
+        "2024-03"
+    }
+
+
 def test_vacuum_snapshot_reclaims_superseded_slices(spark, tmp_path):
     """Vacuum keeps the newest manifests and every slice they reference,
     deletes the rest; content at the latest version is untouched, legacy
