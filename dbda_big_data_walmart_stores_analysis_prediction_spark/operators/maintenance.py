@@ -258,21 +258,73 @@ def read_snapshot(spark, snapshot_dir: str, version: int | None = None) -> DataF
     return _read_pointer_layout(spark, root, mans[version])
 
 
-def _check_legacy_dir_roundtrip(
-    spark, pcol: str, ptype: str, dirnames: list[str]
+def _clear_crash_orphans(spark, root: str, latest: int) -> None:
+    """Clear artifacts ABOVE the latest committed manifest FIRST (the
+    versioned_fold_ingest orphan rule): an uncommitted slice or torn/tmp
+    manifest from a crashed run is invisible to every reader, and
+    removing it keeps slice numbering aligned with manifest numbering."""
+    import re
+
+    for nm in _fs_child_dirs(spark, f"{root}/_slices"):
+        m = re.fullmatch(r"s(\d+)", nm)
+        if m and int(m.group(1)) > latest:
+            _fs_delete(spark, f"{root}/_slices/{nm}")
+    for nm in _fs_child_files(spark, f"{root}/_manifests"):
+        m = re.fullmatch(r"m(\d+)\.json", nm)
+        if (m and int(m.group(1)) > latest) or nm.startswith(".tmp-"):
+            _fs_delete(spark, f"{root}/_manifests/{nm}")
+
+
+def _commit_manifest(
+    spark, root: str, version: int, pcol: str, ptype: str, entries: dict
 ) -> None:
-    """Adoption-time type guard: every legacy dir's raw value must
-    round-trip through the recorded partition type (``cast(raw AS type)
-    AS string == raw``, Spark cast semantics — the same cast the
-    partition reader and the path writer use). One tiny driver-built
-    job over the manifest-sized dir list; manifest-backed commits don't
-    need it (their dirs were written AT the recorded type)."""
+    """The single commit point: flip manifest ``m{version}.json``."""
+    import json
+
+    _fs_write_small(
+        spark,
+        f"{root}/_manifests",
+        f"m{version}.json",
+        json.dumps(
+            {
+                "version": version,
+                "partition_col": pcol,
+                "partition_type": ptype,
+                "entries": entries,
+            },
+            sort_keys=True,
+        ).encode("utf-8"),
+    )
+
+
+def _adopt_legacy_entries(
+    spark, root: str, pcol: str, ptype: str, op: str, remedy: str
+) -> dict:
+    """Zero-copy legacy adoption: the plain directory's ``{pcol}=`` dirs
+    become 'legacy' manifest entries (they never move), after the
+    round-trip type guard — every legacy dir's raw value must reproduce
+    itself through the recorded partition type (``cast(raw AS type) AS
+    string == raw``, Spark cast semantics — the same cast the partition
+    reader and the path writer use; one tiny driver-built job over the
+    manifest-sized dir list). Otherwise the slice writer would mint a
+    DIFFERENT dirname for the same logical value ('0010' at int type
+    rewrites as part=10) and both would live in the manifest as
+    separate partitions, resurrecting stale rows on every read.
+    Manifest-backed commits don't need the guard: their dirs were
+    written AT the recorded type."""
+    entries = {
+        nm: "legacy"
+        for nm in _fs_child_dirs(spark, root)
+        if nm.startswith(f"{pcol}=")
+    }
+    if not entries:
+        return entries
     jvm = spark._jvm
     unesc = (
         jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName
     )
-    raws = [(d, unesc(d.split("=", 1)[1])) for d in dirnames]
+    raws = [(d, unesc(d.split("=", 1)[1])) for d in sorted(entries)]
     df = spark.createDataFrame(raws, "d string, raw string")
     bad = (
         df.where(
@@ -286,13 +338,12 @@ def _check_legacy_dir_roundtrip(
     )
     if bad:
         raise ValueError(
-            "merge_upsert_partitioned: legacy partition dir(s) "
-            f"{[r['d'] for r in bad]} do not round-trip at the updates' "
-            f"partition type {ptype} — adopting at this type would remap "
-            "their values to NEW directory names and duplicate the "
-            "partitions. Pass updates with the partition column typed "
-            "as the original writer produced it (often string)."
+            f"{op}: legacy partition dir(s) {[r['d'] for r in bad]} do "
+            f"not round-trip at partition type {ptype} — adopting at "
+            "this type would remap their values to NEW directory names "
+            f"and duplicate the partitions. {remedy}"
         )
+    return entries
 
 
 def merge_upsert_partitioned(
@@ -332,9 +383,6 @@ def merge_upsert_partitioned(
     Superseded slices accumulate for time travel until
     ``vacuum_snapshot``.
     """
-    import json
-    import re
-
     key_list = [keys] if isinstance(keys, str) else list(keys)
     if partition_col not in updates.columns:
         raise ValueError(
@@ -370,18 +418,7 @@ def merge_upsert_partitioned(
     mans = _committed_manifests(spark, root)
     vs = sorted(mans)
     latest = vs[-1] if vs else 0
-    # clear crash orphans ABOVE the latest committed manifest FIRST (the
-    # versioned_fold_ingest orphan rule): an uncommitted slice or torn/
-    # tmp manifest from a crashed run is invisible to every reader, and
-    # removing it keeps slice numbering aligned with manifest numbering
-    for nm in _fs_child_dirs(spark, f"{root}/_slices"):
-        m = re.fullmatch(r"s(\d+)", nm)
-        if m and int(m.group(1)) > latest:
-            _fs_delete(spark, f"{root}/_slices/{nm}")
-    for nm in _fs_child_files(spark, f"{root}/_manifests"):
-        m = re.fullmatch(r"m(\d+)\.json", nm)
-        if (m and int(m.group(1)) > latest) or nm.startswith(".tmp-"):
-            _fs_delete(spark, f"{root}/_manifests/{nm}")
+    _clear_crash_orphans(spark, root, latest)
 
     if vs:
         man = mans[latest]
@@ -399,23 +436,16 @@ def merge_upsert_partitioned(
         entries = dict(man["entries"])
         current = _read_pointer_layout(spark, root, man)
     else:
-        # legacy adoption, zero-copy: the plain directory's partition
-        # dirs become 'legacy' manifest entries and never move
-        entries = {
-            nm: "legacy"
-            for nm in _fs_child_dirs(spark, root)
-            if nm.startswith(f"{partition_col}=")
-        }
+        entries = _adopt_legacy_entries(
+            spark,
+            root,
+            partition_col,
+            utype,
+            "merge_upsert_partitioned",
+            "Pass updates with the partition column typed as the "
+            "original writer produced it (often string).",
+        )
         if entries:
-            # the recorded type must REPRODUCE every legacy dir name
-            # (cast raw -> type -> string round-trip): otherwise the
-            # slice writer mints a different dirname for the same
-            # logical value ('0010' at int type rewrites as part=10)
-            # and both live in the manifest as separate partitions,
-            # resurrecting stale rows on every read
-            _check_legacy_dir_roundtrip(
-                spark, partition_col, utype, sorted(entries)
-            )
             current = _read_pointer_layout(
                 spark,
                 root,
@@ -474,18 +504,7 @@ def merge_upsert_partitioned(
         )
     for nm in new_dirs:
         entries[nm] = f"s{next_n}"
-    manifest = {
-        "version": next_n,
-        "partition_col": partition_col,
-        "partition_type": utype,
-        "entries": entries,
-    }
-    _fs_write_small(
-        spark,
-        f"{root}/_manifests",
-        f"m{next_n}.json",
-        json.dumps(manifest, sort_keys=True).encode("utf-8"),
-    )
+    _commit_manifest(spark, root, next_n, partition_col, utype, entries)
     return sorted(touched)
 
 
@@ -511,6 +530,7 @@ def drop_partitions(
     retention re-runs are idempotent, and a drop that removes nothing
     commits nothing. Returns the sorted partition values actually
     dropped."""
+    values = [values] if isinstance(values, str) else list(values)
     if not values:
         return []
     if any(v is None or v == "" for v in values):
@@ -531,6 +551,13 @@ def drop_partitions(
                 f"'{man['partition_col']}', not '{partition_col}'"
             )
         ptype = man["partition_type"]
+        if partition_type is not None and partition_type != ptype:
+            raise ValueError(
+                f"drop_partitions: partition_type={partition_type!r} "
+                f"contradicts the snapshot's recorded type {ptype!r} — "
+                "drop values at the manifest's type (or omit the "
+                "argument; manifest-backed snapshots don't need it)"
+            )
         entries = dict(man["entries"])
     else:
         if partition_type is None:
@@ -540,17 +567,20 @@ def drop_partitions(
                 "partition_type (the column's DDL type, e.g. 'string')"
             )
         ptype = partition_type
-        entries = {
-            nm: "legacy"
-            for nm in _fs_child_dirs(spark, root)
-            if nm.startswith(f"{partition_col}=")
-        }
+        entries = _adopt_legacy_entries(
+            spark,
+            root,
+            partition_col,
+            ptype,
+            "drop_partitions",
+            "Pass the partition_type the original writer produced "
+            "(often 'string').",
+        )
         if not entries:
             raise ValueError(
                 f"drop_partitions: {root} has no '{partition_col}=' "
                 "partition directories to adopt"
             )
-        _check_legacy_dir_roundtrip(spark, partition_col, ptype, sorted(entries))
     # value -> dirname through the SAME cast+escape the writer uses
     jvm = spark._jvm
     esc = (
@@ -574,18 +604,7 @@ def drop_partitions(
     )
     if not dropped:
         return []
-    # orphan clearing + commit: the merge_upsert_partitioned discipline
-    import json
-    import re
-
-    for nm in _fs_child_dirs(spark, f"{root}/_slices"):
-        m = re.fullmatch(r"s(\d+)", nm)
-        if m and int(m.group(1)) > latest:
-            _fs_delete(spark, f"{root}/_slices/{nm}")
-    for nm in _fs_child_files(spark, f"{root}/_manifests"):
-        m = re.fullmatch(r"m(\d+)\.json", nm)
-        if (m and int(m.group(1)) > latest) or nm.startswith(".tmp-"):
-            _fs_delete(spark, f"{root}/_manifests/{nm}")
+    _clear_crash_orphans(spark, root, latest)
     for d in wanted:
         entries.pop(d, None)
     if not entries:
@@ -594,18 +613,7 @@ def drop_partitions(
             "unreadable empty snapshot — delete or rebuild the directory "
             "instead"
         )
-    manifest = {
-        "version": latest + 1,
-        "partition_col": partition_col,
-        "partition_type": ptype,
-        "entries": entries,
-    }
-    _fs_write_small(
-        spark,
-        f"{root}/_manifests",
-        f"m{latest + 1}.json",
-        json.dumps(manifest, sort_keys=True).encode("utf-8"),
-    )
+    _commit_manifest(spark, root, latest + 1, partition_col, ptype, entries)
     return dropped
 
 
