@@ -351,6 +351,13 @@ LONGTAIL = [
     "q179_churn_by_cohort",
     # round-14: transition matrix generalized to 3-step paths
     "q180_event_path_trigrams",
+    # round-15: the quantile fence monitor (exact-fence batch twin of
+    # the streaming composition) and the versioned-pointer snapshot
+    # refresh + retention flows (write+commit+read end to end; their
+    # per-process snapshot amortizes across chunks like q108's artifact)
+    "q181_quantile_fence_monitor",
+    "q182_pointer_snapshot_refresh",
+    "q183_partition_retention",
 ]
 
 _TABLES = (

@@ -127,6 +127,7 @@ def versioned_fold_ingest(
     state_schema: str,
     checkpoint_dir: str | None = None,
     keep_versions: int = 3,
+    on_commit=None,
 ):
     """The generic versioned-commit fold (see module docstring for the
     exactly-once mechanism): per micro-batch, fold exactly the source
@@ -137,6 +138,18 @@ def versioned_fold_ingest(
     ADDITIVE-merge semantics — fold(fold(s, a), b) == fold(s, a ∪ b) for
     disjoint batches — which is what makes file-granular application
     exact (a source file is atomically inside one micro-batch).
+
+    ``on_commit(standing, fresh, next_v)``, when given, runs once per
+    committed batch BEFORE the state version write — the hook sees the
+    PRE-batch state and the batch's unseen slice, so a derived output
+    (e.g. alerts against the standing baseline) is exactly-once as long
+    as the hook writes to a ``next_v``-deterministic path with
+    overwrite: a crash between hook and version write replays the same
+    batch with the same ``next_v`` (the version counter only advances
+    at the state commit) and the retry overwrites, never duplicates.
+    Running the hook AFTER the state write would instead lose its
+    output forever on that crash (the replay would see a pure replay
+    and skip).
 
     Returns the ``StreamingQuery``.
     """
@@ -177,6 +190,11 @@ def versioned_fold_ingest(
                 src.write.mode("overwrite").parquet(
                     os.path.join(state_dir, f"d{next_v}")
                 )
+        if on_commit is not None:
+            # BEFORE the version write (see the docstring's crash
+            # argument) — the hook judges the batch against the
+            # PRE-batch standing state
+            on_commit(standing, fresh, next_v)
         fold(standing, fresh).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{next_v}")
         )
@@ -559,3 +577,104 @@ def streaming_quantile_by_ingest(
         checkpoint_dir,
         keep_versions,
     )
+
+
+def streaming_fence_monitor_ingest(
+    stream: DataFrame,
+    state_dir: str,
+    alerts_dir: str,
+    group_cols: list[str] | str,
+    value_col: str,
+    prob: float = 0.99,
+    breach_num: int = 1,
+    breach_den: int = 100,
+    sub_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    keep_versions: int = 3,
+):
+    """The live monitor the drift family exists for — "alert when this
+    batch's values breach the STANDING per-group fence", continuously:
+    each micro-batch is first classified against the PRE-batch folded
+    quantile state (``operators/analytics.py::quantile_fence_alerts``
+    over the latest committed cells — a batch never judges itself),
+    its per-group alert rows land in ``alerts_dir/b{v}`` tagged
+    ``batch_version``, and THEN the batch folds into the state under
+    the same manifest-keyed exactly-once commit as
+    ``streaming_quantile_by_ingest``. Alert output is exactly-once by
+    construction: the version counter only advances at the state
+    commit, so a crash-replay recomputes the SAME ``b{v}`` and the
+    overwrite replaces rather than duplicates (the ``on_commit`` hook
+    contract). The first batch reports ``no_baseline`` for every group
+    — the honest cold start. Read the history with
+    ``load_fence_alerts``."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        _check_cell_group_names,
+        quantile_cells_by,
+        quantile_fence_alerts,
+    )
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    _check_cell_group_names(groups, "streaming_fence_monitor_ingest")
+
+    def fold(standing: DataFrame, batch: DataFrame) -> DataFrame:
+        fresh = quantile_cells_by(batch, groups, value_col, sub_buckets)
+        return (
+            standing.unionByName(fresh)
+            .groupBy(*groups, "b")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("s2").alias("s2"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+
+    def on_commit(standing: DataFrame, batch: DataFrame, next_v: int) -> None:
+        quantile_fence_alerts(
+            standing, batch, groups, value_col, prob, breach_num, breach_den
+        ).withColumn("batch_version", F.lit(next_v)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(alerts_dir, f"b{next_v}"))
+
+    group_schema = ", ".join(
+        f"{g} {stream.schema[g].dataType.simpleString()}" for g in groups
+    )
+    return versioned_fold_ingest(
+        stream,
+        state_dir,
+        fold,
+        f"{group_schema}, b bigint, n bigint, s double, s2 double, "
+        "mn double, mx double",
+        checkpoint_dir,
+        keep_versions,
+        on_commit=on_commit,
+    )
+
+
+def load_fence_alerts(spark, state_dir: str, alerts_dir: str) -> DataFrame:
+    """The committed alert history: every ``alerts_dir/b{v}`` whose
+    version is at or below the state's latest committed version. Alert
+    dirs ABOVE it are a crashed batch's orphans (its state never
+    committed, so its alerts never "happened") — they'll be overwritten
+    by the replay; alert dirs for PRUNED state versions stay readable
+    (alerts are the monitor's output history, not state, and are never
+    vacuumed)."""
+    vs = stats_versions(state_dir)
+    if not vs:
+        raise ValueError(
+            f"load_fence_alerts: no committed state under {state_dir} — "
+            "the monitor has not committed a batch yet"
+        )
+    dirs = []
+    if os.path.isdir(alerts_dir):
+        for d in os.listdir(alerts_dir):
+            m = re.fullmatch(r"b(\d+)", d)
+            if m and int(m.group(1)) <= vs[-1]:
+                dirs.append(os.path.join(alerts_dir, d))
+    if not dirs:
+        raise ValueError(
+            f"load_fence_alerts: no committed alert batches under "
+            f"{alerts_dir}"
+        )
+    return spark.read.parquet(*sorted(dirs))

@@ -1553,6 +1553,96 @@ def test_quantile_fence_alerts_streaming_composition(spark, tmp_path):
     assert off_fold["b"]["status"] == "clear"
 
 
+def test_streaming_fence_monitor_ingest(spark, tmp_path):
+    """The continuous monitor end to end: every micro-batch is classified
+    against the PRE-batch folded baseline, alerts land per-version,
+    exactly-once. Pins (1) cold start — the first batch reports
+    no_baseline for every group; (2) the second batch's alert rows ==
+    quantile_fence_alerts(cells(batch1), batch2) computed batch-side;
+    (3) a crash-orphaned alerts dir for the upcoming version is
+    OVERWRITTEN by the commit, not duplicated; (4) load_fence_alerts
+    reads only versions at-or-below the latest committed state (a b99
+    orphan is invisible)."""
+    import os
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
+        quantile_cells_by,
+        quantile_fence_alerts,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.streaming.stats import (
+        load_fence_alerts,
+        stats_versions,
+        streaming_fence_monitor_ingest,
+    )
+
+    inp = tmp_path / "in"
+    b1 = [("a", float(i % 100)) for i in range(200)] + [("b", 3.0)] * 50
+    b2 = [("a", 999.0)] * 20 + [("a", 1.0)] * 10 + [("b", -1.0)] * 5
+    spark.createDataFrame(b1, "g string, x double").coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+    state = str(tmp_path / "state")
+    alerts = str(tmp_path / "alerts")
+
+    def run():
+        q = streaming_fence_monitor_ingest(
+            spark.readStream.schema("g string, x double").parquet(f"{inp}/*"),
+            state, alerts, "g", "x",
+            prob=0.75, breach_num=1, breach_den=4,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    v1 = stats_versions(state)[-1]
+    cold = spark.read.parquet(f"{alerts}/b{v1}").collect()
+    assert {r["status"] for r in cold} == {"no_baseline"}  # (1)
+    assert {r["g"] for r in cold} == {"a", "b"}
+
+    # crash-orphan alerts for the NEXT version: must be overwritten (3)
+    spark.createDataFrame(
+        [("zzz", 1, None, None, 1, 1, 1, "alert", v1 + 1)],
+        "g string, n_baseline long, fence_lo double, fence_hi double, "
+        "n_batch long, n_above_hi long, n_above_lo long, status string, "
+        "batch_version int",
+    ).write.parquet(f"{alerts}/b{v1 + 1}")
+    # ... and a far-future orphan load_fence_alerts must ignore (4)
+    spark.createDataFrame(
+        [("orphan",)], "g string"
+    ).write.parquet(f"{alerts}/b99")
+
+    spark.createDataFrame(b2, "g string, x double").coalesce(1).write.parquet(
+        str(inp / "b2")
+    )
+    run()
+    v2 = stats_versions(state)[-1]
+    assert v2 == v1 + 1
+    got = {
+        r["g"]: r
+        for r in spark.read.parquet(f"{alerts}/b{v2}").collect()
+    }
+    assert "zzz" not in got  # the orphan was overwritten, not appended
+    want = {
+        r["g"]: r
+        for r in quantile_fence_alerts(
+            quantile_cells_by(
+                spark.createDataFrame(b1, "g string, x double"), "g", "x"
+            ),
+            spark.createDataFrame(b2, "g string, x double"),
+            "g", "x", 0.75, 1, 4,
+        ).collect()
+    }
+    for g, row in want.items():  # (2) streaming alerts == batch twin
+        assert tuple(got[g])[:-1] == tuple(row), (g, got[g], row)
+    assert got["a"]["status"] == "alert"  # 2/3 of batch above the p75
+    assert got["b"]["status"] == "clear"
+
+    hist = load_fence_alerts(spark, state, alerts)
+    assert sorted(
+        (r["batch_version"], r["g"]) for r in hist.collect()
+    ) == sorted([(v1, "a"), (v1, "b"), (v2, "a"), (v2, "b")])
+
+
 def test_streaming_fold_orphan_base_cleared_at_commit(spark, tmp_path):
     """Review-pass regression: a crash-orphaned compaction base m{k}
     with k ABOVE the committed version sequence (batch ids run ahead of
