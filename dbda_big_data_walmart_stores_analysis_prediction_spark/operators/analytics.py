@@ -937,6 +937,41 @@ def cells_quantile_estimate(
     return out
 
 
+def _check_fence_alert_args(
+    group_cols: list[str] | str,
+    breach_num: int,
+    breach_den: int,
+    op: str,
+) -> list[str]:
+    """Shared fail-fast validation for the fence-alert family — also
+    called by ``streaming/stats.py::streaming_fence_monitor_ingest`` at
+    SETUP, so a bad group name or breach rate raises before the query
+    starts instead of wrapped in a StreamingQueryException after the
+    first batch's offsets are written. Returns the normalized group
+    list. ``batch_version`` is reserved for the streaming monitor's
+    history tag."""
+    if breach_num < 0 or breach_den <= 0:
+        raise ValueError(
+            f"{op}: breach rate must have breach_num >= 0 "
+            f"and breach_den > 0 (got {breach_num}/{breach_den})"
+        )
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    _check_cell_group_names(groups, op)
+    reserved = (
+        {
+            "n_baseline", "fence_lo", "fence_hi", "n_batch",
+            "n_above_hi", "n_above_lo", "status", "batch_version", "__v",
+        }
+        | {f"__fg{i}" for i in range(len(groups))}
+    ) & set(groups)
+    if reserved:
+        raise ValueError(
+            f"{op}: group column(s) {sorted(reserved)} "
+            "collide with the output schema — rename them first"
+        )
+    return groups
+
+
 def quantile_fence_alerts(
     cells: DataFrame,
     batch: DataFrame,
@@ -974,25 +1009,9 @@ def quantile_fence_alerts(
     driver state at any group cardinality. Rate decisions are integer
     cross-multiplications (``n*den > num*total``), never float division.
     """
-    if breach_num < 0 or breach_den <= 0:
-        raise ValueError(
-            "quantile_fence_alerts: breach rate must have breach_num >= 0 "
-            f"and breach_den > 0 (got {breach_num}/{breach_den})"
-        )
-    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    _check_cell_group_names(groups, "quantile_fence_alerts")
-    reserved = (
-        {
-            "n_baseline", "fence_lo", "fence_hi",
-            "n_batch", "n_above_hi", "n_above_lo", "status", "__v",
-        }
-        | {f"__fg{i}" for i in range(len(groups))}
-    ) & set(groups)
-    if reserved:
-        raise ValueError(
-            f"quantile_fence_alerts: group column(s) {sorted(reserved)} "
-            "collide with the output schema — rename them first"
-        )
+    groups = _check_fence_alert_args(
+        group_cols, breach_num, breach_den, "quantile_fence_alerts"
+    )
     name = f"p{round(prob * 100)}"
     fences = cells_quantile_estimate_by(cells, groups, [prob]).select(
         *[F.col(g).alias(f"__fg{i}") for i, g in enumerate(groups)],

@@ -193,7 +193,12 @@ def versioned_fold_ingest(
         if on_commit is not None:
             # BEFORE the version write (see the docstring's crash
             # argument) — the hook judges the batch against the
-            # PRE-batch standing state
+            # PRE-batch standing state. The batch slice materializes
+            # once (it may be a filtered join on a mixed replay); the
+            # hook and the fold would otherwise each rescan the source
+            # files. `standing` is a plain parquet read — re-reading it
+            # is cheaper than materializing a checkpoint copy.
+            fresh = fresh.localCheckpoint(eager=True)
             on_commit(standing, fresh, next_v)
         fold(standing, fresh).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{next_v}")
@@ -526,6 +531,7 @@ def streaming_quantile_by_ingest(
     sub_buckets: int = 16,
     checkpoint_dir: str | None = None,
     keep_versions: int = 3,
+    on_commit=None,
 ):
     """``streaming_quantile_ingest`` KEYED: live per-group quantile/
     moments state (groups × ≤~2k cell rows) maintained by per-(group,
@@ -576,6 +582,7 @@ def streaming_quantile_by_ingest(
         "mn double, mx double",
         checkpoint_dir,
         keep_versions,
+        on_commit=on_commit,
     )
 
 
@@ -605,47 +612,46 @@ def streaming_fence_monitor_ingest(
     commit, so a crash-replay recomputes the SAME ``b{v}`` and the
     overwrite replaces rather than duplicates (the ``on_commit`` hook
     contract). The first batch reports ``no_baseline`` for every group
-    — the honest cold start. Read the history with
+    — the honest cold start — and a BOOTSTRAP commit (no committed
+    state yet) first clears any existing ``b*`` dirs: a fresh state
+    lifetime starts a fresh history, since version numbering restarts
+    and a previous incarnation's alert dirs would otherwise interleave
+    into the new record (archive ``alerts_dir`` before clearing
+    ``state_dir`` if the old history matters). Read the history with
     ``load_fence_alerts``."""
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.analytics import (
-        _check_cell_group_names,
-        quantile_cells_by,
+        _check_fence_alert_args,
         quantile_fence_alerts,
     )
 
-    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    _check_cell_group_names(groups, "streaming_fence_monitor_ingest")
-
-    def fold(standing: DataFrame, batch: DataFrame) -> DataFrame:
-        fresh = quantile_cells_by(batch, groups, value_col, sub_buckets)
-        return (
-            standing.unionByName(fresh)
-            .groupBy(*groups, "b")
-            .agg(
-                F.sum("n").alias("n"),
-                F.sum("s").alias("s"),
-                F.sum("s2").alias("s2"),
-                F.min("mn").alias("mn"),
-                F.max("mx").alias("mx"),
-            )
-        )
+    # fail fast at SETUP (the streaming_quantile_by_ingest discipline):
+    # inside foreachBatch these errors would surface wrapped in a
+    # StreamingQueryException after the checkpoint dir already exists
+    groups = _check_fence_alert_args(
+        group_cols, breach_num, breach_den, "streaming_fence_monitor_ingest"
+    )
 
     def on_commit(standing: DataFrame, batch: DataFrame, next_v: int) -> None:
+        if not stats_versions(state_dir) and os.path.isdir(alerts_dir):
+            for d in os.listdir(alerts_dir):
+                if re.fullmatch(r"b(\d+)", d):
+                    shutil.rmtree(
+                        os.path.join(alerts_dir, d), ignore_errors=True
+                    )
         quantile_fence_alerts(
             standing, batch, groups, value_col, prob, breach_num, breach_den
         ).withColumn("batch_version", F.lit(next_v)).write.mode(
             "overwrite"
         ).parquet(os.path.join(alerts_dir, f"b{next_v}"))
 
-    group_schema = ", ".join(
-        f"{g} {stream.schema[g].dataType.simpleString()}" for g in groups
-    )
-    return versioned_fold_ingest(
+    # the state fold IS streaming_quantile_by_ingest's — one
+    # implementation; the monitor only adds the pre-fold hook
+    return streaming_quantile_by_ingest(
         stream,
         state_dir,
-        fold,
-        f"{group_schema}, b bigint, n bigint, s double, s2 double, "
-        "mn double, mx double",
+        groups,
+        value_col,
+        sub_buckets,
         checkpoint_dir,
         keep_versions,
         on_commit=on_commit,
@@ -659,7 +665,9 @@ def load_fence_alerts(spark, state_dir: str, alerts_dir: str) -> DataFrame:
     committed, so its alerts never "happened") — they'll be overwritten
     by the replay; alert dirs for PRUNED state versions stay readable
     (alerts are the monitor's output history, not state, and are never
-    vacuumed)."""
+    vacuumed — within one state lifetime; a state rebuild restarts the
+    history, see ``streaming_fence_monitor_ingest``'s bootstrap
+    rule)."""
     vs = stats_versions(state_dir)
     if not vs:
         raise ValueError(

@@ -1575,6 +1575,8 @@ def test_streaming_fence_monitor_ingest(spark, tmp_path):
         streaming_fence_monitor_ingest,
     )
 
+    import pytest
+
     inp = tmp_path / "in"
     b1 = [("a", float(i % 100)) for i in range(200)] + [("b", 3.0)] * 50
     b2 = [("a", 999.0)] * 20 + [("a", 1.0)] * 10 + [("b", -1.0)] * 5
@@ -1583,6 +1585,26 @@ def test_streaming_fence_monitor_ingest(spark, tmp_path):
     )
     state = str(tmp_path / "state")
     alerts = str(tmp_path / "alerts")
+
+    # setup fail-fast: bad args raise BEFORE any checkpoint exists
+    with pytest.raises(ValueError, match="breach_den > 0"):
+        streaming_fence_monitor_ingest(
+            spark.readStream.schema("g string, x double").parquet(f"{inp}/*"),
+            state, alerts, "g", "x", breach_den=0,
+        )
+    with pytest.raises(ValueError, match="collide with the output schema"):
+        streaming_fence_monitor_ingest(
+            spark.readStream.schema("g string, x double").parquet(f"{inp}/*"),
+            state, alerts, "batch_version", "x",
+        )
+
+    # a PREVIOUS state lifetime's alert dir (a number the new lifetime
+    # won't immediately overwrite): the bootstrap commit must clear it
+    # — version numbering restarts, so it would otherwise interleave
+    # into the new history once versions pass 7
+    spark.createDataFrame([("stale",)], "g string").write.parquet(
+        f"{alerts}/b7"
+    )
 
     def run():
         q = streaming_fence_monitor_ingest(
@@ -1598,6 +1620,7 @@ def test_streaming_fence_monitor_ingest(spark, tmp_path):
     cold = spark.read.parquet(f"{alerts}/b{v1}").collect()
     assert {r["status"] for r in cold} == {"no_baseline"}  # (1)
     assert {r["g"] for r in cold} == {"a", "b"}
+    assert not os.path.isdir(f"{alerts}/b7")  # stale lifetime cleared
 
     # crash-orphan alerts for the NEXT version: must be overwritten (3)
     spark.createDataFrame(
