@@ -106,11 +106,17 @@ def _fs_delete(spark, path: str) -> None:
 
 def _fs_read_small(spark, path: str) -> bytes | None:
     """Whole small file as bytes (None if absent) — manifest-sized reads
-    only, never data."""
+    only, never data. Absence is detected from the open() itself (one
+    RPC), not a prior exists() round trip; other IO errors propagate."""
+    from py4j.protocol import Py4JJavaError
+
     fs, p, jvm = _fs_and_path(spark, path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
+    try:
+        stream = fs.open(p)
+    except Py4JJavaError as e:
+        if "FileNotFoundException" in e.java_exception.getClass().getName():
+            return None
+        raise
     try:
         return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
@@ -207,10 +213,14 @@ def _read_pointer_layout(
         base = root if loc == "legacy" else f"{root}/_slices/{loc}"
         groups.setdefault(base, []).append(f"{base}/{dirname}")
     bases = sorted(groups)
-    # schema-only read (footer metadata, no data scan): the explicit
-    # target schema below needs the data columns' types from somewhere
+    # schema-only sample from ONE partition directory (one listing, one
+    # footer — passing every dir here built and discarded a full file
+    # index of the largest base per read): the explicit target schema
+    # below needs the data columns' types from somewhere; slices share
+    # one schema by the commit-time drift guard
     sample = (
-        spark.read.option("basePath", bases[0]).parquet(*sorted(groups[bases[0]]))
+        spark.read.option("basePath", bases[0])
+        .parquet(sorted(groups[bases[0]])[0])
     )
     ptype = (
         spark.createDataFrame([], f"`{pcol}` {man['partition_type']}")
@@ -446,6 +456,18 @@ def merge_upsert_partitioned(
             "original writer produced it (often string).",
         )
         if entries:
+            # the one silent behavior change of adoption: plain
+            # spark.read.parquet(root) readers keep working but are
+            # frozen at the pre-pointer content — say so loudly once
+            import warnings
+
+            warnings.warn(
+                f"merge_upsert_partitioned: adopting {root} into the "
+                "versioned-pointer layout — from this commit on, plain "
+                "spark.read.parquet readers see only the frozen legacy "
+                "partitions; read the live snapshot with read_snapshot()",
+                stacklevel=2,
+            )
             current = _read_pointer_layout(
                 spark,
                 root,
@@ -484,6 +506,23 @@ def merge_upsert_partitioned(
 
     cur_touched = current.where(F.col(partition_col).isin(touched))
     merged = merge_upsert(cur_touched, updates.select(*current.columns), key_list)
+    # data-column type drift guard, BEFORE any write: unionByName would
+    # happily coerce (int updates over long snapshot columns and vice
+    # versa), committing a slice whose types disagree with the standing
+    # files — the reader applies ONE schema across bases, so the
+    # "successful" commit would be permanently unreadable
+    drift = [
+        (f.name, str(cf.dataType), str(f.dataType))
+        for cf, f in zip(current.schema.fields, merged.schema.fields)
+        if cf.dataType != f.dataType
+    ]
+    if drift:
+        raise ValueError(
+            "merge_upsert_partitioned: updates change column type(s) "
+            f"{drift} vs the standing snapshot — cast the updates to the "
+            "snapshot schema first (every slice must read under one "
+            "schema)"
+        )
     next_n = latest + 1
     slice_dir = f"{root}/_slices/s{next_n}"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(slice_dir)
@@ -644,15 +683,20 @@ def vacuum_snapshot(
         live |= {
             loc for loc in mans[v]["entries"].values() if loc != "legacy"
         }
+    # manifests FIRST, slices second: a crash between the two loops then
+    # leaves only unreferenced slices (wasted space a future vacuum
+    # reclaims) — the reverse order left a committed-LOOKING manifest
+    # whose slice data was gone, turning time travel into an opaque
+    # path-does-not-exist read error
+    for v in vs:
+        if v not in keep:
+            _fs_delete(spark, f"{root}/_manifests/m{v}.json")
+            stats["manifests_deleted"] += 1
     for nm in _fs_child_dirs(spark, f"{root}/_slices"):
         m = re.fullmatch(r"s(\d+)", nm)
         if m and nm not in live and int(m.group(1)) <= vs[-1]:
             _fs_delete(spark, f"{root}/_slices/{nm}")
             stats["slices_deleted"] += 1
-    for v in vs:
-        if v not in keep:
-            _fs_delete(spark, f"{root}/_manifests/m{v}.json")
-            stats["manifests_deleted"] += 1
     return stats
 
 

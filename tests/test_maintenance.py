@@ -410,6 +410,58 @@ def test_merge_upsert_partitioned_adoption_guards(spark, tmp_path):
             "part",
         )
 
+    # (4) DATA-column type drift: int snapshot + long updates —
+    # unionByName silently widens the merged slice to long, and the
+    # one-schema reader (typed off an existing base) could then never
+    # open the committed slice; must abort before any write. Adoption
+    # also warns that plain readers freeze at the legacy content.
+    snap5 = str(tmp_path / "drift")
+    spark.createDataFrame(
+        [(1, "p0", "a")], "doc_id int, part string, body string"
+    ).write.partitionBy("part").parquet(snap5)
+    with pytest.raises(ValueError, match="change column type"):
+        with pytest.warns(UserWarning, match="frozen legacy"):
+            merge_upsert_partitioned(
+                spark, snap5, updates, "doc_id", "part"
+            )
+
+
+def test_vacuum_snapshot_deletes_manifests_before_slices(spark, tmp_path):
+    """Crash-window regression: vacuum must delete superseded MANIFESTS
+    before their slices — the reverse order's mid-crash left a
+    committed-looking manifest whose data was gone (time travel died
+    with an opaque path error instead of 'not a committed manifest')."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators import (
+        maintenance as mnt,
+    )
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(i, f"p{i % 2}", "x") for i in range(8)],
+        "doc_id long, part string, body string",
+    ).write.partitionBy("part").parquet(snap)
+    for n in range(1, 4):
+        u = spark.createDataFrame(
+            [(0, "p0", f"E{n}")], "doc_id long, part string, body string"
+        )
+        mnt.merge_upsert_partitioned(spark, snap, u, "doc_id", "part")
+
+    deletions = []
+    real = mnt._fs_delete
+
+    def recording(spark_, path):
+        deletions.append(path)
+        real(spark_, path)
+
+    try:
+        mnt._fs_delete = recording
+        mnt.vacuum_snapshot(spark, snap, keep_manifests=1)
+    finally:
+        mnt._fs_delete = real
+    kinds = ["m" if "/_manifests/" in p else "s" for p in deletions]
+    assert "m" in kinds and "s" in kinds
+    assert kinds == sorted(kinds)  # every manifest before any slice
+
 
 def test_drop_partitions_retention(spark, tmp_path):
     """Retention drop semantics on the pointer layout: the dropped
