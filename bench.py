@@ -358,6 +358,7 @@ LONGTAIL = [
     "q181_quantile_fence_monitor",
     "q182_pointer_snapshot_refresh",
     "q183_partition_retention",
+    "q184_lake_maintenance_capstone",
 ]
 
 _TABLES = (

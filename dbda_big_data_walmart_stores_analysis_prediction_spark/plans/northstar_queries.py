@@ -8871,3 +8871,81 @@ def q183_partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# q184: the lake-maintenance capstone — one refresh cycle end to end on
+# the versioned-pointer snapshot (upsert a repriced batch into ONE
+# partition, expire another by metadata drop) closed by the
+# snapshot_diff audit against the pre-refresh content: exactly what a
+# production refresh job runs, and the audit's status counts are the
+# composed proof that the pointer read returns precisely "everything
+# except the expired partition, with exactly the upserted keys
+# changed". Oracle: the statuses derived relationally (removed = the
+# dropped priority; changed = the repriced keys — price×1.1 differs
+# from price whenever price ≠ 0, the same inequality snapshot_diff's
+# string-cast md5 sees).
+_Q184_SQL = """
+    SELECT CASE WHEN o_orderpriority = '5-LOW' THEN 'removed'
+                WHEN o_orderkey % 10 = 0
+                     AND o_orderpriority = '1-URGENT'
+                     AND o_totalprice <> 0 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_keys
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+"""
+
+_Q184_SNAPSHOTS: dict = {}
+
+
+@_register("q184_lake_maintenance_capstone", _Q184_SQL)
+def q184_lake_maintenance_capstone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One pointer-snapshot maintenance cycle (operators/maintenance.py):
+    merge_upsert_partitioned (repriced %10 keys of one priority — one
+    slice + manifest flip), drop_partitions (expire another priority —
+    metadata only), then snapshot_diff(original, read_snapshot) keyed on
+    o_orderkey over the o_totalprice content — removed / changed /
+    unchanged counts, the audit a scheduler checks before advancing the
+    snapshot pointer downstream. Re-runs are idempotent (upsert rewrites
+    the same content; the drop no-ops under missing_ok)."""
+    import tempfile
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        drop_partitions,
+        merge_upsert_partitioned,
+        read_snapshot,
+        snapshot_diff,
+        vacuum_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    snap = _Q184_SNAPSHOTS.get(sf_dir)
+    if snap is None:
+        snap = tempfile.mkdtemp(prefix="q184_lake_") + "/orders"
+        orders.write.partitionBy("o_orderpriority").parquet(snap)
+        _Q184_SNAPSHOTS[sf_dir] = snap
+    else:
+        vacuum_snapshot(spark, snap, keep_manifests=1)
+    updates = orders.where(
+        (F.col("o_orderkey") % 10 == 0)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    merge_upsert_partitioned(
+        spark, snap, updates, "o_orderkey", "o_orderpriority"
+    )
+    drop_partitions(
+        spark, snap, ["5-LOW"], "o_orderpriority", partition_type="string"
+    )
+    audit = snapshot_diff(
+        orders,
+        read_snapshot(spark, snap),
+        keys="o_orderkey",
+        content_cols="o_totalprice",
+    )
+    return (
+        audit.groupBy("status")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("status")
+    )
