@@ -8756,6 +8756,43 @@ _Q182_SQL = """
 _Q182_SNAPSHOTS: dict = {}
 
 
+def _orders_pointer_snapshot(
+    spark, sf_dir: str, cache: dict, prefix: str, vacuum: bool = False
+) -> str:
+    """ONE orders snapshot per (process, sf_dir) for the pointer-layout
+    queries (q182/q183/q184 — the q108 artifact-reuse rule: these are
+    benched with reps, and a fresh corpus-sized write per rep would
+    drown the refresh being measured). ``vacuum`` bounds slice
+    accumulation for queries whose re-runs COMMIT (upserts); retention
+    re-runs are no-ops and don't need it."""
+    import tempfile
+
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        vacuum_snapshot,
+    )
+
+    snap = cache.get(sf_dir)
+    if snap is None:
+        snap = tempfile.mkdtemp(prefix=prefix) + "/orders"
+        _t(spark, sf_dir, "orders").write.partitionBy(
+            "o_orderpriority"
+        ).parquet(snap)
+        cache[sf_dir] = snap
+    elif vacuum:
+        vacuum_snapshot(spark, snap, keep_manifests=1)
+    return snap
+
+
+def _repriced_urgent_updates(orders):
+    """The %10-keys-of-one-priority update batch q182/q184 share: a
+    refresh that touches exactly ONE partition (repricing never moves a
+    key's priority — the stable-partition contract)."""
+    return orders.where(
+        (F.col("o_orderkey") % 10 == 0)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+
+
 @_register("q182_pointer_snapshot_refresh", _Q182_SQL)
 def q182_pointer_snapshot_refresh(
     spark: SparkSession, sf_dir: str
@@ -8767,26 +8804,16 @@ def q182_pointer_snapshot_refresh(
     slice + one manifest flip — object-store-safe, no renames of data);
     the other four survive byte-identical and the manifest-aware
     read_snapshot reassembles the table for the audit aggregate."""
-    import tempfile
-
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
         merge_upsert_partitioned,
         read_snapshot,
-        vacuum_snapshot,
     )
 
     orders = _t(spark, sf_dir, "orders")
-    snap = _Q182_SNAPSHOTS.get(sf_dir)
-    if snap is None:
-        snap = tempfile.mkdtemp(prefix="q182_ptr_") + "/orders"
-        orders.write.partitionBy("o_orderpriority").parquet(snap)
-        _Q182_SNAPSHOTS[sf_dir] = snap
-    else:
-        vacuum_snapshot(spark, snap, keep_manifests=1)
-    updates = orders.where(
-        (F.col("o_orderkey") % 10 == 0)
-        & (F.col("o_orderpriority") == "1-URGENT")
-    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    snap = _orders_pointer_snapshot(
+        spark, sf_dir, _Q182_SNAPSHOTS, "q182_ptr_", vacuum=True
+    )
+    updates = _repriced_urgent_updates(orders)
     touched = merge_upsert_partitioned(
         spark, snap, updates, "o_orderkey", "o_orderpriority"
     )
@@ -8838,19 +8865,14 @@ def q183_partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten) → manifest-aware read → per-priority audit aggregate
     (fixed-point totals, the q182 rule). The dropped partition's files
     stay on disk for time travel until vacuum."""
-    import tempfile
-
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
         drop_partitions,
         read_snapshot,
     )
 
-    orders = _t(spark, sf_dir, "orders")
-    snap = _Q183_SNAPSHOTS.get(sf_dir)
-    if snap is None:
-        snap = tempfile.mkdtemp(prefix="q183_ret_") + "/orders"
-        orders.write.partitionBy("o_orderpriority").parquet(snap)
-        _Q183_SNAPSHOTS[sf_dir] = snap
+    snap = _orders_pointer_snapshot(
+        spark, sf_dir, _Q183_SNAPSHOTS, "q183_ret_"
+    )
     drop_partitions(
         spark, snap, ["5-LOW"], "o_orderpriority", partition_type="string"
     )
@@ -8883,7 +8905,13 @@ def q183_partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed". Oracle: the statuses derived relationally (removed = the
 # dropped priority; changed = the repriced keys — price×1.1 differs
 # from price whenever price ≠ 0, the same inequality snapshot_diff's
-# string-cast md5 sees).
+# string-cast md5 sees). SCOPE of that equivalence: unique o_orderkey
+# and finite prices — both invariants of the TPC-H-shaped fixtures at
+# every SF (verified) — because duplicate keys fan out the diff's
+# full-outer join while the oracle counts rows, and NaN/Inf satisfy
+# `x*1.1 == x` (diff: unchanged) while `<> 0` is true (oracle:
+# changed). Hostile orders fixtures (the adversarial relational
+# battery) are out of this oracle's domain by construction.
 _Q184_SQL = """
     SELECT CASE WHEN o_orderpriority = '5-LOW' THEN 'removed'
                 WHEN o_orderkey % 10 = 0
@@ -8910,28 +8938,18 @@ def q184_lake_maintenance_capstone(
     unchanged counts, the audit a scheduler checks before advancing the
     snapshot pointer downstream. Re-runs are idempotent (upsert rewrites
     the same content; the drop no-ops under missing_ok)."""
-    import tempfile
-
     from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
         drop_partitions,
         merge_upsert_partitioned,
         read_snapshot,
         snapshot_diff,
-        vacuum_snapshot,
     )
 
     orders = _t(spark, sf_dir, "orders")
-    snap = _Q184_SNAPSHOTS.get(sf_dir)
-    if snap is None:
-        snap = tempfile.mkdtemp(prefix="q184_lake_") + "/orders"
-        orders.write.partitionBy("o_orderpriority").parquet(snap)
-        _Q184_SNAPSHOTS[sf_dir] = snap
-    else:
-        vacuum_snapshot(spark, snap, keep_manifests=1)
-    updates = orders.where(
-        (F.col("o_orderkey") % 10 == 0)
-        & (F.col("o_orderpriority") == "1-URGENT")
-    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    snap = _orders_pointer_snapshot(
+        spark, sf_dir, _Q184_SNAPSHOTS, "q184_lake_", vacuum=True
+    )
+    updates = _repriced_urgent_updates(orders)
     merge_upsert_partitioned(
         spark, snap, updates, "o_orderkey", "o_orderpriority"
     )
