@@ -70,16 +70,28 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep one row (min id) per normalized content hash — the 100 TB-safe
-    exact dedup: one shuffle on the hash, map-side combinable."""
+    exact dedup: one shuffle on the hash.
+
+    Formulated as a window min, not the earlier groupBy + join-back: the
+    join form consumed ``df`` TWICE (each side re-executed the full
+    upstream lineage — a second corpus scan plus a second pass of any
+    scoring regexes feeding it) and cost two exchanges + two sorts under
+    the sort-merge join. The window is one scan, one exchange, one sort,
+    and halves the plan subtree every consumer pays to analyze/codegen.
+    The explicit ``isNotNull`` keeps the join form's null semantics: a
+    null fingerprint (null text) never equi-joined, so those rows were
+    dropped — the window partition would otherwise group and keep one.
+    """
+    from pyspark.sql import Window
+
     h = md5_int64(_norm_text(text_col)).alias("__fp")
-    w_min = (
-        df.select("*", h)
-        .groupBy("__fp")
-        .agg(F.min(id_col).alias("__keep"))
-    )
     return (
         df.select("*", h)
-        .join(w_min, "__fp")
+        .where(F.col("__fp").isNotNull())
+        .select(
+            "*",
+            F.min(id_col).over(Window.partitionBy("__fp")).alias("__keep"),
+        )
         .where(F.col(id_col) == F.col("__keep"))
         .drop("__fp", "__keep")
     )
