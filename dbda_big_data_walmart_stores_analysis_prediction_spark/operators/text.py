@@ -50,6 +50,11 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio, digit_ratio, space_ratio, quality_score (deterministic
     heuristic in [0,1]).
     """
+    # NOT fanned out (`dedup._fan_out_small_scan`): with the single-
+    # reference argmax in language_id the scoring battery is ~0.2 ms/row,
+    # and the A/B showed the extra exchange costs more than the
+    # parallelism buys at the 1-task-scan scale (0.87 s vs 1.59 s for the
+    # filtered clean stage at sf0.1) — the doctrine's cheap-path case.
     # STAGED projections (see language_id): each regex/split runs ONCE per
     # row in the counts stage instead of being re-inlined into every ratio
     # and again into the quality formula (~6-10 redundant regexp passes in
@@ -133,16 +138,34 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             for lang in langs
         ],
     ).drop("__words")
-    best = None
-    for lang in langs:  # alphabetical ⇒ first max wins ties
-        hits = F.col(f"hits_{lang}")
-        if best is None:
-            best = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-        else:
-            best = F.when(hits > best["hits"],
-                          F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-                          ).otherwise(best)
-    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    # Argmax via array_max over (hits, rank) structs — each ``hits_<lang>``
+    # referenced exactly ONCE. The earlier nested when-chain embedded the
+    # running best (and through it every previous language's hit count)
+    # twice per level, so whenever the optimizer inlined the staged hits
+    # aliases — predicate pushdown through these projections substitutes
+    # aliases unconditionally — the tree exploded to ~11 array_intersect
+    # evaluations per language per row (measured 44 intersect + 49 split
+    # calls in the q56-clean filter plan, ~4 s/5k docs single-task).
+    # Ranks DESCEND alphabetically (first language gets the largest), so
+    # struct max = max hits with ties to the alphabetically first
+    # language; a sentinel (h=0, rank=n) beats all-zero (and, via
+    # null-first struct ordering, all-null) hit rows, encoding the 'und'
+    # fallback without ever re-reading the hits field.
+    n = len(langs)
+    cands = F.array(
+        F.struct(
+            F.lit(0).cast("bigint").alias("h"), F.lit(n).alias("nr")
+        ),
+        *[
+            F.struct(
+                F.col(f"hits_{lang}").alias("h"),
+                F.lit(n - 1 - i).alias("nr"),
+            )
+            for i, lang in enumerate(langs)
+        ],
+    )
+    lookup = F.array(*[F.lit(l) for l in [*reversed(langs), "und"]])
+    pred = F.element_at(lookup, F.array_max(cands)["nr"] + F.lit(1))
     return with_hits.select("*", pred.alias("lang_pred"))
 
 

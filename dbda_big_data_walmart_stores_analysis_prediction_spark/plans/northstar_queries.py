@@ -1770,12 +1770,28 @@ def q73_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
+    from pyspark.sql import Window
+
     feats = tx.add_text_features(docs).withColumn(
         "__fp", dd.md5_int64(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     )
-    counts = feats.groupBy("__fp").agg(F.count("*").alias("__cnt"))
+    # Group size via a window count, not groupBy + join-back: the join
+    # form consumed ``feats`` twice (the scoring projections re-ran on
+    # the aggregate branch) and shuffled every feature column; this is
+    # one scan, one exchange, and only the four columns the report
+    # needs cross it. The isNotNull keeps the join form's semantics —
+    # a null fingerprint (null text) never equi-joined (DuckDB's USING
+    # join agrees), so those rows stay out of the report.
     return (
-        feats.join(counts, "__fp")
+        feats.where(F.col("__fp").isNotNull())
+        .select(
+            "source",
+            "n_tokens",
+            "quality_score",
+            F.count("*")
+            .over(Window.partitionBy("__fp"))
+            .alias("__cnt"),
+        )
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -169,8 +169,14 @@ def recipe_v2(
         .distinct()
     )
     # two consumers (tokenizer trainer + epoch mix) — cut the clean+audit
-    # lineage once, the _clean_corpus convention
-    safe = clean.join(flagged, id_col, "left_anti").localCheckpoint(eager=False)
+    # lineage once, the _clean_corpus convention. At the zero-merge point
+    # the trainer short-circuits before touching data, leaving ONE
+    # downstream scan: checkpointing there writes the whole decontaminated
+    # corpus to the block manager for nobody to re-read (skip it unless
+    # the ``out`` hook adds consumers).
+    safe = clean.join(flagged, id_col, "left_anti")
+    if n_merges > 0 or out is not None:
+        safe = safe.localCheckpoint(eager=False)
     # 3. epoch-weighted upsampling; composite unit identity per copy
     mixed = repeat_by_weight(
         safe, strata_col, weights, id_col, default_weight, salt=epoch_salt

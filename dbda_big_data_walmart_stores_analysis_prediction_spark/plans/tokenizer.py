@@ -90,6 +90,7 @@ def _clean_corpus(
     min_quality: float,
     keep_langs: tuple[str, ...],
     keep_cols: tuple[str, ...] = (),
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Stages 1-2, shared by both tokenizer families (and the recipe-v2
     capstone): q56-configuration quality + language gates, exact dedup,
@@ -98,7 +99,14 @@ def _clean_corpus(
     instead of re-running the scoring regex lineage). ``keep_cols`` ride
     through untouched (every stage is "*"-additive and `dedup_exact`
     preserves its input columns) — the recipe-v2 composition needs the
-    source stratum for its epoch mix."""
+    source stratum for its epoch mix.
+
+    ``checkpoint=False`` skips the cut: callers whose trainer never
+    consumes the cleaned corpus (the zero-merge BPE point — `train_bpe`
+    short-circuits before touching data) have exactly ONE downstream
+    scan, and a checkpoint there writes every cleaned row to the block
+    manager for nobody to re-read — at corpus scale, a full wasted
+    materialization pass."""
     scored = language_id(
         add_text_features(docs.select(id_col, text_col, *keep_cols), text_col),
         text_col,
@@ -107,9 +115,8 @@ def _clean_corpus(
         (F.col("quality_score") >= min_quality)
         & F.col("lang_pred").isin(*keep_langs)
     ).select(id_col, text_col, *keep_cols)
-    return dd.dedup_exact(filtered, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    deduped = dd.dedup_exact(filtered, id_col, text_col)
+    return deduped.localCheckpoint(eager=False) if checkpoint else deduped
 
 
 def tokenizer_corpus(
@@ -138,7 +145,14 @@ def tokenizer_corpus(
     <per-doc tokens>}`` — the instrumentation hook tests and callers who
     need the shipped tokenizer artifact use (mirrors ``pretrain_corpus``'s
     ``stages`` dict; no plan effect)."""
-    clean = _clean_corpus(docs, id_col, text_col, min_quality, keep_langs)
+    # The clean checkpoint exists for the trainer/encoder double consume;
+    # at n_merges=0 the trainer never touches data (train_bpe
+    # short-circuits), so the only scan is the encoder's — skip the cut
+    # unless the ``out`` hook adds extra consumers.
+    clean = _clean_corpus(
+        docs, id_col, text_col, min_quality, keep_langs,
+        checkpoint=n_merges > 0 or out is not None,
+    )
     merges = train_bpe(
         clean,
         text_col,
