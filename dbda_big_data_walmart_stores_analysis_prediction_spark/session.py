@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd for every parquet sink (snapshots, artifacts, bucketed
+        # tables): markedly better ratio than snappy at similar read
+        # speed — at lake scale the write/read byte saving compounds
+        # across every snapshot version. Read-side behavior and values
+        # are unchanged (DuckDB oracles read zstd parquet natively).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Parquet TIMESTAMP(NANOS) is illegal in vanilla Spark; read the
         # physical int64 and let the catalog convert ns -> timestamp
         # (sources/catalog.py), matching DuckDB's nanos->micros truncation.
