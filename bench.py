@@ -451,8 +451,21 @@ def main() -> None:
         print(json.dumps(_run_chunk(sys.argv[2].split(","), sf_dir)))
         return
 
-    n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "4")))
     all_names = HEADLINE + LONGTAIL
+    # Session recycling (r15 verdict item 2): one JVM per ~20 queries
+    # instead of the old 4 fixed chunks (~41 queries each). The measured
+    # chunk-neighbor effect — one inflamed session (GC/heap/code-cache or a
+    # box-interference window) inflating EVERY query it hosts — bounded by
+    # 4 sessions meant 2–5x false regressions on ~40 untouched queries per
+    # bad draw; at ≤20 queries per session a bad window taints a quarter as
+    # much, and the per-chunk anchors (now kept in the stdout line) localize
+    # it. JVM startup is untimed, so more sessions cost only wall clock.
+    # SPARK_GRAFT_BENCH_CHUNKS still overrides for A/B comparability runs.
+    env_chunks = os.environ.get("SPARK_GRAFT_BENCH_CHUNKS")
+    if env_chunks is not None:
+        n_chunks = max(1, int(env_chunks))
+    else:
+        n_chunks = -(-len(all_names) // 20)  # ceil: ~20 queries/session
     # The stdout line prints qNN-prefix keys; a colliding registration must
     # fail HERE, before any query burns a benchmark session — and as a real
     # exception, not an assert `python -O` would strip.
@@ -523,16 +536,19 @@ def main() -> None:
     # verbose meta (still in bench_full.json) and then precision until
     # the line fits, rather than silently truncating.
     if len(line) > 1950:
+        # Slim meta keeps the PER-CHUNK anchors (r15 verdict item 2: the
+        # drift evidence that distinguishes "this chunk's queries
+        # regressed" from "the box slowed for that chunk" must survive
+        # into the line the driver records, not just bench_full.json) —
+        # at 2dp they cost ~6 bytes per session.
         slim = {
             k: v
             for k, v in meta.items()
-            if k
-            not in (
-                "duckdb_anchors_per_chunk",
-                "anchor_query",
-                "query_protocol",
-            )
+            if k not in ("anchor_query", "query_protocol")
         }
+        slim["duckdb_anchors_per_chunk"] = [
+            round(a, 2) for a in anchors
+        ]
         line = json.dumps(
             {**slim, "queries": short}, separators=(",", ":")
         )
@@ -542,26 +558,26 @@ def main() -> None:
             {**slim, "queries": short}, separators=(",", ":")
         )
     if len(line) > 1950:
-        # shed the FASTEST entries behind an explicit (count, threshold)
-        # marker BEFORE the slowest-kept fallback: sub-threshold values
-        # all print as ~0.1-0.3 at 1dp — near-zero information per ~10
-        # bytes — while the fallback's eventual victims would be real
-        # multi-second lines. Thresholds are tried on the PRE-1dp
-        # timings (rounding first would hide everything behind 0.1) and
-        # stop at the first that fits; bench_full.json always carries
-        # the complete dict.
+        # Shed the sub-threshold entries behind an explicit
+        # (count, threshold) marker BEFORE the slowest-kept fallback:
+        # sub-0.5 s values are fixed-job-floor noise at this SF, while
+        # the fallback's eventual victims would be real multi-second
+        # lines. The threshold is PINNED at 0.5 s (the r15 ladder —
+        # 0.1→0.5 by line pressure — changed which queries the stdout
+        # dict covered round over round and burned the per-query
+        # comparison; r15's driver run landed on 0.5, so 0.5 keeps
+        # r15→r16 per-query sets comparable). The threshold applies to
+        # the PRE-rounding timings; bench_full.json always carries the
+        # complete dict.
         raw = {n.split("_")[0]: t for n, t in timings.items()}
-        for thr in (0.1, 0.15, 0.2, 0.25, 0.3, 0.5):
-            kept = {n: t for n, t in short.items() if raw[n] >= thr}
-            slim2 = {
-                **slim,
-                "queries_dropped_below_sec": thr,
-                "queries_dropped": len(short) - len(kept),
-            }
-            line = json.dumps({**slim2, "queries": kept}, separators=(",", ":"))
-            if len(line) <= 1950:
-                break
-        slim = slim2
+        thr = 0.5
+        kept = {n: t for n, t in short.items() if raw[n] >= thr}
+        slim = {
+            **slim,
+            "queries_dropped_below_sec": thr,
+            "queries_dropped": len(short) - len(kept),
+        }
+        line = json.dumps({**slim, "queries": kept}, separators=(",", ":"))
         short = kept
     if len(line) > 1950:
         # last resort for a registry that has outgrown the window:

@@ -1132,13 +1132,21 @@ def dedup_lines(
     line, counted per DISTINCT doc — a line repeated inside one document
     is that document's own structure, not corpus boilerplate.
 
-    Scale shape: explode is shuffle-free; the doc-freq aggregate and the
-    tag-back join both shuffle 8-byte line hashes (never line text); the
-    reassembly groupBy shuffles each line once, keyed by doc. Nothing is
-    quadratic — boilerplate frequency only makes the frequency aggregate's
-    partial combine MORE effective, the exact inverse of the shingle-join
-    blowup `cap_shingle_doc_freq` guards against.
+    Scale shape: explode is shuffle-free; the per-line doc frequency is a
+    WINDOW over the 8-byte line hash (``max(dense_rank over (k, id))`` ==
+    ``countDistinct(id) per k``), so the exploded rows shuffle ONCE on the
+    line key; the reassembly groupBy shuffles each line once more, keyed
+    by doc. The earlier groupBy+join-back form (the pre-r15 `dedup_exact`
+    pattern) consumed the explode lineage TWICE — each join side re-ran
+    the scan + split + md5 — and paid a third exchange for the
+    countDistinct's internal two-phase aggregate. Nothing is quadratic —
+    boilerplate frequency only concentrates rows of one key into one
+    window partition; like `dedup_exact`'s window, a pathological
+    single-line crowd becomes one fat task (AQE cannot split a window
+    partition) — the trade accepted for halving the scans.
     """
+    from pyspark.sql import Window
+
     lines = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__i", "__line"),
@@ -1147,19 +1155,29 @@ def dedup_lines(
         F.regexp_replace(F.lower(F.trim(F.col("__line"))), r"\s+", " ")
     )
     keyed = lines.withColumn("__k", key)
-    # shuffle-hash the tag-back join: the doc-freq table is 16 bytes/row
-    # on md5-uniform keys — SMJ's two sorts are pure waste (0.50 vs
-    # 0.65 s at sf0.1), same argument as the shingle family's joins
-    dfreq = (
-        keyed.groupBy("__k")
-        .agg(F.countDistinct(id_col).alias("__df"))
-        .hint("shuffle_hash")
-    )
-    tagged = keyed.join(dfreq, "__k").select(
+    # countDistinct(id) per line key, window form: dense_rank over
+    # (partition __k order by id) counts distinct ids along the sort, so
+    # its partition max IS the distinct count — minus 1 if a NULL id is
+    # present (ranked first by asc_nulls_first), because the old
+    # countDistinct ignored nulls and the gate must keep doing so.
+    w_k = Window.partitionBy("__k")
+    ranked = keyed.select(
         id_col,
         "__i",
         "__line",
-        (F.col("__df") <= max_doc_freq).alias("__keep"),
+        "__k",
+        F.dense_rank()
+        .over(Window.partitionBy("__k").orderBy(F.col(id_col).asc_nulls_first()))
+        .alias("__dr"),
+    )
+    dfx = F.max("__dr").over(w_k) - F.max(
+        F.when(F.col(id_col).isNull(), 1).otherwise(0)
+    ).over(w_k)
+    tagged = ranked.select(
+        id_col,
+        "__i",
+        "__line",
+        (dfx <= max_doc_freq).alias("__keep"),
     )
     agg = tagged.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("__i", "__line", "__keep"))).alias(

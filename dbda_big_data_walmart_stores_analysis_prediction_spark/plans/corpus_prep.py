@@ -86,28 +86,32 @@ def prepare_training_corpus(
         # the StorageLevel enum is the SERIALIZED variant — defaulting to it
         # would silently change the memory format.)
         storage_level = StorageLevel.MEMORY_AND_DISK_DESER
-    # Persist at the COMPOSITION boundary: the downstream near-dup stage
-    # derives this frame five times (signatures, two candidate-verification
-    # joins, the survivor anti-join, and the final projection), and each
-    # derivation would otherwise re-run scoring + language ID + the
-    # dedup join from the raw scan. Individual operators stay cache-free
-    # (measured right per-operator); compositions are exactly where one
-    # materialization amortizes. Measured at sf0.1: 22.7s -> 9.2s
-    # cold-cache (DuckDB runs the equivalent SQL in 36s).
-    # Callers free the blocks with .unpersist() on the result's source or
-    # let LRU eviction handle it. The count() materializes EAGERLY:
-    # Spark submits independent downstream stages concurrently, and
-    # sibling stages racing an unmaterialized cache all recompute the
-    # lineage (measured: lazy persist left the cold run at ~20s; eager
-    # materialization makes cold ≈ warm).
-    # The persist sits on SCORED — one step ABOVE the quality/language
-    # filter — not on the filtered frame: a filter over the cache reads
-    # the stored quality_score/lang_pred columns, whereas a filter pushed
-    # into the scoring lineage inlines the staged regex projections into
-    # one giant predicate that re-evaluates every regex per reference
-    # (measured: count() through the inlined predicate was 5x the cost of
-    # computing the entire scored frame). The cache also feeds
-    # dedup_exact's two derivations (min aggregate + keep join).
+    # Persist at the COMPOSITION boundary (the EXACT frame below): the
+    # downstream near-dup stage derives it several times (signatures via
+    # the shingle checkpoint, the survivor anti-join, the final
+    # projection), and each derivation would otherwise re-run scoring +
+    # language ID + the dedup window from the raw scan. Individual
+    # operators stay cache-free (measured right per-operator);
+    # compositions are exactly where one materialization amortizes.
+    # The count() materializes EAGERLY: Spark submits independent
+    # downstream stages concurrently, and sibling stages racing an
+    # unmaterialized cache all recompute the lineage (measured r4: lazy
+    # persist left the cold run at ~20s; eager materialization makes
+    # cold ≈ warm). Callers free the blocks with .unpersist() or let LRU
+    # eviction handle it.
+    #
+    # HISTORY (r16): a second persist used to sit on SCORED, above the
+    # quality/language filter, for two reasons that both expired in r15:
+    # (a) the join-back dedup_exact consumed its input twice — the window
+    # form consumes it once, leaving scored a single-consumer frame; and
+    # (b) pushing the filter into the scoring lineage inlined the
+    # when-chain argmax ~11x per row (measured 5x the cost of the whole
+    # scored frame) — the single-reference argmax bounds that inlining
+    # (r15: 44 → 4 array_intersect in the pushed filter). Dropping the
+    # scored persist removes a full corpus-sized materialization + its
+    # count job per run (measured r16 at sf0.1: q70 scored persist+count
+    # was 1.55 s against 0.88 s for the same lineage through noop; q56
+    # 5.6 → 4.3 s, q70 5.5 → 4.2 s in-session end to end).
     if c4_clean:
         from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
             c4_rules,
@@ -140,14 +144,11 @@ def prepare_training_corpus(
         quality_gate = F.col("quality_prob") >= min_quality
     else:
         quality_gate = F.col("quality_score") >= min_quality
-    scored = scored.persist(storage_level)
-    scored.count()
     filtered = scored.where(
         quality_gate & (F.col("lang_pred").isin(*keep_langs))
     )
     exact = dd.dedup_exact(filtered, id_col, text_col).persist(storage_level)
     exact.count()
-    scored.unpersist()
     pairs = dd.minhash_lsh_pairs(
         exact,
         id_col,

@@ -790,6 +790,33 @@ def test_dedup_lines_strips_boilerplate_keeps_order(spark):
     assert vout == {1: "body a", 2: "body b", 3: "body c"}
 
 
+def test_dedup_lines_null_id_doc_frequency(spark):
+    """Doc frequency counts DISTINCT NON-NULL ids — the r16 window form
+    (max(dense_rank) with a null-id correction) must reproduce the old
+    countDistinct's null handling exactly: null-id docs still get their
+    own output row (grouped under the null key), but they never raise a
+    line's document frequency past the cap."""
+    docs = spark.createDataFrame(
+        [
+            (1, "shared line\nbody one"),
+            (2, "shared line\nbody two"),
+            # null-id doc carrying the shared line: countDistinct ignores
+            # it, so the shared line's frequency stays 2 == cap -> kept
+            (None, "shared line\nbody null"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dd.dedup_lines(docs, max_doc_freq=2).collect()}
+    assert set(out) == {1, 2, None}
+    assert out[1]["clean_text"] == "shared line\nbody one"
+    assert out[None]["clean_text"] == "shared line\nbody null"
+    # at cap 1 the shared line is boilerplate (2 non-null docs > 1)
+    out1 = {r["doc_id"]: r["clean_text"] for r in
+            dd.dedup_lines(docs, max_doc_freq=1).collect()}
+    assert out1 == {1: "body one", 2: "body two", None: "body null"}
+
+
 def test_clean_documents_stage_order_and_composition(spark):
     """Line dedup must see RAW newlines (markup stripping collapses them),
     then tags vanish, then PII redacts — the full cleaning prelude on one
