@@ -476,6 +476,7 @@ def gopher_rules(
     min_words: int = 50,
     max_words: int = 100_000,
     min_stopwords: int = 2,
+    passthrough: bool = False,
 ) -> DataFrame:
     """The Gopher quality-rule battery (Rae et al. 2021 §A.1.1 — the rule
     set MassiveWeb/Gopher filtered on, reused near-verbatim by RefinedWeb
@@ -501,7 +502,11 @@ def gopher_rules(
     compared against the ROUNDED value so an external SQL engine lands on
     the identical keep bit. Null/empty docs keep a row (zero counts,
     ``keep=false``) — like the other scorers this is a projection, never a
-    silent filter.
+    silent filter. ``passthrough=True`` retains every input column
+    alongside the rule columns (the `c4_rules` convention) so a pipeline
+    can gate with ``.where("keep")`` instead of a semi-join that consumes
+    the upstream lineage twice; the caller owns avoiding collisions with
+    the eight output columns.
 
     At 100 TB this is the cheapest gate in the pipeline — pure per-row
     expressions inside whole-stage codegen, so it belongs FIRST in a
@@ -544,8 +549,9 @@ def gopher_rules(
     ).cast("bigint")
 
     safe_w = F.greatest(n_words, F.lit(1))
+    head = [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
     m = df.select(
-        F.col(id_col),
+        *head,
         n_words.alias("n_words"),
         F.round(non_space_chars / safe_w, 4).alias("mean_word_len"),
         F.round(n_symbols / safe_w, 4).alias("symbol_word_ratio"),
@@ -650,6 +656,7 @@ def gopher_repetition(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Gopher's repetition-signal battery (Rae et al. 2021 §A.1.1, the
     table of duplicate-text filters; reused by RefinedWeb/Dolma) — the
@@ -677,16 +684,31 @@ def gopher_repetition(
     rows, no UDFs, no cross-doc state, so the whole battery scales with
     the token count like the shingle family. (Two fused single-Generate
     variants were measured 15-20% SLOWER locally — see the in-body
-    comment and PERF.md.)"""
+    comment and PERF.md.)
+
+    ``passthrough=True`` retains every input column alongside the metric
+    columns (the `c4_rules`/`gopher_rules` convention), carried through
+    the doc skeleton — so a pipeline gates with ``.where("keep")``
+    instead of a semi-join back to the input (one fewer doc-keyed join,
+    and the input lineage is consumed once)."""
     from pyspark.sql.window import Window
 
     nn = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    extras = (
+        [c for c in df.columns if c not in (id_col, text_col)]
+        if passthrough
+        else []
+    )
     base = df.where(nn).select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("__t"),
         F.length(text_col).alias("__chars"),
+        *extras,
     )
-    skel = base.select("doc", F.greatest("__chars", F.lit(1)).alias("__chars"))
+    skel_carry = (["__t", *extras]) if passthrough else []
+    skel = base.select(
+        "doc", F.greatest("__chars", F.lit(1)).alias("__chars"), *skel_carry
+    )
 
     # line duplication
     ln = base.select("doc", F.explode(F.split("__t", "\n")).alias("line"))
@@ -756,12 +778,18 @@ def gopher_repetition(
         )
     )
 
+    carry_out = (
+        [F.col("__t").alias(text_col), *[F.col(c) for c in extras]]
+        if passthrough
+        else []
+    )
     m = (
         skel.join(line_stats, "doc", "left")
         .join(top2, "doc", "left")
         .join(dup5, "doc", "left")
         .select(
             F.col("doc").alias(id_col),
+            *carry_out,
             F.round(
                 (F.col("__n_lines") - F.col("__n_distinct")) / F.col("__n_lines"), 4
             ).alias("dup_line_frac"),
@@ -791,8 +819,12 @@ def gopher_repetition(
         & (F.col("dup_5gram_char_frac") <= 0.15)
     )
     scored = m.select("*", keep.alias("keep"))
+    zero_carry = (
+        [F.col(text_col), *[F.col(c) for c in extras]] if passthrough else []
+    )
     zeros = df.where(~F.coalesce(nn, F.lit(False))).select(
         F.col(id_col),
+        *zero_carry,
         F.lit(0.0).alias("dup_line_frac"),
         F.lit(0.0).alias("dup_line_char_frac"),
         F.lit(0.0).alias("top_2gram_char_frac"),

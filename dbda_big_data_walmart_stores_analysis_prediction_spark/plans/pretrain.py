@@ -74,14 +74,19 @@ from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text impor
 )
 
 
-# Checkpoint boundaries that stay active by default, chosen by the round-8
-# cut-by-cut A/B at sf0.1 (PERF.md "q87 checkpoint chain"): each named
-# frame feeds 2+ downstream derivations whose re-execution was MEASURED to
-# cost more than the materialization. Cuts that lost the A/B (their
-# consumers' lineage overlap collapses to a ReusedExchange, or the frame
-# has one consumer) are omitted; pass ``cuts`` explicitly to re-run the
-# experiment.
-DEFAULT_CUTS = frozenset({"s0", "s2", "lm", "s3", "s4", "s5", "cutdocs", "chosen"})
+# Checkpoint boundaries that stay active by default, chosen by cut-by-cut
+# A/B at sf0.1 (round 8, re-run round 16 after the gate fusion — PERF.md
+# "q87 checkpoint chain"): each named frame feeds 2+ downstream
+# derivations whose re-execution was MEASURED to cost more than the
+# materialization. Cuts that lost the A/B (their consumers' lineage
+# overlap collapses to a ReusedExchange, or the frame has one consumer)
+# are omitted; pass ``cuts`` explicitly to re-run the experiment.
+# Round 16: the rule/repetition gates became inline filters (the scorers
+# are projections — the semi-joins consumed each stage's lineage twice),
+# which renamed the gate boundary s0 → s1 (post-rule-gates, the frame the
+# repetition battery fans out over) and left s3 single-consumer (the
+# window-form dedup_exact scans once), so s0/s3 left the default set.
+DEFAULT_CUTS = frozenset({"s1", "s2", "lm", "s4", "s5", "cutdocs", "chosen"})
 
 
 def pretrain_corpus(
@@ -127,28 +132,38 @@ def pretrain_corpus(
             stages[name] = frame
         return frame
 
-    # 1. C4: page gates + line rewrite; downstream sees clean_text
+    # 1. C4: page gates + line rewrite; downstream sees clean_text.
+    # The null-id drop up front preserves the pre-r16 gate semantics: the
+    # rule/repetition gates used to be ID-keyed semi-joins, which a null
+    # id can never survive (null never equi-joins) — the inline filters
+    # below would otherwise keep a passing null-id doc.
     c4 = c4_rules(docs.select(id_col, text_col))
-    s0 = _cut(
-        "s0",
-        c4.where(F.col("keep")).select(
-            F.col(id_col), F.col("clean_text").alias(text_col)
+    s0 = c4.where(F.col("keep") & F.col(id_col).isNotNull()).select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+    # 2-3. Gopher rule + repetition gates, INLINE (r16): both scorers are
+    # row-preserving projections/aggregates over their input, so gating
+    # with ``.where(keep)`` on the passthrough output replaces the two
+    # ID-keyed semi-joins — each of which consumed its stage's lineage
+    # twice (score build + join left side) and cost a doc-keyed join
+    # exchange. s0 (the C4 regex battery) is now single-consumer — the
+    # cut moved one stage later to s1, the frame the repetition battery's
+    # four internal streams (skeleton, lines, 2-grams, 5-grams) fan out
+    # over.
+    s1 = _cut(
+        "s1",
+        gopher_rules(
+            s0, text_col, id_col, min_stopwords=min_stopwords, passthrough=True
         )
-    )
-    # 2-3. Gopher rule + repetition gates (semi-joins: gates never widen
-    # the corpus frame, and a failed gate costs no column bookkeeping)
-    gr_keep = (
-        gopher_rules(s0, text_col, id_col, min_stopwords=min_stopwords)
         .where(F.col("keep"))
-        .select(id_col)
+        .select(id_col, text_col),
     )
-    s1 = s0.join(gr_keep, [id_col], "left_semi")
-    rep_keep = (
-        gopher_repetition(s1, text_col, id_col)
+    s2 = _cut(
+        "s2",
+        gopher_repetition(s1, text_col, id_col, passthrough=True)
         .where(F.col("keep"))
-        .select(id_col)
+        .select(id_col, text_col),
     )
-    s2 = _cut("s2", s1.join(rep_keep, [id_col], "left_semi"))
     # 4. bigram-LM gate: keep ≤ corpus-mean cross-entropy. Docs with no
     # bigrams (<2 words) have no LM row and are dropped by the semi-join
     # — they cannot carry the fluency evidence this gate asks for.
@@ -159,6 +174,8 @@ def pretrain_corpus(
         .where(F.col("avg_neg_logprob") <= F.col("__lm_mean"))
         .select(id_col)
     )
+    # s3 is single-consumer since the window-form dedup_exact (r15): the
+    # old join-back consumed it twice, which is why it used to be cut.
     s3 = _cut("s3", s2.join(lm_keep, [id_col], "left_semi"))
     # 5-6. exact then near dedup (min-id survivors, q56 configuration)
     s4 = _cut("s4", dd.dedup_exact(s3, id_col, text_col))

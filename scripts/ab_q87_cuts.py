@@ -15,7 +15,7 @@ materialization. This script measures that per cut at sf0.1:
 
 Usage:
     python scripts/ab_q87_cuts.py explore [--reps 3]
-    python scripts/ab_q87_cuts.py confirm all s0,s2,lm,s4,s5,cutdocs,chosen [--reps 5]
+    python scripts/ab_q87_cuts.py confirm all s1,s2,lm,s4,s5,cutdocs,chosen [--reps 5]
     python scripts/ab_q87_cuts.py one <comma-cuts|all|none>   (internal)
 """
 
@@ -31,7 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ALL_CUTS = ("s0", "s2", "lm", "s3", "s4", "s5", "cutdocs", "chosen")
+ALL_CUTS = ("s1", "s2", "lm", "s3", "s4", "s5", "cutdocs", "chosen")
 
 
 def _parse(spec: str) -> frozenset[str]:
