@@ -48,7 +48,9 @@ DRIVER_QUERY_CAP = 50
 # capstones), the q73 window count, and the q172 fixed-point fix — none
 # landed in the r15 50-slot sample (r15 verdict item 1).
 # Round 16 (optimization): dedup_lines window form (q69/q70), the
-# pretrain gate fusion (q87), corpus_funnel single-pass levels (q125).
+# pretrain gate fusion + cut re-layout (q87), the corpus-prep scored
+# persist removal (q56/q70 — rides the r15 window dedup, so its last
+# pre-15 rows are stale either way).
 _REWRITTEN_IN_ROUND = {
     "q22_text_features": 15,
     "q23_language_id": 15,
@@ -61,7 +63,7 @@ _REWRITTEN_IN_ROUND = {
     "q98_tokenizer_capstone": 15,
     "q100_unigram_capstone": 15,
     "q107_recipe_v2_capstone": 15,
-    "q125_corpus_funnel": 16,
+    "q125_corpus_funnel": 15,
     "q160_retrieval_prep_capstone": 15,
     "q172_gap_fill_linear": 15,
 }

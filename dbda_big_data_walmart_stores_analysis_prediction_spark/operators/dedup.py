@@ -81,6 +81,15 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     The explicit ``isNotNull`` keeps the join form's null semantics: a
     null fingerprint (null text) never equi-joined, so those rows were
     dropped — the window partition would otherwise group and keep one.
+
+    Skew caveat to the 100 TB claim: the window puts every row sharing a
+    fingerprint into ONE task with no partial aggregation, and AQE cannot
+    split a skewed window partition the way it splits a skewed join — a
+    pathologically duplicated document (whole-page boilerplate at web
+    scale) becomes a straggler task. Accepted trade for the measured win
+    (one scan instead of two, one exchange instead of two + two sorts);
+    a corpus known to carry million-way exact duplicates should pre-salt
+    or pre-aggregate on the fingerprint before this operator.
     """
     from pyspark.sql import Window
 

@@ -1691,16 +1691,24 @@ def q76_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §5: ML internals — coefficients are solver output, not
     SQL-expressible); the local suite pins behavior (separation between
     the weak classes, corpus-prep pluggability)."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.text import (
+        add_text_features,
+    )
     from dbda_big_data_walmart_stores_analysis_prediction_spark.plans.quality_model import (
-        score_documents,
+        attach_quality_prob,
         train_quality_scorer,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE staged-regex feature pass shared by fit and transform (r16:
+    # the fit lineage and score_documents each used to run the q22
+    # battery over the corpus — the persist halves the scans; values
+    # identical, pinned by the q76 behavior tests).
+    feats = add_text_features(docs, "text").persist()
     # 0.9: the synthetic corpus' heuristic scores sit in [0.66, 1.0],
     # so the GPT-3-style keep/reject split lands at the upper decile
-    model = train_quality_scorer(docs, weak_label_threshold=0.9)
-    out = score_documents(model, docs)
+    model = train_quality_scorer(docs, weak_label_threshold=0.9, feats=feats)
+    out = attach_quality_prob(model, feats)
     return out.select(
         "doc_id",
         "quality_score",

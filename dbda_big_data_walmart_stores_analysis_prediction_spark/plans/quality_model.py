@@ -49,6 +49,7 @@ def train_quality_scorer(
     weak_label_threshold: float = 0.5,
     max_iter: int = 50,
     reg_param: float = 0.01,
+    feats: DataFrame | None = None,
 ):
     """Fit assembler→LogisticRegression on the text-feature vector.
 
@@ -57,6 +58,13 @@ def train_quality_scorer(
     weak_label_threshold``. Train on a bounded sample at scale
     (``docs.sample(...)``) — the model is 7 doubles; the corpus-sized
     work belongs to transform, not fit.
+
+    ``feats``: an optional PRE-COMPUTED `add_text_features` frame over
+    ``docs`` (e.g. one the caller persists and reuses for the scoring
+    transform) — fit-then-score callers otherwise pay the staged regex
+    battery twice, once inside the fit lineage and once under the
+    transform. Values are identical either way; the null-text exclusion
+    below is applied to whichever frame is used.
 
     Returns a ``PipelineModel`` whose ``transform`` expects the
     `add_text_features` columns (use `score_documents`, which attaches
@@ -71,7 +79,12 @@ def train_quality_scorer(
     # features — and LogisticRegression.fit REJECTS NaN vectors. The rest
     # of the engine supports null-text docs (scoring gives them 0.0 and
     # the gate drops them), so exclude them from the FIT only.
-    feats = add_text_features(docs.where(F.col(text_col).isNotNull()), text_col)
+    if feats is None:
+        feats = add_text_features(
+            docs.where(F.col(text_col).isNotNull()), text_col
+        )
+    else:
+        feats = feats.where(F.col(text_col).isNotNull())
     if label_col is None:
         label_col = "__weak_label"
         feats = feats.withColumn(

@@ -138,6 +138,12 @@ def recipe_v2(
     q98 argument: every stage including the encoder's real accounting of
     the FIM-rewritten text replicates in SQL) and q108 (trained merges +
     artifact round-trip + FFD packing; rows-only, twin-pinned).
+
+    Single-action assumption at ``n_merges=0``: the zero-merge trainer
+    short-circuits, so the decontaminated corpus is NOT checkpointed and
+    the returned frame's lineage re-runs clean+decontam on every action;
+    callers issuing multiple actions on the zero-merge result should
+    pass ``out={}``, which restores the checkpoint by adding consumers.
     """
     if packer not in ("contiguous", "ffd"):
         raise ValueError(f"packer must be 'contiguous' or 'ffd', got {packer!r}")

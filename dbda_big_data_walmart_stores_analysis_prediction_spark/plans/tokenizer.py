@@ -144,7 +144,14 @@ def tokenizer_corpus(
     ``{"clean": <cleaned corpus>, "merges": <merge table>, "encoded":
     <per-doc tokens>}`` — the instrumentation hook tests and callers who
     need the shipped tokenizer artifact use (mirrors ``pretrain_corpus``'s
-    ``stages`` dict; no plan effect)."""
+    ``stages`` dict; no plan effect).
+
+    Single-action assumption at ``n_merges=0``: the zero-merge trainer
+    short-circuits, so the cleaned corpus is NOT checkpointed (nothing
+    would re-read it) and the returned frame's lineage re-runs the full
+    clean chain on EVERY action. Callers issuing multiple actions on the
+    zero-merge result (count then write, retries) should pass
+    ``out={}``, which restores the checkpoint by adding consumers."""
     # The clean checkpoint exists for the trainer/encoder double consume;
     # at n_merges=0 the trainer never touches data (train_bpe
     # short-circuits), so the only scan is the encoder's — skip the cut

@@ -1,9 +1,11 @@
-"""Stage-time decomposition of the tokenizer/recipe capstones (q98/q99/
-q100/q107): time each composition boundary in pipeline order with the
-noop sink, so each increment ≈ that stage's first-materialization cost
-(the lazy-checkpointed clean corpus is reused after its first action).
+"""Stage-time decomposition of the tokenizer-family capstones (q98/q99/
+q100): time each composition boundary in pipeline order with the noop
+sink, so each increment ≈ that stage's first-materialization cost (the
+lazy-checkpointed clean corpus is reused after its first action). For
+the recipe-v2 capstone (q107) use the localCheckpoint-probe pattern in
+OPTIMIZATION_r16.md instead — its boundaries live inside recipe_v2.
 
-Usage: python scripts/stage_times_tokenizer.py [q98|q99|q100|q107] [--reps 2]
+Usage: python scripts/stage_times_tokenizer.py [q98|q99|q100] [--reps 2]
 """
 
 from __future__ import annotations
@@ -81,9 +83,6 @@ def main() -> None:
         t2 = time.perf_counter()
         per_stage.setdefault("clean (score+langid+dedup+ckpt)", []).append(
             t2 - t1
-        )
-        counted = (
-            out.get("encoded")
         )
         spark.sparkContext.setJobDescription(f"{which}: encode")
         # counts_only twin of what the capstone runs (same boundary)

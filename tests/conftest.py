@@ -16,7 +16,16 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+    # local[4] + 2 shuffle partitions, NOT the bench's local[32]/8: the
+    # suite runs sf0.001/sf0.01 fixtures where per-task scheduling
+    # overhead dominates, and the r16 A/B measured −31% on a mixed slice
+    # and −33% on the heaviest parity/streaming tests (the suite must fit
+    # the driver's verify budget; r15's 36-minute run was cut off).
+    # AQE stays ON (the A/B showed disabling it is a net LOSS even at
+    # this scale, and the plan audits pin finalized adaptive plans).
+    # Correctness is partition-count-independent by construction — any
+    # test that needs a specific layout sets its own conf.
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=2)
     yield s
 
 

@@ -4752,3 +4752,33 @@ def test_jaccard_prefix_pairs_python_twin(spark):
         for r in jaccard_pairs_prefix(df, threshold=0.5).collect()
     }
     assert got_sh[(1, 2)] == 1.0
+
+
+def test_q182_snapshot_bootstrap_amortized_to_warmup(spark):
+    """The declared bench contract for the pointer-snapshot queries
+    (bench.py LONGTAIL comment, r15 verdict item 7): q182/q183/q184
+    bootstrap their orders snapshot ONCE per (process, sf_dir) and every
+    later invocation — the bench's timed reps after the unmeasured
+    warm-up — reuses it, measuring the refresh operation only. Pin the
+    reuse: two q182 runs in one process share one snapshot root, the
+    second run commits a NEW manifest version onto it (real refresh work
+    per rep, not a no-op), and the cache is keyed by sf_dir."""
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.operators.maintenance import (
+        snapshot_versions,
+    )
+    from dbda_big_data_walmart_stores_analysis_prediction_spark.plans import (
+        northstar_queries as nq,
+    )
+
+    nq._Q182_SNAPSHOTS.pop(SF_SMOKE, None)
+    nq.q182_pointer_snapshot_refresh(spark, SF_SMOKE).collect()
+    assert SF_SMOKE in nq._Q182_SNAPSHOTS, "bootstrap must cache by sf_dir"
+    snap = nq._Q182_SNAPSHOTS[SF_SMOKE]
+    v1 = max(snapshot_versions(spark, snap))
+    nq.q182_pointer_snapshot_refresh(spark, SF_SMOKE).collect()
+    assert nq._Q182_SNAPSHOTS[SF_SMOKE] == snap, (
+        "second run must reuse the bootstrapped snapshot (the bench's "
+        "timed reps measure the refresh, not the bootstrap)"
+    )
+    v2 = max(snapshot_versions(spark, snap))
+    assert v2 > v1, "each rep must COMMIT a fresh refresh (real work)"
